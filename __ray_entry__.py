@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module: nothing
+here (or in beats_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``   — flagship transcript pipeline (parse -> enrich -> route ->
+                  aggregate) on the deterministic sf0.001 transcript table.
+- ``queries()`` — one callable per implemented operator/pipeline
+                  (SURVEY.md §2); each takes ``sf_dir``.
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query.  Transcript queries run
+  over the deterministic generated parquet (referenced by absolute path via
+  read_parquet(), same files the Ray side reads); the remaining queries use
+  the pre-registered views.
 """
 
 from __future__ import annotations
@@ -20,25 +20,21 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from beats_ray.pipelines.flagship import run_flagship
+    return run_flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from beats_ray.pipelines.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    import os
+
+    from beats_ray.pipelines.queries import oracle_sql_map
+    from beats_ray.sources.transcripts import transcripts_path
+    # correctness runs at sf0.01; generate (idempotent, pure pyarrow) so the
+    # SQL's read_parquet() target exists before DuckDB runs
+    tdir = transcripts_path("sf0.01")
+    return oracle_sql_map(os.path.join(tdir, "*.parquet"))

@@ -1,0 +1,256 @@
+"""Condition language compiled to vectorized Arrow boolean masks.
+
+Replicates the reference condition engine (libbeat/conditions/conditions.go:30-41,
+dispatch :55-101): ``equals`` (exact scalar), ``contains`` (substring), ``regexp``,
+``range`` (gt/gte/lt/lte on numbers), ``has_fields``, ``network`` (CIDR), and the
+combinators ``and`` / ``or`` / ``not``.  A config dict compiles once to a
+:class:`Condition`; ``mask(batch)`` evaluates it per Arrow batch with
+pyarrow.compute kernels (SURVEY.md §2.3 "Ray mapping").
+
+Missing fields: every leaf condition evaluates to False for rows where the
+field is absent/null (matching extractor misses in conditions/extractors.go),
+except ``has_fields`` which is the explicit presence test.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .event import field_to_column
+
+__all__ = ["Condition", "compile_condition"]
+
+
+def _false(n: int):
+    return pa.array([False] * n, pa.bool_())
+
+
+def _col(batch: pa.Table, field: str):
+    name = field_to_column(field)
+    if name in batch.column_names:
+        return batch.column(name)
+    return None
+
+
+def _nn(mask):
+    """null -> False (Kleene logic surfaces nulls; Beats treats miss as False)."""
+    return pc.fill_null(mask, False)
+
+
+class Condition:
+    def mask(self, batch: pa.Table):  # -> pa.BooleanArray / ChunkedArray
+        raise NotImplementedError
+
+    def __call__(self, batch: pa.Table):
+        return self.mask(batch)
+
+
+@dataclass
+class Equals(Condition):
+    field: str
+    value: object
+
+    def mask(self, batch):
+        col = _col(batch, self.field)
+        if col is None:
+            return _false(len(batch))
+        try:
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                return _nn(pc.equal(col, str(self.value)))
+            if pa.types.is_boolean(col.type):
+                return _nn(pc.equal(col, bool(self.value)))
+            return _nn(pc.equal(col, self.value))
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+            return _false(len(batch))
+
+
+@dataclass
+class Contains(Condition):
+    field: str
+    value: str
+
+    def mask(self, batch):
+        col = _col(batch, self.field)
+        if col is None or not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+            return _false(len(batch))
+        return _nn(pc.match_substring(col, self.value))
+
+
+@dataclass
+class Regexp(Condition):
+    field: str
+    pattern: str
+
+    def mask(self, batch):
+        col = _col(batch, self.field)
+        if col is None or not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+            return _false(len(batch))
+        return _nn(pc.match_substring_regex(col, self.pattern))
+
+
+_RANGE_OPS = {"gt": pc.greater, "gte": pc.greater_equal, "lt": pc.less, "lte": pc.less_equal}
+
+
+@dataclass
+class Range(Condition):
+    field: str
+    bounds: dict  # {"gt": x, "lte": y, ...}
+
+    def mask(self, batch):
+        col = _col(batch, self.field)
+        if col is None:
+            return _false(len(batch))
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            col = pc.cast(col, pa.float64(), safe=False)
+        acc = None
+        for op, val in self.bounds.items():
+            m = _RANGE_OPS[op](col, val)
+            acc = m if acc is None else pc.and_kleene(acc, m)
+        return _nn(acc) if acc is not None else _false(len(batch))
+
+
+@dataclass
+class HasFields(Condition):
+    fields: list
+
+    def mask(self, batch):
+        n = len(batch)
+        acc = pa.array([True] * n, pa.bool_())
+        for f in self.fields:
+            col = _col(batch, f)
+            if col is None:
+                return _false(n)
+            acc = pc.and_(acc, pc.is_valid(col))
+        return acc
+
+
+@dataclass
+class Network(Condition):
+    field: str
+    networks: list  # CIDR strings or named ranges
+
+    _NAMED = {
+        "loopback": ["127.0.0.0/8", "::1/128"],
+        "private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16", "fd00::/8"],
+        "public": [],  # complement — handled specially
+        "unspecified": ["0.0.0.0/32", "::/128"],
+    }
+
+    def __post_init__(self):
+        self._nets = []
+        self._public = False
+        for n in self.networks:
+            if n in self._NAMED:
+                if n == "public":
+                    self._public = True
+                else:
+                    self._nets += [ipaddress.ip_network(c) for c in self._NAMED[n]]
+            else:
+                self._nets.append(ipaddress.ip_network(n, strict=False))
+
+    def _match_one(self, v):
+        if v is None:
+            return False
+        try:
+            ip = ipaddress.ip_address(v)
+        except ValueError:
+            return False
+        hit = any(ip in net for net in self._nets)
+        if self._public:
+            hit = hit or ip.is_global
+        return hit
+
+    def mask(self, batch):
+        col = _col(batch, self.field)
+        if col is None:
+            return _false(len(batch))
+        return pa.array([self._match_one(v) for v in col.to_pylist()], pa.bool_())
+
+
+@dataclass
+class And(Condition):
+    parts: list
+
+    def mask(self, batch):
+        acc = None
+        for p in self.parts:
+            m = p.mask(batch)
+            acc = m if acc is None else pc.and_(acc, m)
+        return acc if acc is not None else pa.array([True] * len(batch), pa.bool_())
+
+
+@dataclass
+class Or(Condition):
+    parts: list
+
+    def mask(self, batch):
+        acc = None
+        for p in self.parts:
+            m = p.mask(batch)
+            acc = m if acc is None else pc.or_(acc, m)
+        return acc if acc is not None else _false(len(batch))
+
+
+@dataclass
+class Not(Condition):
+    part: Condition
+
+    def mask(self, batch):
+        return pc.invert(self.part.mask(batch))
+
+
+class AlwaysTrue(Condition):
+    def mask(self, batch):
+        return pa.array([True] * len(batch), pa.bool_())
+
+
+def compile_condition(cfg) -> Condition:
+    """Compile a Beats ``when:`` config dict into a Condition.
+
+    Accepts the YAML shape used under processors' ``when:`` keys
+    (libbeat/conditions/conditions.go:55-101 NewCondition dispatch).
+    """
+    if cfg is None:
+        return AlwaysTrue()
+    if isinstance(cfg, Condition):
+        return cfg
+    if not isinstance(cfg, dict) or len(cfg) == 0:
+        return AlwaysTrue()
+    parts = []
+    for key, val in cfg.items():
+        if key == "equals":
+            parts += [Equals(f, v) for f, v in val.items()]
+        elif key == "contains":
+            parts += [Contains(f, v) for f, v in val.items()]
+        elif key == "regexp":
+            parts += [Regexp(f, v) for f, v in val.items()]
+        elif key == "range":
+            # {"field": {"gte": 1, "lt": 5}, ...} or flattened {"field.gte": 1}
+            byfield: dict[str, dict] = {}
+            for f, v in val.items():
+                if isinstance(v, dict):
+                    byfield.setdefault(f, {}).update(v)
+                else:
+                    base, op = f.rsplit(".", 1)
+                    byfield.setdefault(base, {})[op] = v
+            parts += [Range(f, b) for f, b in byfield.items()]
+        elif key == "has_fields":
+            parts.append(HasFields(list(val) if isinstance(val, (list, tuple)) else [val]))
+        elif key == "network":
+            for f, nets in val.items():
+                parts.append(Network(f, nets if isinstance(nets, list) else [nets]))
+        elif key == "and":
+            parts.append(And([compile_condition(c) for c in val]))
+        elif key == "or":
+            parts.append(Or([compile_condition(c) for c in val]))
+        elif key == "not":
+            parts.append(Not(compile_condition(val)))
+        else:
+            raise ValueError(f"unknown condition type: {key!r}")
+    if len(parts) == 1:
+        return parts[0]
+    return And(parts)

@@ -1,0 +1,540 @@
+"""Oracle-checked query catalogue — one entry per operator/pipeline.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a ray.data.Dataset /
+pyarrow.Table; ``ORACLE_SQL`` holds the DuckDB-equivalent SQL the driver runs
+side-by-side (CORRECTNESS gate).  Column names and types match the SQL
+aliases exactly (driver hashes after sorting columns by name).
+
+Numeric determinism: float SUMs are order-dependent under parallel partial
+aggregation, so money-style aggregates are computed in integer cents
+(``round(x*100) -> int64``) on both sides — exact regardless of reduction
+order.  Cosine similarities are computed in float64 and rounded to 6 digits
+on both sides.
+
+Transcript queries read the deterministic generated table (same parquet
+files referenced by the oracle SQL via read_parquet()).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..pipeline import Pipeline
+from ..sources.transcripts import transcripts_path
+from .flagship import LOG_TOKENIZER, ROUTE_RULES, TOOL_TABLE, flagship_spec
+
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+def _cents(col):
+    """round(x*100) -> int64 with DuckDB's tie-break (half away from zero),
+    so Ray and oracle agree bit-for-bit on boundary values."""
+    return pc.cast(pc.round(pc.multiply(col, 100.0),
+                            round_mode="half_towards_infinity"), pa.int64())
+
+
+def _tpath(sf_dir: str) -> str:
+    return transcripts_path(sf_dir)
+
+
+def _tglob(sf_dir: str) -> str:
+    return os.path.join(_tpath(sf_dir), "*.parquet")
+
+
+# ---------------------------------------------------------------- transcripts
+
+def q_transcripts_dissect(sf_dir: str):
+    """Vectorized dissect of log-shaped turns + timestamp normalization;
+    returns only successfully parsed rows (failed rows carry
+    dissect_parsing_error flags and are exercised by q_transcripts_parse_errors)."""
+    spec = {
+        "processors": [
+            {"dissect": {"tokenizer": LOG_TOKENIZER, "field": "text",
+                         "target_prefix": "log", "ignore_failure": True,
+                         "when": {"regexp": {"text": "^level="}}}},
+            {"timestamp": {"field": "log_ts", "target_field": "log_time",
+                           "layouts": ["%Y-%m-%dT%H:%M:%SZ"],
+                           "ignore_missing": True, "ignore_failure": True}},
+        ],
+    }
+    pipe = Pipeline(spec)
+    ds = _rd().read_parquet(_tpath(sf_dir))
+    out = pipe.apply(ds)
+    out = out.map_batches(
+        lambda t: t.filter(pc.is_valid(t["log_time"]))
+                   .select(["conv_id", "turn_idx", "log_level", "log_caller",
+                            "log_msg", "log_time"])
+                   .rename_columns(["conv_id", "turn_idx", "level", "caller",
+                                    "msg", "log_time"]),
+        batch_format="pyarrow")
+    return out
+
+
+def q_transcripts_parse_errors(sf_dir: str):
+    """Rows that look log-shaped but fail dissect -> dissect_parsing_error
+    flag; per-role counts of failures."""
+    from ray.data.aggregate import Sum
+    spec = {"processors": [
+        {"dissect": {"tokenizer": LOG_TOKENIZER, "field": "text",
+                     "target_prefix": "log", "ignore_failure": True,
+                     "when": {"regexp": {"text": "^level="}}}},
+    ]}
+    pipe = Pipeline(spec)
+    ds = _rd().read_parquet(_tpath(sf_dir), columns=["conv_id", "turn_idx", "role", "text"])
+    out = pipe.apply(ds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        flags = t["log_flags"] if "log_flags" in t.column_names \
+            else pa.nulls(len(t), pa.list_(pa.string()))
+        has_err = pc.fill_null(pc.greater(pc.list_value_length(flags), 0), False)
+        f = t.filter(has_err)
+        return f.group_by("role").aggregate([([], "count_all")]) \
+                .rename_columns(["role", "n_part"])
+
+    partials = out.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("role").aggregate(Sum("n_part", alias_name="n_failed"))
+
+
+def q_transcripts_route_counts(sf_dir: str):
+    """Full parse -> route -> per-sink aggregate counts (the reference's
+    per-sink pipeline counter expectation)."""
+    from ray.data.aggregate import Sum
+    pipe = Pipeline(flagship_spec())
+    ds = _rd().read_parquet(_tpath(sf_dir))
+    routed = pipe.apply(ds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("sink").aggregate([([], "count_all")]) \
+                .rename_columns(["sink", "n_part"])
+
+    partials = routed.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("sink").aggregate(Sum("n_part", alias_name="n"))
+
+
+def q_transcripts_enrich(sf_dir: str):
+    """Broadcast-dict tool lookup enrich -> per-(tool,category,cost) counts."""
+    from ray.data.aggregate import Sum
+    spec = {"processors": [
+        {"lookup": {"field": "tool", "table": TOOL_TABLE, "target_prefix": "tool"}},
+    ]}
+    pipe = Pipeline(spec)
+    ds = _rd().read_parquet(_tpath(sf_dir), columns=["tool"])
+    out = pipe.apply(ds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table({
+            "tool": t["tool"],
+            "category": pc.fill_null(t["tool_category"], ""),
+            "cost_class": pc.fill_null(t["tool_cost_class"], ""),
+        })
+        return t.group_by(["tool", "category", "cost_class"]) \
+                .aggregate([([], "count_all")]) \
+                .rename_columns(["tool", "category", "cost_class", "n_part"])
+
+    partials = out.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["tool", "category", "cost_class"]) \
+                   .aggregate(Sum("n_part", alias_name="n"))
+
+
+def q_transcripts_fingerprint(sf_dir: str):
+    """Byte-exact |k|v| fingerprint (sha256/hex) per turn."""
+    spec = {"processors": [
+        {"fingerprint": {"fields": ["conv_id", "turn_idx"], "target_field": "fp"}},
+    ]}
+    pipe = Pipeline(spec)
+    ds = _rd().read_parquet(_tpath(sf_dir), columns=["conv_id", "turn_idx"])
+    return pipe.apply(ds)
+
+
+def q_transcripts_sessionize(sf_dir: str):
+    """Multiline-analogue sessionization: per conversation, count sessions
+    split by >30 min gaps in turn order (sort within conv -> stateful fold;
+    SURVEY.md §2.4 multiline mapping)."""
+    ds = _rd().read_parquet(_tpath(sf_dir), columns=["conv_id", "turn_idx", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        gaps = g["ts"].diff().dt.total_seconds()
+        n = int((gaps > 1800).sum()) + 1
+        return pd.DataFrame({"conv_id": [g["conv_id"].iloc[0]],
+                             "n_sessions": np.array([n], dtype=np.int64)})
+
+    return ds.groupby("conv_id").map_groups(sessions, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- events
+
+def q_events_route(sf_dir: str):
+    """decode_json_fields on props + selector routing + per-sink counts and
+    integer-cents value sums (exact under any reduction order)."""
+    from ray.data.aggregate import Sum
+    spec = {
+        "processors": [
+            {"decode_json_fields": {"fields": ["props"], "target": "p"}},
+        ],
+        "route": {"rules": [
+            {"index": "errors", "when": {"equals": {"event_type": "error"}}},
+            {"index": "billing", "when": {"or": [
+                {"equals": {"event_type": "purchase"}},
+                {"equals": {"event_type": "signup"}}]}},
+        ], "default": "activity", "target": "sink"},
+    }
+    pipe = Pipeline(spec)
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_type", "value", "props"])
+    out = pipe.apply(ds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"])
+        k = pc.cast(t["p_k"], pa.int64())
+        t2 = pa.table({"sink": t["sink"], "cents": cents, "k": k})
+        return t2.group_by("sink").aggregate([("cents", "sum"), ("k", "sum"),
+                                              ([], "count_all")]) \
+                 .rename_columns(["sink", "cents_part", "k_part", "n_part"])
+
+    partials = out.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("sink").aggregate(
+        Sum("n_part", alias_name="n"),
+        Sum("cents_part", alias_name="value_cents"),
+        Sum("k_part", alias_name="sum_k"))
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1h window counts + cents sums per event_type (streaming-shaped
+    workload expressed as partial agg + small groupby; ray_guide windows)."""
+    from ray.data.aggregate import Sum
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        cents = _cents(t["value"])
+        t2 = pa.table({"hour": hour, "event_type": t["event_type"], "cents": cents})
+        return t2.group_by(["hour", "event_type"]) \
+                 .aggregate([("cents", "sum"), ([], "count_all")]) \
+                 .rename_columns(["hour", "event_type", "cents_part", "n_part"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["hour", "event_type"]).aggregate(
+        Sum("n_part", alias_name="n"), Sum("cents_part", alias_name="value_cents"))
+
+
+def q_events_sessionize(sf_dir: str):
+    """Per-user session count (30 min inactivity gap)."""
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds()
+        n = int((gaps > 1800).sum()) + 1
+        return pd.DataFrame({"user_id": np.array([g["user_id"].iloc[0]], dtype=np.int64),
+                             "n_sessions": np.array([n], dtype=np.int64)})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- tpch-ish
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary; money in integer cents."""
+    from ray.data.aggregate import Sum
+    ds = _rd().read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                     "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"],
+                                   pa.scalar(pd.Timestamp("1998-09-02"))))
+        qty = pc.cast(pc.round(t["l_quantity"], round_mode="half_towards_infinity"), pa.int64())
+        base = _cents(t["l_extendedprice"])
+        disc = _cents(pc.multiply(t["l_extendedprice"],
+                             pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        t2 = pa.table({"l_returnflag": t["l_returnflag"],
+                       "l_linestatus": t["l_linestatus"],
+                       "qty": qty, "base": base, "disc": disc})
+        return t2.group_by(["l_returnflag", "l_linestatus"]) \
+                 .aggregate([("qty", "sum"), ("base", "sum"), ("disc", "sum"),
+                             ([], "count_all")]) \
+                 .rename_columns(["l_returnflag", "l_linestatus",
+                                  "qty_p", "base_p", "disc_p", "n_p"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_p", alias_name="sum_qty"),
+        Sum("base_p", alias_name="sum_base_cents"),
+        Sum("disc_p", alias_name="sum_disc_price_cents"),
+        Sum("n_p", alias_name="count_order"))
+
+
+def q_orders_join(sf_dir: str):
+    """Broadcast hash join: small customer dim (ray.put once) joined to
+    orders inside map_batches — no shuffle (ray_guide 'Joins and lookups')."""
+    import ray
+    from ray.data.aggregate import Sum
+    cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    ds = _rd().read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                            columns=["o_custkey", "o_totalprice"])
+
+    class SegmentJoin:
+        def __init__(self):
+            self.seg = ray.get(seg_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            seg = pd.Series(t["o_custkey"].to_pandas()).map(self.seg)
+            cents = _cents(t["o_totalprice"])
+            t2 = pa.table({"mktsegment": pa.Array.from_pandas(seg, type=pa.string()),
+                           "cents": cents})
+            return t2.group_by("mktsegment") \
+                     .aggregate([("cents", "sum"), ([], "count_all")]) \
+                     .rename_columns(["mktsegment", "cents_p", "n_p"])
+
+    partials = ds.map_batches(SegmentJoin, batch_format="pyarrow", concurrency=2)
+    return partials.groupby("mktsegment").aggregate(
+        Sum("n_p", alias_name="n_orders"),
+        Sum("cents_p", alias_name="total_cents"))
+
+
+def q_top_users(sf_dir: str):
+    """Sort + limit: top 10 users by summed event value (cents)."""
+    from ray.data.aggregate import Sum
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"])
+        t2 = pa.table({"user_id": t["user_id"], "cents": cents})
+        return t2.group_by("user_id").aggregate([("cents", "sum")]) \
+                 .rename_columns(["user_id", "cents_p"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("user_id").aggregate(Sum("cents_p", alias_name="total_cents"))
+    return agg.sort(["total_cents", "user_id"], descending=[True, False]).limit(10)
+
+
+# ---------------------------------------------------------------- documents
+
+def q_docs_stats(sf_dir: str):
+    """Text analysis: per-language doc counts, token counts (single-space
+    split to match SQL string_split), char sums."""
+    from ray.data.aggregate import Sum
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["lang", "text", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        t2 = pa.table({"lang": t["lang"],
+                       "toks": pc.cast(toks, pa.int64()),
+                       "chars": t["n_chars"]})
+        return t2.group_by("lang") \
+                 .aggregate([("toks", "sum"), ("chars", "sum"), ([], "count_all")]) \
+                 .rename_columns(["lang", "toks_p", "chars_p", "n_p"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("lang").aggregate(
+        Sum("n_p", alias_name="n_docs"),
+        Sum("toks_p", alias_name="sum_tokens"),
+        Sum("chars_p", alias_name="sum_chars"))
+
+
+def q_docs_dedup_exact(sf_dir: str):
+    """Exact dedup: keep min(doc_id) per identical text (hash-partition +
+    per-group first; ray_guide dedup pattern)."""
+    from ray.data.aggregate import Min
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+
+    def hash_text(t: pa.Table) -> pa.Table:
+        import hashlib
+        h = [hashlib.sha1(x.encode()).hexdigest() if x is not None else None
+             for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "h": pa.array(h, pa.string())})
+
+    hashed = ds.map_batches(hash_text, batch_format="pyarrow")
+    kept = hashed.groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
+    return kept.select_columns(["doc_id"])
+
+
+def q_embeddings_knn(sf_dir: str):
+    """Brute-force cosine top-k against a broadcast query vector (vec_id=0),
+    numpy matmul per batch; float64, rounded to 6 digits."""
+    import ray
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    # query vector: vec_id == 0
+    idx = tbl.column("vec_id").to_pylist().index(0)
+    qvec = np.asarray(tbl.column("embedding")[idx].as_py(), dtype=np.float64)
+    qref = ray.put(qvec)
+    ds = _rd().read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+
+    class Cosine:
+        def __init__(self):
+            q = ray.get(qref)
+            self.q = q / np.linalg.norm(q)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (mat @ self.q) / norms
+            return pa.table({"vec_id": t["vec_id"],
+                             "cos": pa.array(np.round(cos, 6), pa.float64())})
+
+    scored = ds.map_batches(Cosine, batch_format="pyarrow", concurrency=2)
+    return scored.sort(["cos", "vec_id"], descending=[True, False]).limit(10)
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+def oracle_sql_map(transcripts_glob: str) -> dict[str, str]:
+    T = f"read_parquet('{transcripts_glob}')"
+    LOG_RE = r'^level=(.*?) ts=(.*?) caller=(.*?) msg="(.*?)"'
+    return {
+        "transcripts_dissect": f"""
+            SELECT conv_id, turn_idx,
+                   regexp_extract(text, '{LOG_RE}', 1) AS level,
+                   regexp_extract(text, '{LOG_RE}', 3) AS caller,
+                   regexp_extract(text, '{LOG_RE}', 4) AS msg,
+                   strptime(regexp_extract(text, '{LOG_RE}', 2),
+                            '%Y-%m-%dT%H:%M:%SZ') AS log_time
+            FROM {T}
+            WHERE regexp_matches(text, '{LOG_RE}')
+        """,
+        "transcripts_parse_errors": f"""
+            SELECT role, count(*)::BIGINT AS n_failed
+            FROM {T}
+            WHERE regexp_matches(text, '^level=')
+              AND NOT regexp_matches(text, '{LOG_RE}')
+            GROUP BY role
+        """,
+        "transcripts_route_counts": f"""
+            SELECT CASE
+                WHEN regexp_extract(text, '{LOG_RE}', 1) = 'ERROR' THEN 'errors'
+                WHEN role = 'tool' THEN 'tool-' || tool
+                WHEN text LIKE '{{%' THEN coalesce(json_extract_string(text, '$.event'), 'default')
+                ELSE 'default' END AS sink,
+                count(*)::BIGINT AS n
+            FROM {T}
+            GROUP BY 1
+        """,
+        "transcripts_enrich": f"""
+            SELECT tool,
+                CASE tool WHEN 'bash' THEN 'shell' WHEN 'search' THEN 'retrieval'
+                          WHEN 'browser' THEN 'retrieval' WHEN 'python' THEN 'code'
+                          ELSE '' END AS category,
+                CASE tool WHEN 'bash' THEN 'low' WHEN 'search' THEN 'medium'
+                          WHEN 'browser' THEN 'high' WHEN 'python' THEN 'medium'
+                          ELSE '' END AS cost_class,
+                count(*)::BIGINT AS n
+            FROM {T}
+            GROUP BY 1, 2, 3
+        """,
+        "transcripts_fingerprint": f"""
+            SELECT conv_id, turn_idx,
+                   sha256('|conv_id|' || conv_id || '|turn_idx|' || turn_idx || '|') AS fp
+            FROM {T}
+        """,
+        "transcripts_sessionize": f"""
+            WITH d AS (
+                SELECT conv_id,
+                       ts - lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+                FROM {T})
+            SELECT conv_id,
+                   (1 + count(*) FILTER (WHERE gap > INTERVAL 1800 SECOND))::BIGINT AS n_sessions
+            FROM d GROUP BY conv_id
+        """,
+        "events_route": """
+            SELECT CASE WHEN event_type = 'error' THEN 'errors'
+                        WHEN event_type IN ('purchase', 'signup') THEN 'billing'
+                        ELSE 'activity' END AS sink,
+                   count(*)::BIGINT AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+            FROM events GROUP BY 1
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*)::BIGINT AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH d AS (
+                SELECT user_id,
+                       ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+                FROM events)
+            SELECT user_id,
+                   (1 + count(*) FILTER (WHERE gap > INTERVAL 1800 SECOND))::BIGINT AS n_sessions
+            FROM d GROUP BY user_id
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+                   sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "orders_join": """
+            SELECT c.c_mktsegment AS mktsegment,
+                   count(*)::BIGINT AS n_orders,
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "top_users": """
+            SELECT user_id,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+            FROM events GROUP BY user_id
+            ORDER BY total_cents DESC, user_id LIMIT 10
+        """,
+        "docs_stats": """
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(length(string_split(text, ' ')))::BIGINT AS sum_tokens,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "docs_dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "embeddings_knn": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 6) AS cos
+            FROM embeddings
+            ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+    }
+
+
+QUERIES = {
+    "transcripts_dissect": q_transcripts_dissect,
+    "transcripts_parse_errors": q_transcripts_parse_errors,
+    "transcripts_route_counts": q_transcripts_route_counts,
+    "transcripts_enrich": q_transcripts_enrich,
+    "transcripts_fingerprint": q_transcripts_fingerprint,
+    "transcripts_sessionize": q_transcripts_sessionize,
+    "events_route": q_events_route,
+    "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
+    "lineitem_pricing": q_lineitem_pricing,
+    "orders_join": q_orders_join,
+    "top_users": q_top_users,
+    "docs_stats": q_docs_stats,
+    "docs_dedup_exact": q_docs_dedup_exact,
+    "embeddings_knn": q_embeddings_knn,
+}

@@ -1,0 +1,11 @@
+"""Stage registry — importing this package registers all built-in processors
+(the analogue of Beats' init()-time RegisterPlugin calls,
+libbeat/processors/registry.go)."""
+
+from .base import FnStage, Stage, register, registered_stages, stage_factory  # noqa: F401
+from . import actions  # noqa: F401
+from . import decode  # noqa: F401
+from . import dissect  # noqa: F401
+from . import enrich  # noqa: F401
+from . import fingerprint  # noqa: F401
+from . import timestamp  # noqa: F401

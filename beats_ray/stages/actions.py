@@ -1,0 +1,412 @@
+"""Field-shape processors — pure Arrow column ops (SURVEY.md §2.4).
+
+Each class replicates one libbeat/processors/actions/* processor's semantics
+on the flattened column model: dot-paths become underscore column names,
+"field exists" means "column exists", per-row failures set ``error_message``.
+Because Arrow columns are table-wide, *structural* ops (rename/copy/drop)
+act on whole columns; the reference's clone-and-rollback per event
+(actions/rename.go Run) degenerates to all-or-nothing per batch for
+structural failures (documented deviation — a batch shares one schema).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..event import (PROTECTED_COLS, TAGS_COL, TIMESTAMP_COL, add_tags,
+                     field_to_column, set_column, set_error)
+from .base import Stage, register
+
+
+def _is_str(t):
+    return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+
+@register("add_fields")
+class AddFields(Stage):
+    """Static map under ``target`` (default ``fields``); nested values flatten
+    to ``target_key`` columns (actions/add_fields.go:28)."""
+
+    name = "add_fields"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        target = self.config.get("target", "fields")
+        self.values = {}
+        def flatten(prefix, d):
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    flatten(f"{prefix}{k}_", v)
+                else:
+                    self.values[f"{prefix}{k}"] = v
+        flatten((target + "_") if target else "", self.config.get("fields", {}))
+
+    def process(self, batch):
+        n = len(batch)
+        for name, v in self.values.items():
+            col = field_to_column(name)
+            arr = pa.array([v] * n)
+            batch = set_column(batch, col, arr)
+        return batch
+
+
+@register("add_labels")
+class AddLabels(AddFields):
+    """add_fields with flattened keys under ``labels.`` (actions/add_labels.go:36)."""
+
+    name = "add_labels"
+
+    def __init__(self, config=None):
+        config = dict(config or {})
+        config["target"] = "labels"
+        config["fields"] = config.pop("labels", config.pop("fields", {}))
+        super().__init__(config)
+
+
+@register("add_tags")
+class AddTags(Stage):
+    """Append+dedup into the ``tags`` list column (mapstr.AddTagsWithKey;
+    actions/add_tags.go:38).  config: tags[], target (default "tags")."""
+
+    name = "add_tags"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.tags = list(self.config.get("tags", []))
+        self.target = self.config.get("target", TAGS_COL)
+
+    def process(self, batch):
+        if self.target == TAGS_COL:
+            return add_tags(batch, self.tags)
+        n = len(batch)
+        col = field_to_column(self.target)
+        cur = batch.column(col).to_pylist() if col in batch.column_names else [None] * n
+        out = []
+        for tags in cur:
+            tags = list(tags) if tags else []
+            for t in self.tags:
+                if t not in tags:
+                    tags.append(t)
+            out.append(tags)
+        return set_column(batch, col, pa.array(out, pa.list_(pa.string())))
+
+
+@register("copy_fields")
+class CopyFields(Stage):
+    """{from,to} list; fails when target exists (actions/copy_fields.go:45 —
+    no overwrite flag).  fail_on_error=True (default) -> raise;
+    ignore_missing skips absent sources."""
+
+    name = "copy_fields"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.pairs = [(p["from"], p["to"]) for p in self.config.get("fields", [])]
+        self.fail_on_error = bool(self.config.get("fail_on_error", True))
+        self.ignore_missing = bool(self.config.get("ignore_missing", False))
+
+    def process(self, batch):
+        for src, dst in self.pairs:
+            s, d = field_to_column(src), field_to_column(dst)
+            if s not in batch.column_names:
+                if self.ignore_missing:
+                    continue
+                if self.fail_on_error:
+                    raise KeyError(f"copy_fields: source {src!r} missing")
+                continue
+            if d in batch.column_names:
+                if self.fail_on_error:
+                    raise KeyError(f"copy_fields: target {dst!r} already exists")
+                continue
+            batch = batch.append_column(d, batch.column(s))
+        return batch
+
+
+@register("rename")
+class RenameFields(Stage):
+    """{from,to} list; target must not exist; rollback on fail_on_error
+    (actions/rename.go:51 Run)."""
+
+    name = "rename"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.pairs = [(p["from"], p["to"]) for p in self.config.get("fields", [])]
+        self.fail_on_error = bool(self.config.get("fail_on_error", True))
+        self.ignore_missing = bool(self.config.get("ignore_missing", False))
+
+    def process(self, batch):
+        orig = batch
+        for src, dst in self.pairs:
+            s, d = field_to_column(src), field_to_column(dst)
+            if s not in batch.column_names:
+                if self.ignore_missing:
+                    continue
+                if self.fail_on_error:
+                    return set_error(orig, pa.array([True] * len(orig)),
+                                     f"could not fetch value for key: {src}")
+                continue
+            if d in batch.column_names:
+                if self.fail_on_error:
+                    return set_error(orig, pa.array([True] * len(orig)),
+                                     f"target field {dst} already exists, drop or rename this field first")
+                continue
+            idx = batch.column_names.index(s)
+            batch = batch.set_column(idx, d, batch.column(s))
+        return batch
+
+
+@register("replace")
+class Replace(Stage):
+    """Regex pattern->replacement per field (actions/replace.go:59; config
+    :39-49: fields[{field,pattern,replacement}], ignore_missing, fail_on_error)."""
+
+    name = "replace"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.rules = [(r["field"], r["pattern"], r.get("replacement", ""))
+                      for r in self.config.get("fields", [])]
+        self.ignore_missing = bool(self.config.get("ignore_missing", False))
+        self.fail_on_error = bool(self.config.get("fail_on_error", True))
+
+    def process(self, batch):
+        for f, pat, rep in self.rules:
+            col = field_to_column(f)
+            if col not in batch.column_names:
+                if self.ignore_missing:
+                    continue
+                if self.fail_on_error:
+                    return set_error(batch, pa.array([True] * len(batch)),
+                                     f"could not fetch value for key: {f}")
+                continue
+            vals = pc.replace_substring_regex(batch.column(col), pat, replacement=rep)
+            batch = set_column(batch, col, vals)
+        return batch
+
+
+@register("truncate_fields")
+class TruncateFields(Stage):
+    """Cap max_characters (or max_bytes on the UTF-8 encoding) per field
+    (actions/truncate_fields.go:53; config :36-42)."""
+
+    name = "truncate_fields"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.fields = list(self.config.get("fields", []))
+        self.max_chars = self.config.get("max_characters")
+        self.max_bytes = self.config.get("max_bytes")
+        self.ignore_missing = bool(self.config.get("ignore_missing", False))
+
+    def process(self, batch):
+        for f in self.fields:
+            col = field_to_column(f)
+            if col not in batch.column_names:
+                if not self.ignore_missing:
+                    raise KeyError(f"truncate_fields: {f} missing")
+                continue
+            v = batch.column(col)
+            if self.max_chars is not None:
+                v = pc.utf8_slice_codeunits(v, 0, self.max_chars)
+            elif self.max_bytes is not None:
+                b = pc.cast(v, pa.large_binary() if pa.types.is_large_string(v.type) else pa.binary())
+                b = pc.binary_slice(b, 0, self.max_bytes)
+                # note: may cut a UTF-8 sequence; reference truncates bytes too
+                v = pc.cast(b, v.type)
+            batch = set_column(batch, col, v)
+        return batch
+
+
+@register("lowercase")
+class Lowercase(Stage):
+    """Case-fold FIELD NAMES (and values with alter_full_field semantics kept
+    simple: values when ``values: true``) — alterFieldProcessor.go:43."""
+
+    name = "lowercase"
+    _fn = staticmethod(str.lower)
+    _pcfn = staticmethod(pc.utf8_lower)
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.fields = list(self.config.get("fields", []))
+        self.values = list(self.config.get("values", []))
+        self.ignore_missing = bool(self.config.get("ignore_missing", False))
+        self.fail_on_error = bool(self.config.get("fail_on_error", True))
+
+    def process(self, batch):
+        fn = type(self)._fn
+        for f in self.fields:
+            col = field_to_column(f)
+            if col in batch.column_names:
+                idx = batch.column_names.index(col)
+                batch = batch.set_column(idx, fn(col), batch.column(col))
+            elif not self.ignore_missing and self.fail_on_error:
+                return set_error(batch, pa.array([True] * len(batch)),
+                                 f"could not fetch value for key: {f}")
+        for f in self.values:
+            col = field_to_column(f)
+            if col in batch.column_names and _is_str(batch.column(col).type):
+                batch = set_column(batch, col, type(self)._pcfn(batch.column(col)))
+            elif col not in batch.column_names and not self.ignore_missing and self.fail_on_error:
+                return set_error(batch, pa.array([True] * len(batch)),
+                                 f"could not fetch value for key: {f}")
+        return batch
+
+
+@register("uppercase")
+class Uppercase(Lowercase):
+    name = "uppercase"
+    _fn = staticmethod(str.upper)
+    _pcfn = staticmethod(pc.utf8_upper)
+
+
+@register("drop_fields")
+class DropFields(Stage):
+    """Delete field list; ``@timestamp``/``type`` protected
+    (actions/drop_fields.go:50)."""
+
+    name = "drop_fields"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.fields = list(self.config.get("fields", []))
+        self.ignore_missing = bool(self.config.get("ignore_missing", True))
+
+    def process(self, batch):
+        names = []
+        for f in self.fields:
+            c = field_to_column(f)
+            if c in PROTECTED_COLS:
+                continue
+            if c in batch.column_names:
+                names.append(c)
+            elif not self.ignore_missing:
+                raise KeyError(f"drop_fields: {f} missing")
+        return batch.drop_columns(names) if names else batch
+
+
+@register("include_fields")
+class IncludeFields(Stage):
+    """Keep-only list; ``@timestamp`` and ``type`` always kept
+    (actions/include_fields.go:38).  Engine-internal columns (error/flags/
+    meta_*) are also retained so later stages keep working."""
+
+    name = "include_fields"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.fields = [field_to_column(f) for f in self.config.get("fields", [])]
+
+    def process(self, batch):
+        from ..event import ERROR_COL, FLAGS_COL, META_PREFIX
+        keep = set(self.fields) | PROTECTED_COLS | {ERROR_COL, FLAGS_COL, TAGS_COL}
+        cols = [c for c in batch.column_names
+                if c in keep or c.startswith(META_PREFIX)]
+        return batch.select(cols)
+
+
+@register("extract_field")
+class ExtractField(Stage):
+    """Split ``field`` by ``separator``, take ``index`` -> ``target``
+    (actions/extract_field.go:41)."""
+
+    name = "extract_field"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.field = self.config["field"]
+        self.sep = self.config["separator"]
+        self.index = int(self.config["index"])
+        self.target = self.config["target"]
+
+    def process(self, batch):
+        col = batch.column(field_to_column(self.field))
+        parts = pc.split_pattern(col, self.sep)
+        lens = pc.list_value_length(parts)
+        ok = pc.greater(lens, self.index)
+        # list_element raises on out-of-bounds lists; mask short lists first
+        padded = [v[self.index] if v is not None and len(v) > self.index else None
+                  for v in parts.to_pylist()]
+        vals = pa.array(padded, pa.string())
+        batch = set_column(batch, field_to_column(self.target), vals)
+        bad = pc.fill_null(pc.invert(ok), True)
+        if (pc.sum(bad).as_py() or 0) > 0:
+            batch = set_error(batch, bad, f"index is out of range in field {self.field}")
+        return batch
+
+
+@register("extract_array")
+class ExtractArray(Stage):
+    """Map array positions to named fields (extract_array/extract_array.go:63;
+    config :36-43: field, mappings{name:idx}, fail_on_error, omit_empty)."""
+
+    name = "extract_array"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.field = self.config["field"]
+        self.mappings = dict(self.config.get("mappings", {}))
+        self.fail_on_error = bool(self.config.get("fail_on_error", True))
+
+    def process(self, batch):
+        col = batch.column(field_to_column(self.field))
+        rows = col.to_pylist()
+        err = [False] * len(rows)
+        outs = {t: [] for t in self.mappings}
+        for i, v in enumerate(rows):
+            for tgt, idx in self.mappings.items():
+                if v is not None and len(v) > idx:
+                    outs[tgt].append(v[idx])
+                else:
+                    outs[tgt].append(None)
+                    err[i] = True
+        for tgt, vals in outs.items():
+            batch = set_column(batch, field_to_column(tgt), pa.array(vals))
+        if self.fail_on_error and any(err):
+            batch = set_error(batch, pa.array(err), f"index out of range in field {self.field}")
+        return batch
+
+
+@register("move_fields")
+class MoveFields(Stage):
+    """Re-parent keys by prefix (move_fields/move_fields.go:34): config
+    from (prefix), fields[], to (new prefix)."""
+
+    name = "move_fields"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.frm = field_to_column(self.config.get("from", "")) if self.config.get("from") else ""
+        self.fields = list(self.config.get("fields", []))
+        self.to = self.config.get("to", "")
+
+    def process(self, batch):
+        to_prefix = self.to.replace(".", "_")
+        renames = {}
+        if self.fields:
+            for f in self.fields:
+                src = (self.frm + "_" if self.frm else "") + field_to_column(f)
+                if src in batch.column_names:
+                    renames[src] = to_prefix + field_to_column(f)
+        else:
+            pref = self.frm + "_"
+            for c in batch.column_names:
+                if c.startswith(pref):
+                    renames[c] = to_prefix + c[len(pref):]
+        if not renames:
+            return batch
+        return batch.rename_columns([renames.get(c, c) for c in batch.column_names])
+
+
+@register("drop_event")
+class DropEvent(Stage):
+    """Unconditional drop — always used with ``when:``
+    (actions/drop_event.go:31)."""
+
+    name = "drop_event"
+    may_drop = True
+
+    def process(self, batch):
+        return batch.slice(0, 0)

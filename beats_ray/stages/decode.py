@@ -1,0 +1,375 @@
+"""Decode processors: JSON / CSV / XML / base64 / gzip / MIME sniff.
+
+References: actions/decode_json_fields.go:70 (config :50-59: fields,
+max_depth, expand_keys, overwrite_keys, process_array, add_error_key,
+document_id, target), decode_csv_fields/decode_csv_fields.go:59 (RFC4180,
+separator, trim_leading_space), decode_xml/decode_xml.go:53,
+actions/decode_base64_field.go:51, actions/decompress_gzip_field.go:47,
+actions/detect_mime_type.go:37.
+
+JSON decoding over a typed column model: parsed scalar keys flatten to
+columns ``<target>_<key>`` (dot-paths joined by ``_``, depth capped by
+``max_depth``); nested values beyond max_depth and arrays stay JSON-encoded
+strings.  ``document_id`` extracts into ``meta_id`` (the ``@metadata._id``
+analogue).
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import csv
+import gzip
+import io
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..event import field_to_column, set_column, set_error
+from .base import Stage, register
+
+
+@register("decode_json_fields")
+class DecodeJSONFields(Stage):
+    name = "decode_json_fields"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        c = self.config
+        self.fields = list(c.get("fields", []))
+        self.max_depth = int(c.get("max_depth", 1))
+        self.overwrite_keys = bool(c.get("overwrite_keys", False))
+        self.add_error_key = bool(c.get("add_error_key", False))
+        self.process_array = bool(c.get("process_array", False))
+        self.document_id = c.get("document_id")
+        self.target = c.get("target")  # None -> merge under the source field name
+
+    def _flatten(self, obj, prefix, depth, out):
+        if isinstance(obj, dict) and depth <= self.max_depth:
+            for k, v in obj.items():
+                self._flatten(v, f"{prefix}{k}_", depth + 1, out)
+        else:
+            key = prefix[:-1]
+            if isinstance(obj, (dict, list)):
+                out[key] = json.dumps(obj, separators=(",", ":"))
+            else:
+                out[key] = obj
+
+    def process(self, batch):
+        n = len(batch)
+        for f in self.fields:
+            src = field_to_column(f)
+            if src not in batch.column_names:
+                continue
+            target = self.target if self.target is not None else f
+            prefix = (field_to_column(target) + "_") if target else ""
+            rows = batch.column(src).to_pylist()
+            parsed: list[dict | None] = []
+            failed = [False] * n
+            for i, v in enumerate(rows):
+                if v is None:
+                    parsed.append(None)
+                    continue
+                try:
+                    obj = json.loads(v)
+                except (ValueError, TypeError):
+                    parsed.append(None)
+                    failed[i] = True
+                    continue
+                out: dict = {}
+                if isinstance(obj, dict):
+                    self._flatten(obj, prefix if prefix else "", 1, out) \
+                        if prefix else self._flatten(obj, "", 1, out)
+                    parsed.append(out)
+                else:
+                    # non-object JSON: store under the field itself
+                    parsed.append({prefix[:-1] if prefix else src: obj})
+            keys: list[str] = []
+            seen = set()
+            for p in parsed:
+                if p:
+                    for k in p:
+                        if k not in seen:
+                            seen.add(k)
+                            keys.append(k)
+            for k in keys:
+                if k in batch.column_names and not self.overwrite_keys:
+                    continue
+                vals = [p.get(k) if p else None for p in parsed]
+                # mixed-type guard: stringify when types conflict
+                types = {type(v) for v in vals if v is not None}
+                if len(types) > 1:
+                    vals = [json.dumps(v) if not isinstance(v, str) else v
+                            for v in vals]
+                try:
+                    arr = pa.array(vals)
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    arr = pa.array([None if v is None else str(v) for v in vals], pa.string())
+                batch = set_column(batch, k, arr)
+            if self.document_id:
+                did = field_to_column(self.document_id)
+                idvals = [str(p[did]) if p and p.get(did) is not None else None
+                          for p in parsed]
+                # reference moves it OUT of fields into @metadata._id
+                batch = set_column(batch, "meta_id", pa.array(idvals, pa.string()))
+            if any(failed) and self.add_error_key:
+                batch = set_error(batch, pa.array(failed),
+                                  "Error decoding JSON: invalid JSON")
+        return batch
+
+
+@register("decode_csv_fields")
+class DecodeCSVFields(Stage):
+    """RFC4180 CSV per field -> list<string>
+    (decode_csv_fields/decode_csv_fields.go:59)."""
+
+    name = "decode_csv_fields"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.pairs = dict(self.config.get("fields", {}))
+        self.sep = self.config.get("separator", ",")
+        self.trim = bool(self.config.get("trim_leading_space", False))
+        self.overwrite_keys = bool(self.config.get("overwrite_keys", False))
+        self.fail_on_error = bool(self.config.get("fail_on_error", True))
+
+    def _parse(self, v):
+        if v is None:
+            return None
+        try:
+            row = next(csv.reader(io.StringIO(v), delimiter=self.sep,
+                                  skipinitialspace=self.trim))
+            return row
+        except (csv.Error, StopIteration):
+            return None
+
+    def process(self, batch):
+        for src, dst in self.pairs.items():
+            s = field_to_column(src)
+            if s not in batch.column_names:
+                continue
+            d = field_to_column(dst)
+            if d in batch.column_names and d != s and not self.overwrite_keys:
+                continue
+            col = batch.column(s)
+            vals = [self._parse(v) for v in col.to_pylist()]
+            arr = pa.array(vals, pa.list_(pa.string()))
+            failed = pc.and_(pc.is_null(arr), pc.is_valid(col))
+            batch = set_column(batch, d, arr)
+            if self.fail_on_error and (pc.sum(failed).as_py() or 0) > 0:
+                batch = set_error(batch, failed, "error decoding CSV")
+        return batch
+
+
+@register("decode_xml")
+class DecodeXML(Stage):
+    """XML -> flattened columns (decode_xml/decode_xml.go:53; to_lower keys).
+    Children flatten to ``<target>_<path>``; repeated elements JSON-encode."""
+
+    name = "decode_xml"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.field = self.config.get("field", "message")
+        self.target = self.config.get("target_field", "xml")
+        self.to_lower = bool(self.config.get("to_lower", True))
+        self.ignore_missing = bool(self.config.get("ignore_missing", False))
+        self.ignore_failure = bool(self.config.get("ignore_failure", False))
+
+    def _xml_to_dict(self, elem):
+        children = list(elem)
+        d = {}
+        for k, v in elem.attrib.items():
+            d[k.lower() if self.to_lower else k] = v
+        if not children:
+            text = (elem.text or "").strip()
+            return d if d else text
+        for ch in children:
+            tag = ch.tag.lower() if self.to_lower else ch.tag
+            val = self._xml_to_dict(ch)
+            if tag in d:
+                if not isinstance(d[tag], list):
+                    d[tag] = [d[tag]]
+                d[tag].append(val)
+            else:
+                d[tag] = val
+        return d
+
+    def process(self, batch):
+        import xml.etree.ElementTree as ET
+        src = field_to_column(self.field)
+        if src not in batch.column_names:
+            if self.ignore_missing:
+                return batch
+            return set_error(batch, pa.array([True] * len(batch)),
+                             f"could not fetch value for key: {self.field}")
+        rows = batch.column(src).to_pylist()
+        failed = [False] * len(rows)
+        flats: list[dict | None] = []
+        prefix = field_to_column(self.target) + "_" if self.target else ""
+        for i, v in enumerate(rows):
+            if v is None:
+                flats.append(None)
+                continue
+            try:
+                root = ET.fromstring(v)
+            except ET.ParseError:
+                flats.append(None)
+                failed[i] = True
+                continue
+            d = self._xml_to_dict(root)
+            out: dict = {}
+
+            def flat(pfx, o):
+                if isinstance(o, dict):
+                    for k, vv in o.items():
+                        flat(f"{pfx}{k}_", vv)
+                elif isinstance(o, list):
+                    out[pfx[:-1]] = json.dumps(o)
+                else:
+                    out[pfx[:-1]] = o
+            tag = root.tag.lower() if self.to_lower else root.tag
+            flat(prefix + tag + "_", d)
+            flats.append(out)
+        keys: list[str] = []
+        seen = set()
+        for p in flats:
+            if p:
+                for k in p:
+                    if k not in seen:
+                        seen.add(k)
+                        keys.append(k)
+        for k in keys:
+            vals = [p.get(k) if p else None for p in flats]
+            batch = set_column(batch, k, pa.array([None if v is None else str(v) for v in vals],
+                                                  pa.string()))
+        if any(failed) and not self.ignore_failure:
+            batch = set_error(batch, pa.array(failed), "error decoding XML")
+        return batch
+
+
+@register("decode_base64_field")
+class DecodeBase64Field(Stage):
+    name = "decode_base64_field"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        f = self.config.get("field", {})
+        self.src = f.get("from") if isinstance(f, dict) else f
+        self.dst = f.get("to", self.src) if isinstance(f, dict) else f
+        self.ignore_missing = bool(self.config.get("ignore_missing", False))
+        self.fail_on_error = bool(self.config.get("fail_on_error", True))
+
+    def process(self, batch):
+        s = field_to_column(self.src)
+        if s not in batch.column_names:
+            if self.ignore_missing:
+                return batch
+            if self.fail_on_error:
+                return set_error(batch, pa.array([True] * len(batch)),
+                                 f"could not fetch value for key: {self.src}")
+            return batch
+        rows = batch.column(s).to_pylist()
+        out, failed = [], [False] * len(rows)
+        for i, v in enumerate(rows):
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                pad = v + "=" * (-len(v) % 4)
+                out.append(base64.b64decode(pad).decode("utf-8", "replace"))
+            except (binascii.Error, ValueError):
+                out.append(None)
+                failed[i] = True
+        batch = set_column(batch, field_to_column(self.dst), pa.array(out, pa.string()))
+        if self.fail_on_error and any(failed):
+            batch = set_error(batch, pa.array(failed), "error decoding base64")
+        return batch
+
+
+@register("decompress_gzip_field")
+class DecompressGzipField(Stage):
+    name = "decompress_gzip_field"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        f = self.config.get("field", {})
+        self.src = f.get("from") if isinstance(f, dict) else f
+        self.dst = f.get("to", self.src) if isinstance(f, dict) else f
+        self.ignore_missing = bool(self.config.get("ignore_missing", False))
+        self.fail_on_error = bool(self.config.get("fail_on_error", True))
+
+    def process(self, batch):
+        s = field_to_column(self.src)
+        if s not in batch.column_names:
+            if self.ignore_missing or not self.fail_on_error:
+                return batch
+            return set_error(batch, pa.array([True] * len(batch)),
+                             f"could not fetch value for key: {self.src}")
+        rows = batch.column(s).to_pylist()
+        out, failed = [], [False] * len(rows)
+        for i, v in enumerate(rows):
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                raw = v if isinstance(v, (bytes, bytearray)) else v.encode("latin-1")
+                out.append(gzip.decompress(raw).decode("utf-8", "replace"))
+            except (OSError, ValueError):
+                out.append(None)
+                failed[i] = True
+        batch = set_column(batch, field_to_column(self.dst), pa.array(out, pa.string()))
+        if self.fail_on_error and any(failed):
+            batch = set_error(batch, pa.array(failed), "error decompressing gzip")
+        return batch
+
+
+_MAGIC = [
+    (b"\x1f\x8b", "application/gzip"),
+    (b"%PDF", "application/pdf"),
+    (b"\x89PNG", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF8", "image/gif"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"{", "application/json"),
+    (b"[", "application/json"),
+    (b"<?xml", "text/xml"),
+    (b"<", "text/html"),
+]
+
+
+@register("detect_mime_type")
+class DetectMimeType(Stage):
+    """Magic-byte MIME sniff of a field -> target
+    (actions/detect_mime_type.go:37; the reference uses a content sniffer,
+    same contract: best-effort type or absent)."""
+
+    name = "detect_mime_type"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.src = self.config["field"]
+        self.dst = self.config["target"]
+
+    @staticmethod
+    def sniff(v) -> str | None:
+        if v is None:
+            return None
+        raw = v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8", "replace")
+        raw = raw.lstrip()
+        for magic, mime in _MAGIC:
+            if raw.startswith(magic):
+                return mime
+        try:
+            raw.decode("utf-8")
+            return "text/plain; charset=utf-8"
+        except UnicodeDecodeError:
+            return "application/octet-stream"
+
+    def process(self, batch):
+        s = field_to_column(self.src)
+        if s not in batch.column_names:
+            return batch
+        vals = [self.sniff(v) for v in batch.column(s).to_pylist()]
+        return set_column(batch, field_to_column(self.dst), pa.array(vals, pa.string()))

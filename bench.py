@@ -1,0 +1,106 @@
+"""Benchmark harness — headline: turns/sec end-to-end parse -> enrich ->
+route -> aggregate on the transcript table (BASELINE.json metric), plus
+per-query timings over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+--scaling: runs the headline job in two fresh processes (num_cpus=8 and 32)
+on the same input and reports both throughputs + efficiency (T8/T32)/4 —
+the sandbox evidence protocol for the two-cluster-size criterion
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+
+    import ray.data as rd
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from beats_ray.pipelines.flagship import run_flagship
+    from beats_ray.pipelines.queries import QUERIES
+    from beats_ray.sources.transcripts import n_turns_for, sf_label, transcripts_path
+
+    # generate + warm page cache with one untimed read (ray_guide protocol)
+    tpath = transcripts_path(sf_dir)
+    rd.read_parquet(tpath).count()
+    n_turns = n_turns_for(sf_label(sf_dir))
+
+    t0 = time.perf_counter()
+    res = run_flagship(sf_dir)
+    res.to_pandas() if hasattr(res, "to_pandas") else res
+    headline = time.perf_counter() - t0
+
+    queries = {}
+    skip_in_scaling = os.environ.get("BEATS_RAY_HEADLINE_ONLY")
+    if not skip_in_scaling:
+        for name, fn in QUERIES.items():
+            t0 = time.perf_counter()
+            try:
+                out = fn(sf_dir)
+                if hasattr(out, "to_pandas"):
+                    out.to_pandas()
+                queries[name] = round(time.perf_counter() - t0, 3)
+            except Exception as ex:  # pragma: no cover
+                queries[name] = f"ERROR: {ex!r}"
+
+    ray.shutdown()
+    return {
+        "metric": "flagship parse->enrich->route->aggregate wall time",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_label(sf_dir),
+        "num_cpus": num_cpus,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1),
+    }
+
+
+def run_subprocess(ncpu: int, sf_dir: str) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BEATS_RAY_HEADLINE_ONLY="1")
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                         capture_output=True, text=True, check=True,
+                         cwd=os.path.dirname(os.path.abspath(__file__)))
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = run_subprocess(lo, sf_dir)
+        r_hi = run_subprocess(hi, sf_dir)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        print(json.dumps({
+            "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+            "turns_per_sec_8": r_lo["turns_per_sec"],
+            "turns_per_sec_32": r_hi["turns_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+            "sf": r_lo["sf"], "n_turns": r_lo["n_turns"],
+        }))
+        return
+    print(json.dumps(run_bench(sf_dir, ncpu)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,20 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    yield ray
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def transcripts_small():
+    """Deterministic transcript table, smallest scale (generated once)."""
+    import pyarrow.parquet as pq
+
+    from beats_ray.sources.transcripts import transcripts_path
+    return pq.read_table(transcripts_path("sf0.001"))

@@ -1,0 +1,103 @@
+"""End-to-end golden tests on the deterministic transcript table (FIXTURES.md
+F1/F4/F6): Ray Dataset run == local single-process run under stable
+(conv_id, turn_idx) ordering; routed per-sink counts match a pure-pyarrow
+oracle; resume skips completed partitions."""
+
+import glob
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from beats_ray.pipelines.flagship import flagship_pipeline, flagship_spec
+from beats_ray.pipeline import Pipeline
+from beats_ray.sources.transcripts import generate_transcripts, transcripts_path
+
+
+def _sorted(t: pa.Table) -> pa.Table:
+    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def test_generator_deterministic():
+    a = generate_transcripts(2000)
+    b = generate_transcripts(2000)
+    assert a.equals(b)
+
+
+def test_flagship_ray_matches_local(ray_session, transcripts_small):
+    """Per-turn text equality + full-row equality between the distributed run
+    and the local oracle run, under stable (conv_id, turn_idx) sort."""
+    import ray.data as rd
+    pipe = flagship_pipeline(broadcast=False)
+    local = _sorted(Pipeline(flagship_spec()).run_local(transcripts_small))
+
+    ds = rd.read_parquet(transcripts_path("sf0.001"))
+    out = pipe.apply(ds)
+    dist = _sorted(pa.Table.from_pandas(out.to_pandas(), preserve_index=False))
+
+    assert dist.num_rows == local.num_rows
+    for col in ["conv_id", "turn_idx", "text", "sink", "fp", "tool_category"]:
+        assert dist.column(col).to_pylist() == local.column(col).to_pylist(), col
+
+
+def test_routed_write_and_counts(ray_session):
+    import ray.data as rd
+    from beats_ray.sinks.parquet import sink_counts, write_routed
+    out_dir = "/tmp/beats_ray_test/routed"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = rd.read_parquet(transcripts_path("sf0.001"))
+    pipe = flagship_pipeline(broadcast=False)
+    man = write_routed(pipe.apply(ds), out_dir)
+    counts = sink_counts(man)
+
+    # oracle: local run, pure pyarrow
+    local = Pipeline(flagship_spec()).run_local(
+        pq.read_table(transcripts_path("sf0.001")))
+    vc = pc.value_counts(local.column("sink"))
+    expected = {d["values"]: d["counts"] for d in vc.to_pylist()}
+    assert counts == expected
+
+    # written files: per-sink dirs, meta/error columns dropped
+    for sink, n in expected.items():
+        files = glob.glob(os.path.join(out_dir, f"sink={sink}", "*.parquet"))
+        assert files, sink
+        got = pa.concat_tables([pq.read_table(f) for f in files])
+        assert got.num_rows == n
+        assert not any(c.startswith("meta_") for c in got.column_names)
+
+
+def test_resume_skips_completed_partitions(ray_session):
+    from beats_ray.state.manifest import run_resumable
+    out_dir = "/tmp/beats_ray_test/resume"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    files = sorted(glob.glob(os.path.join(transcripts_path("sf0.001"), "*.parquet")))
+    pipe = flagship_pipeline(broadcast=False)
+    total1, ran1, skipped1 = run_resumable(pipe, files, out_dir, files_per_partition=2)
+    assert ran1 > 1 and skipped1 == 0
+    # second run: everything checkpointed -> all skipped, same totals
+    total2, ran2, skipped2 = run_resumable(pipe, files, out_dir, files_per_partition=2)
+    assert ran2 == 0 and skipped2 == ran1
+    assert total2 == total1
+    # simulate a crash: drop the last manifest line -> exactly one partition re-runs
+    man_path = os.path.join(out_dir, "_manifest", "partitions.jsonl")
+    lines = open(man_path).read().strip().splitlines()
+    with open(man_path, "w") as f:
+        f.write("\n".join(lines[:-1]) + "\n")
+    total3, ran3, skipped3 = run_resumable(pipe, files, out_dir, files_per_partition=2)
+    assert ran3 == 1 and skipped3 == ran1 - 1
+    assert total3 == total1  # idempotent rewrite, counts unchanged
+
+
+def test_entry_contract(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+    res = e.entry()
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    assert len(df) > 0
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 15
