@@ -1,0 +1,45 @@
+"""Partial-aggregation helpers.
+
+``small_groupby`` implements the canonical scale pattern for LOW-CARDINALITY
+grouped aggregates (per-sink counts, per-level counts, pricing summaries):
+combine inside ``map_batches`` (one partial row per key per block), then
+union-reduce the tiny partials on the driver with pandas.  This avoids Ray's
+all-to-all Aggregate operator, which costs ~2s of fixed overhead per query —
+the right trade as long as (#keys x #blocks) stays driver-small, which is the
+documented assumption (SURVEY.md §7.1 step 7: partial aggregate -> merge;
+the reference's per-sink counters are exactly this shape,
+libbeat/publisher/pipeline/monitoring.go:73-113).
+
+High-cardinality aggregates (per-conversation, per-document) must keep using
+``ds.groupby(...)`` — the real shuffle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def small_groupby(ds, keys: list[str], partial_fn, agg: dict[str, str],
+                  rename: dict[str, str] | None = None) -> pa.Table:
+    """partial_fn(batch: pa.Table) -> pa.Table of per-block partials with
+    columns keys + the partial measures; ``agg`` maps measure column ->
+    'sum'|'min'|'max'; ``rename`` maps measure -> output name."""
+    partials = ds.map_batches(partial_fn, batch_format="pyarrow").take_all()
+    if not partials:
+        return pa.table({})
+    df = pd.DataFrame(partials)
+    out = df.groupby(keys, dropna=False, as_index=False).agg(agg)
+    if rename:
+        out = out.rename(columns=rename)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def counts_by(ds, key_cols: list[str], count_name: str = "n") -> pa.Table:
+    """Per-key row counts via partial aggregation + driver merge."""
+    def partial(t: pa.Table) -> pa.Table:
+        cols = [c for c in key_cols if c in t.column_names]
+        return t.group_by(cols).aggregate([([], "count_all")]) \
+                .rename_columns(cols + ["n_part"])
+    return small_groupby(ds, key_cols, partial, {"n_part": "sum"},
+                         {"n_part": count_name})

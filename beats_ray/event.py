@@ -128,22 +128,28 @@ def add_flag(batch: pa.Table, mask, flag: str) -> pa.Table:
 
 
 def add_tags(batch: pa.Table, tags_to_add, mask=None) -> pa.Table:
-    """Dedup-append tags (mapstr.AddTagsWithKey semantics)."""
+    """Dedup-append tags (mapstr.AddTagsWithKey semantics).
+
+    Fast path (no pre-existing tags): one vectorized if_else.  Rows that
+    already carry tags need per-row dedup-append (Python, rare)."""
     n = len(batch)
-    if TAGS_COL in batch.column_names:
-        cur = batch.column(TAGS_COL).to_pylist()
-    else:
-        cur = [None] * n
-    mask_py = mask.to_pylist() if mask is not None else [True] * n
+    typ = pa.list_(pa.string())
+    existing = batch.column(TAGS_COL) if TAGS_COL in batch.column_names else None
+    if mask is None:
+        mask = pa.array([True] * n, pa.bool_())
+    if existing is None or (pc.sum(pc.is_valid(existing)).as_py() or 0) == 0:
+        new = pc.if_else(mask, pa.scalar(list(tags_to_add), typ), pa.scalar(None, typ))
+        return set_column(batch, TAGS_COL, new)
+    cur = existing.to_pylist()
     out = []
-    for m, tags in zip(mask_py, cur):
+    for m, tags in zip(mask.to_pylist(), cur):
         if m:
             tags = list(tags) if tags else []
             for t in tags_to_add:
                 if t not in tags:
                     tags.append(t)
         out.append(tags)
-    return set_column(batch, TAGS_COL, pa.array(out, pa.list_(pa.string())))
+    return set_column(batch, TAGS_COL, pa.array(out, typ))
 
 
 def unify_concat(parts: list[pa.Table]) -> pa.Table:

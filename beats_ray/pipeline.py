@@ -156,8 +156,8 @@ class Pipeline:
                 cur.append(s)
         if cur:
             self.segments.append(("fused", cur))
-        self.batch_size = spec.get("batch_size", 16384)
-        self.concurrency = spec.get("concurrency", 4)
+        self.batch_size = spec.get("batch_size", 32768)
+        self.concurrency = spec.get("concurrency")  # None = auto-size to cluster
 
     # -- local (no-Ray) execution: unit tests + oracle path ---------------
     def run_local(self, batch: pa.Table) -> pa.Table:
@@ -173,22 +173,27 @@ class Pipeline:
         streaming executor pipelines the segments with backpressure)."""
         bs = batch_size or self.batch_size
         pool = concurrency or self.concurrency
-        # leave CPUs for the read/write/fused stages: an actor pool that
-        # reserves every CPU deadlocks the streaming executor (ray_guide
-        # "Stateful stages = actor pools" sizing rule)
+        # Actor-pool sizing: Ray fuses upstream stateless map_batches INTO the
+        # actor operator, so the pool does most of the per-row work — size it
+        # to nearly the whole cluster, but leave CPUs for read/write stages
+        # (a pool that reserves every CPU deadlocks the streaming executor).
+        total = 4
         try:
             import ray
             if ray.is_initialized():
                 total = int(ray.cluster_resources().get("CPU", 4))
-                pool = max(1, min(pool, total - 2)) if total > 2 else 1
         except ImportError:
             pass
+        auto = max(1, total - 2) if total > 2 else 1
+        pool = max(1, min(pool, auto)) if pool else auto
         for kind, stages in self.segments:
             if kind == "fused":
                 ds = ds.map_batches(FusedChain(stages), batch_format="pyarrow",
                                     batch_size=bs)
             else:
+                # autoscaling pool: start small (pool spin-up is ~0.4s/actor
+                # of pure latency), grow under load up to the cluster cap
                 ds = ds.map_batches(ActorChain, fn_constructor_args=(stages,),
                                     batch_format="pyarrow", batch_size=bs,
-                                    concurrency=pool)
+                                    concurrency=(min(2, pool), pool))
         return ds

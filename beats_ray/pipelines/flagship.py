@@ -68,7 +68,7 @@ def flagship_spec(tool_table=None, role_table=None) -> dict:
                         "tag_on_failure": ["_lookup_miss"]}},
             {"fingerprint": {"fields": ["conv_id", "turn_idx"],
                              "target_field": "fp"}},
-            {"add_id": {"key_fields": ["conv_id", "turn_idx"]}},
+            {"add_id": {"key_fields": ["conv_id", "turn_idx"], "from_field": "fp"}},
         ],
         "route": ROUTE_RULES,
     }
@@ -96,7 +96,7 @@ def read_transcripts(sf_dir: str, columns=None):
 def run_flagship(sf_dir: str, out_dir: str | None = None):
     """Full parse->enrich->route->aggregate; returns per-sink counts as a
     small pyarrow Table (the streamed data lands in out_dir when given)."""
-    from ray.data.aggregate import Sum
+    from ..aggregate import counts_by
 
     ds = read_transcripts(sf_dir)
     pipe = flagship_pipeline()
@@ -106,10 +106,6 @@ def run_flagship(sf_dir: str, out_dir: str | None = None):
         man = write_routed(routed, out_dir)
         counts = sink_counts(man)
         return pa.table({"sink": list(counts), "n": list(counts.values())})
-    # counts without writing: partial count per block, then tiny groupby
-    def partial_counts(t: pa.Table) -> pa.Table:
-        return t.group_by("sink").aggregate([([], "count_all")]) \
-                .rename_columns(["sink", "n_part"])
-    partial = routed.map_batches(partial_counts, batch_format="pyarrow")
-    agg = partial.groupby("sink").aggregate(Sum("n_part", alias_name="n"))
-    return agg
+    # per-sink counts: partial per block + driver union-reduce (the counter
+    # pattern; avoids the fixed-cost all-to-all Aggregate op)
+    return counts_by(routed, ["sink"])

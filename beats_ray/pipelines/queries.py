@@ -25,6 +25,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..aggregate import counts_by, small_groupby
 from ..pipeline import Pipeline
 from ..sources.transcripts import transcripts_path
 from .flagship import LOG_TOKENIZER, ROUTE_RULES, TOOL_TABLE, flagship_spec
@@ -100,24 +101,17 @@ def q_transcripts_parse_errors(sf_dir: str):
         return f.group_by("role").aggregate([([], "count_all")]) \
                 .rename_columns(["role", "n_part"])
 
-    partials = out.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("role").aggregate(Sum("n_part", alias_name="n_failed"))
+    return small_groupby(out, ["role"], partial, {"n_part": "sum"},
+                         {"n_part": "n_failed"})
 
 
 def q_transcripts_route_counts(sf_dir: str):
     """Full parse -> route -> per-sink aggregate counts (the reference's
     per-sink pipeline counter expectation)."""
-    from ray.data.aggregate import Sum
     pipe = Pipeline(flagship_spec())
     ds = _rd().read_parquet(_tpath(sf_dir))
     routed = pipe.apply(ds)
-
-    def partial(t: pa.Table) -> pa.Table:
-        return t.group_by("sink").aggregate([([], "count_all")]) \
-                .rename_columns(["sink", "n_part"])
-
-    partials = routed.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("sink").aggregate(Sum("n_part", alias_name="n"))
+    return counts_by(routed, ["sink"])
 
 
 def q_transcripts_enrich(sf_dir: str):
@@ -140,9 +134,8 @@ def q_transcripts_enrich(sf_dir: str):
                 .aggregate([([], "count_all")]) \
                 .rename_columns(["tool", "category", "cost_class", "n_part"])
 
-    partials = out.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["tool", "category", "cost_class"]) \
-                   .aggregate(Sum("n_part", alias_name="n"))
+    return small_groupby(out, ["tool", "category", "cost_class"], partial,
+                         {"n_part": "sum"}, {"n_part": "n"})
 
 
 def q_transcripts_fingerprint(sf_dir: str):
@@ -201,11 +194,9 @@ def q_events_route(sf_dir: str):
                                               ([], "count_all")]) \
                  .rename_columns(["sink", "cents_part", "k_part", "n_part"])
 
-    partials = out.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("sink").aggregate(
-        Sum("n_part", alias_name="n"),
-        Sum("cents_part", alias_name="value_cents"),
-        Sum("k_part", alias_name="sum_k"))
+    return small_groupby(out, ["sink"], partial,
+                         {"n_part": "sum", "cents_part": "sum", "k_part": "sum"},
+                         {"n_part": "n", "cents_part": "value_cents", "k_part": "sum_k"})
 
 
 def q_events_hourly(sf_dir: str):
@@ -223,9 +214,11 @@ def q_events_hourly(sf_dir: str):
                  .aggregate([("cents", "sum"), ([], "count_all")]) \
                  .rename_columns(["hour", "event_type", "cents_part", "n_part"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["hour", "event_type"]).aggregate(
-        Sum("n_part", alias_name="n"), Sum("cents_part", alias_name="value_cents"))
+    out = small_groupby(ds, ["hour", "event_type"], partial,
+                        {"n_part": "sum", "cents_part": "sum"},
+                        {"n_part": "n", "cents_part": "value_cents"})
+    idx = out.column_names.index("hour")
+    return out.set_column(idx, "hour", pc.cast(out["hour"], pa.timestamp("us")))
 
 
 def q_events_sessionize(sf_dir: str):
@@ -268,12 +261,10 @@ def q_lineitem_pricing(sf_dir: str):
                  .rename_columns(["l_returnflag", "l_linestatus",
                                   "qty_p", "base_p", "disc_p", "n_p"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty_p", alias_name="sum_qty"),
-        Sum("base_p", alias_name="sum_base_cents"),
-        Sum("disc_p", alias_name="sum_disc_price_cents"),
-        Sum("n_p", alias_name="count_order"))
+    return small_groupby(ds, ["l_returnflag", "l_linestatus"], partial,
+                         {"qty_p": "sum", "base_p": "sum", "disc_p": "sum", "n_p": "sum"},
+                         {"qty_p": "sum_qty", "base_p": "sum_base_cents",
+                          "disc_p": "sum_disc_price_cents", "n_p": "count_order"})
 
 
 def q_orders_join(sf_dir: str):
@@ -300,10 +291,9 @@ def q_orders_join(sf_dir: str):
                      .aggregate([("cents", "sum"), ([], "count_all")]) \
                      .rename_columns(["mktsegment", "cents_p", "n_p"])
 
-    partials = ds.map_batches(SegmentJoin, batch_format="pyarrow", concurrency=2)
-    return partials.groupby("mktsegment").aggregate(
-        Sum("n_p", alias_name="n_orders"),
-        Sum("cents_p", alias_name="total_cents"))
+    return small_groupby(ds, ["mktsegment"], SegmentJoin(),
+                         {"cents_p": "sum", "n_p": "sum"},
+                         {"n_p": "n_orders", "cents_p": "total_cents"})
 
 
 def q_top_users(sf_dir: str):
@@ -318,9 +308,11 @@ def q_top_users(sf_dir: str):
         return t2.group_by("user_id").aggregate([("cents", "sum")]) \
                  .rename_columns(["user_id", "cents_p"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby("user_id").aggregate(Sum("cents_p", alias_name="total_cents"))
-    return agg.sort(["total_cents", "user_id"], descending=[True, False]).limit(10)
+    agg = small_groupby(ds, ["user_id"], partial, {"cents_p": "sum"},
+                        {"cents_p": "total_cents"})
+    df = agg.to_pandas().sort_values(["total_cents", "user_id"],
+                                     ascending=[False, True]).head(10)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 # ---------------------------------------------------------------- documents
@@ -341,11 +333,9 @@ def q_docs_stats(sf_dir: str):
                  .aggregate([("toks", "sum"), ("chars", "sum"), ([], "count_all")]) \
                  .rename_columns(["lang", "toks_p", "chars_p", "n_p"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("lang").aggregate(
-        Sum("n_p", alias_name="n_docs"),
-        Sum("toks_p", alias_name="sum_tokens"),
-        Sum("chars_p", alias_name="sum_chars"))
+    return small_groupby(ds, ["lang"], partial,
+                         {"n_p": "sum", "toks_p": "sum", "chars_p": "sum"},
+                         {"n_p": "n_docs", "toks_p": "sum_tokens", "chars_p": "sum_chars"})
 
 
 def q_docs_dedup_exact(sf_dir: str):

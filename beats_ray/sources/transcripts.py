@@ -158,7 +158,7 @@ def n_turns_for(label: str) -> int:
     return max(1000, int(6_000_000 * sf))
 
 
-def transcripts_path(sf_dir_or_sf, num_files: int = 8) -> str:
+def transcripts_path(sf_dir_or_sf, num_files: int = 64) -> str:
     """Path of the deterministic transcript parquet for a scale, generating
     it on first use (atomic: write tmp dir, rename).  Multiple part files so
     Ray gets read parallelism at bench scale."""

@@ -49,6 +49,23 @@ def registered_stages() -> list[str]:
     return sorted(_REGISTRY)
 
 
+def _same_data(a, b) -> bool:
+    """True when two (chunked) arrays share the exact same buffers — i.e. a
+    column passed through a stage untouched.  O(#chunks), no data reads."""
+    ca = a.chunks if isinstance(a, pa.ChunkedArray) else [a]
+    cb = b.chunks if isinstance(b, pa.ChunkedArray) else [b]
+    if len(ca) != len(cb):
+        return False
+    for x, y in zip(ca, cb):
+        bx, by = x.buffers(), y.buffers()
+        if len(bx) != len(by):
+            return False
+        for u, v in zip(bx, by):
+            if (u is None) != (v is None) or (u is not None and u.address != v.address):
+                return False
+    return True
+
+
 class Stage:
     """Base batch transform.  Subclasses set ``stateful=True`` when they hold
     per-worker state that must be built once per actor, and ``may_drop=True``
@@ -69,6 +86,12 @@ class Stage:
     def process(self, batch: pa.Table) -> pa.Table:
         raise NotImplementedError
 
+    def input_columns(self) -> list[str] | None:
+        """Columns ``process`` reads (None = unknown/all).  Declaring them
+        lets the conditional wrapper ship only those columns through the
+        masked path — the rest of the batch is never copied."""
+        return None
+
     # -- conditional application ------------------------------------------
     def apply(self, batch: pa.Table) -> pa.Table:
         """Run the stage honouring ``when:`` and poisoned-row semantics.
@@ -88,11 +111,54 @@ class Stage:
             return batch
         if t == len(batch):
             return self.process(batch)
+        if not self.may_drop:
+            out = self._apply_scatter(batch, mask, t)
+            if out is not None:
+                return out
         hot = self.process(batch.filter(mask))
         cold = batch.filter(pc.invert(mask))
         if len(hot) == 0:
             return cold
         return unify_concat([hot, cold])
+
+    def _apply_scatter(self, batch: pa.Table, mask, t: int):
+        """Masked path without full-batch copies: run the stage on only its
+        input columns for the selected rows, then scatter produced/modified
+        columns back with ``replace_with_mask``.  Preserves row order and
+        never copies untouched columns.  Returns None when not applicable
+        (stage dropped rows, unknown inputs with wide schema, type clash)."""
+        needed = self.input_columns()
+        n = len(batch)
+        cols = batch.column_names if needed is None else \
+            [c for c in needed if c in batch.column_names]
+        sub = batch.select(cols).filter(mask)
+        out = self.process(sub)
+        if len(out) != t:
+            return None  # stage dropped/duplicated rows; fall back
+        if any(c not in out.column_names for c in cols):
+            return None  # stage dropped columns; per-row drop needs fallback
+        mask = mask.combine_chunks() if isinstance(mask, pa.ChunkedArray) else mask
+        from ..event import set_column
+        result = batch
+        try:
+            for name in out.column_names:
+                if name in cols and _same_data(out.column(name), sub.column(name)):
+                    continue  # pass-through input column, untouched by stage
+                new = out.column(name).combine_chunks()
+                if name in result.column_names:
+                    orig = result.column(name).combine_chunks()
+                    if orig.type != new.type:
+                        try:
+                            new = pc.cast(new, orig.type)
+                        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                            orig = pc.cast(orig, new.type)
+                    merged = pc.replace_with_mask(orig, mask, new)
+                else:
+                    merged = pc.replace_with_mask(pa.nulls(n, new.type), mask, new)
+                result = set_column(result, name, merged)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            return None
+        return result
 
 
 class FnStage(Stage):

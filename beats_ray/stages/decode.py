@@ -45,6 +45,9 @@ class DecodeJSONFields(Stage):
         self.document_id = c.get("document_id")
         self.target = c.get("target")  # None -> merge under the source field name
 
+    def input_columns(self):
+        return [field_to_column(f) for f in self.fields]
+
     def _flatten(self, obj, prefix, depth, out):
         if isinstance(obj, dict) and depth <= self.max_depth:
             for k, v in obj.items():
@@ -56,6 +59,41 @@ class DecodeJSONFields(Stage):
             else:
                 out[key] = obj
 
+    def _fast_ndjson(self, batch, src, prefix):
+        """Vectorized fast path: parse the whole column as NDJSON via
+        pyarrow.json (C++).  Applies when per-row special handling isn't
+        configured; any parse error, framing mismatch (embedded newlines,
+        skipped lines) or nested output (struct/list columns, which
+        max_depth=1 must keep JSON-encoded) falls back to the Python path
+        by returning None."""
+        if self.document_id or self.process_array:
+            return None
+        import pyarrow.json as pj
+        col = batch.column(src)
+        null_mask = pc.is_null(col)
+        lines = pc.fill_null(pc.cast(col, pa.large_string()), "{}").to_pylist()
+        if any("\n" in ln or not ln.strip().startswith("{") for ln in lines):
+            return None
+        data = "\n".join(lines).encode("utf-8")
+        try:
+            parsed = pj.read_json(io.BytesIO(data))
+        except pa.ArrowInvalid:
+            return None
+        if parsed.num_rows != len(batch):
+            return None
+        if any(pa.types.is_nested(f.type) for f in parsed.schema):
+            return None
+        has_nulls = pc.sum(null_mask).as_py() or 0
+        for name in parsed.column_names:
+            out_name = prefix + name.replace(".", "_")
+            if out_name in batch.column_names and not self.overwrite_keys:
+                continue
+            vals = parsed.column(name)
+            if has_nulls:
+                vals = pc.if_else(null_mask, pa.nulls(len(batch), vals.type), vals)
+            batch = set_column(batch, out_name, vals)
+        return batch
+
     def process(self, batch):
         n = len(batch)
         for f in self.fields:
@@ -64,6 +102,10 @@ class DecodeJSONFields(Stage):
                 continue
             target = self.target if self.target is not None else f
             prefix = (field_to_column(target) + "_") if target else ""
+            fast = self._fast_ndjson(batch, src, prefix)
+            if fast is not None:
+                batch = fast
+                continue
             rows = batch.column(src).to_pylist()
             parsed: list[dict | None] = []
             failed = [False] * n

@@ -292,6 +292,10 @@ class DissectStage(Stage):
         self.overwrite_keys = bool(c.get("overwrite_keys", False))
         self.out_keys = [self.prefix + k for k in self.dissector.t.out_keys]
 
+    def input_columns(self):
+        from ..event import FLAGS_COL
+        return [field_to_column(self.field), FLAGS_COL]
+
     def process(self, batch: pa.Table) -> pa.Table:
         col = batch.column(field_to_column(self.field))
         if self.dissector.regex is not None:

@@ -54,10 +54,14 @@ class LookupEnrich(Stage):
     """
 
     name = "lookup"
-    stateful = True
 
     def __init__(self, config=None):
         super().__init__(config)
+        # Small tables ride inside the (once-serialized) task closure — no
+        # actor pool needed, and pool spin-up is avoided.  Big state or an
+        # explicit {"actor": true} opts into the actor-pool path, where
+        # setup() runs once per actor.
+        self.stateful = bool(self.config.get("actor", False))
         self.field = self.config["field"]
         self._table_ref = self.config["table"]
         prefix = self.config.get("target_prefix", self.field)
@@ -66,31 +70,35 @@ class LookupEnrich(Stage):
         self.ignore_missing = bool(self.config.get("ignore_missing", True))
         self._maps = None
 
+    def input_columns(self):
+        from ..event import TAGS_COL
+        return [field_to_column(self.field), TAGS_COL]
+
     def setup(self):
         if self._maps is not None:
             return
         table = _maybe_get(self._table_ref)
-        # column-wise dicts: {out_key: {key -> value}} for vectorized .map()
+        # columnar form for a vectorized Arrow hash-join per batch:
+        # keys Array + one values Array per output column (index_in + take)
         out_keys: list[str] = []
         for v in table.values():
             for k in v:
                 if k not in out_keys:
                     out_keys.append(k)
-        self._maps = {ok: {k: v.get(ok) for k, v in table.items()} for ok in out_keys}
-        self._keyset = set(table)
+        self._key_arr = pa.array(list(table.keys()))
+        self._maps = {ok: pa.array([v.get(ok) for v in table.values()])
+                      for ok in out_keys}
 
     def process(self, batch):
         self.setup()
         col = batch.column(field_to_column(self.field))
-        keys = col.to_pandas()
-        missed = None
-        for out_key, mapping in self._maps.items():
-            vals = keys.map(mapping)
-            batch = set_column(batch, self.prefix + out_key,
-                               pa.Array.from_pandas(vals))
+        # broadcast hash join, all in Arrow: position of each key in the
+        # small side (null = miss), then gather each output column
+        idx = pc.index_in(col, value_set=self._key_arr)
+        for out_key, values in self._maps.items():
+            batch = set_column(batch, self.prefix + out_key, pc.take(values, idx))
         if self.tag_on_failure:
-            hit = keys.isin(self._keyset)
-            missed = pa.array((~hit & keys.notna()).to_numpy(), pa.bool_())
+            missed = pc.and_(pc.is_null(idx), pc.is_valid(col))
             if (pc.sum(missed).as_py() or 0) > 0:
                 batch = add_tags(batch, self.tag_on_failure, missed)
         return batch

@@ -59,6 +59,65 @@ def _go_format_value(v) -> str:
     return str(v)
 
 
+def _go_format_column(col) -> list[str] | None:
+    """Vectorized Go-%v string column when the type allows (string/int/bool);
+    None -> caller falls back to per-value formatting."""
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return col.to_pylist()
+    if pa.types.is_integer(t):
+        return pc.cast(col, pa.string()).to_pylist()
+    if pa.types.is_boolean(t):
+        return pc.if_else(col, "true", "false").to_pylist()
+    return None
+
+
+def _go_format_array(col):
+    """Vectorized Go-%v string Array for simple types; None -> fallback."""
+    t = col.type
+    if pa.types.is_large_string(t):
+        return pc.cast(col, pa.string())
+    if pa.types.is_string(t):
+        return col
+    if pa.types.is_integer(t):
+        return pc.cast(col, pa.string())
+    if pa.types.is_boolean(t):
+        return pc.if_else(col, "true", "false")
+    return None
+
+
+def _build_payloads(batch, fields, ignore_missing) -> list[bytes] | None:
+    """The exact fingerprint input strings: |k|v per field + trailing |
+    (fingerprint.go:93-116).  Fully vectorized join when every field has a
+    simple type; per-value Go formatting otherwise (floats, timestamps)."""
+    n = len(batch)
+    parts = []
+    fast = True
+    for f in fields:
+        c = field_to_column(f)
+        if c not in batch.column_names:
+            if ignore_missing:
+                continue
+            return None
+        col = batch.column(c)
+        arr = _go_format_array(col)
+        if arr is None:
+            fast = False
+            arr = pa.array([_go_format_value(v) for v in col.to_pylist()],
+                           pa.string())
+        parts.append((f, pc.fill_null(arr, "<nil>")))
+    if not parts:
+        return [b"|"] * n
+    join_args = []
+    for k, arr in parts:
+        join_args.append(pa.scalar(f"|{k}|", pa.string()))
+        join_args.append(arr)
+    join_args.append(pa.scalar("|", pa.string()))
+    join_args.append("")  # element-wise separator
+    payload = pc.binary_join_element_wise(*join_args)
+    return pc.cast(payload, pa.binary()).to_pylist()
+
+
 _HASHES = {
     "md5": lambda b: hashlib.md5(b).digest(),
     "sha1": lambda b: hashlib.sha1(b).digest(),
@@ -96,27 +155,21 @@ class Fingerprint(Stage):
             raise ValueError(f"unknown hash method {self.method}")
 
     def process(self, batch):
-        cols = []
-        for f in self.fields:
-            c = field_to_column(f)
-            if c not in batch.column_names:
-                if self.ignore_missing:
-                    continue
-                return set_error(batch, pa.array([True] * len(batch)),
-                                 f"failed to compute fingerprint: missing field [{f}]")
-            cols.append((f, batch.column(c).to_pylist()))
         n = len(batch)
-        out = []
-        hash_fn = _HASHES.get(self.method) or (lambda b: _xxh(b))
-        for i in range(n):
-            parts = []
-            for k, vals in cols:
-                parts.append(f"|{k}|{_go_format_value(vals[i])}")
-            payload = ("".join(parts) + "|").encode("utf-8")
-            if self.method == "xxhash":
-                out.append(_xxh(payload))
-            else:
-                out.append(_encode(self.encoding, hash_fn(payload)))
+        payloads = _build_payloads(batch, self.fields, self.ignore_missing)
+        if payloads is None:
+            missing = [f for f in self.fields
+                       if field_to_column(f) not in batch.column_names]
+            return set_error(batch, pa.array([True] * n),
+                             f"failed to compute fingerprint: missing field [{missing[0]}]")
+        hash_fn = _HASHES.get(self.method)
+        enc = self.encoding
+        if self.method == "xxhash":
+            out = [_xxh(p) for p in payloads]
+        elif enc == "hex":
+            out = [hash_fn(p).hex() for p in payloads]
+        else:
+            out = [_encode(enc, hash_fn(p)) for p in payloads]
         return set_column(batch, field_to_column(self.target), pa.array(out, pa.string()))
 
 
@@ -132,15 +185,27 @@ class AddID(Stage):
         super().__init__(config)
         self.target = self.config.get("target_field", "@metadata._id")
         self.key_fields = list(self.config.get("key_fields", ["conv_id", "turn_idx"]))
+        # reuse an existing digest column (e.g. the fingerprint stage's
+        # output over the same key fields) instead of re-hashing
+        self.from_field = self.config.get("from_field")
 
     def process(self, batch):
-        cols = [batch.column(field_to_column(f)).to_pylist()
-                for f in self.key_fields if field_to_column(f) in batch.column_names]
-        n = len(batch)
-        ids = []
-        for i in range(n):
-            key = "\x1f".join("" if c[i] is None else str(c[i]) for c in cols)
-            ids.append(hashlib.sha256(key.encode()).hexdigest()[:32])
+        if self.from_field:
+            src = field_to_column(self.from_field)
+            if src in batch.column_names:
+                ids = pc.utf8_slice_codeunits(batch.column(src), 0, 32)
+                return set_column(batch, field_to_column(self.target), ids)
+        cols = []
+        for f in self.key_fields:
+            c = field_to_column(f)
+            if c not in batch.column_names:
+                continue
+            col = batch.column(c)
+            if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+                col = pc.cast(col, pa.string())
+            cols.append(pc.fill_null(col, ""))
+        keys = pc.binary_join_element_wise(*cols, "\x1f") if len(cols) > 1 else cols[0]
+        ids = [hashlib.sha256(k.encode()).hexdigest()[:32] for k in keys.to_pylist()]
         return set_column(batch, field_to_column(self.target), pa.array(ids, pa.string()))
 
 

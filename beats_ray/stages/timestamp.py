@@ -44,6 +44,9 @@ class TimestampStage(Stage):
         self.ignore_missing = bool(self.config.get("ignore_missing", False))
         self.ignore_failure = bool(self.config.get("ignore_failure", False))
 
+    def input_columns(self):
+        return [field_to_column(self.field)]
+
     def process(self, batch):
         src = field_to_column(self.field)
         if src not in batch.column_names:

@@ -7,6 +7,9 @@ def ray_session():
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=4, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    # list<string> columns (log_flags/tags) are data, not tensors
+    DataContext.get_current().enable_tensor_extension_casting = False
     yield ray
     ray.shutdown()
 
