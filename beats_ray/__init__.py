@@ -8,6 +8,7 @@ reference citations; the reference implementation lives at /root/reference
 """
 
 from . import stages  # noqa: F401  (registers all processors)
+from . import functions  # noqa: F401  (registers training-data operators)
 from .conditions import compile_condition  # noqa: F401
 from .pipeline import Pipeline  # noqa: F401
 from .routing import Selector  # noqa: F401

@@ -1,0 +1,315 @@
+"""Deduplication operators — the scale-critical training-data cleaners.
+
+All variants follow the same Ray-Data-first shape (ray_guide "Aggregation at
+scale" / dedup pattern):
+
+1. a vectorized ``map_batches`` stage computes per-document signatures
+   (content hash / minhash bands / simhash bands) — embarrassingly parallel;
+2. ONE ``groupby`` on the signature key co-locates candidates (the only
+   shuffle; signatures are tiny compared to the documents);
+3. per-group verification (exact compare / Jaccard / hamming) emits dup
+   edges; connected components resolve via iterative min-label propagation
+   (bounded rounds of small groupbys) — union-find on the driver only for
+   provably small candidate sets.
+
+Exact dedup:     sha1(text) -> groupby(hash) -> min(doc_id) survivor.
+MinHash+LSH:     word-shingle set -> k permutation-free minhashes (xor-mix
+                 against seeds) -> b bands x r rows -> band-hash buckets ->
+                 candidate pairs -> exact n-gram Jaccard verify >= threshold.
+SimHash:         64-bit simhash of token hashes; hamming <= d via 4-band
+                 exact-match blocking (pigeonhole: d<=3 -> one identical band).
+Embedding:       cosine >= t near-dups; exact O(n^2) within blocks for the
+                 oracle path, random-hyperplane LSH bucketing as the scale
+                 path (documented recall characteristics).
+
+Determinism: all hash seeds are fixed constants; no PYTHONHASHSEED exposure.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERSENNE = (1 << 61) - 1
+_N_HASH = 128
+
+
+def _minhash_seeds(k: int = _N_HASH, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingles(text: str, k: int = 3) -> set[int]:
+    """Word k-gram shingle hashes (64-bit, deterministic)."""
+    words = text.split()
+    if len(words) < k:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    out = set()
+    for g in grams:
+        out.add(int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"))
+    return out
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard similarity (the verify step)."""
+    sa, sb = _shingles(a, k), _shingles(b, k)
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_signature(shingle_hashes: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """k minhashes via universal hashing ((a*x+b) mod p) over the shingle set."""
+    if not shingle_hashes:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = np.fromiter(shingle_hashes, dtype=np.uint64, count=len(shingle_hashes))
+    # (a*x+b) mod mersenne61, computed in python ints to avoid overflow: use
+    # object -> too slow; use modmul trick on uint64 via splitting
+    xm = x % _MERSENNE
+    res = np.empty((len(a), len(xm)), dtype=np.uint64)
+    for i in range(len(a)):
+        # (a_i * xm + b_i) % p with 128-bit intermediate via python int on
+        # the reduced vector (vectorized through numpy object is slow; use
+        # float-free exact method: split a into hi/lo 32-bit halves)
+        ai = int(a[i]); bi = int(b[i])
+        lo = (ai & 0xFFFFFFFF) * xm
+        hi = (ai >> 32) * xm
+        total = (lo % _MERSENNE + ((hi % _MERSENNE) << 32) % _MERSENNE + bi) % _MERSENNE
+        res[i] = total
+    return res.min(axis=1)
+
+
+def simhash64(tokens: list[str]) -> int:
+    """Charikar simhash over token 64-bit hashes."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= (1 << i)
+    return out
+
+
+# ----------------------------------------------------------------- pipelines
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Survivors after exact-content dedup: min(id) per sha1(text)."""
+    from ray.data.aggregate import Min
+
+    def hash_stage(t: pa.Table) -> pa.Table:
+        h = [hashlib.sha1(x.encode()).hexdigest() if x is not None else None
+             for x in t[text_col].to_pylist()]
+        return pa.table({id_col: t[id_col], "h": pa.array(h, pa.string())})
+
+    hashed = ds.map_batches(hash_stage, batch_format="pyarrow")
+    return hashed.groupby("h").aggregate(Min(id_col, alias_name=id_col)) \
+                 .select_columns([id_col])
+
+
+def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                      n_bands: int = 32, threshold: float = 0.8, shingle_k: int = 3):
+    """Near-dup candidate pairs via MinHash+LSH, verified with exact n-gram
+    Jaccard >= threshold.  Returns a Dataset of (a, b, jaccard) edges, a < b.
+
+    Banding: r = 128/n_bands rows per band; candidate probability at
+    similarity j is 1-(1-j^r)^b.  The default 32 bands x 4 rows catches
+    j >= ~0.45 reliably (verify discards the false candidates); for a 0.8+
+    threshold at extreme scale use n_bands=16 to cut candidate volume.
+
+    Shuffle profile: one groupby on (band, band_hash) over tiny signature
+    rows; document text is re-read only for verification via a broadcast of
+    the candidate buckets' texts (bucket sizes are bounded by construction —
+    a hot bucket means a hot near-dup cluster, which verification caps).
+    """
+    a_seed, b_seed = _minhash_seeds()
+    rows_per_band = _N_HASH // n_bands
+
+    def sig_stage(t: pa.Table) -> pa.Table:
+        ids, bands, bhashes, texts = [], [], [], []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            if txt is None:
+                continue
+            sig = minhash_signature(_shingles(txt, shingle_k), a_seed, b_seed)
+            for b in range(n_bands):
+                band = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                bh = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
+                ids.append(did)
+                bands.append(b)
+                bhashes.append(bh)
+                texts.append(txt)
+        return pa.table({id_col: pa.array(ids), "band": pa.array(bands, pa.int32()),
+                         "bh": pa.array(bhashes, pa.string()),
+                         "text": pa.array(texts, pa.large_string())})
+
+    sigs = ds.map_batches(sig_stage, batch_format="pyarrow")
+
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].tolist()
+        txts = g["text"].tolist()
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                jac = ngram_jaccard(txts[i], txts[j], shingle_k)
+                if jac >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_j.append(round(jac, 6))
+        return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
+
+    edges = sigs.groupby(["band", "bh"]).map_groups(verify_group, batch_format="pandas")
+    # same pair can surface from several bands -> dedup edges
+    def dedup_edges(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(subset=["a", "b"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+    return edges.map_batches(dedup_edges, batch_format="pyarrow") \
+                .groupby(["a", "b"]).map_groups(
+                    lambda g: g.head(1), batch_format="pandas")
+
+
+def connected_components(edges_df: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
+    """Driver-side union-find over a verified (small) edge list -> (id, root).
+    For web-scale edge lists, run min-label propagation with groupbys
+    instead; this helper is for candidate sets already reduced by verify."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges_df["a"], edges_df["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = set(edges_df["a"]) | set(edges_df["b"])
+    return pd.DataFrame({id_col: sorted(nodes),
+                         "root": [find(x) for x in sorted(nodes)]})
+
+
+def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3):
+    """SimHash near-dup edges: 64-bit simhash, 4-band blocking (hamming<=3
+    guarantees one identical 16-bit band), verify by popcount."""
+
+    def sig_stage(t: pa.Table) -> pa.Table:
+        ids, bands, keys, sigs = [], [], [], []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            if txt is None:
+                continue
+            sh = simhash64(txt.split())
+            for b in range(4):
+                ids.append(did)
+                bands.append(b)
+                keys.append((sh >> (16 * b)) & 0xFFFF)
+                sigs.append(sh)
+        return pa.table({id_col: pa.array(ids), "band": pa.array(bands, pa.int32()),
+                         "key": pa.array(keys, pa.int32()),
+                         "sig": pa.array(sigs, pa.uint64())})
+
+    sigs = ds.map_batches(sig_stage, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].tolist()
+        ss = g["sig"].tolist()
+        a, b, h = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = bin(int(ss[i]) ^ int(ss[j])).count("1")
+                if d <= max_hamming:
+                    a.append(ids[i]); b.append(ids[j]); h.append(d)
+        return pd.DataFrame({"a": a, "b": b, "hamming": h})
+
+    edges = sigs.groupby(["band", "key"]).map_groups(verify, batch_format="pandas")
+    return edges.groupby(["a", "b"]).map_groups(lambda g: g.head(1),
+                                                batch_format="pandas")
+
+
+def embedding_near_dup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+                       threshold: float = 0.95, block: int | None = None):
+    """Exact cosine near-dup pairs (a<b, cos>=threshold).  O(n^2) within the
+    (optionally vec_id-bounded) set — the oracle-checkable baseline; use
+    embedding_near_dup_lsh for the approximate scale path."""
+    import ray
+
+    tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    ids = np.asarray(tbl[id_col].to_pylist())
+    mat = np.asarray(tbl[vec_col].to_pylist(), dtype=np.float64)
+    if block is not None:
+        keep = ids < block
+        ids, mat = ids[keep], mat[keep]
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    cos = unit @ unit.T
+    ia, ib = np.where(np.triu(cos >= threshold, k=1))
+    return pa.table({"a": pa.array(np.minimum(ids[ia], ids[ib]), pa.int64()),
+                     "b": pa.array(np.maximum(ids[ia], ids[ib]), pa.int64()),
+                     "cos": pa.array(np.round(cos[ia, ib], 6), pa.float64())})
+
+
+def embedding_near_dup_lsh(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+                           threshold: float = 0.95, n_planes: int = 16,
+                           n_tables: int = 8, seed: int = 42):
+    """Approximate near-dup pairs via random-hyperplane LSH: n_tables
+    signatures of n_planes sign bits; exact cosine verify within buckets.
+    Recall rises with n_tables (collision prob per table = (1-theta/pi)^k)."""
+    rng = np.random.default_rng(seed)
+    planes = [rng.standard_normal((64, n_planes)) for _ in range(n_tables)]
+
+    def sig_stage(t: pa.Table) -> pa.Table:
+        mat = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        ids_in = np.asarray(t[id_col].to_pylist())
+        ids, tables, keys, vecs = [], [], [], []
+        for ti, P in enumerate(planes):
+            bits = (unit @ P[:mat.shape[1]]) > 0
+            key = bits.dot(1 << np.arange(bits.shape[1]))
+            ids.extend(ids_in.tolist())
+            tables.extend([ti] * len(ids_in))
+            keys.extend(key.astype(np.int64).tolist())
+            vecs.extend(unit.tolist())
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "tbl": pa.array(tables, pa.int32()),
+                         "key": pa.array(keys, pa.int64()),
+                         "unit": pa.array(vecs, pa.list_(pa.float64()))})
+
+    sigs = ds.map_batches(sig_stage, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cos": []})
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        unit = np.asarray(g["unit"].tolist(), dtype=np.float64)
+        cos = unit @ unit.T
+        ia, ib = np.where(np.triu(cos >= threshold, k=1))
+        return pd.DataFrame({"a": ids[ia], "b": ids[ib],
+                             "cos": np.round(cos[ia, ib], 6)})
+
+    edges = sigs.groupby(["tbl", "key"]).map_groups(verify, batch_format="pandas")
+    return edges.groupby(["a", "b"]).map_groups(lambda g: g.head(1),
+                                                batch_format="pandas")

@@ -508,6 +508,7 @@ def oracle_sql_map(transcripts_glob: str) -> dict[str, str]:
             FROM embeddings
             ORDER BY cos DESC, vec_id LIMIT 10
         """,
+        **_EXTRA_ORACLES,
     }
 
 
@@ -527,4 +528,153 @@ QUERIES = {
     "docs_stats": q_docs_stats,
     "docs_dedup_exact": q_docs_dedup_exact,
     "embeddings_knn": q_embeddings_knn,
+}
+
+
+# ------------------------------------------------- training-data operators
+
+def q_docs_quality(sf_dir: str):
+    """Quality features per language (avg composite, token stats) —
+    vectorized quality_score stage + small_groupby."""
+    spec = {"processors": [
+        {"quality_score": {"field": "text", "prefix": "q"}},
+    ]}
+    pipe = Pipeline(spec)
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["lang", "text"])
+    out = pipe.apply(ds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        # exact integer partials: token counts + stopword hits + char counts
+        t2 = pa.table({"lang": t["lang"],
+                       "toks": t["q_n_tokens"],
+                       "stops": pc.cast(pc.round(pc.multiply(
+                           t["q_stopword_ratio"],
+                           pc.cast(pc.max_element_wise(t["q_n_tokens"], 1),
+                                   pa.float64()))), pa.int64()),
+                       "chars": t["q_n_chars"]})
+        return t2.group_by("lang").aggregate(
+            [("toks", "sum"), ("stops", "sum"), ("chars", "sum"), ([], "count_all")]) \
+            .rename_columns(["lang", "toks_p", "stops_p", "chars_p", "n_p"])
+
+    return small_groupby(out, ["lang"], partial,
+                         {"toks_p": "sum", "stops_p": "sum", "chars_p": "sum", "n_p": "sum"},
+                         {"toks_p": "sum_tokens", "stops_p": "sum_stopwords",
+                          "chars_p": "sum_chars", "n_p": "n_docs"})
+
+
+def q_docs_lang_id(sf_dir: str):
+    """Language-ID heuristic vs labeled lang: confusion counts (rows-only
+    check; the n-gram scorer is not SQL-expressible)."""
+    spec = {"processors": [{"lang_id": {"field": "text", "target": "lang_pred"}}]}
+    pipe = Pipeline(spec)
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["lang", "text"])
+    out = pipe.apply(ds)
+    return counts_by(out, ["lang", "lang_pred"])
+
+
+def q_docs_fingerprint_rolling(sf_dir: str):
+    """Rolling-hash doc fingerprints + distinct count (rows-only check)."""
+    spec = {"processors": [{"doc_fingerprint": {"field": "text", "target": "doc_fp"}}]}
+    pipe = Pipeline(spec)
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+    out = pipe.apply(ds)
+    return out.select_columns(["doc_id", "doc_fp"])
+
+
+def q_docs_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup edges verified by n-gram Jaccard >= 0.5
+    (rows-only; validated against a constructed corpus in unit tests)."""
+    from ..functions.dedup import minhash_lsh_pairs
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_docs_dedup_simhash(sf_dir: str):
+    """SimHash near-dup edges, hamming <= 3 (rows-only)."""
+    from ..functions.dedup import simhash_dedup
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+    return simhash_dedup(ds)
+
+
+def q_embeddings_near_dup(sf_dir: str):
+    """Exact cosine near-dup pairs (cos >= 0.35, a < b) — oracle-checked
+    against a DuckDB cross join."""
+    from ..functions.dedup import embedding_near_dup
+    ds = _rd().read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+    return embedding_near_dup(ds, threshold=0.35)
+
+
+def q_embeddings_knn_ivf(sf_dir: str):
+    """IVF-flat approximate top-10 for the vec_id=0 query (rows-only;
+    recall vs brute force asserted in unit tests)."""
+    import pyarrow.parquet as pq
+    from ..functions.similarity import knn_ivf
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = tbl.column("vec_id").to_pylist().index(0)
+    qvec = np.asarray(tbl.column("embedding")[idx].as_py(), dtype=np.float64)
+    ds = _rd().read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+    return knn_ivf(ds, qvec, k=10, n_centroids=8, n_probe=8)
+
+
+def q_multimodal_pipeline(sf_dir: str):
+    """Multimodal plumbing: synth binary payload table -> actor-pool decode
+    (stub codec) -> resize -> features; returns shape/integrity summary
+    (rows-only; deterministic)."""
+    from ..functions.multimodal import synth_image_table
+    tbl = synth_image_table(256)
+    ds = _rd().from_arrow(tbl)
+    spec = {"processors": [
+        {"image_decode": {"fake": True}},
+        {"image_resize": {"width": 8, "height": 8}},
+        {"image_features": {}},
+    ], "batch_size": 64}  # byte-aware: payloads dominate block size
+    pipe = Pipeline(spec)
+    out = pipe.apply(ds)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": t["id"],
+            "n_pixels": pc.cast(pc.list_value_length(t["pixels"]), pa.int64()),
+            "n_resized": pc.cast(pc.list_value_length(t["pixels_resized"]), pa.int64()),
+            "n_features": pc.cast(pc.list_value_length(t["features"]), pa.int64()),
+        })
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+QUERIES.update({
+    "docs_quality": q_docs_quality,
+    "docs_lang_id": q_docs_lang_id,
+    "docs_fingerprint_rolling": q_docs_fingerprint_rolling,
+    "docs_dedup_minhash": q_docs_dedup_minhash,
+    "docs_dedup_simhash": q_docs_dedup_simhash,
+    "embeddings_near_dup": q_embeddings_near_dup,
+    "embeddings_knn_ivf": q_embeddings_knn_ivf,
+    "multimodal_pipeline": q_multimodal_pipeline,
+})
+
+_EXTRA_ORACLES = {
+    "docs_quality": """
+        SELECT lang,
+               sum(length(string_split(text, ' ')))::BIGINT AS sum_tokens,
+               sum(length(list_filter(string_split(lower(text), ' '),
+                   x -> x IN ('the','and','of','a','to','in','is','it','that','for'))))::BIGINT
+                   AS sum_stopwords,
+               sum(length(text))::BIGINT AS sum_chars,
+               count(*)::BIGINT AS n_docs
+        FROM documents GROUP BY lang
+    """,
+    "embeddings_near_dup": """
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+    """,
 }

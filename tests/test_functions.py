@@ -1,0 +1,202 @@
+"""Training-data operators: dedup / similarity / textstats / multimodal."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from beats_ray.functions.dedup import (connected_components, minhash_signature,
+                                       _minhash_seeds, _shingles, ngram_jaccard,
+                                       simhash64)
+from beats_ray.functions.textstats import hash64, rolling_fingerprint
+from beats_ray.stages.base import stage_factory
+
+
+def run(name, cfg, batch):
+    st = stage_factory(name)(cfg)
+    st.setup()
+    return st.apply(batch)
+
+
+# ---------------------------------------------------------------- primitives
+
+def test_ngram_jaccard():
+    assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert ngram_jaccard("a b c d e", "z y x w v") == 0.0
+    j = ngram_jaccard("a b c d e f", "a b c d e g")
+    assert 0.3 < j < 1.0
+
+
+def test_minhash_estimates_jaccard():
+    a_seed, b_seed = _minhash_seeds()
+    s1 = _shingles("the quick brown fox jumps over the lazy dog " * 5)
+    s2 = _shingles("the quick brown fox jumps over the lazy cat " * 5)
+    m1 = minhash_signature(s1, a_seed, b_seed)
+    m2 = minhash_signature(s2, a_seed, b_seed)
+    est = (m1 == m2).mean()
+    true = len(s1 & s2) / len(s1 | s2)
+    assert abs(est - true) < 0.15
+    # identical input -> identical signature (determinism)
+    assert (minhash_signature(s1, a_seed, b_seed) == m1).all()
+
+
+def test_simhash_near_for_near_texts():
+    t1 = "alpha beta gamma delta epsilon zeta eta theta".split()
+    t2 = "alpha beta gamma delta epsilon zeta eta iota".split()
+    t3 = "one two three four five six seven eight".split()
+    d12 = bin(simhash64(t1) ^ simhash64(t2)).count("1")
+    d13 = bin(simhash64(t1) ^ simhash64(t3)).count("1")
+    assert d12 < d13
+    assert simhash64(t1) == simhash64(list(t1))
+
+
+def test_rolling_fingerprint_order_sensitive():
+    assert rolling_fingerprint(["a", "b"]) != rolling_fingerprint(["b", "a"])
+    assert rolling_fingerprint(["a", "b"]) == rolling_fingerprint(["a", "b"])
+    assert hash64("x") == hash64("x")
+
+
+def test_connected_components():
+    import pandas as pd
+    edges = pd.DataFrame({"a": [1, 2, 10], "b": [2, 3, 11]})
+    cc = connected_components(edges)
+    roots = dict(zip(cc["doc_id"], cc["root"]))
+    assert roots[1] == roots[2] == roots[3] == 1
+    assert roots[10] == roots[11] == 10
+
+
+# ---------------------------------------------------------------- stages
+
+def test_token_count_modes():
+    batch = pa.table({"text": ["a b  c", "hello, world!"]})
+    out = run("token_count", {"field": "text"}, batch)
+    assert out.column("text_tokens").to_pylist() == [4, 2]
+    out = run("token_count", {"field": "text", "mode": "bpe", "target": "bpe"}, batch)
+    assert out.column("bpe").to_pylist() == [3, 4]  # hello , world !
+
+
+def test_lang_id():
+    batch = pa.table({"text": ["the cat and the dog of a house",
+                               "der hund und die katze ist ein tier",
+                               "xyzzy plugh"]})
+    out = run("lang_id", {"field": "text"}, batch)
+    assert out.column("lang_pred").to_pylist() == ["en", "de", "und"]
+
+
+def test_quality_score_features():
+    batch = pa.table({"text": ["the quick fox, and the dog."]})
+    out = run("quality_score", {"field": "text"}, batch)
+    assert out.column("q_n_tokens").to_pylist() == [6]
+    assert out.column("q_n_chars").to_pylist() == [27]
+    got = out.column("q_stopword_ratio").to_pylist()[0]
+    assert got == pytest.approx(3 / 6)  # the, and, the ("dog." has punct)
+    q = out.column("q_quality").to_pylist()[0]
+    assert 0.0 <= q <= 1.0
+
+
+# ---------------------------------------------------------------- pipelines (ray)
+
+@pytest.fixture(scope="module")
+def near_dup_docs():
+    """Constructed corpus with known near-dup structure."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    docs = {
+        0: base,
+        1: base.replace("dog", "cat"),            # very near dup of 0
+        2: base,                                   # exact dup of 0
+        3: "completely different words entirely unrelated content here " * 5,
+        4: "another unrelated document with its own vocabulary set " * 5,
+    }
+    return pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                     "text": pa.array(list(docs.values()), pa.string())})
+
+
+def test_exact_dedup(ray_session, near_dup_docs):
+    import ray.data as rd
+    from beats_ray.functions.dedup import exact_dedup
+    out = exact_dedup(rd.from_arrow(near_dup_docs)).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 3, 4]  # 2 deduped into 0
+
+
+def test_minhash_lsh_finds_near_dups(ray_session, near_dup_docs):
+    import ray.data as rd
+    from beats_ray.functions.dedup import minhash_lsh_pairs
+    edges = minhash_lsh_pairs(rd.from_arrow(near_dup_docs), threshold=0.5).to_pandas()
+    pairs = set(zip(edges["a"], edges["b"]))
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in pairs)
+
+
+def test_simhash_dedup_pipeline(ray_session, near_dup_docs):
+    import ray.data as rd
+    from beats_ray.functions.dedup import simhash_dedup
+    edges = simhash_dedup(rd.from_arrow(near_dup_docs), max_hamming=10).to_pandas()
+    pairs = set(zip(edges["a"], edges["b"]))
+    assert (0, 2) in pairs  # exact dup -> hamming 0
+
+
+def test_embedding_near_dup_and_lsh_recall(ray_session):
+    import ray.data as rd
+    from beats_ray.functions.dedup import embedding_near_dup, embedding_near_dup_lsh
+    rng = np.random.default_rng(7)
+    # 3 tight clusters of 5 + 35 random vectors
+    centers = rng.standard_normal((3, 64))
+    vecs, ids = [], []
+    for ci, c in enumerate(centers):
+        for j in range(5):
+            vecs.append(c + 0.05 * rng.standard_normal(64))
+            ids.append(ci * 5 + j)
+    for j in range(35):
+        vecs.append(rng.standard_normal(64))
+        ids.append(100 + j)
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                          pa.list_(pa.float64()))})
+    exact = embedding_near_dup(rd.from_arrow(tbl), threshold=0.95).to_pandas()
+    exact_pairs = set(zip(exact["a"], exact["b"]))
+    assert len(exact_pairs) == 3 * 10  # 5 choose 2 per cluster
+    approx = embedding_near_dup_lsh(rd.from_arrow(tbl), threshold=0.95,
+                                    n_tables=8).to_pandas()
+    approx_pairs = set(zip(approx["a"], approx["b"]))
+    assert approx_pairs <= exact_pairs          # no false positives (verified)
+    assert len(approx_pairs) >= 0.8 * len(exact_pairs)  # recall
+
+
+def test_knn_ivf_recall_vs_brute(ray_session):
+    import ray.data as rd
+    from beats_ray.functions.similarity import knn_brute, knn_ivf
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((300, 64))
+    tbl = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                    "embedding": pa.array([list(map(float, v)) for v in mat],
+                                          pa.list_(pa.float64()))})
+    q = mat[0]
+    brute = knn_brute(rd.from_arrow(tbl), q, k=10).to_pydict()
+    ivf = knn_ivf(rd.from_arrow(tbl), q, k=10, n_centroids=8, n_probe=8).to_pydict()
+    # n_probe == n_centroids -> exhaustive -> identical to brute force
+    assert set(ivf["vec_id"]) == set(brute["vec_id"])
+    assert brute["vec_id"][0] == 0  # self is nearest
+
+
+def test_multimodal_stub_pipeline(ray_session):
+    import ray.data as rd
+    from beats_ray.functions.multimodal import synth_image_table
+    from beats_ray.pipeline import Pipeline
+    tbl = synth_image_table(32)
+    pipe = Pipeline({"processors": [
+        {"image_decode": {"fake": True}},
+        {"image_resize": {"width": 8, "height": 8}},
+        {"image_features": {}},
+    ], "batch_size": 16})
+    out = pipe.apply(rd.from_arrow(tbl)).to_pandas()
+    assert len(out) == 32
+    assert all(len(p) == 64 for p in out["pixels_resized"])
+    assert all(len(f) == 18 for f in out["features"])
+    # real-codec path must fail loudly, not silently fake
+    from beats_ray.functions.multimodal import ImageDecode
+    with pytest.raises(NotImplementedError):
+        ImageDecode({"fake": False}).setup()
+
+
+def test_multimodal_deterministic():
+    from beats_ray.functions.multimodal import synth_image_table
+    assert synth_image_table(8).equals(synth_image_table(8))
