@@ -509,6 +509,7 @@ def oracle_sql_map(transcripts_glob: str) -> dict[str, str]:
             ORDER BY cos DESC, vec_id LIMIT 10
         """,
         **_EXTRA_ORACLES,
+        **{k: v.replace("__T__", transcripts_glob) for k, v in _EXTRA_ORACLES2.items()},
     }
 
 
@@ -676,5 +677,96 @@ _EXTRA_ORACLES = {
                                             b.embedding::DOUBLE[]), 6) AS cos
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+    """,
+}
+
+
+# --------------------------------------------- flow-control / reader chain
+
+def q_transcripts_multiline(sf_dir: str):
+    """Pattern-mode multiline join (negate: lines NOT starting a log record
+    attach to the previous record) — grouped per-conversation fold, oracle
+    = window-function grouping + string_agg."""
+    from ..stages.flow import multiline_join
+    ds = _rd().read_parquet(_tpath(sf_dir),
+                            columns=["conv_id", "turn_idx", "text"])
+    out = multiline_join(ds, pattern="^level=", negate=True, match="after",
+                         max_lines=10**6)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": t["conv_id"],
+                         "turn_idx": t["turn_idx"],
+                         "text": pc.cast(t["text"], pa.large_string()),
+                         "n_lines": pc.cast(t["n_lines"], pa.int64())})
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+def q_transcripts_script(sf_dir: str):
+    """Python-UDF script processor (vectorized process_batch) — the
+    user-extension surface; oracle = plain SQL expressions."""
+    src = """
+def process_batch(table, params):
+    import pyarrow.compute as pc
+    table = table.append_column("text_len",
+                                pc.cast(pc.utf8_length(table["text"]), pa.int64()))
+    return table.append_column("role_upper", pc.utf8_upper(table["role"]))
+"""
+    spec = {"processors": [{"script": {"source": src}}]}
+    pipe = Pipeline(spec)
+    ds = _rd().read_parquet(_tpath(sf_dir),
+                            columns=["conv_id", "turn_idx", "role", "text"])
+    out = pipe.apply(ds)
+    return out.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "text_len", "role_upper"]),
+        batch_format="pyarrow")
+
+
+def q_transcripts_rate_limit(sf_dir: str):
+    """Event-time token-bucket rate limit (6/m per conversation) -> surviving
+    turn count per conv (rows-only: sequential fold isn't SQL-expressible)."""
+    from ..stages.flow import rate_limit_groups
+    ds = _rd().read_parquet(_tpath(sf_dir),
+                            columns=["conv_id", "turn_idx", "ts"])
+    out = rate_limit_groups(ds, "6/m", ["conv_id"])
+    return counts_by(out, ["conv_id"], "n_kept")
+
+
+def q_events_partition(sf_dir: str):
+    """Kafka-style FNV-32a hash partitioner -> rows per partition
+    (rows-only; FNV isn't a DuckDB builtin)."""
+    from ..sources.readers import partition_by_key
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_type", "user_id"])
+    out = partition_by_key(ds, ["user_id"], 16)
+    return counts_by(out, ["partition"])
+
+
+QUERIES.update({
+    "transcripts_multiline": q_transcripts_multiline,
+    "transcripts_script": q_transcripts_script,
+    "transcripts_rate_limit": q_transcripts_rate_limit,
+    "events_partition": q_events_partition,
+})
+
+_EXTRA_ORACLES2 = {
+    "transcripts_multiline": """
+        WITH t AS (
+            SELECT conv_id, turn_idx, text,
+                   CASE WHEN regexp_matches(text, '^level=') THEN 1 ELSE 0 END AS starts
+            FROM read_parquet('__T__')),
+        g AS (
+            SELECT *, SUM(starts) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                        ROWS UNBOUNDED PRECEDING) AS grp
+            FROM t)
+        SELECT conv_id,
+               min(turn_idx) AS turn_idx,
+               string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+               count(*)::BIGINT AS n_lines
+        FROM g GROUP BY conv_id, grp
+    """,
+    "transcripts_script": """
+        SELECT conv_id, turn_idx, length(text)::BIGINT AS text_len,
+               upper(role) AS role_upper
+        FROM read_parquet('__T__')
     """,
 }

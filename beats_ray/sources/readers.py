@@ -1,0 +1,196 @@
+"""Sources — the harvester/reader-chain analogue (SURVEY.md §2.1).
+
+The filestream input's line-assembly chain (filebeat/input/filestream/
+input.go:420-492: file read -> encode/line split -> strip newline -> file
+metadata -> parsers -> limit) maps onto Ray Data reads + a compiled parser
+chain of batch stages:
+
+- ``read_log_lines``  — ray.data.read_text with per-line file metadata
+  (``log_file_path``, ``log_offset`` analogue = line number within block);
+  encoding + newline handling come free from read_text.
+- ``read_ndjson`` / ``read_csv_table`` / ``read_parquet_table`` — typed reads.
+- parser configs (``parsers:`` list, libbeat/reader/parser/parser.go:87-148)
+  compile to processor-chain entries: ``ndjson`` -> decode_json_fields,
+  ``include_message`` -> regex allowlist filter (reader/filter/filter.go:43),
+  ``syslog`` -> syslog stage, ``container`` -> docker-JSON decode,
+  ``multiline`` -> the grouped join operator (flow.multiline_join).
+- ``partition_by_key`` — the kafka-output hash partitioner analogue
+  (outputs/kafka/partition.go:219-246: FNV-32a of configured fields mod N)
+  as a repartition key column for co-locating downstream stages.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..event import field_to_column, set_column, set_error
+from ..stages.base import Stage, register
+
+
+def read_parquet_table(path, columns=None, **kw):
+    import ray.data as rd
+    return rd.read_parquet(path, columns=columns, **kw)
+
+
+def read_log_lines(paths, **kw):
+    """Text lines -> (text, log_file_path) rows (file-metadata annotator,
+    input.go:481)."""
+    import ray.data as rd
+    ds = rd.read_text(paths, include_paths=True, **kw)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({"text": t["text"],
+                         "log_file_path": t["path"]})
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
+def read_ndjson(paths, **kw):
+    import ray.data as rd
+    return rd.read_json(paths, **kw)
+
+
+def read_csv_table(paths, **kw):
+    import ray.data as rd
+    return rd.read_csv(paths, **kw)
+
+
+@register("include_message")
+class IncludeMessage(Stage):
+    """Regex allowlist filter at read time (reader/filter/filter.go:43-90):
+    keep only rows whose message matches ANY of the patterns."""
+
+    name = "include_message"
+    may_drop = True
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.patterns = list(self.config.get("patterns", []))
+        self.field = self.config.get("field", "message")
+
+    def process(self, batch):
+        col = batch.column(field_to_column(self.field))
+        keep = None
+        for p in self.patterns:
+            m = pc.fill_null(pc.match_substring_regex(col, p), False)
+            keep = m if keep is None else pc.or_(keep, m)
+        if keep is None:
+            return batch
+        return batch.filter(keep)
+
+
+@register("container")
+class ContainerParser(Stage):
+    """Docker/CRI container-log parser (reader/readjson/docker_json.go):
+    docker format = one JSON object per line {"log": ..., "stream": ...,
+    "time": ...}; CRI format = "<ts> <stream> <P|F> <message>".  Partial
+    (P) CRI lines are NOT joined here (that needs the multiline operator);
+    they carry ``container_partial=true``."""
+
+    name = "container"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.field = self.config.get("field", "message")
+        self.fmt = self.config.get("format", "auto")
+
+    def input_columns(self):
+        return [field_to_column(self.field)]
+
+    def process(self, batch):
+        rows = batch.column(field_to_column(self.field)).to_pylist()
+        msgs, streams, times, partials, failed = [], [], [], [], []
+        for v in rows:
+            if v is None:
+                msgs.append(None); streams.append(None); times.append(None)
+                partials.append(None); failed.append(False)
+                continue
+            if v.startswith("{") and self.fmt in ("auto", "docker"):
+                try:
+                    obj = json.loads(v)
+                    msgs.append(obj.get("log", "").rstrip("\n"))
+                    streams.append(obj.get("stream"))
+                    times.append(obj.get("time"))
+                    partials.append(False)
+                    failed.append(False)
+                    continue
+                except ValueError:
+                    pass
+            parts = v.split(" ", 3) if self.fmt in ("auto", "cri") else []
+            if len(parts) == 4 and parts[2] in ("P", "F"):
+                times.append(parts[0])
+                streams.append(parts[1])
+                partials.append(parts[2] == "P")
+                msgs.append(parts[3])
+                failed.append(False)
+            else:
+                msgs.append(None); streams.append(None); times.append(None)
+                partials.append(None); failed.append(True)
+        batch = set_column(batch, "container_log", pa.array(msgs, pa.string()))
+        batch = set_column(batch, "container_stream", pa.array(streams, pa.string()))
+        batch = set_column(batch, "container_time", pa.array(times, pa.string()))
+        batch = set_column(batch, "container_partial", pa.array(partials, pa.bool_()))
+        if any(failed):
+            batch = set_error(batch, pa.array(failed), "parsing container log failed")
+        return batch
+
+
+def fnv32a(data: bytes) -> int:
+    """FNV-32a (the kafka partitioner's hash, partition.go:65-67)."""
+    h = 2166136261
+    for b in data:
+        h ^= b
+        h = (h * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def partition_by_key(ds, fields: list[str], num_partitions: int,
+                     target: str = "partition"):
+    """Kafka hash-partitioner analogue: partition = FNV-32a(field values)
+    % N, appended as a column; follow with groupby(target) or a partitioned
+    write to co-locate.  (outputs/kafka/partition.go:219-246 semantics:
+    hash of the concatenated configured field values.)"""
+    cols = [field_to_column(f) for f in fields]
+
+    def stage(t: pa.Table) -> pa.Table:
+        n = len(t)
+        vals = [t.column(c).to_pylist() if c in t.column_names else [None] * n
+                for c in cols]
+        parts = []
+        for i in range(n):
+            payload = "".join("" if v[i] is None else str(v[i]) for v in vals)
+            parts.append(fnv32a(payload.encode("utf-8")) % num_partitions)
+        return t.append_column(target, pa.array(parts, pa.int32()))
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def parsers_to_processors(parsers: list[dict]) -> list[dict]:
+    """Translate a Beats ``parsers:`` list (parser.go:87-148) into processor
+    chain entries for the pipeline compiler."""
+    out = []
+    for p in parsers:
+        if "ndjson" in p:
+            c = dict(p["ndjson"] or {})
+            out.append({"decode_json_fields": {
+                "fields": [c.get("message_key", "message")],
+                "target": c.get("target", ""),
+                "overwrite_keys": c.get("overwrite_keys", False),
+                "add_error_key": c.get("add_error_key", False),
+                "document_id": c.get("document_id"),
+            }})
+        elif "include_message" in p:
+            out.append({"include_message": p["include_message"] or {}})
+        elif "syslog" in p:
+            out.append({"syslog": p["syslog"] or {}})
+        elif "container" in p:
+            out.append({"container": p["container"] or {}})
+        elif "multiline" in p:
+            # grouped operator, not a row-local stage — handled by the
+            # pipeline driver via flow.multiline_join
+            out.append({"__multiline__": p["multiline"] or {}})
+        else:
+            raise ValueError(f"unknown parser {list(p)[0]!r}")
+    return out

@@ -8,4 +8,8 @@ from . import decode  # noqa: F401
 from . import dissect  # noqa: F401
 from . import enrich  # noqa: F401
 from . import fingerprint  # noqa: F401
+from . import flow  # noqa: F401
+from . import network  # noqa: F401
+from . import syslog  # noqa: F401
 from . import timestamp  # noqa: F401
+from ..sources import readers as _readers  # noqa: F401  (reader-chain stages)

@@ -1,0 +1,273 @@
+"""Flow-control & stateful stages: rate_limit, script (Python UDF), dns
+(mock resolver + TTL cache), multiline (pattern-based line joining).
+
+- rate_limit (ratelimit/rate_limit.go:45, token_bucket.go:34-96): token
+  bucket per key-fields tuple; events over the limit are DROPPED.  The
+  reference uses wall clock; for determinism this engine uses EVENT TIME
+  (the ``ts`` column) as the bucket clock — SURVEY.md §2.4 notes this
+  mapping.  Semantics require per-key total ordering, so the operator is a
+  per-key grouped fold: ``groupby(keys).map_groups(sorted fold)`` — the
+  documented partitioning assumption (co-located keys).  A ``rate_limit``
+  *stage* in a chain applies the same fold batch-locally (actor state), an
+  approximation flagged in its docstring.
+
+- script (script/processor.go:35): the reference embeds JS (goja); the
+  rebuild's UDF hook is Python — config ``source`` defines either
+  ``def process_batch(table: pa.Table) -> pa.Table`` (vectorized,
+  preferred) or ``def process(event: dict) -> dict|None`` (per-row
+  compatibility shim; None = drop).  Compiled once per worker in setup().
+
+- dns (dns/dns.go:42): resolve via an injected mapping (no network in the
+  sandbox; production swaps a real resolver into the same actor), with a
+  success/failure TTL cache per actor (dns/cache.go), ``tag_on_failure``,
+  append/replace actions.
+
+- multiline (libbeat/reader/multiline/pattern.go:142-210): consecutive-line
+  aggregation within a conversation; see ``sessionize_multiline`` — a
+  groupby(conv).map_groups stateful fold over turn order.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..event import add_tags, field_to_column, set_column
+from .base import Stage, register
+
+_RATE_UNITS = {"s": 1.0, "m": 60.0, "h": 3600.0}
+
+
+def _parse_rate(limit: str) -> float:
+    """'100/s' -> tokens per second."""
+    n, unit = limit.split("/")
+    return float(n) / _RATE_UNITS[unit]
+
+
+def rate_limit_groups(ds, limit: str, key_fields: list[str], ts_col: str = "ts",
+                      burst_multiplier: float = 1.0):
+    """Distributed rate limit: per-key token-bucket fold in event-time order.
+    Returns the surviving rows (same schema).  Shuffle: one groupby(keys)."""
+    rate = _parse_rate(limit)
+    burst = max(1.0, rate * burst_multiplier)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        ts = g[ts_col].astype("datetime64[ns]").astype("int64").to_numpy() / 1e9
+        keep = np.zeros(len(g), dtype=bool)
+        tokens = burst
+        last = ts[0] if len(ts) else 0.0
+        for i in range(len(ts)):
+            tokens = min(burst, tokens + (ts[i] - last) * rate)
+            last = ts[i]
+            if tokens >= 1.0:
+                tokens -= 1.0
+                keep[i] = True
+        return g[keep]
+
+    return ds.groupby(key_fields).map_groups(fold, batch_format="pandas")
+
+
+@register("rate_limit")
+class RateLimitStage(Stage):
+    """Batch-local token bucket (actor state persists across the batches one
+    actor sees).  EXACT distributed semantics need the grouped operator
+    ``rate_limit_groups`` — use this stage form only when the input is
+    already partitioned by the key fields (documented assumption)."""
+
+    name = "rate_limit"
+    stateful = True
+    may_drop = True
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.rate = _parse_rate(self.config.get("limit", "100/s"))
+        self.burst = max(1.0, self.rate * float(self.config.get("burst_multiplier", 1.0)))
+        self.key_fields = [field_to_column(f) for f in self.config.get("fields", [])]
+        self.ts_col = field_to_column(self.config.get("ts_field", "@timestamp"))
+        self.buckets: dict = {}
+
+    def process(self, batch):
+        if len(batch) == 0:
+            return batch
+        df = batch.to_pandas()
+        order = df[self.ts_col].argsort(kind="mergesort")
+        keep = np.zeros(len(df), dtype=bool)
+        ts_s = df[self.ts_col].astype("datetime64[ns]").astype("int64").to_numpy() / 1e9
+        keys = (df[self.key_fields].astype(str).agg("|".join, axis=1).to_numpy()
+                if self.key_fields else np.array(["_"] * len(df)))
+        for i in order:
+            tokens, last = self.buckets.get(keys[i], (self.burst, ts_s[i]))
+            tokens = min(self.burst, tokens + max(0.0, ts_s[i] - last) * self.rate)
+            if tokens >= 1.0:
+                tokens -= 1.0
+                keep[i] = True
+            self.buckets[keys[i]] = (tokens, max(last, ts_s[i]))
+        return batch.filter(pa.array(keep))
+
+
+@register("script")
+class ScriptStage(Stage):
+    """Python UDF processor.  config: source (code string), params (dict).
+    Vectorized entrypoint ``process_batch(table, params)`` preferred;
+    per-row ``process(event, params)`` shim supported (None = drop).
+    Compiled once per worker (setup), mirroring the reference's per-worker
+    JS session pool (script/javascript/session.go:275-322)."""
+
+    name = "script"
+    stateful = True
+    may_drop = True
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.source = self.config.get("source", "")
+        self.params = self.config.get("params", {})
+        self._batch_fn = None
+        self._row_fn = None
+
+    def setup(self):
+        if self._batch_fn or self._row_fn:
+            return
+        ns: dict = {"pa": pa, "pd": pd, "np": np}
+        exec(compile(self.source, "<script-processor>", "exec"), ns)
+        self._batch_fn = ns.get("process_batch")
+        self._row_fn = ns.get("process")
+        if not self._batch_fn and not self._row_fn:
+            raise ValueError("script must define process_batch(table, params) "
+                             "or process(event, params)")
+
+    def process(self, batch):
+        self.setup()
+        if self._batch_fn:
+            return self._batch_fn(batch, self.params)
+        rows = batch.to_pylist()
+        out = [r for r in (self._row_fn(dict(ev), self.params) for ev in rows)
+               if r is not None]
+        if not out:
+            return batch.slice(0, 0)
+        return pa.Table.from_pylist(out)
+
+
+@register("dns")
+class DNSStage(Stage):
+    """config: type (A|PTR...), fields {src: dst}, table ({name->value} dict
+    or ObjectRef — the mock resolver), ttl entries, tag_on_failure, action:
+    append|replace.  Cache: per-actor dict with hit counters (success and
+    failure cached separately, dns/cache.go)."""
+
+    name = "dns"
+    stateful = True
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.fields = dict(self.config.get("fields", {}))
+        self._table_ref = self.config.get("table", {})
+        self.tag_on_failure = list(self.config.get("tag_on_failure", []))
+        self.action = self.config.get("action", "append")
+        self._resolver = None
+        self.cache_hits = 0
+        self.lookups = 0
+        self._cache: dict = {}
+
+    def setup(self):
+        if self._resolver is None:
+            from .enrich import _maybe_get
+            self._resolver = _maybe_get(self._table_ref)
+
+    def _resolve(self, name):
+        self.lookups += 1
+        if name in self._cache:
+            self.cache_hits += 1
+            return self._cache[name]
+        val = self._resolver.get(name) if self._resolver else None
+        self._cache[name] = val  # caches failures too (None)
+        return val
+
+    def process(self, batch):
+        self.setup()
+        import pyarrow.compute as pc
+        any_missed = None
+        for src, dst in self.fields.items():
+            s = field_to_column(src)
+            if s not in batch.column_names:
+                continue
+            rows = batch.column(s).to_pylist()
+            vals = [self._resolve(v) if v is not None else None for v in rows]
+            missed = pa.array([v is None and r is not None
+                               for v, r in zip(vals, rows)], pa.bool_())
+            batch = set_column(batch, field_to_column(dst),
+                               pa.array(vals, pa.string()))
+            any_missed = missed if any_missed is None else pc.or_(any_missed, missed)
+        if self.tag_on_failure and any_missed is not None and \
+                (pc.sum(any_missed).as_py() or 0) > 0:
+            batch = add_tags(batch, self.tag_on_failure, any_missed)
+        return batch
+
+
+def multiline_join(ds, pattern: str, conv_col: str = "conv_id",
+                   order_col: str = "turn_idx", text_col: str = "text",
+                   negate: bool = False, match: str = "after",
+                   max_lines: int = 500, flush_pattern: str | None = None):
+    """Pattern-mode multiline (multiline_config.go:28-84 'pattern' type):
+    within each conversation, consecutive rows whose text matches
+    ``pattern`` (xor ``negate``) are merged into the current message —
+    ``match: after`` appends matching lines to the previous non-matching
+    line, ``before`` prepends them to the next.  Joined with '\\n'; merged
+    rows keep the FIRST row's other columns + ``n_lines``.
+
+    Ordering-sensitive, stateful per conversation -> sort within conv +
+    grouped fold (the reference holds the same state per file)."""
+    rx = re.compile(pattern)
+    frx = re.compile(flush_pattern) if flush_pattern else None
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="mergesort")
+        rows = []
+        cur = None
+        n = 0
+
+        def flush():
+            nonlocal cur, n
+            if cur is not None:
+                cur["n_lines"] = np.int32(n)
+                rows.append(cur)
+            cur, n = None, 0
+
+        for _, r in g.iterrows():
+            txt = r[text_col] or ""
+            hit = bool(rx.search(txt)) != negate
+            if match == "after":
+                # matching lines continue the previous message
+                if hit and cur is not None and n < max_lines:
+                    cur[text_col] = cur[text_col] + "\n" + txt
+                    n += 1
+                else:
+                    flush()
+                    cur = r.to_dict()
+                    n = 1
+            else:  # before: matching lines attach to the NEXT line
+                if hit:
+                    if cur is None:
+                        cur = r.to_dict()
+                        n = 1
+                    elif n < max_lines:
+                        cur[text_col] = cur[text_col] + "\n" + txt
+                        n += 1
+                else:
+                    if cur is not None:
+                        cur[text_col] = cur[text_col] + "\n" + txt
+                        n += 1
+                        flush()
+                    else:
+                        cur = r.to_dict()
+                        n = 1
+                        flush()
+            if frx and frx.search(txt):
+                flush()
+        flush()
+        return pd.DataFrame(rows)
+
+    return ds.groupby(conv_col).map_groups(fold, batch_format="pandas")

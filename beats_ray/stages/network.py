@@ -1,0 +1,207 @@
+"""Network-derived processors: community_id, registered_domain,
+add_network_direction.
+
+- community_id (communityid/communityid.go:38): the public Community ID
+  flow-hash spec v1 — seed(BE16) + ordered endpoints (ip packed, proto,
+  pad, ports BE16) -> sha1 -> "1:" + base64.  Fields read (flattened):
+  source_ip, source_port, destination_ip, destination_port,
+  network_transport (name) / network_iana_number.
+- registered_domain (registered_domain/registered_domain.go:41): eTLD+1
+  against a bundled public-suffix SUBSET (production swaps in the full
+  Mozilla PSL — same lookup semantics: longest matching suffix wins,
+  registered domain = suffix + one label).
+- add_network_direction (actions/add_network_direction.go:34): classify
+  source/destination IPs against ``internal_networks`` CIDRs ->
+  inbound/outbound/internal/external.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import ipaddress
+import socket
+import struct
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..event import field_to_column, set_column, set_error
+from .base import Stage, register
+
+_PROTO_NUM = {"icmp": 1, "igmp": 2, "tcp": 6, "udp": 17, "gre": 47,
+              "icmp6": 58, "icmp-ipv6": 58, "sctp": 132}
+
+
+def community_id_v1(saddr: str, daddr: str, sport: int | None, dport: int | None,
+                    proto: int, seed: int = 0) -> str | None:
+    try:
+        sip = ipaddress.ip_address(saddr)
+        dip = ipaddress.ip_address(daddr)
+    except (ValueError, TypeError):
+        return None
+    sp = int(sport or 0) & 0xFFFF
+    dp = int(dport or 0) & 0xFFFF
+    # order the endpoints: smaller (ip, port) first
+    if (sip.packed, sp) > (dip.packed, dp):
+        sip, dip, sp, dp = dip, sip, dp, sp
+    payload = struct.pack("!H", seed) + sip.packed + dip.packed + \
+        struct.pack("BB", proto & 0xFF, 0) + struct.pack("!HH", sp, dp)
+    return "1:" + base64.b64encode(hashlib.sha1(payload).digest()).decode()
+
+
+@register("community_id")
+class CommunityID(Stage):
+    name = "community_id"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.seed = int(self.config.get("seed", 0))
+        self.target = self.config.get("target", "network_community_id")
+        f = self.config.get("fields", {})
+        self.f_sip = f.get("source_ip", "source.ip")
+        self.f_dip = f.get("destination_ip", "destination.ip")
+        self.f_sport = f.get("source_port", "source.port")
+        self.f_dport = f.get("destination_port", "destination.port")
+        self.f_trans = f.get("transport", "network.transport")
+        self.f_iana = f.get("iana_number", "network.iana_number")
+
+    def process(self, batch):
+        def col(path):
+            c = field_to_column(path)
+            return batch.column(c).to_pylist() if c in batch.column_names \
+                else [None] * len(batch)
+        sips, dips = col(self.f_sip), col(self.f_dip)
+        sps, dps = col(self.f_sport), col(self.f_dport)
+        trans, iana = col(self.f_trans), col(self.f_iana)
+        out = []
+        for i in range(len(batch)):
+            proto = None
+            if trans[i]:
+                proto = _PROTO_NUM.get(str(trans[i]).lower())
+            if proto is None and iana[i] is not None:
+                try:
+                    proto = int(iana[i])
+                except (TypeError, ValueError):
+                    proto = None
+            if proto is None or sips[i] is None or dips[i] is None:
+                out.append(None)
+                continue
+            out.append(community_id_v1(sips[i], dips[i], sps[i], dps[i],
+                                       proto, self.seed))
+        return set_column(batch, field_to_column(self.target),
+                          pa.array(out, pa.string()))
+
+
+# Bundled public-suffix subset (production: full Mozilla PSL, same semantics)
+_SUFFIXES = {
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "ai", "dev", "app",
+    "co", "de", "fr", "uk", "jp", "cn", "ru", "br", "in", "au", "ca", "es",
+    "it", "nl", "se", "no", "ch", "at", "pl", "eu", "us", "info", "biz",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in",
+    "github.io", "gitlab.io", "blogspot.com", "appspot.com", "herokuapp.com",
+    "s3.amazonaws.com", "cloudfront.net",
+}
+
+
+def registered_domain(domain: str) -> str | None:
+    """eTLD+1: longest matching public suffix + one label."""
+    if not domain:
+        return None
+    labels = domain.lower().rstrip(".").split(".")
+    for i in range(len(labels)):
+        suffix = ".".join(labels[i:])
+        if suffix in _SUFFIXES:
+            if i == 0:
+                return None  # the domain IS a public suffix
+            return ".".join(labels[i - 1:])
+    # unknown TLD: treat last label as the suffix (PSL '*' fallback rule)
+    if len(labels) >= 2:
+        return ".".join(labels[-2:])
+    return None
+
+
+@register("registered_domain")
+class RegisteredDomain(Stage):
+    """config: field, target_field, subdomain_field?, ignore_missing,
+    ignore_failure."""
+
+    name = "registered_domain"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.field = self.config["field"]
+        self.target = self.config.get("target_field", "registered_domain")
+        self.subdomain_field = self.config.get("subdomain_field")
+        self.ignore_failure = bool(self.config.get("ignore_failure", True))
+
+    def input_columns(self):
+        return [field_to_column(self.field)]
+
+    def process(self, batch):
+        col = batch.column(field_to_column(self.field))
+        rows = col.to_pylist()
+        rd = [registered_domain(v) for v in rows]
+        batch = set_column(batch, field_to_column(self.target),
+                           pa.array(rd, pa.string()))
+        if self.subdomain_field:
+            subs = []
+            for full, reg in zip(rows, rd):
+                if full and reg and full.lower().rstrip(".") != reg \
+                        and full.lower().rstrip(".").endswith("." + reg):
+                    subs.append(full.lower().rstrip(".")[: -(len(reg) + 1)])
+                else:
+                    subs.append(None)
+            batch = set_column(batch, field_to_column(self.subdomain_field),
+                               pa.array(subs, pa.string()))
+        return batch
+
+
+@register("add_network_direction")
+class AddNetworkDirection(Stage):
+    """config: source (field), destination (field), target, internal_networks
+    (CIDRs / named ranges) — actions/add_network_direction.go:34."""
+
+    name = "add_network_direction"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.source = self.config.get("source", "source.ip")
+        self.dest = self.config.get("destination", "destination.ip")
+        self.target = self.config.get("target", "network_direction")
+        nets = self.config.get("internal_networks", ["private", "loopback"])
+        self.nets = []
+        named = {"private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16", "fd00::/8"],
+                 "loopback": ["127.0.0.0/8", "::1/128"]}
+        for n in nets:
+            for c in named.get(n, [n]):
+                self.nets.append(ipaddress.ip_network(c, strict=False))
+
+    def _internal(self, ip):
+        try:
+            addr = ipaddress.ip_address(ip)
+        except (ValueError, TypeError):
+            return None
+        return any(addr in net for net in self.nets)
+
+    def process(self, batch):
+        s = batch.column(field_to_column(self.source)).to_pylist() \
+            if field_to_column(self.source) in batch.column_names else [None] * len(batch)
+        d = batch.column(field_to_column(self.dest)).to_pylist() \
+            if field_to_column(self.dest) in batch.column_names else [None] * len(batch)
+        out = []
+        for si, di in zip(s, d):
+            ints, intd = self._internal(si), self._internal(di)
+            if ints is None or intd is None:
+                out.append(None)
+            elif ints and intd:
+                out.append("internal")
+            elif ints:
+                out.append("outbound")
+            elif intd:
+                out.append("inbound")
+            else:
+                out.append("external")
+        return set_column(batch, field_to_column(self.target),
+                          pa.array(out, pa.string()))

@@ -1,0 +1,124 @@
+"""syslog processor — RFC3164 / RFC5424 / auto parse of a string field.
+
+Reference: libbeat/processors/syslog/syslog.go:79 delegating to
+libbeat/reader/syslog/syslog.go:83-92 (FormatAuto detection by first byte
+after priority, RFC3164 BSD format, RFC5424 structured format).  Output
+columns (flattened ECS-ish paths): log_syslog_priority, _facility_code,
+_severity_code, _hostname, _appname, _procid, _msgid, _version, message
+(the free text), plus timestamp -> ``log_syslog_ts`` (tz-naive; RFC3164
+year pinned to 2024 per the determinism rule, cf. timestamp zero-year).
+Parse failure -> error_message unless ignore_failure.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..event import field_to_column, set_column, set_error
+from .base import Stage, register
+
+_RFC5424 = re.compile(
+    r"^<(?P<pri>\d{1,3})>(?P<ver>\d) (?P<ts>\S+) (?P<host>\S+) (?P<app>\S+) "
+    r"(?P<proc>\S+) (?P<msgid>\S+) (?P<sd>-|\[.*?\])(?: (?P<msg>.*))?$",
+    re.S)
+_RFC3164 = re.compile(
+    r"^<(?P<pri>\d{1,3})>(?P<ts>[A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) "
+    r"(?P<host>\S+) (?P<tag>[^\s:\[]+)(?:\[(?P<pid>\d+)\])?:? ?(?P<msg>.*)$",
+    re.S)
+
+_MONTHS = {m: i + 1 for i, m in enumerate(
+    ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+     "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"])}
+PINNED_YEAR = 2024
+
+
+def parse_syslog(line: str, fmt: str = "auto") -> dict | None:
+    if not line:
+        return None
+    m5 = _RFC5424.match(line) if fmt in ("auto", "rfc5424") else None
+    if m5:
+        pri = int(m5.group("pri"))
+        out = {
+            "priority": pri, "facility_code": pri // 8, "severity_code": pri % 8,
+            "version": int(m5.group("ver")),
+            "hostname": _nil(m5.group("host")), "appname": _nil(m5.group("app")),
+            "procid": _nil(m5.group("proc")), "msgid": _nil(m5.group("msgid")),
+            "structured_data": None if m5.group("sd") == "-" else m5.group("sd"),
+            "message": m5.group("msg") or "",
+            "ts": _iso(m5.group("ts")),
+        }
+        return out
+    m3 = _RFC3164.match(line) if fmt in ("auto", "rfc3164") else None
+    if m3:
+        pri = int(m3.group("pri"))
+        ts = m3.group("ts")
+        mon = _MONTHS.get(ts[:3])
+        day = int(ts[4:6].strip())
+        return {
+            "priority": pri, "facility_code": pri // 8, "severity_code": pri % 8,
+            "version": None, "hostname": _nil(m3.group("host")),
+            "appname": m3.group("tag"), "procid": m3.group("pid"),
+            "msgid": None, "structured_data": None,
+            "message": m3.group("msg") or "",
+            "ts": f"{PINNED_YEAR:04d}-{mon:02d}-{day:02d}T{ts[7:]}" if mon else None,
+        }
+    return None
+
+
+def _nil(v):
+    return None if v == "-" else v
+
+
+def _iso(ts):
+    if ts == "-":
+        return None
+    return ts.rstrip("Z").split("+")[0][:26]
+
+
+@register("syslog")
+class SyslogStage(Stage):
+    """config: field (default "message"), format: auto|rfc3164|rfc5424,
+    target_prefix (default "log_syslog"), ignore_missing, ignore_failure."""
+
+    name = "syslog"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.field = self.config.get("field", "message")
+        self.fmt = self.config.get("format", "auto")
+        prefix = self.config.get("target_prefix", "log_syslog")
+        self.prefix = prefix + "_" if prefix else ""
+        self.ignore_failure = bool(self.config.get("ignore_failure", False))
+
+    def input_columns(self):
+        return [field_to_column(self.field)]
+
+    def process(self, batch):
+        col = batch.column(field_to_column(self.field))
+        rows = col.to_pylist()
+        parsed = [parse_syslog(v, self.fmt) if v else None for v in rows]
+        ok = [p is not None for p in parsed]
+        keys = ["priority", "facility_code", "severity_code", "version",
+                "hostname", "appname", "procid", "msgid", "structured_data",
+                "message"]
+        types = {"priority": pa.int32(), "facility_code": pa.int32(),
+                 "severity_code": pa.int32(), "version": pa.int32()}
+        for k in keys:
+            vals = [p.get(k) if p else None for p in parsed]
+            batch = set_column(batch, self.prefix + k,
+                               pa.array(vals, types.get(k, pa.string())))
+        ts_vals = pa.array([p.get("ts") if p else None for p in parsed], pa.string())
+        ts_parsed = pc.strptime(ts_vals, format="%Y-%m-%dT%H:%M:%S", unit="us",
+                                error_is_null=True)
+        # second chance with fractional seconds
+        frac = pc.strptime(ts_vals, format="%Y-%m-%dT%H:%M:%S.%f", unit="us",
+                           error_is_null=True)
+        ts_parsed = pc.if_else(pc.is_null(ts_parsed), frac, ts_parsed)
+        batch = set_column(batch, self.prefix + "ts", ts_parsed)
+        fail = pc.invert(pa.array(ok, pa.bool_()))
+        if not self.ignore_failure and (pc.sum(fail).as_py() or 0) > 0:
+            batch = set_error(batch, fail, "failed to parse syslog message")
+        return batch
