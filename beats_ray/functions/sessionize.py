@@ -1,0 +1,79 @@
+"""Sessionization — including the salted-repartition path for hot keys.
+
+The north rule requires skew from hot conversations to be handled with
+salted repartitioning before the per-key shuffle.  ``sessionize`` is the
+direct form: ``groupby(conv).map_groups(fold)`` — a single hot conversation
+(Zipfian tail, 10-100x median turns) lands one giant group on one task.
+
+``sessionize_salted`` decomposes it: rows are bucketed by
+``salt = turn_idx // segment_turns`` so a hot conversation splits into many
+(conv, salt) SEGMENTS processed in parallel; per-segment partials
+``(first_ts, last_ts, n_sessions, min/max turn)`` are mergeable because
+segments are contiguous turn ranges:
+
+    sessions(A + B) = sessions(A) + sessions(B)
+                      - 1 if gap(last_ts(A), first_ts(B)) <= gap_s
+
+The final per-conv merge handles only #segments rows (tiny).  The identity
+``sessionize_salted == sessionize`` is asserted in tests and both share the
+DuckDB window-function oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def sessionize(ds, key: str = "conv_id", order: str = "turn_idx",
+               ts: str = "ts", gap_s: float = 1800.0):
+    """Direct per-key session count: sort by order within key, count gaps."""
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order)
+        gaps = g[ts].diff().dt.total_seconds()
+        n = int((gaps > gap_s).sum()) + 1
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "n_sessions": np.array([n], dtype=np.int64)})
+    return ds.groupby(key).map_groups(fold, batch_format="pandas")
+
+
+def sessionize_salted(ds, key: str = "conv_id", order: str = "turn_idx",
+                      ts: str = "ts", gap_s: float = 1800.0,
+                      segment_turns: int = 256):
+    """Salted two-phase session count (skew-safe for hot keys)."""
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        salt = pc.cast(pc.floor(pc.divide(pc.cast(t[order], pa.float64()),
+                                          float(segment_turns))), pa.int32())
+        return t.append_column("salt", salt)
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+
+    def segment_fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order)
+        gaps = g[ts].diff().dt.total_seconds()
+        n = int((gaps > gap_s).sum()) + 1
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "salt": np.array([g["salt"].iloc[0]], dtype=np.int32),
+            "first_ts": [g[ts].iloc[0]],
+            "last_ts": [g[ts].iloc[-1]],
+            "n_sessions": np.array([n], dtype=np.int64),
+        })
+
+    partials = salted.groupby([key, "salt"]).map_groups(
+        segment_fold, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("salt")
+        n = int(g["n_sessions"].sum())
+        # stitch adjacent segments: no boundary gap -> their border sessions fuse
+        gaps = (g["first_ts"].iloc[1:].reset_index(drop=True)
+                - g["last_ts"].iloc[:-1].reset_index(drop=True)).dt.total_seconds()
+        n -= int((gaps <= gap_s).sum())
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "n_sessions": np.array([n], dtype=np.int64)})
+
+    return partials.groupby(key).map_groups(merge, batch_format="pandas")

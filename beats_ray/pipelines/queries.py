@@ -591,7 +591,7 @@ def q_docs_dedup_minhash(sf_dir: str):
     from ..functions.dedup import minhash_lsh_pairs
     ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id", "text"])
-    return minhash_lsh_pairs(ds, threshold=0.5)
+    return minhash_lsh_pairs(ds, threshold=0.5, census="driver")
 
 
 def q_docs_dedup_simhash(sf_dir: str):
@@ -770,3 +770,24 @@ _EXTRA_ORACLES2 = {
         FROM read_parquet('__T__')
     """,
 }
+
+
+def q_transcripts_sessionize_salted(sf_dir: str):
+    """Salted-repartition sessionization (hot-conversation skew path):
+    turn-range segments -> mergeable partials -> per-conv merge.  Same
+    oracle as transcripts_sessionize — the salting must be invisible."""
+    from ..functions.sessionize import sessionize_salted
+    ds = _rd().read_parquet(_tpath(sf_dir), columns=["conv_id", "turn_idx", "ts"])
+    return sessionize_salted(ds, segment_turns=256)
+
+
+QUERIES["transcripts_sessionize_salted"] = q_transcripts_sessionize_salted
+_EXTRA_ORACLES2["transcripts_sessionize_salted"] = """
+    WITH d AS (
+        SELECT conv_id,
+               ts - lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+        FROM read_parquet('__T__'))
+    SELECT conv_id,
+           (1 + count(*) FILTER (WHERE gap > INTERVAL 1800 SECOND))::BIGINT AS n_sessions
+    FROM d GROUP BY conv_id
+"""

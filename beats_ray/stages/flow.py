@@ -220,54 +220,33 @@ def multiline_join(ds, pattern: str, conv_col: str = "conv_id",
 
     Ordering-sensitive, stateful per conversation -> sort within conv +
     grouped fold (the reference holds the same state per file)."""
-    rx = re.compile(pattern)
-    frx = re.compile(flush_pattern) if flush_pattern else None
-
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_col, kind="mergesort")
-        rows = []
-        cur = None
-        n = 0
-
-        def flush():
-            nonlocal cur, n
-            if cur is not None:
-                cur["n_lines"] = np.int32(n)
-                rows.append(cur)
-            cur, n = None, 0
-
-        for _, r in g.iterrows():
-            txt = r[text_col] or ""
-            hit = bool(rx.search(txt)) != negate
-            if match == "after":
-                # matching lines continue the previous message
-                if hit and cur is not None and n < max_lines:
-                    cur[text_col] = cur[text_col] + "\n" + txt
-                    n += 1
-                else:
-                    flush()
-                    cur = r.to_dict()
-                    n = 1
-            else:  # before: matching lines attach to the NEXT line
-                if hit:
-                    if cur is None:
-                        cur = r.to_dict()
-                        n = 1
-                    elif n < max_lines:
-                        cur[text_col] = cur[text_col] + "\n" + txt
-                        n += 1
-                else:
-                    if cur is not None:
-                        cur[text_col] = cur[text_col] + "\n" + txt
-                        n += 1
-                        flush()
-                    else:
-                        cur = r.to_dict()
-                        n = 1
-                        flush()
-            if frx and frx.search(txt):
-                flush()
-        flush()
-        return pd.DataFrame(rows)
+        g = g.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        txt = g[text_col].fillna("")
+        hit = txt.str.contains(pattern, regex=True).to_numpy() != negate
+        fl = txt.str.contains(flush_pattern, regex=True).to_numpy() \
+            if flush_pattern else np.zeros(len(g), dtype=bool)
+        if match == "after":
+            # non-matching lines start a new message; a flush line forces the
+            # NEXT line to start one
+            starts = ~hit
+            starts[0] = True
+            if flush_pattern:
+                starts[1:] |= fl[:-1]
+            grp = np.cumsum(starts)
+        else:  # before: matching lines attach to the NEXT non-matching line
+            ends = ~hit | fl
+            c = np.cumsum(ends)
+            grp = c - ends  # rows after an end belong to the next group
+        g = g.assign(__grp=grp)
+        # max_lines: additional lines beyond the cap are DISCARDED
+        # (multiline_config.go max_lines semantics)
+        pos = g.groupby("__grp").cumcount()
+        g = g[pos < max_lines]
+        agg = g.groupby("__grp", sort=True)
+        out = agg.first()
+        out[text_col] = agg[text_col].agg("\n".join)
+        out["n_lines"] = agg.size().astype(np.int32)
+        return out.reset_index(drop=True)
 
     return ds.groupby(conv_col).map_groups(fold, batch_format="pandas")
