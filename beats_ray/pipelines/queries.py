@@ -791,3 +791,30 @@ _EXTRA_ORACLES2["transcripts_sessionize_salted"] = """
            (1 + count(*) FILTER (WHERE gap > INTERVAL 1800 SECOND))::BIGINT AS n_sessions
     FROM d GROUP BY conv_id
 """
+
+
+def q_transcripts_correlate(sf_dir: str):
+    """Packetbeat-style request/response pairing within each conversation
+    (assistant turn immediately followed by a tool turn = one transaction);
+    oracle = lead() window function."""
+    from ..functions.correlate import correlate_transactions
+    ds = _rd().read_parquet(_tpath(sf_dir),
+                            columns=["conv_id", "turn_idx", "role", "ts"])
+    return correlate_transactions(ds)
+
+
+QUERIES["transcripts_correlate"] = q_transcripts_correlate
+_EXTRA_ORACLES2["transcripts_correlate"] = """
+    WITH w AS (
+        SELECT conv_id, turn_idx, role, ts,
+               lead(role) OVER win AS next_role,
+               lead(turn_idx) OVER win AS next_turn,
+               lead(ts) OVER win AS next_ts
+        FROM read_parquet('__T__')
+        WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx))
+    SELECT conv_id,
+           turn_idx::BIGINT AS req_turn,
+           next_turn::BIGINT AS resp_turn,
+           epoch(next_ts - ts)::DOUBLE AS latency_s
+    FROM w WHERE role = 'assistant' AND next_role = 'tool'
+"""

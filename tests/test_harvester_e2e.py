@@ -1,0 +1,68 @@
+"""Filestream-analogue end-to-end: raw .log FILES -> read_text harvester ->
+parser chain -> processor chain == the same pipeline over the parquet table.
+Proves the reader chain (SURVEY.md §2.1) produces identical events from the
+byte-level representation."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def test_log_files_match_parquet_path(ray_session):
+    from beats_ray.pipeline import Pipeline
+    from beats_ray.sources.readers import read_log_lines
+    from beats_ray.sources.transcripts import transcripts_path
+
+    # dump the sf0.001 transcript text column as raw log files (one line per
+    # turn, keyed so we can re-associate), like a harvested directory
+    tbl = pq.read_table(transcripts_path("sf0.001")) \
+            .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")]) \
+            .slice(0, 2000)
+    logdir = "/tmp/beats_ray_test/logs"
+    shutil.rmtree(logdir, ignore_errors=True)
+    os.makedirs(logdir)
+    # text may contain no newlines by construction (one event per line)
+    texts = tbl.column("text").to_pylist()
+    half = len(texts) // 2
+    for name, chunk in [("a.log", texts[:half]), ("b.log", texts[half:])]:
+        with open(os.path.join(logdir, name), "w") as f:
+            f.write("\n".join(chunk) + "\n")
+
+    spec = {"processors": [
+        {"dissect": {"tokenizer": 'level=%{level} ts=%{ts} caller=%{caller} msg="%{msg}"',
+                     "field": "text", "target_prefix": "log",
+                     "ignore_failure": True,
+                     "when": {"regexp": {"text": "^level="}}}},
+    ]}
+
+    # path 1: harvested files
+    ds_files = read_log_lines(logdir)
+    out_files = Pipeline(spec).apply(ds_files).to_pandas()
+    assert set(out_files["log_file_path"].str.split("/").str[-1]) == {"a.log", "b.log"}
+
+    # path 2: the parquet table
+    out_tbl = Pipeline(spec).run_local(tbl).to_pandas()
+
+    # identical parse results (order-insensitive)
+    key = ["text", "log_level", "log_caller", "log_msg"]
+    a = out_files[key].fillna("").sort_values(key).reset_index(drop=True)
+    b = out_tbl[key].fillna("").sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_parser_chain_from_config(ray_session):
+    """parsers: config list -> processors -> run over harvested lines."""
+    import ray.data as rd
+    from beats_ray.pipeline import Pipeline
+    from beats_ray.sources.readers import parsers_to_processors
+
+    lines = ['{"msg": "a", "lvl": "info"}', "keep plain", '{"msg": "b", "lvl": "err"}']
+    ds = rd.from_arrow(pa.table({"message": lines}))
+    procs = parsers_to_processors([
+        {"ndjson": {"message_key": "message", "target": "j"}},
+    ])
+    out = Pipeline({"processors": procs}).apply(ds).to_pandas()
+    assert sorted(x for x in out["j_msg"] if x is not None) == ["a", "b"]
