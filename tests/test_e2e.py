@@ -101,3 +101,45 @@ def test_entry_contract(ray_session):
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 15
+
+
+def test_dead_letter_rejects_partition(ray_session):
+    """Rows poisoned by a processor error route to the _rejects partition
+    (ES dead-letter analogue) and keep their error_message for triage."""
+    import ray.data as rd
+    from beats_ray.pipeline import Pipeline
+    from beats_ray.sinks.parquet import sink_counts, write_routed
+
+    out_dir = "/tmp/beats_ray_test/deadletter"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    tbl = pa.table({"conv_id": ["c1", "c2"], "turn_idx": [0, 1],
+                    "n": ["42", "not-a-number"]})
+    pipe = Pipeline({"processors": [
+        {"convert": {"fields": [{"from": "n", "type": "long"}]}},
+    ], "route": {"rules": [], "default": "main", "target": "sink"}})
+    man = write_routed(pipe.apply(rd.from_arrow(tbl)), out_dir)
+    counts = sink_counts(man)
+    assert counts == {"main": 1, "_rejects": 1}
+    rej = pq.read_table(glob.glob(os.path.join(out_dir, "sink=_rejects", "*.parquet"))[0])
+    assert rej.column("error_message").to_pylist()[0] is not None
+
+
+def test_ndjson_sink(ray_session):
+    import json as _json
+    import ray.data as rd
+    from beats_ray.sinks.ndjson import write_ndjson_routed
+    out_dir = "/tmp/beats_ray_test/ndjson"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    import datetime
+    tbl = pa.table({"conv_id": ["a", "b"], "sink": ["s1", "s2"],
+                    "ts": pa.array([datetime.datetime(2024, 1, 1, 0, 0, 0, 123000)] * 2,
+                                   pa.timestamp("us")),
+                    "meta_id": ["m1", "m2"]})
+    man = write_ndjson_routed(rd.from_arrow(tbl), out_dir)
+    rows = man.take_all()
+    assert {r["sink"] for r in rows} == {"s1", "s2"}
+    f = glob.glob(os.path.join(out_dir, "sink=s1", "*.ndjson"))[0]
+    obj = _json.loads(open(f).read().strip())
+    assert obj["conv_id"] == "a"
+    assert obj["ts"] == "2024-01-01T00:00:00.123Z"  # RFC3339-millis (codec json)
+    assert "meta_id" not in obj and "sink" not in obj
