@@ -75,7 +75,13 @@ def q_transcripts_dissect(sf_dir: str):
                    .select(["conv_id", "turn_idx", "log_level", "log_caller",
                             "log_msg", "log_time"])
                    .rename_columns(["conv_id", "turn_idx", "level", "caller",
-                                    "msg", "log_time"]),
+                                    "msg", "log_time"])
+                   .cast(pa.schema([("conv_id", pa.string()),
+                                    ("turn_idx", pa.int32()),
+                                    ("level", pa.string()),
+                                    ("caller", pa.string()),
+                                    ("msg", pa.string()),
+                                    ("log_time", pa.timestamp("us"))])),
         batch_format="pyarrow")
     return out
 
@@ -450,14 +456,14 @@ def oracle_sql_map(transcripts_glob: str) -> dict[str, str]:
                         WHEN event_type IN ('purchase', 'signup') THEN 'billing'
                         ELSE 'activity' END AS sink,
                    count(*)::BIGINT AS n,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
             FROM events GROUP BY 1
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*)::BIGINT AS n,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
             FROM events GROUP BY 1, 2
         """,
         "events_sessionize": """
@@ -471,9 +477,9 @@ def oracle_sql_map(transcripts_glob: str) -> dict[str, str]:
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-                   sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
+                   sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_base_cents,
+                   sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))::BIGINT AS sum_disc_price_cents,
                    count(*)::BIGINT AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -482,13 +488,13 @@ def oracle_sql_map(transcripts_glob: str) -> dict[str, str]:
         "orders_join": """
             SELECT c.c_mktsegment AS mktsegment,
                    count(*)::BIGINT AS n_orders,
-                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
         """,
         "top_users": """
             SELECT user_id,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS total_cents
             FROM events GROUP BY user_id
             ORDER BY total_cents DESC, user_id LIMIT 10
         """,
@@ -696,7 +702,7 @@ def q_transcripts_multiline(sf_dir: str):
     def shape(t: pa.Table) -> pa.Table:
         return pa.table({"conv_id": t["conv_id"],
                          "turn_idx": t["turn_idx"],
-                         "text": pc.cast(t["text"], pa.large_string()),
+                         "text": pc.cast(t["text"], pa.string()),
                          "n_lines": pc.cast(t["n_lines"], pa.int64())})
     return out.map_batches(shape, batch_format="pyarrow")
 
