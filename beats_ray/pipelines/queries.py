@@ -516,6 +516,7 @@ def oracle_sql_map(transcripts_glob: str) -> dict[str, str]:
         """,
         **_EXTRA_ORACLES,
         **{k: v.replace("__T__", transcripts_glob) for k, v in _EXTRA_ORACLES2.items()},
+        **_EXTRA_ORACLES3,
     }
 
 
@@ -824,3 +825,111 @@ _EXTRA_ORACLES2["transcripts_correlate"] = """
            epoch(next_ts - ts)::DOUBLE AS latency_s
     FROM w WHERE role = 'assistant' AND next_role = 'tool'
 """
+
+
+def q_events_sliding_window(sf_dir: str):
+    """Sliding 1h window, 15min hop: per-window counts + cents sums.  Events
+    explode x4 inside map_batches (vectorized), then partial agg."""
+    from ..functions.windows import sliding_window_explode
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = sliding_window_explode(t, "ts", 3600, 900)
+        t2 = pa.table({"window_start": e["window_start"],
+                       "cents": _cents(e["value"])})
+        return t2.group_by("window_start") \
+                 .aggregate([("cents", "sum"), ([], "count_all")]) \
+                 .rename_columns(["window_start", "cents_p", "n_p"])
+
+    out = small_groupby(ds, ["window_start"], partial,
+                        {"n_p": "sum", "cents_p": "sum"},
+                        {"n_p": "n", "cents_p": "value_cents"})
+    idx = out.column_names.index("window_start")
+    return out.set_column(idx, "window_start",
+                          pc.cast(out["window_start"], pa.timestamp("us")))
+
+
+def q_orders_lineitem_join(sf_dir: str):
+    """Both-sides-large bucketed hash join (explicit partitioned join:
+    hash-bucket both sides, one shuffle, vectorized merge per bucket) ->
+    revenue per order priority."""
+    from ..functions.joins import bucketed_join
+    orders = _rd().read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                columns=["o_orderkey", "o_orderpriority"])
+    items = _rd().read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = _cents(pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        return pa.table({"o_orderkey": t["l_orderkey"], "rev_cents": rev})
+
+    items = items.map_batches(prep, batch_format="pyarrow")
+    joined = bucketed_join(orders, items, on="o_orderkey", n_buckets=32)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("o_orderpriority") \
+                .aggregate([("rev_cents", "sum"), ([], "count_all")]) \
+                .rename_columns(["o_orderpriority", "rev_p", "n_p"])
+
+    return small_groupby(joined, ["o_orderpriority"], partial,
+                         {"rev_p": "sum", "n_p": "sum"},
+                         {"rev_p": "revenue_cents", "n_p": "n_items"})
+
+
+def q_orders_lineitem_join_native(sf_dir: str):
+    """Same join via ray.data.Dataset.join (native hash-partitioned join)
+    — same oracle; proves parity between the explicit bucketed join and
+    Ray's built-in."""
+    from ..functions.joins import native_join
+    orders = _rd().read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                columns=["o_orderkey", "o_orderpriority"])
+    items = _rd().read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = _cents(pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        return pa.table({"o_orderkey": t["l_orderkey"], "rev_cents": rev})
+
+    items = items.map_batches(prep, batch_format="pyarrow")
+    joined = native_join(orders, items, on="o_orderkey", num_partitions=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("o_orderpriority") \
+                .aggregate([("rev_cents", "sum"), ([], "count_all")]) \
+                .rename_columns(["o_orderpriority", "rev_p", "n_p"])
+
+    return small_groupby(joined, ["o_orderpriority"], partial,
+                         {"rev_p": "sum", "n_p": "sum"},
+                         {"rev_p": "revenue_cents", "n_p": "n_items"})
+
+
+QUERIES.update({
+    "events_sliding_window": q_events_sliding_window,
+    "orders_lineitem_join": q_orders_lineitem_join,
+    "orders_lineitem_join_native": q_orders_lineitem_join_native,
+})
+
+_EXTRA_ORACLES3 = {
+    "events_sliding_window": """
+        WITH j AS (SELECT unnest([0,1,2,3]) AS j),
+        e AS (SELECT to_timestamp((floor(epoch(ts)/900)*900 - j.j*900)::BIGINT)::TIMESTAMP
+                     AS window_start, value
+              FROM events CROSS JOIN j)
+        SELECT window_start,
+               count(*)::BIGINT AS n,
+               sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+        FROM e GROUP BY window_start
+    """,
+    "orders_lineitem_join": """
+        SELECT o.o_orderpriority,
+               sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+                   AS BIGINT))::BIGINT AS revenue_cents,
+               count(*)::BIGINT AS n_items
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1
+    """,
+}
+_EXTRA_ORACLES3["orders_lineitem_join_native"] = _EXTRA_ORACLES3["orders_lineitem_join"]

@@ -200,3 +200,35 @@ def test_multimodal_stub_pipeline(ray_session):
 def test_multimodal_deterministic():
     from beats_ray.functions.multimodal import synth_image_table
     assert synth_image_table(8).equals(synth_image_table(8))
+
+
+def test_bucketed_join_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from beats_ray.functions.joins import broadcast_join, bucketed_join
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "lv": ["a", "b", "c", "d"]})
+    right = pd.DataFrame({"k": [2, 3, 3, 5], "rv": [20, 30, 31, 50]})
+    expected = left.merge(right, on="k").sort_values(["k", "rv"]).reset_index(drop=True)
+    got = bucketed_join(rd.from_pandas(left), rd.from_pandas(right),
+                        on="k", n_buckets=4).to_pandas() \
+        .sort_values(["k", "rv"]).reset_index(drop=True)
+    assert got[["k", "lv", "rv"]].equals(expected[["k", "lv", "rv"]])
+    # broadcast join agrees
+    bj = broadcast_join(rd.from_pandas(left), right, on="k", how="inner") \
+        .to_pandas().sort_values(["k", "rv"]).reset_index(drop=True)
+    assert bj[["k", "lv", "rv"]].equals(expected[["k", "lv", "rv"]])
+
+
+def test_window_assignment():
+    import datetime
+    import pyarrow as pa
+    from beats_ray.functions.windows import (sliding_window_explode,
+                                             tumbling_window_assign)
+    ts = [datetime.datetime(2024, 1, 1, 10, 37, 21)]
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us")), "v": [1]})
+    out = tumbling_window_assign(t, "ts", 3600)
+    assert out.column("window_start").to_pylist() == [datetime.datetime(2024, 1, 1, 10, 0)]
+    e = sliding_window_explode(t, "ts", 3600, 900)
+    ws = sorted(w.isoformat() for w in e.column("window_start").to_pylist())
+    assert ws == ["2024-01-01T09:45:00", "2024-01-01T10:00:00",
+                  "2024-01-01T10:15:00", "2024-01-01T10:30:00"]
