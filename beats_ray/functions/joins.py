@@ -65,19 +65,31 @@ def bucketed_join(left, right, on: str, n_buckets: int = 64, how: str = "inner",
     r_tagged = right.map_batches(tag(right_tag), batch_format="pyarrow")
     both = l_tagged.union(r_tagged)
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lpart = g[g["__side"] == left_tag].drop(columns=["__side", "__bucket"]) \
-            .dropna(axis=1, how="all")
-        rpart = g[g["__side"] == right_tag].drop(columns=["__side", "__bucket"]) \
-            .dropna(axis=1, how="all")
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if g.num_columns == 0 or len(g) == 0:   # empty co-group block
+            return pa.table({})
+        side = g["__side"]
+        lt = g.filter(pc.equal(side, left_tag))
+        rt = g.filter(pc.equal(side, right_tag))
+        # each side keeps only its own columns (the union null-filled the
+        # other side's) so pandas dtypes survive the round trip intact
+        def strip(t):
+            drop = ["__side", "__bucket"] + \
+                [c for c in t.column_names
+                 if c != on and t[c].null_count == len(t)]
+            return t.drop_columns(drop).to_pandas()
+        lpart, rpart = strip(lt), strip(rt)
         if len(lpart) == 0 or len(rpart) == 0:
             if how == "inner":
-                return pd.DataFrame()
-            return lpart if how == "left" else rpart
-        return lpart.merge(rpart, on=on, how=how,
-                           suffixes=(f"_{left_tag}", f"_{right_tag}"))
+                return pa.table({})
+            out = lpart if how == "left" else rpart
+            return pa.Table.from_pandas(out, preserve_index=False)
+        merged = lpart.merge(rpart, on=on, how=how,
+                             suffixes=(f"_{left_tag}", f"_{right_tag}"))
+        return pa.Table.from_pandas(merged, preserve_index=False)
 
-    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 def native_join(left, right, on: str, num_partitions: int = 32,
