@@ -75,10 +75,11 @@ def bucketed_join(left, right, on: str, n_buckets: int = 64, how: str = "inner",
         # each side keeps only its own columns (the union null-filled the
         # other side's) so pandas dtypes survive the round trip intact
         def strip(t):
-            drop = ["__side", "__bucket"] + \
-                [c for c in t.column_names
-                 if c != on and t[c].null_count == len(t)]
-            return t.drop_columns(drop).to_pandas()
+            drop = {"__side", "__bucket"}
+            if len(t) > 0:
+                drop |= {c for c in t.column_names
+                         if c != on and t[c].null_count == len(t)}
+            return t.drop_columns(list(drop)).to_pandas()
         lpart, rpart = strip(lt), strip(rt)
         if len(lpart) == 0 or len(rpart) == 0:
             if how == "inner":
