@@ -38,6 +38,50 @@ def sessionize(ds, key: str = "conv_id", order: str = "turn_idx",
     return ds.groupby(key).map_groups(fold, batch_format="pandas")
 
 
+def sessionize_sorted(ds, key: str = "conv_id", order: str = "turn_idx",
+                      ts: str = "ts", gap_s: float = 1800.0) -> pa.Table:
+    """Sort-based session count — no per-key UDF calls at all.
+
+    One global range sort on (key, order); each sorted block computes
+    per-key partials with ONE vectorized pandas groupby (first/last ts,
+    internal session breaks); the driver stitches the few per-key partials
+    that span block boundaries (#partials ~ #keys + #blocks).  Identical
+    semantics to ``sessionize``; Python cost is O(blocks), not O(keys) —
+    the strategy for key cardinalities where per-group calls dominate.
+    """
+    ds = ds.sort([key, order])
+
+    def block_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: [], "min_turn": [], "first_ts": [],
+                                 "last_ts": [], "n_sessions": []})
+        gaps = df[ts].diff().dt.total_seconds()
+        new_key = df[key] != df[key].shift()
+        brk = (gaps > gap_s) & ~new_key
+        grp = df.groupby(key, sort=False)
+        out = pd.DataFrame({
+            key: grp[key].first().to_numpy(),
+            "min_turn": grp[order].min().astype(np.int64).to_numpy(),
+            "first_ts": grp[ts].first().to_numpy(),
+            "last_ts": grp[ts].last().to_numpy(),
+            "n_sessions": (brk.groupby(df[key], sort=False).sum() + 1)
+                          .astype(np.int64).to_numpy(),
+        })
+        return out
+
+    partials = ds.map_batches(block_partials, batch_format="pandas").take_all()
+    df = pd.DataFrame(partials).sort_values([key, "min_turn"], kind="mergesort")
+    # stitch partials of the same key: subtract one session per fused border
+    same = df[key] == df[key].shift()
+    border_gap = (df["first_ts"] - df["last_ts"].shift()).dt.total_seconds()
+    fused = (same & (border_gap <= gap_s)).sum()
+    agg = df.groupby(key, sort=True)["n_sessions"].sum()
+    fuse_per_key = (same & (border_gap <= gap_s)).groupby(df[key].to_numpy()).sum()
+    agg = (agg - fuse_per_key.reindex(agg.index).fillna(0)).astype(np.int64)
+    return pa.table({key: pa.array(agg.index.to_numpy()),
+                     "n_sessions": pa.array(agg.to_numpy(), pa.int64())})
+
+
 def sessionize_salted(ds, key: str = "conv_id", order: str = "turn_idx",
                       ts: str = "ts", gap_s: float = 1800.0,
                       segment_turns: int = 256):

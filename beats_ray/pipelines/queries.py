@@ -156,18 +156,13 @@ def q_transcripts_fingerprint(sf_dir: str):
 
 def q_transcripts_sessionize(sf_dir: str):
     """Multiline-analogue sessionization: per conversation, count sessions
-    split by >30 min gaps in turn order (sort within conv -> stateful fold;
-    SURVEY.md §2.4 multiline mapping)."""
+    split by >30 min gaps in turn order (groupby(conv).map_groups fold).
+    Three measured strategies exist (PERFORMANCE.md): direct map_groups,
+    salted turn-range segments (skew-safe, fastest at sf0.1), sort-based
+    block partials; all share this oracle."""
+    from ..functions.sessionize import sessionize
     ds = _rd().read_parquet(_tpath(sf_dir), columns=["conv_id", "turn_idx", "ts"])
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx")
-        gaps = g["ts"].diff().dt.total_seconds()
-        n = int((gaps > 1800).sum()) + 1
-        return pd.DataFrame({"conv_id": [g["conv_id"].iloc[0]],
-                             "n_sessions": np.array([n], dtype=np.int64)})
-
-    return ds.groupby("conv_id").map_groups(sessions, batch_format="pandas")
+    return sessionize(ds)
 
 
 # ---------------------------------------------------------------- events

@@ -76,3 +76,15 @@ def test_flagship_golden():
     with open(GOLDEN) as f:
         expected = json.load(f)
     assert rows == expected
+
+
+def test_sorted_equals_direct(ray_session):
+    import ray.data as rd
+    from beats_ray.functions.sessionize import sessionize, sessionize_sorted
+    from beats_ray.sources.transcripts import transcripts_path
+    cols = ["conv_id", "turn_idx", "ts"]
+    direct = sessionize(rd.read_parquet(transcripts_path("sf0.001"), columns=cols)) \
+        .to_pandas().set_index("conv_id")["n_sessions"].sort_index()
+    srt = sessionize_sorted(rd.read_parquet(transcripts_path("sf0.001"), columns=cols)) \
+        .to_pandas().set_index("conv_id")["n_sessions"].sort_index()
+    assert direct.equals(srt)
