@@ -139,20 +139,25 @@ def minhash_signature(shingle_hashes: set[int], a: np.ndarray, b: np.ndarray) ->
     return mat.min(axis=1)
 
 
-def simhash64(tokens: list[str]) -> int:
-    """Charikar simhash over token 64-bit hashes."""
+def simhash64(tokens: list[str], memo: dict | None = None) -> int:
+    """Charikar simhash over token 64-bit hashes — vectorized: one (n x 64)
+    bit matrix per document; word hashes memoized across a batch."""
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in tokens:
-        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= (1 << i)
-    return out
+    if memo is None:
+        memo = {}
+    wh = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = memo.get(t)
+        if h is None:
+            h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            memo[t] = h
+        wh[i] = h
+    bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    out_bits = (acc > 0).astype(np.uint64)
+    return int((out_bits << np.arange(64, dtype=np.uint64)).sum())
 
 
 # ----------------------------------------------------------------- pipelines
@@ -328,6 +333,74 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def cc_label_propagation(edges, max_rounds: int = 10, n_buckets: int = 32):
+    """Distributed connected components by min-label propagation — the
+    web-scale path when the edge list exceeds driver memory.
+
+    Per round: each edge sends its endpoints each other's current label;
+    a node's new label = min(own, incoming).  Implemented with the bucketed
+    hash join (labels x edges) + one groupby(node) min per round; converges
+    in O(component diameter) rounds (early-exit when labels stop changing).
+    Returns pa.Table (node, root).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from .joins import bucketed_join
+
+    edges = edges.materialize()
+
+    def nodes_of(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t["a"].combine_chunks().cast(pa.int64()),
+             t["b"].combine_chunks().cast(pa.int64())])})
+
+    labels = edges.map_batches(nodes_of, batch_format="pyarrow") \
+                  .groupby("node").aggregate(Min("node", alias_name="label"))
+    for _ in range(max_rounds):
+        lab = labels.materialize()
+        # join labels onto both endpoints, emit (other endpoint, my label)
+        la = bucketed_join(
+            edges.map_batches(lambda t: pa.table(
+                {"node": t["a"].combine_chunks().cast(pa.int64()),
+                 "other": t["b"].combine_chunks().cast(pa.int64())}),
+                batch_format="pyarrow"),
+            lab, on="node", n_buckets=n_buckets)
+        lb = bucketed_join(
+            edges.map_batches(lambda t: pa.table(
+                {"node": t["b"].combine_chunks().cast(pa.int64()),
+                 "other": t["a"].combine_chunks().cast(pa.int64())}),
+                batch_format="pyarrow"),
+            lab, on="node", n_buckets=n_buckets)
+
+        def msg(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "label": pa.array([], pa.int64())})
+            return pa.table({"node": t["other"].combine_chunks().cast(pa.int64()),
+                             "label": t["label"].combine_chunks().cast(pa.int64())})
+
+        messages = la.map_batches(msg, batch_format="pyarrow") \
+                     .union(lb.map_batches(msg, batch_format="pyarrow")) \
+                     .union(lab.map_batches(
+                         lambda t: t.select(["node", "label"]),
+                         batch_format="pyarrow"))
+        new_labels = messages.groupby("node").aggregate(Min("label", alias_name="label"))
+        new_tbl = pa.Table.from_pandas(
+            new_labels.to_pandas().sort_values("node").reset_index(drop=True),
+            preserve_index=False)
+        old_tbl = pa.Table.from_pandas(
+            lab.to_pandas().sort_values("node").reset_index(drop=True),
+            preserve_index=False)
+        labels = new_labels
+        if new_tbl.equals(old_tbl):
+            break
+    out = labels.to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.table({"node": pa.array(out["node"], pa.int64()),
+                     "root": pa.array(out["label"], pa.int64())})
+
+
 def connected_components(edges_df: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
     """Driver-side union-find over a verified (small) edge list -> (id, root).
     For web-scale edge lists, run min-label propagation with groupbys
@@ -355,11 +428,12 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     guarantees one identical 16-bit band), verify by popcount."""
 
     def sig_stage(t: pa.Table) -> pa.Table:
+        memo: dict = {}
         ids, bands, keys, sigs = [], [], [], []
         for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
             if txt is None:
                 continue
-            sh = simhash64(txt.split())
+            sh = simhash64(txt.split(), memo)
             for b in range(4):
                 ids.append(did)
                 bands.append(b)

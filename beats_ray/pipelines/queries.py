@@ -928,3 +928,49 @@ _EXTRA_ORACLES3 = {
     """,
 }
 _EXTRA_ORACLES3["orders_lineitem_join_native"] = _EXTRA_ORACLES3["orders_lineitem_join"]
+
+
+def q_transcripts_dedup_exact(sf_dir: str):
+    """Exact dedup of turn texts: survivor = lexicographically-first
+    (conv_id, turn_idx) per distinct text -> count distinct texts per role
+    (oracle-checked).  Pattern: hash -> groupby -> first."""
+    from ray.data.aggregate import Count
+    ds = _rd().read_parquet(_tpath(sf_dir), columns=["role", "text"])
+
+    def hash_stage(t: pa.Table) -> pa.Table:
+        import hashlib
+        h = [hashlib.sha1(x.encode()).hexdigest() if x is not None else None
+             for x in t["text"].to_pylist()]
+        return pa.table({"role": t["role"], "h": pa.array(h, pa.string())})
+
+    hashed = ds.map_batches(hash_stage, batch_format="pyarrow")
+    per_role_text = hashed.groupby(["role", "h"]).aggregate(Count(alias_name="_n"))
+    return counts_by(per_role_text, ["role"], "n_distinct_texts")
+
+
+def q_docs_dedup_clusters(sf_dir: str):
+    """End-to-end near-dup clustering: MinHash+LSH edges -> distributed
+    min-label-propagation connected components -> (node, root) membership
+    (rows-only; identity with driver union-find is unit-tested)."""
+    from ..functions.dedup import cc_label_propagation, minhash_lsh_pairs
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+    edges_tbl = minhash_lsh_pairs(ds, threshold=0.5, census="driver")
+    if isinstance(edges_tbl, pa.Table):
+        if edges_tbl.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "root": pa.array([], pa.int64())})
+        edges = _rd().from_arrow(edges_tbl)
+    else:
+        edges = edges_tbl
+    return cc_label_propagation(edges, max_rounds=8, n_buckets=8)
+
+
+QUERIES.update({
+    "transcripts_dedup_exact": q_transcripts_dedup_exact,
+    "docs_dedup_clusters": q_docs_dedup_clusters,
+})
+_EXTRA_ORACLES2["transcripts_dedup_exact"] = """
+    SELECT role, count(DISTINCT text)::BIGINT AS n_distinct_texts
+    FROM read_parquet('__T__') GROUP BY role
+"""

@@ -232,3 +232,17 @@ def test_window_assignment():
     ws = sorted(w.isoformat() for w in e.column("window_start").to_pylist())
     assert ws == ["2024-01-01T09:45:00", "2024-01-01T10:00:00",
                   "2024-01-01T10:15:00", "2024-01-01T10:30:00"]
+
+
+def test_cc_label_propagation_matches_union_find(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from beats_ray.functions.dedup import cc_label_propagation, connected_components
+    # chain 1-2-3-4-5, triangle 10-11-12, isolated pair 20-21
+    edges = pd.DataFrame({"a": [1, 2, 3, 4, 10, 11, 10, 20],
+                          "b": [2, 3, 4, 5, 11, 12, 12, 21]})
+    dist = cc_label_propagation(rd.from_pandas(edges), max_rounds=10,
+                                n_buckets=4).to_pandas()
+    uf = connected_components(edges).rename(columns={"doc_id": "node"})
+    merged = dist.merge(uf, on="node", suffixes=("_lp", "_uf"))
+    assert (merged["root_lp"] == merged["root_uf"]).all()

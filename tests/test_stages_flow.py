@@ -210,3 +210,25 @@ def test_parsers_to_processors():
     ])
     assert "decode_json_fields" in out[0]
     assert out[0]["decode_json_fields"]["fields"] == ["text"]
+
+
+# ---------------------------------------------------------------- cef
+
+def test_decode_cef():
+    line = ("CEF:0|Security|threatmanager|1.0|100|worm successfully stopped|10|"
+            "src=10.0.0.1 dst=2.1.2.2 spt=1232 msg=hello\\=world there")
+    batch = pa.table({"message": [line, "not cef", None]})
+    out = run("decode_cef", {"ignore_failure": True}, batch)
+    assert out.column("cef_version").to_pylist() == [0, None, None]
+    assert out.column("cef_device_vendor").to_pylist()[0] == "Security"
+    assert out.column("cef_name").to_pylist()[0] == "worm successfully stopped"
+    assert out.column("cef_severity").to_pylist()[0] == "10"
+    assert out.column("cef_ext_src").to_pylist()[0] == "10.0.0.1"
+    assert out.column("cef_ext_spt").to_pylist()[0] == "1232"
+    assert out.column("cef_ext_msg").to_pylist()[0] == "hello=world there"
+
+
+def test_decode_cef_escaped_pipe_header():
+    line = "CEF:0|a\\|b|p|1|id|event name|5|k=v"
+    out = run("decode_cef", {}, pa.table({"message": [line]}))
+    assert out.column("cef_device_vendor").to_pylist() == ["a|b"]
