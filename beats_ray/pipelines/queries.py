@@ -43,6 +43,12 @@ def _cents(col):
                             round_mode="half_towards_infinity"), pa.int64())
 
 
+
+def _as_table(ds) -> pa.Table:
+    """Materialize a small map_groups result to pyarrow (map_groups can emit
+    zero-column empty blocks that not every Dataset consumer tolerates)."""
+    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
 def _tpath(sf_dir: str) -> str:
     return transcripts_path(sf_dir)
 
@@ -162,7 +168,7 @@ def q_transcripts_sessionize(sf_dir: str):
     block partials; all share this oracle."""
     from ..functions.sessionize import sessionize
     ds = _rd().read_parquet(_tpath(sf_dir), columns=["conv_id", "turn_idx", "ts"])
-    return sessionize(ds)
+    return _as_table(sessionize(ds))
 
 
 # ---------------------------------------------------------------- events
@@ -234,7 +240,7 @@ def q_events_sessionize(sf_dir: str):
         return pd.DataFrame({"user_id": np.array([g["user_id"].iloc[0]], dtype=np.int64),
                              "n_sessions": np.array([n], dtype=np.int64)})
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return _as_table(ds.groupby("user_id").map_groups(sessions, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------- tpch-ish
@@ -700,7 +706,7 @@ def q_transcripts_multiline(sf_dir: str):
                          "turn_idx": t["turn_idx"],
                          "text": pc.cast(t["text"], pa.string()),
                          "n_lines": pc.cast(t["n_lines"], pa.int64())})
-    return out.map_batches(shape, batch_format="pyarrow")
+    return _as_table(out.map_batches(shape, batch_format="pyarrow"))
 
 
 def q_transcripts_script(sf_dir: str):
@@ -780,7 +786,7 @@ def q_transcripts_sessionize_salted(sf_dir: str):
     oracle as transcripts_sessionize — the salting must be invisible."""
     from ..functions.sessionize import sessionize_salted
     ds = _rd().read_parquet(_tpath(sf_dir), columns=["conv_id", "turn_idx", "ts"])
-    return sessionize_salted(ds, segment_turns=256)
+    return _as_table(sessionize_salted(ds, segment_turns=256))
 
 
 QUERIES["transcripts_sessionize_salted"] = q_transcripts_sessionize_salted
@@ -802,7 +808,7 @@ def q_transcripts_correlate(sf_dir: str):
     from ..functions.correlate import correlate_transactions
     ds = _rd().read_parquet(_tpath(sf_dir),
                             columns=["conv_id", "turn_idx", "role", "ts"])
-    return correlate_transactions(ds)
+    return _as_table(correlate_transactions(ds))
 
 
 QUERIES["transcripts_correlate"] = q_transcripts_correlate
