@@ -238,11 +238,12 @@ def test_cc_label_propagation_matches_union_find(ray_session):
     import pandas as pd
     import ray.data as rd
     from beats_ray.functions.dedup import cc_label_propagation, connected_components
-    # chain 1-2-3-4-5, triangle 10-11-12, isolated pair 20-21
-    edges = pd.DataFrame({"a": [1, 2, 3, 4, 10, 11, 10, 20],
-                          "b": [2, 3, 4, 5, 11, 12, 12, 21]})
-    dist = cc_label_propagation(rd.from_pandas(edges), max_rounds=10,
-                                n_buckets=4).to_pandas()
+    # chain 1-2-3, triangle 10-11-12, isolated pair 20-21 (small diameter:
+    # each propagation round costs two bucketed joins)
+    edges = pd.DataFrame({"a": [1, 2, 10, 11, 10, 20],
+                          "b": [2, 3, 11, 12, 12, 21]})
+    dist = cc_label_propagation(rd.from_pandas(edges), max_rounds=4,
+                                n_buckets=2).to_pandas()
     uf = connected_components(edges).rename(columns={"doc_id": "node"})
     merged = dist.merge(uf, on="node", suffixes=("_lp", "_uf"))
     assert (merged["root_lp"] == merged["root_uf"]).all()
