@@ -66,3 +66,36 @@ def test_parser_chain_from_config(ray_session):
     ])
     out = Pipeline({"processors": procs}).apply(ds).to_pandas()
     assert sorted(x for x in out["j_msg"] if x is not None) == ["a", "b"]
+
+
+def test_cli_run_and_resume(tmp_path):
+    """python -m beats_ray run --config ... executes a YAML pipeline with
+    routed sinks and manifest-based resume (subprocess: own Ray session)."""
+    import json
+    import subprocess
+    import sys
+
+    from beats_ray.sources.transcripts import transcripts_path
+    cfg = tmp_path / "p.yml"
+    out_dir = tmp_path / "out"
+    cfg.write_text(f"""
+input:
+  type: parquet
+  paths: ["{transcripts_path('sf0.001')}/*.parquet"]
+processors:
+  - add_fields: {{target: "", fields: {{env: test}}}}
+output:
+  path: {out_dir}
+  default_sink: all
+""")
+    def run_once():
+        p = subprocess.run([sys.executable, "-m", "beats_ray", "run",
+                            "--config", str(cfg)],
+                           capture_output=True, text=True, cwd="/root/repo",
+                           env={**os.environ, "RAY_ADDRESS": "local"})
+        assert p.returncode == 0, p.stderr[-2000:]
+        return json.loads(p.stdout.strip().splitlines()[-1])
+    r1 = run_once()
+    assert r1["sink_counts"]["all"] == 6000 and r1["partitions_run"] >= 1
+    r2 = run_once()
+    assert r2["partitions_run"] == 0 and r2["sink_counts"] == r1["sink_counts"]
