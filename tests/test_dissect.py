@@ -105,3 +105,21 @@ def test_stage_ignore_failure():
 
 def test_empty_string_fails():
     assert CompiledDissector("%{key}").dissect("") is None
+
+
+def test_aws_vpcflow_via_dissect_config():
+    """The x-pack aws_vpcflow parser is a fixed space-delimited format —
+    covered by a dissect config (the SURVEY §2.4 'parser = map_batches'
+    disposition), with typed conversions."""
+    tok = ("%{version|integer} %{account_id} %{interface_id} %{srcaddr|ip} "
+           "%{dstaddr|ip} %{srcport|integer} %{dstport|integer} %{protocol|integer} "
+           "%{packets|long} %{bytes|long} %{start|long} %{end|long} "
+           "%{action} %{log_status}")
+    line = ("2 123456789010 eni-1235b8ca123456789 172.31.16.139 172.31.16.21 "
+            "20641 22 6 20 4249 1418530010 1418530070 ACCEPT OK")
+    out = CompiledDissector(tok).dissect(line)
+    assert out["version"] == 2
+    assert out["srcaddr"] == "172.31.16.139"
+    assert out["srcport"] == 20641 and out["dstport"] == 22
+    assert out["bytes"] == 4249
+    assert out["action"] == "ACCEPT" and out["log_status"] == "OK"
