@@ -199,3 +199,39 @@ class DocFingerprint(Stage):
                for v in col.to_pylist()]
         return set_column(batch, field_to_column(self.target),
                           pa.array(out, pa.uint64()))
+
+
+@register("redact")
+class Redact(Stage):
+    """PII scrub — regex redaction over text columns (a training-data
+    cleaning staple; fully vectorized replace_substring_regex).  config:
+    fields[], rules: list of {pattern, replacement} (defaults: emails,
+    IPv4s, long digit runs)."""
+
+    name = "redact"
+    DEFAULT_RULES = [
+        {"pattern": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+         "replacement": "<EMAIL>"},
+        {"pattern": r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "replacement": "<IP>"},
+        {"pattern": r"\b\d{9,}\b", "replacement": "<NUM>"},
+    ]
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.fields = list(self.config.get("fields", ["text"]))
+        self.rules = list(self.config.get("rules", self.DEFAULT_RULES))
+
+    def input_columns(self):
+        return [field_to_column(f) for f in self.fields]
+
+    def process(self, batch):
+        for f in self.fields:
+            col_name = field_to_column(f)
+            if col_name not in batch.column_names:
+                continue
+            col = batch.column(col_name)
+            for r in self.rules:
+                col = pc.replace_substring_regex(col, r["pattern"],
+                                                 replacement=r["replacement"])
+            batch = set_column(batch, col_name, col)
+        return batch

@@ -980,3 +980,57 @@ _EXTRA_ORACLES2["transcripts_dedup_exact"] = """
     SELECT role, count(DISTINCT text)::BIGINT AS n_distinct_texts
     FROM read_parquet('__T__') GROUP BY role
 """
+
+
+def q_docs_redact(sf_dir: str):
+    """PII redaction (emails/IPs/long numbers) over document text; returns
+    redacted text rows (oracle = chained regexp_replace 'g')."""
+    spec = {"processors": [{"redact": {"fields": ["text"]}}]}
+    pipe = Pipeline(spec)
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+    out = pipe.apply(ds)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "text": pc.cast(t["text"], pa.string())}),
+        batch_format="pyarrow")
+
+
+def q_docs_word_counts(sf_dir: str):
+    """Corpus word counts, top 50 by (count desc, word asc) — the canonical
+    n-gram/corpus-stats sweep: per-batch partial counts, tiny final merge."""
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        vc = words.value_counts()
+        return pa.table({"word": vc.field("values"),
+                         "n_part": pc.cast(vc.field("counts"), pa.int64())})
+
+    agg = small_groupby(ds, ["word"], partial, {"n_part": "sum"},
+                        {"n_part": "n"})
+    df = agg.to_pandas().sort_values(["n", "word"], ascending=[False, True]) \
+        .head(50).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES.update({
+    "docs_redact": q_docs_redact,
+    "docs_word_counts": q_docs_word_counts,
+})
+_EXTRA_ORACLES["docs_redact"] = r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{9,}\b', '<NUM>', 'g') AS text
+    FROM documents
+"""
+_EXTRA_ORACLES["docs_word_counts"] = """
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    SELECT word, count(*)::BIGINT AS n FROM w GROUP BY word
+    ORDER BY n DESC, word ASC LIMIT 50
+"""

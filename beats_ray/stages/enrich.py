@@ -223,3 +223,30 @@ class AddFormattedIndex(Stage):
 
     def process(self, batch):
         return set_column(batch, "meta_raw_index", self.fmt.render(batch))
+
+
+def _watcher_alias(name: str, key_field: str, prefix: str):
+    """Config-compat aliases for the watcher-based metadata processors
+    (add_docker_metadata.go:65, add_process_metadata.go:96, ...): the watcher
+    map is injected as the broadcast ``table`` (driver refreshes it per run
+    — SURVEY.md §2.4 'broadcast dict refreshed per run')."""
+
+    @register(name)
+    class WatcherEnrich(LookupEnrich):
+        def __init__(self, config=None):
+            config = dict(config or {})
+            config.setdefault("field", config.pop("match_field", key_field))
+            config.setdefault("target_prefix", prefix)
+            config.setdefault("table", {})
+            super().__init__(config)
+
+    WatcherEnrich.name = name
+    WatcherEnrich.__name__ = "Watcher_" + name
+    return WatcherEnrich
+
+
+AddDockerMetadata = _watcher_alias("add_docker_metadata", "container_id", "container")
+AddKubernetesMetadata = _watcher_alias("add_kubernetes_metadata", "pod_uid", "kubernetes")
+AddProcessMetadata = _watcher_alias("add_process_metadata", "process_pid", "process")
+AddNomadMetadata = _watcher_alias("add_nomad_metadata", "alloc_id", "nomad")
+AddCloudfoundryMetadata = _watcher_alias("add_cloudfoundry_metadata", "app_id", "cloudfoundry")

@@ -247,3 +247,21 @@ def test_cc_label_propagation_matches_union_find(ray_session):
     uf = connected_components(edges).rename(columns={"doc_id": "node"})
     merged = dist.merge(uf, on="node", suffixes=("_lp", "_uf"))
     assert (merged["root_lp"] == merged["root_uf"]).all()
+
+
+def test_redact_stage():
+    batch = pa.table({"text": ["mail me at bob@example.com from 10.0.0.1",
+                               "card 1234567890123456 ok"]})
+    out = run("redact", {"fields": ["text"]}, batch)
+    got = out.column("text").to_pylist()
+    assert got[0] == "mail me at <EMAIL> from <IP>"
+    assert got[1] == "card <NUM> ok"
+
+
+def test_watcher_metadata_alias():
+    out = run("add_docker_metadata",
+              {"table": {"abc123": {"name": "web", "image": "nginx"}},
+               "match_field": "cid"},
+              pa.table({"cid": ["abc123", "zzz"]}))
+    assert out.column("container_name").to_pylist() == ["web", None]
+    assert out.column("container_image").to_pylist() == ["nginx", None]
