@@ -1,0 +1,131 @@
+"""Run the REFERENCE'S OWN golden test input through this engine and match
+its expected output (filebeat/module/osquery/result/test/test.log +
+test.log-expected.json; harness pattern at
+filebeat/tests/system/test_modules.py:161,183,376-405: run on the raw log,
+flatten + normalize, compare).
+
+The fixture is read in place from /root/reference (never copied).  The
+osquery module's ingest pipeline is reconstructed from this engine's
+registered stages: ndjson parse -> snake_case renames -> UNIX timestamp ->
+ECS constants + mapped fields.  We compare every golden key this pipeline
+is responsible for (the module's add-ons that encode harness context —
+log.offset, input.type, service.type, fileset/event constants — are set as
+constants exactly as the module config does).
+"""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+LOG = "/root/reference/filebeat/module/osquery/result/test/test.log"
+EXPECTED = LOG + "-expected.json"
+
+
+@pytest.mark.skipif(not os.path.exists(EXPECTED), reason="reference not present")
+def test_osquery_module_golden():
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(LOG).read().splitlines() if ln.strip()]
+    batch = pa.table({"message": lines})
+
+    spec = {"processors": [
+        {"decode_json_fields": {"fields": ["message"], "target": "osquery.result",
+                                "max_depth": 3}},
+        {"rename": {"fields": [
+            {"from": "osquery.result.calendarTime", "to": "osquery.result.calendar_time"},
+            {"from": "osquery.result.unixTime", "to": "osquery.result.unix_time"},
+            {"from": "osquery.result.hostIdentifier", "to": "osquery.result.host_identifier"},
+        ]}},
+        {"timestamp": {"field": "osquery.result.unix_time", "layouts": ["UNIX"],
+                       "target_field": "@timestamp"}},
+        {"copy_fields": {"fields": [
+            {"from": "osquery.result.host_identifier", "to": "host.hostname"},
+            {"from": "osquery.result.decorations.host_uuid", "to": "host.id"},
+            {"from": "osquery.result.action", "to": "event.action"},
+            {"from": "osquery.result.decorations.username", "to": "user.name"},
+            {"from": "osquery.result.name", "to": "rule.name"},
+            {"from": "osquery.result.columns.path", "to": "file.path"},
+            {"from": "osquery.result.columns.type", "to": "file.type"},
+        ], "fail_on_error": False}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.type": "info",
+            "event.module": "osquery", "event.dataset": "osquery.result",
+            "fileset.name": "result", "input.type": "log",
+            "service.type": "osquery"}}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = out.to_pylist()
+    expected = json.load(open(EXPECTED))
+    assert len(rows) == len(expected)
+
+    # compare flattened golden keys against our underscore columns
+    handled_prefixes = ("osquery.result.", "event.", "host.", "file.",
+                        "fileset.", "user.", "rule.", "input.", "service.")
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key == "@timestamp":
+                iso = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{got['ts'].microsecond // 1000:03d}Z"
+                assert iso == want, ("@timestamp", iso, want)
+            elif key.startswith(handled_prefixes):
+                col = key.replace(".", "_")
+                assert col in got, f"missing column for golden key {key}"
+                assert str(got[col]) == str(want), (key, got[col], want)
+            elif key in ("log.offset", "related.hosts", "related.user"):
+                continue  # harness/ECS-related add-ons outside the parse chain
+            else:
+                raise AssertionError(f"unhandled golden key {key}")
+
+
+REDIS_LOG = "/root/reference/filebeat/module/redis/log/test/test.log"
+
+
+@pytest.mark.skipif(not os.path.exists(REDIS_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_redis_module_golden():
+    """Redis log fileset: four line formats -> if/then/else dissect chain +
+    level/role lookup maps, matching the reference golden exactly on the
+    parse-owned keys (message, log.level, process.pid, redis.log.role)."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(REDIS_LOG).read().splitlines() if ln.strip()]
+    batch = pa.table({"text": lines})
+    LEVELS = {"*": {"level": "notice"}, ".": {"level": "debug"},
+              "#": {"level": "warning"}, "-": {"level": "verbose"}}
+    ROLES = {"M": {"role": "master"}, "S": {"role": "slave"},
+             "C": {"role": "child"}, "X": {"role": "sentinel"}}
+
+    spec = {"processors": [
+        {"if": {"regexp": {"text": r"^\d+:[A-Z] "}},
+         "then": [
+             {"dissect": {"tokenizer": "%{process.pid|long}:%{role_char} %{d} %{mon} %{time} %{level_char} %{message}",
+                          "field": "text", "target_prefix": ""}}],
+         "else": [
+             {"if": {"regexp": {"text": r"^\[\d+\] "}},
+              "then": [
+                  {"dissect": {"tokenizer": "[%{?pid}] %{d} %{mon} %{time} %{level_char} %{message}",
+                               "field": "text", "target_prefix": ""}}],
+              "else": [
+                  {"if": {"regexp": {"text": r"^\d+:signal-handler"}},
+                   "then": [
+                       {"dissect": {"tokenizer": "%{process.pid|long}:signal-handler (%{?ts}) %{message}",
+                                    "field": "text", "target_prefix": ""}}],
+                   "else": [
+                       {"dissect": {"tokenizer": "%{d} %{mon} %{time} %{level_char} %{message}",
+                                    "field": "text", "target_prefix": ""}}]}]}]},
+        {"lookup": {"field": "level_char", "table": LEVELS, "target_prefix": "lk"}},
+        {"lookup": {"field": "role_char", "table": ROLES, "target_prefix": "rk"}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    # restore input order (if/then/else concat scrambles within the batch)
+    rows = {r["text"]: r for r in out.to_pylist()}
+    expected = json.load(open(REDIS_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    for line, exp in zip(lines, expected):
+        got = rows[line]
+        assert got["message"] == exp["message"]
+        assert got.get("lk_level") == exp.get("log.level")
+        assert got.get("process_pid") == exp.get("process.pid")
+        assert got.get("rk_role") == exp.get("redis.log.role")
