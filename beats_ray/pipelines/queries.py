@@ -1034,3 +1034,47 @@ _EXTRA_ORACLES["docs_word_counts"] = """
     SELECT word, count(*)::BIGINT AS n FROM w GROUP BY word
     ORDER BY n DESC, word ASC LIMIT 50
 """
+
+
+def q_events_sample(sf_dir: str):
+    """Deterministic modulo sampling (event_id % 10 == 0) -> sampled rows
+    (oracle-checked); the hash-method variant is the partitioning-stable
+    web-scale default (unit-tested)."""
+    spec = {"processors": [
+        {"sample": {"field": "event_id", "method": "modulo", "numer": 1, "denom": 10}},
+    ]}
+    pipe = Pipeline(spec)
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "event_type", "value"])
+    out = pipe.apply(ds)
+    return out.map_batches(
+        lambda t: pa.table({"event_id": t["event_id"],
+                            "event_type": t["event_type"],
+                            "value_cents": _cents(t["value"])}),
+        batch_format="pyarrow")
+
+
+def q_docs_stratified_sample(sf_dir: str):
+    """Class-balanced subset: first 5 docs per language by doc_id
+    (oracle = row_number window)."""
+    from ..functions.sampling import stratified_sample
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "lang"])
+    return _as_table(stratified_sample(ds, "lang", "doc_id", 5))
+
+
+QUERIES.update({
+    "events_sample": q_events_sample,
+    "docs_stratified_sample": q_docs_stratified_sample,
+})
+_EXTRA_ORACLES["events_sample"] = """
+    SELECT event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events WHERE event_id % 10 = 0
+"""
+_EXTRA_ORACLES["docs_stratified_sample"] = """
+    WITH r AS (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+               FROM documents)
+    SELECT doc_id, lang FROM r WHERE rn <= 5
+"""

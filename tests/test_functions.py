@@ -265,3 +265,31 @@ def test_watcher_metadata_alias():
               pa.table({"cid": ["abc123", "zzz"]}))
     assert out.column("container_name").to_pylist() == ["web", None]
     assert out.column("container_image").to_pylist() == ["nginx", None]
+
+
+def test_sample_hash_deterministic_and_partition_stable():
+    batch = pa.table({"k": [f"id-{i}" for i in range(1000)]})
+    out1 = run("sample", {"field": "k", "method": "hash", "rate": 0.2}, batch)
+    out2 = run("sample", {"field": "k", "method": "hash", "rate": 0.2}, batch)
+    assert out1.column("k").to_pylist() == out2.column("k").to_pylist()
+    assert 100 < len(out1) < 300  # ~20%
+    # partitioning-independent: same rows survive from any batch split
+    a = run("sample", {"field": "k", "method": "hash", "rate": 0.2}, batch.slice(0, 500))
+    b = run("sample", {"field": "k", "method": "hash", "rate": 0.2}, batch.slice(500))
+    assert a.column("k").to_pylist() + b.column("k").to_pylist() == \
+        out1.column("k").to_pylist()
+
+
+def test_export_shards(ray_session, tmp_path):
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    import glob as g
+    from beats_ray.functions.sampling import export_shards
+    tbl = pa.table({"doc_id": pa.array(range(500), pa.int64()),
+                    "text": [f"doc {i}" for i in range(500)]})
+    counts = export_shards(rd.from_arrow(tbl), str(tmp_path), 4, "doc_id")
+    assert sum(counts.values()) == 500 and len(counts) == 4
+    assert max(counts.values()) < 2.5 * min(counts.values())  # roughly even
+    back = pa.concat_tables([pq.read_table(f)
+                             for f in g.glob(str(tmp_path / "shard-*" / "*.parquet"))])
+    assert sorted(back.column("doc_id").to_pylist()) == list(range(500))
