@@ -129,3 +129,73 @@ def test_redis_module_golden():
         assert got.get("lk_level") == exp.get("log.level")
         assert got.get("process_pid") == exp.get("process.pid")
         assert got.get("rk_role") == exp.get("redis.log.role")
+
+
+IIS_LOG = "/root/reference/filebeat/module/iis/error/test/test.log"
+
+
+@pytest.mark.skipif(not os.path.exists(IIS_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_iis_error_module_golden():
+    """IIS HTTP error log (space-delimited W3C): drop '#' header lines ->
+    dissect 13 fields -> '-' placeholders to null -> typed converts ->
+    date+time to @timestamp -> ECS mapping.  Parse-owned keys match the
+    reference golden exactly, including int ports/status and '-' fields
+    being ABSENT in the output."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(IIS_LOG).read().splitlines() if ln.strip()]
+    batch = pa.table({"text": lines})
+
+    def null_dashes(t):
+        import pyarrow.compute as pc
+        for c in t.column_names:
+            if c.startswith("f_"):
+                col = t[c]
+                t = t.set_column(t.column_names.index(c), c,
+                                 pc.if_else(pc.equal(col, "-"),
+                                            pa.nulls(len(t), pa.string()), col))
+        return t
+
+    def join_ts(t):
+        import pyarrow.compute as pc
+        return t.append_column(
+            "ts_str", pc.binary_join_element_wise(t["f_date"], t["f_time"], " "))
+
+    spec = {"processors": [
+        {"drop_event": {"when": {"regexp": {"text": "^#"}}}},
+        {"dissect": {"tokenizer": ("%{f_date} %{f_time} %{f_cip} %{f_cport} %{f_sip} "
+                                   "%{f_sport} %{f_version} %{f_method} %{f_uri} "
+                                   "%{f_status} %{f_siteid} %{f_reason} %{f_queue}"),
+                     "field": "text", "target_prefix": ""}},
+        null_dashes,
+        join_ts,
+        {"timestamp": {"field": "ts_str", "layouts": ["%Y-%m-%d %H:%M:%S"],
+                       "target_field": "@timestamp"}},
+        {"convert": {"fields": [
+            {"from": "f_cport", "to": "source.port", "type": "long"},
+            {"from": "f_sport", "to": "destination.port", "type": "long"},
+            {"from": "f_status", "to": "http.response.status_code", "type": "long"},
+        ], "ignore_missing": True, "fail_on_error": False}},
+        {"replace": {"fields": [{"field": "f_version", "pattern": "^HTTP/",
+                                 "replacement": ""}], "ignore_missing": True}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = {r["text"]: r for r in out.to_pylist()}
+    expected = json.load(open(IIS_LOG + "-expected.json"))
+    data_lines = [ln for ln in lines if not ln.startswith("#")]
+    assert len(rows) == len(expected) == len(data_lines)
+    for line, exp in zip(data_lines, expected):
+        got = rows[line]
+        iso = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+            f"{got['ts'].microsecond // 1000:03d}Z"
+        assert iso == exp["@timestamp"]
+        assert got.get("source_port") == exp.get("source.port")
+        assert got.get("destination_port") == exp.get("destination.port")
+        assert got.get("http_response_status_code") == exp.get("http.response.status_code")
+        assert got.get("f_version") == exp.get("http.version")
+        assert got.get("f_method") == exp.get("http.request.method")
+        assert got.get("f_uri") == exp.get("url.original")
+        assert got.get("f_reason") == exp.get("iis.error.reason_phrase")
+        assert got.get("f_cip") == exp.get("source.ip")
+        assert got.get("f_sip") == exp.get("destination.ip")
