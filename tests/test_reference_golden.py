@@ -199,3 +199,36 @@ def test_iis_error_module_golden():
         assert got.get("f_reason") == exp.get("iis.error.reason_phrase")
         assert got.get("f_cip") == exp.get("source.ip")
         assert got.get("f_sip") == exp.get("destination.ip")
+
+
+SUSE_LOG = "/root/reference/filebeat/module/system/syslog/test/suse-syslog.log"
+
+
+@pytest.mark.skipif(not os.path.exists(SUSE_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_system_syslog_module_golden():
+    """system/syslog fileset (ISO-timestamp syslog lines): dissect ->
+    typed pid -> golden parity on hostname/process/pid/message."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(SUSE_LOG).read().splitlines() if ln.strip()]
+    batch = pa.table({"text": lines})
+    spec = {"processors": [
+        {"if": {"regexp": {"text": r"^\S+ \S+ [^\[\s]+\[\d+\]: "}},
+         "then": [{"dissect": {
+             "tokenizer": "%{ts} %{host.hostname} %{process.name}[%{process.pid|long}]: %{message}",
+             "field": "text", "target_prefix": ""}}],
+         "else": [{"dissect": {
+             "tokenizer": "%{ts} %{host.hostname} %{process.name}: %{message}",
+             "field": "text", "target_prefix": ""}}]},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = {r["text"]: r for r in out.to_pylist()}
+    expected = json.load(open(SUSE_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    for line, exp in zip(lines, expected):
+        got = rows[line]
+        assert got["message"] == exp["message"]
+        assert got["host_hostname"] == exp["host.hostname"]
+        assert got.get("process_name") == exp.get("process.name")
+        assert got.get("process_pid") == exp.get("process.pid")
