@@ -84,3 +84,43 @@ class NDJSONWriter:
 
 def write_ndjson_routed(ds, out_dir: str, **kw):
     return ds.map_batches(NDJSONWriter(out_dir, **kw), batch_format="pyarrow")
+
+
+def render_format(ds, fmt: str, target: str = "rendered"):
+    """The `format` output codec (libbeat/outputs/codec/format/format.go:52):
+    render each event through an event format string -> one string column.
+    Consume with iter_batches/write or `console_sink`."""
+    from ..fmtstr import FormatString
+    f = FormatString(fmt)
+
+    def stage(t: pa.Table) -> pa.Table:
+        return t.append_column(target, f.render(t))
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def console_sink(ds, fmt: str | None = None, limit: int = 20) -> list[str]:
+    """Console output analogue (console/console.go:46): JSON codec by
+    default, format codec when ``fmt`` given; returns the printed lines."""
+    import json as _json
+    out = []
+    if fmt:
+        rendered = render_format(ds, fmt)
+        for b in rendered.limit(limit).iter_batches(batch_format="pyarrow"):
+            out.extend(pa.table(b)["rendered"].to_pylist())
+    else:
+        for row in ds.limit(limit).take_all():
+            out.append(_json.dumps(row, default=_json_default,
+                                   separators=(",", ":")))
+    for line in out:
+        print(line)
+    return out
+
+
+def discard_sink(ds) -> int:
+    """Discard output (discard/discard.go:31): consume the stream fully
+    (drives the pipeline for benchmarking), return the row count."""
+    total = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        total += len(pa.table(b))
+    return total

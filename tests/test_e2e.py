@@ -143,3 +143,15 @@ def test_ndjson_sink(ray_session):
     assert obj["conv_id"] == "a"
     assert obj["ts"] == "2024-01-01T00:00:00.123Z"  # RFC3339-millis (codec json)
     assert "meta_id" not in obj and "sink" not in obj
+
+
+def test_format_codec_and_console_discard(ray_session, capsys):
+    import ray.data as rd
+    from beats_ray.sinks.ndjson import console_sink, discard_sink, render_format
+    tbl = pa.table({"host": ["a", "b"], "lvl": ["info", "warn"]})
+    ds = rd.from_arrow(tbl)
+    lines = console_sink(ds, fmt="%{[host]} - %{[lvl]}")
+    assert lines == ["a - info", "b - warn"]
+    assert discard_sink(rd.from_arrow(tbl)) == 2
+    out = render_format(rd.from_arrow(tbl), "%{[host]}:%{[lvl]}").to_pandas()
+    assert list(out["rendered"]) == ["a:info", "b:warn"]
