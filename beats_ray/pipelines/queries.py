@@ -1078,3 +1078,27 @@ _EXTRA_ORACLES["docs_stratified_sample"] = """
                FROM documents)
     SELECT doc_id, lang FROM r WHERE rn <= 5
 """
+
+
+def q_transcripts_routed_rows(sf_dir: str):
+    """ROUTED-ROW EQUALITY (north rule): the full per-row sink assignment —
+    every (conv_id, turn_idx) with its selected sink — oracle-checked
+    against the CASE-expression equivalent of the selector rules."""
+    pipe = Pipeline(flagship_spec())
+    ds = _rd().read_parquet(_tpath(sf_dir))
+    routed = pipe.apply(ds)
+    return routed.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "sink"]),
+        batch_format="pyarrow")
+
+
+QUERIES["transcripts_routed_rows"] = q_transcripts_routed_rows
+_EXTRA_ORACLES2["transcripts_routed_rows"] = """
+    SELECT conv_id, turn_idx, CASE
+        WHEN regexp_extract(text, '^level=(.*?) ts=(.*?) caller=(.*?) msg="(.*?)"', 1) = 'ERROR'
+            THEN 'errors'
+        WHEN role = 'tool' THEN 'tool-' || tool
+        WHEN text LIKE '{%' THEN coalesce(json_extract_string(text, '$.event'), 'default')
+        ELSE 'default' END AS sink
+    FROM read_parquet('__T__')
+"""
