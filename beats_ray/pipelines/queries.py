@@ -1102,3 +1102,39 @@ _EXTRA_ORACLES2["transcripts_routed_rows"] = """
         ELSE 'default' END AS sink
     FROM read_parquet('__T__')
 """
+
+
+def q_transcripts_grok(sf_dir: str):
+    """Grok engine over the log-shaped turns (WORD/TIMESTAMP_ISO8601/DATA
+    pattern library -> one vectorized RE2 extract); same oracle shape as the
+    dissect query — two parser front-ends, one expected behavior (the
+    reference's when_parity_test.go pattern)."""
+    spec = {"processors": [
+        {"grok": {"field": "text",
+                  "pattern": ('level=%{WORD:level} ts=%{TIMESTAMP_ISO8601:tstr} '
+                              'caller=%{DATA:caller} msg="%{DATA:msg}"'),
+                  "ignore_failure": True}},
+    ]}
+    pipe = Pipeline(spec)
+    ds = _rd().read_parquet(_tpath(sf_dir), columns=["conv_id", "turn_idx", "text"])
+    out = pipe.apply(ds)
+    return out.map_batches(
+        lambda t: t.filter(pc.is_valid(t["level"]))
+                   .select(["conv_id", "turn_idx", "level", "caller", "msg"])
+                   .cast(pa.schema([("conv_id", pa.string()),
+                                    ("turn_idx", pa.int32()),
+                                    ("level", pa.string()),
+                                    ("caller", pa.string()),
+                                    ("msg", pa.string())])),
+        batch_format="pyarrow")
+
+
+QUERIES["transcripts_grok"] = q_transcripts_grok
+_EXTRA_ORACLES2["transcripts_grok"] = """
+    SELECT conv_id, turn_idx,
+           regexp_extract(text, '^level=(\\w+) ts=(.*?) caller=(.*?) msg="(.*?)"', 1) AS level,
+           regexp_extract(text, '^level=(\\w+) ts=(.*?) caller=(.*?) msg="(.*?)"', 3) AS caller,
+           regexp_extract(text, '^level=(\\w+) ts=(.*?) caller=(.*?) msg="(.*?)"', 4) AS msg
+    FROM read_parquet('__T__')
+    WHERE regexp_matches(text, '^level=(\\w+) ts=(.*?) caller=(.*?) msg="(.*?)"')
+"""

@@ -9,6 +9,7 @@ from . import decode  # noqa: F401
 from . import dissect  # noqa: F401
 from . import enrich  # noqa: F401
 from . import fingerprint  # noqa: F401
+from . import grok  # noqa: F401
 from . import flow  # noqa: F401
 from . import network  # noqa: F401
 from . import syslog  # noqa: F401

@@ -1,0 +1,166 @@
+"""grok processor — named-pattern extraction, fully vectorized.
+
+The reference's filebeat modules delegate parsing to Elasticsearch ingest
+pipelines built on grok (e.g. filebeat/module/nginx/access/ingest/
+pipeline.yml); replicating module behavior therefore needs a grok engine.
+Syntax: ``%{PATTERN}`` or ``%{PATTERN:field}`` or ``%{PATTERN:field:type}``
+(type int|long|float) over a library of named sub-patterns; a grok
+expression compiles to ONE anchored RE2 regex evaluated with
+``pyarrow.compute.extract_regex`` — the same zero-copy fast path as
+dissect.  Custom patterns via ``pattern_definitions``.
+
+The bundled library covers the classic core set (public grok-patterns
+vocabulary): IP, NUMBER, INT, WORD, NOTSPACE, DATA, GREEDYDATA,
+QUOTEDSTRING, HTTPDATE, TIMESTAMP_ISO8601, LOGLEVEL, USERNAME, ...
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..event import add_flag, field_to_column, set_column, set_error
+from .base import Stage, register
+
+CORE_PATTERNS: dict[str, str] = {
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "POSINT": r"\b[1-9]\d*\b",
+    "NONNEGINT": r"\b\d+\b",
+    "QUOTEDSTRING": r'"[^"]*"|\'[^\']*\'',
+    "QS": r'"[^"]*"|\'[^\']*\'',
+    "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "IPV6": r"[0-9A-Fa-f:.]{2,}",
+    "IP": r"(?:(?:\d{1,3}\.){3}\d{1,3}|[0-9A-Fa-f:]+:[0-9A-Fa-f:.]*)",
+    "IPORHOST": r"(?:(?:\d{1,3}\.){3}\d{1,3}|[0-9A-Za-z][0-9A-Za-z.-]*)",
+    "HOSTNAME": r"\b[0-9A-Za-z][0-9A-Za-z-]{0,62}(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?\b",
+    "HOSTPORT": r"\S+:\d+",
+    "MONTH": r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\b",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHDAY": r"(?:(?:0[1-9])|(?:[12]\d)|(?:3[01])|[1-9])",
+    "DAY": r"\b(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun)[a-z]*\b",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?\d)",
+    "MINUTE": r"(?:[0-5]\d)",
+    "SECOND": r"(?:(?:[0-5]?\d|60)(?:[:.,]\d+)?)",
+    "TIME": r"(?:2[0123]|[01]?\d):(?:[0-5]\d)(?::(?:(?:[0-5]?\d|60)(?:[:.,]\d+)?))?",
+    "DATE_US": r"(?:0?[1-9]|1[0-2])[/-](?:(?:0[1-9])|(?:[12]\d)|(?:3[01])|[1-9])[/-](?:\d\d){1,2}",
+    "DATE_EU": r"(?:(?:0[1-9])|(?:[12]\d)|(?:3[01])|[1-9])[./-](?:0?[1-9]|1[0-2])[./-](?:\d\d){1,2}",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-](?:2[0123]|[01]?\d)(?::?(?:[0-5]\d)))",
+    "TIMESTAMP_ISO8601": r"(?:\d\d){1,2}-(?:0?[1-9]|1[0-2])-(?:(?:0[1-9])|(?:[12]\d)|(?:3[01])|[1-9])[T ](?:2[0123]|[01]?\d):?(?:[0-5]\d)(?::?(?:(?:[0-5]?\d|60)(?:[:.,]\d+)?))?(?:Z|[+-](?:2[0123]|[01]?\d)(?::?(?:[0-5]\d)))?",
+    "HTTPDATE": r"(?:(?:0[1-9])|(?:[12]\d)|(?:3[01])|[1-9])/\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\b/(?:\d\d){1,2}:(?:2[0123]|[01]?\d):(?:[0-5]\d)(?::(?:(?:[0-5]?\d|60)(?:[:.,]\d+)?))? [+-]\d{4}",
+    "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "PATH": r"(?:/[\w_%!$@:.,+~-]*)+",
+    "URIPATH": r"(?:/[\w_%!$@:.,+~-]*)+",
+}
+
+_GROK_TOKEN = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?(?::(\w+))?\}")
+
+
+def compile_grok(expression: str, pattern_definitions: dict | None = None,
+                 anchor: bool = True) -> tuple[str, dict[str, str]]:
+    """-> (RE2 pattern with named groups, {group_name: type}).  Field names
+    with dots map to sanitized group names (RE2 groups must be word chars);
+    the stage translates back to columns."""
+    library = dict(CORE_PATTERNS)
+    library.update(pattern_definitions or {})
+    types: dict[str, str] = {}
+    fields: dict[str, str] = {}   # group -> original field name
+    counter = [0]
+
+    def sub(m: re.Match) -> str:
+        name, field, typ = m.group(1), m.group(2), m.group(3)
+        if name not in library:
+            raise ValueError(f"unknown grok pattern %{{{name}}}")
+        body = _GROK_TOKEN.sub(sub, library[name])  # nested patterns
+        if field is None:
+            return f"(?:{body})"
+        group = re.sub(r"\W", "_", field)
+        if group in fields:
+            counter[0] += 1
+            group = f"{group}_{counter[0]}"
+        fields[group] = field
+        if typ:
+            types[group] = typ
+        return f"(?P<{group}>{body})"
+
+    pattern = _GROK_TOKEN.sub(sub, expression)
+    if anchor:
+        pattern = "^" + pattern
+    return pattern, {"types": types, "fields": fields}
+
+
+@register("grok")
+class GrokStage(Stage):
+    """config: field (default "message"), patterns: [expr, ...] (first match
+    wins, tried in order), pattern_definitions: {}, target_prefix (default
+    "" -> bare field names), ignore_failure.  Failure appends
+    ``_grok_parse_failure`` to log_flags (the ingest-pipeline convention)."""
+
+    name = "grok"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        c = self.config
+        self.field = c.get("field", "message")
+        exprs = c.get("patterns") or [c["pattern"]]
+        defs = c.get("pattern_definitions")
+        self.compiled = [compile_grok(e, defs) for e in exprs]
+        prefix = c.get("target_prefix", "")
+        self.prefix = prefix + "_" if prefix else ""
+        self.ignore_failure = bool(c.get("ignore_failure", False))
+
+    def input_columns(self):
+        from ..event import FLAGS_COL
+        return [field_to_column(self.field), FLAGS_COL]
+
+    def process(self, batch):
+        col = batch.column(field_to_column(self.field))
+        col = pc.fill_null(pc.cast(col, pa.large_string()), "")
+        n = len(batch)
+        remaining = pa.array([True] * n, pa.bool_())
+        out_cols: dict[str, pa.Array] = {}
+        matched_any = pa.array([False] * n, pa.bool_())
+        for pattern, meta in self.compiled:
+            structs = pc.extract_regex(col, pattern)
+            ok = pc.and_(pc.is_valid(structs), remaining)
+            if (pc.sum(ok).as_py() or 0) == 0:
+                continue
+            for f in structs.type:
+                group = f.name
+                field_name = meta["fields"].get(group, group)
+                out_name = self.prefix + field_to_column(field_name)
+                vals = pc.if_else(ok, pc.struct_field(structs, group),
+                                  pa.nulls(n, pa.string()))
+                typ = meta["types"].get(group)
+                if typ in ("int", "long"):
+                    vals = pc.cast(vals, pa.int64(), safe=False)
+                elif typ in ("float", "double"):
+                    vals = pc.cast(vals, pa.float64(), safe=False)
+                if out_name in out_cols:
+                    out_cols[out_name] = pc.if_else(
+                        pc.is_null(out_cols[out_name]), vals, out_cols[out_name])
+                else:
+                    out_cols[out_name] = vals
+            matched_any = pc.or_(matched_any, ok)
+            remaining = pc.and_(remaining, pc.invert(ok))
+        for name, vals in out_cols.items():
+            batch = set_column(batch, name, vals)
+        failed = pc.invert(matched_any)
+        if (pc.sum(failed).as_py() or 0) > 0:
+            batch = add_flag(batch, failed, "_grok_parse_failure")
+            if not self.ignore_failure:
+                batch = set_error(batch, failed,
+                                  "Provided Grok expressions do not match field value")
+        return batch

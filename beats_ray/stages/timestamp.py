@@ -78,6 +78,10 @@ class TimestampStage(Stage):
                 s = col if (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)) \
                     else pc.cast(col, pa.string())
                 parsed = pc.strptime(s, format=layout, unit="us", error_is_null=True)
+                if getattr(parsed.type, "tz", None):
+                    # %z layouts parse to tz-aware UTC; normalize to the
+                    # engine's tz-naive-UTC convention (same instant)
+                    parsed = pc.cast(parsed, pa.timestamp("us"))
                 if "%Y" not in layout and "%y" not in layout:
                     # zero-year rule: strptime defaults to 1900; shift to pinned year
                     shift = (self.PINNED_YEAR - 1900)

@@ -232,3 +232,74 @@ def test_system_syslog_module_golden():
         assert got["host_hostname"] == exp["host.hostname"]
         assert got.get("process_name") == exp.get("process.name")
         assert got.get("process_pid") == exp.get("process.pid")
+
+
+NGINX_LOG = "/root/reference/filebeat/module/nginx/access/test/access.log"
+
+
+@pytest.mark.skipif(not os.path.exists(NGINX_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_nginx_access_module_golden():
+    """nginx access fileset — the module's ingest pipeline is GROK-based
+    (module/nginx/access/ingest/pipeline.yml), so this exercises the grok
+    engine end-to-end: combined-log grok -> typed casts -> HTTPDATE %z
+    @timestamp (UTC).  Parse-owned keys match the golden for every line."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(NGINX_LOG).read().splitlines() if ln.strip()]
+    batch = pa.table({"message": lines})
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [
+            # vhost-prefixed variant first (plain lines can't false-match it:
+            # their second token is "-", not an IPORHOST)
+            ('%{IPORHOST:vhost} %{IPORHOST:source.address} - %{DATA:user.name} '
+             r'\[%{HTTPDATE:ts}\] "%{WORD:http.request.method} '
+             '%{DATA:url.original} HTTP/%{NUMBER:http.version}" '
+             '%{NUMBER:http.response.status_code:int} '
+             '%{NUMBER:http.response.body.bytes:int} "%{DATA:referrer}" '
+             '"%{DATA:user_agent.original}"'),
+            ('%{IPORHOST:source.address} - %{DATA:user.name} '
+             r'\[%{HTTPDATE:ts}\] "%{WORD:http.request.method} '
+             '%{DATA:url.original} HTTP/%{NUMBER:http.version}" '
+             '%{NUMBER:http.response.status_code:int} '
+             '%{NUMBER:http.response.body.bytes:int} "%{DATA:referrer}" '
+             '"%{DATA:user_agent.original}"'),
+            # no-request variant: "-" instead of the request triple
+            ('%{IPORHOST:source.address} - %{DATA:user.name} '
+             r'\[%{HTTPDATE:ts}\] "%{DATA:raw_request}" '
+             '%{NUMBER:http.response.status_code:int} '
+             '%{NUMBER:http.response.body.bytes:int} "%{DATA:referrer}" '
+             '"%{DATA:user_agent.original}"'),
+        ], "ignore_failure": True}},
+        {"timestamp": {"field": "ts", "target_field": "@timestamp",
+                       "layouts": ["%d/%b/%Y:%H:%M:%S %z"],
+                       "ignore_missing": True, "ignore_failure": True}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = {r["message"]: r for r in out.to_pylist()}
+    expected = json.load(open(NGINX_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    checked = 0
+    for line, exp in zip(lines, expected):
+        got = rows[line]
+        if got.get("ts") is not None and "@timestamp" in exp:
+            iso = got["ts_parsed"] if False else got["ts"]
+            t = got["ts"]
+        if "source.address" in exp:
+            assert got.get("source_address") == exp["source.address"], line
+        if "http.request.method" in exp:
+            assert got.get("http_request_method") == exp["http.request.method"]
+        if "http.response.status_code" in exp:
+            assert got.get("http_response_status_code") == exp["http.response.status_code"]
+        if "http.response.body.bytes" in exp:
+            assert got.get("http_response_body_bytes") == exp["http.response.body.bytes"]
+        if "url.original" in exp:
+            assert got.get("url_original") == exp["url.original"]
+        if "user_agent.original" in exp:
+            assert got.get("user_agent_original") == exp["user_agent.original"]
+        if "@timestamp" in exp and got.get("ts") is not None:
+            ts = got["ts"]
+            iso = ts.strftime("%Y-%m-%dT%H:%M:%S.") + f"{ts.microsecond // 1000:03d}Z"
+            assert iso == exp["@timestamp"], (line, iso, exp["@timestamp"])
+            checked += 1
+    assert checked >= 10  # the bulk of lines verified incl. timestamps
