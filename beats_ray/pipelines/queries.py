@@ -17,7 +17,6 @@ files referenced by the oracle SQL via read_parquet()).
 
 from __future__ import annotations
 
-import glob
 import os
 
 import numpy as np

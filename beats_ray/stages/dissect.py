@@ -37,7 +37,7 @@ from dataclasses import dataclass, field as dc_field
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..event import ERROR_COL, add_flag, field_to_column, set_column, set_error
+from ..event import add_flag, field_to_column, set_column, set_error
 from .base import Stage, register
 
 FLAG_PARSING_ERROR = "dissect_parsing_error"

@@ -19,7 +19,7 @@ import urllib.parse
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..event import TIMESTAMP_COL, field_to_column, set_column, set_error
+from ..event import field_to_column, set_column, set_error
 from .base import Stage, register
 
 
@@ -102,7 +102,6 @@ _CONVERT_TYPES = {
     "double": pa.float64(), "string": pa.string(), "boolean": pa.bool_(),
     "ip": pa.string(),
 }
-_IP_RE = re.compile(r"^(\d{1,3}\.){3}\d{1,3}$|^[0-9a-fA-F:]+:[0-9a-fA-F:]*$")
 
 
 @register("convert")
