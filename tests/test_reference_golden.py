@@ -303,3 +303,60 @@ def test_nginx_access_module_golden():
             assert iso == exp["@timestamp"], (line, iso, exp["@timestamp"])
             checked += 1
     assert checked >= 10  # the bulk of lines verified incl. timestamps
+
+
+MYSQL_LOG = "/root/reference/filebeat/module/mysql/error/test/mysql-darwin-brew-5.7.10.log"
+
+
+@pytest.mark.skipif(not os.path.exists(MYSQL_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_mysql_error_module_golden(ray_session):
+    """mysql/error fileset (100-line corpus, two line formats): grok
+    multi-pattern chain + ISO-with-fraction @timestamp; golden parity on
+    message / log.level / mysql.thread_id / @timestamp (new-format lines;
+    old-format timestamps are local-time + harness timezone, so only their
+    message is parse-owned)."""
+    from beats_ray.pipeline import Pipeline
+    from beats_ray.stages.flow import multiline_join
+    import ray.data as rd
+
+    raw = [ln for ln in open(MYSQL_LOG).read().splitlines() if ln.strip()]
+    # the module's multiline config: a new event starts at a timestamped
+    # line; everything else attaches to the previous event
+    src = pa.table({"conv_id": ["f"] * len(raw),
+                    "turn_idx": pa.array(range(len(raw)), pa.int32()),
+                    "text": raw})
+    joined = multiline_join(rd.from_arrow(src),
+                            pattern=r"^(\d{6} |\d{4}-\d{2}-\d{2}T)",
+                            negate=True, match="after").to_pandas() \
+        .sort_values("turn_idx")
+    lines = joined["text"].tolist()
+    batch = pa.table({"message": lines})
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [
+            (r"%{TIMESTAMP_ISO8601:tstr} %{NUMBER:mysql.thread_id:int} "
+             r"\[%{WORD:log.level}\] +%{MULTIDATA:msg}"),
+            r"%{NONNEGINT:date_old} +%{TIME:time_old} %{MULTIDATA:msg}",
+        ], "pattern_definitions": {"MULTIDATA": r"(?s:.*)"},
+        "ignore_failure": True}},
+        {"timestamp": {"field": "tstr", "target_field": "parsed_ts",
+                       "layouts": ["ISO8601"],
+                       "ignore_missing": True, "ignore_failure": True}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows_list = out.to_pylist()     # grok/scatter path preserves row order
+    expected = json.load(open(MYSQL_LOG + "-expected.json"))
+    # the reference harness truncates goldens at 100 events; compare that prefix
+    assert len(rows_list) >= len(expected)
+    ts_checked = 0
+    for got, exp in zip(rows_list, expected):
+        line = got["message"]
+        assert got.get("msg") == exp["message"], line
+        assert got.get("log_level") == exp.get("log.level"), line
+        assert got.get("mysql_thread_id") == exp.get("mysql.thread_id"), line
+        if got.get("parsed_ts") is not None and exp["@timestamp"].endswith("Z"):
+            ts = got["parsed_ts"]
+            iso = ts.strftime("%Y-%m-%dT%H:%M:%S.") + f"{ts.microsecond // 1000:03d}Z"
+            assert iso == exp["@timestamp"], (line, iso)
+            ts_checked += 1
+    assert ts_checked >= 90

@@ -229,3 +229,17 @@ def test_add_formatted_index():
     batch = pa.table({"ds": ["logs"], "ns": ["prod"]})
     out = run("add_formatted_index", {"index": "%{[ds]}-%{[ns]}"}, batch)
     assert out.column("meta_raw_index").to_pylist() == ["logs-prod"]
+
+
+def test_timestamp_iso8601_layout_with_fraction():
+    batch = pa.table({"t": ["2016-12-09T12:08:33.335060Z",
+                            "2024-06-01T10:00:00Z",
+                            "2024-06-01T12:00:00.5+02:00",
+                            "junk"]})
+    out = run("timestamp", {"field": "t", "target_field": "p",
+                            "layouts": ["ISO8601"], "ignore_failure": True}, batch)
+    v = out.column("p").to_pylist()
+    assert v[0].isoformat() == "2016-12-09T12:08:33.335060"
+    assert v[1].isoformat() == "2024-06-01T10:00:00"
+    assert v[2].isoformat() == "2024-06-01T10:00:00.500000"  # offset -> UTC
+    assert v[3] is None
