@@ -79,7 +79,7 @@ class TimestampStage(Stage):
                 # base with a Z/offset cascade, re-add fractional microseconds
                 s = col if (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)) \
                     else pc.cast(col, pa.string())
-                nofrac = pc.replace_substring_regex(s, r"\.\d+", "")
+                nofrac = pc.replace_substring_regex(s, r"[.,]\d+", "")
                 parsed = None
                 for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S%z",
                             "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S"):
@@ -87,7 +87,7 @@ class TimestampStage(Stage):
                     if getattr(p2.type, "tz", None):
                         p2 = pc.cast(p2, pa.timestamp("us"))
                     parsed = p2 if parsed is None else pc.if_else(pc.is_null(parsed), p2, parsed)
-                fr = pc.extract_regex(s, r"\.(?P<f>\d{1,6})")
+                fr = pc.extract_regex(s, r"[.,](?P<f>\d{1,6})")
                 digits = pc.utf8_rpad(pc.struct_field(fr, "f"), 6, padding="0")
                 us = pc.cast(pc.fill_null(digits, "0"), pa.int64(), safe=False)
                 parsed = pc.add(parsed, pc.cast(pc.fill_null(us, 0), pa.duration("us")))

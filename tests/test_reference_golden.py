@@ -360,3 +360,41 @@ def test_mysql_error_module_golden(ray_session):
             assert iso == exp["@timestamp"], (line, iso)
             ts_checked += 1
     assert ts_checked >= 90
+
+
+KAFKA_LOG = "/root/reference/filebeat/module/kafka/log/test/controller.log"
+
+
+@pytest.mark.skipif(not os.path.exists(KAFKA_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_kafka_controller_module_golden():
+    """kafka/log fileset: [ts] LEVEL [component]: message (class) -> grok +
+    comma-fraction timestamp; clock-time parity (the golden keeps local time
+    + a harness timezone label)."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(KAFKA_LOG).read().splitlines() if ln.strip()]
+    batch = pa.table({"message": lines})
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [
+            (r"\[%{TIMESTAMP_ISO8601:tstr}\] %{LOGLEVEL:log.level} +"
+             r"\[%{DATA:kafka.log.component}\]:? %{DATA:msg} "
+             r"\(%{DATA:kafka.log.class}\)$"),
+        ], "ignore_failure": True}},
+        {"timestamp": {"field": "tstr", "target_field": "parsed_ts",
+                       "layouts": ["ISO8601"],
+                       "ignore_missing": True, "ignore_failure": True}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = out.to_pylist()
+    expected = json.load(open(KAFKA_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        assert got.get("msg") == exp["message"], got["message"]
+        assert got.get("log_level") == exp.get("log.level")
+        assert got.get("kafka_log_component") == exp.get("kafka.log.component")
+        assert got.get("kafka_log_class") == exp.get("kafka.log.class")
+        # golden stores local clock time + tz label: compare the clock time
+        ts = got["parsed_ts"]
+        clock = ts.strftime("%Y-%m-%dT%H:%M:%S.") + f"{ts.microsecond // 1000:03d}"
+        assert exp["@timestamp"].startswith(clock), (clock, exp["@timestamp"])
