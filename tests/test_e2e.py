@@ -155,3 +155,29 @@ def test_format_codec_and_console_discard(ray_session, capsys):
     assert discard_sink(rd.from_arrow(tbl)) == 2
     out = render_format(rd.from_arrow(tbl), "%{[host]}:%{[lvl]}").to_pandas()
     assert list(out["rendered"]) == ["a:info", "b:warn"]
+
+
+def test_manifest_metrics_counters(ray_session, tmp_path):
+    """Per-partition lineage metrics mirror the libbeat pipeline counters
+    (events.total / events.published / events.filtered,
+    monitoring.go:73-113): a chain that drops rows must account for every
+    input row exactly."""
+    from beats_ray.pipeline import Pipeline
+    from beats_ray.state.manifest import RunManifest, run_resumable
+    files = sorted(glob.glob(os.path.join(transcripts_path("sf0.001"), "*.parquet")))
+    pipe = Pipeline({"processors": [
+        {"drop_event": {"when": {"equals": {"role": "system"}}}},
+    ], "route": {"rules": [], "default": "kept", "target": "sink"}})
+    out_dir = str(tmp_path / "m")
+    totals, ran, _ = run_resumable(pipe, files, out_dir, files_per_partition=3)
+    man = RunManifest(out_dir).completed()
+    tot = sum(r["metrics"]["events_total"] for r in man.values())
+    pub = sum(r["metrics"]["events_published"] for r in man.values())
+    filt = sum(r["metrics"]["events_filtered"] for r in man.values())
+    assert tot == 6000
+    assert tot == pub + filt
+    # oracle: count of role == system rows
+    t = pq.read_table(transcripts_path("sf0.001"))
+    expected_filtered = pc.sum(pc.equal(t["role"], "system")).as_py()
+    assert filt == expected_filtered
+    assert totals == {"kept": pub}
