@@ -93,7 +93,8 @@ def cmd_run(args) -> int:
     from .state.manifest import run_resumable
     counts, ran, skipped = run_resumable(
         pipe, files, out_dir,
-        files_per_partition=int(cfg.get("files_per_partition", 8)))
+        files_per_partition=int(cfg.get("files_per_partition", 8)),
+        output_format=out_cfg.get("format", "parquet"))
     print(json.dumps({"sink_counts": counts, "partitions_run": ran,
                       "partitions_skipped": skipped}))
     return 0

@@ -71,7 +71,8 @@ def plan_partitions(input_files: list[str], files_per_partition: int = 8) -> lis
 
 
 def run_resumable(pipeline, input_files: list[str], out_dir: str,
-                  files_per_partition: int = 8, sink_col: str = "sink"):
+                  files_per_partition: int = 8, sink_col: str = "sink",
+                  output_format: str = "parquet"):
     """Run `pipeline` over the inputs with per-partition checkpointing.
 
     Returns (total_sink_counts, n_partitions_run, n_partitions_skipped).
@@ -80,7 +81,9 @@ def run_resumable(pipeline, input_files: list[str], out_dir: str,
     """
     import ray.data as rd
 
-    from ..sinks.parquet import sink_counts as _counts, write_routed
+    from ..sinks.parquet import write_routed
+    from ..sinks.ndjson import write_ndjson_routed
+    write = write_routed if output_format == "parquet" else write_ndjson_routed
 
     manifest = RunManifest(out_dir)
     done = manifest.completed()
@@ -96,7 +99,7 @@ def run_resumable(pipeline, input_files: list[str], out_dir: str,
         ds = rd.read_parquet(files)
         n_in = ds.count()
         out = pipeline.apply(ds)
-        man = write_routed(out, out_dir, sink_col=sink_col, partition_tag=pid)
+        man = write(out, out_dir, sink_col=sink_col, partition_tag=pid)
         man_rows = man.take_all()
         counts: dict[str, int] = {}
         paths = []

@@ -3,6 +3,7 @@ parser chain -> processor chain == the same pipeline over the parquet table.
 Proves the reader chain (SURVEY.md §2.1) produces identical events from the
 byte-level representation."""
 
+import glob
 import os
 import shutil
 
@@ -99,3 +100,33 @@ output:
     assert r1["sink_counts"]["all"] == 6000 and r1["partitions_run"] >= 1
     r2 = run_once()
     assert r2["partitions_run"] == 0 and r2["sink_counts"] == r1["sink_counts"]
+
+
+def test_cli_ndjson_output(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    from beats_ray.sources.transcripts import transcripts_path
+    cfg = tmp_path / "p.yml"
+    out_dir = tmp_path / "out"
+    cfg.write_text(f"""
+input:
+  type: parquet
+  paths: ["{transcripts_path('sf0.001')}/*.parquet"]
+output:
+  path: {out_dir}
+  format: ndjson
+  default_sink: all
+""")
+    p = subprocess.run([sys.executable, "-m", "beats_ray", "run",
+                        "--config", str(cfg)],
+                       capture_output=True, text=True, cwd="/root/repo",
+                       env={**os.environ, "RAY_ADDRESS": "local"})
+    assert p.returncode == 0, p.stderr[-1500:]
+    r = json.loads(p.stdout.strip().splitlines()[-1])
+    assert r["sink_counts"]["all"] == 6000
+    files = glob.glob(str(out_dir / "sink=all" / "*.ndjson"))
+    assert files
+    first = json.loads(open(files[0]).readline())
+    assert "conv_id" in first and "ts" in first
