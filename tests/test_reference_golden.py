@@ -398,3 +398,73 @@ def test_kafka_controller_module_golden():
         ts = got["parsed_ts"]
         clock = ts.strftime("%Y-%m-%dT%H:%M:%S.") + f"{ts.microsecond // 1000:03d}"
         assert exp["@timestamp"].startswith(clock), (clock, exp["@timestamp"])
+
+
+PG_LOG = ("/root/reference/filebeat/module/postgresql/log/test/"
+          "postgresql-9.6-debian-with-slowlog.log")
+
+
+@pytest.mark.skipif(not os.path.exists(PG_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_postgresql_module_golden(ray_session):
+    """postgresql/log fileset: grok with optional user@database segment;
+    golden parity on message / log.level / process.pid / raw pg timestamp /
+    user / database.  (@timestamp needs a tz-abbreviation table — the
+    harness supplies event.timezone — so the raw timestamp string is the
+    parse-owned key.)"""
+    from beats_ray.pipeline import Pipeline
+    from beats_ray.stages.flow import multiline_join
+    import ray.data as rd
+
+    raw = [ln for ln in open(PG_LOG).read().splitlines() if ln.strip()]
+    src = pa.table({"conv_id": ["f"] * len(raw),
+                    "turn_idx": pa.array(range(len(raw)), pa.int32()),
+                    "text": raw})
+    joined = multiline_join(rd.from_arrow(src),
+                            pattern=r"^\d{4}-\d{2}-\d{2} ",
+                            negate=True, match="after").to_pandas()         .sort_values("turn_idx")
+    lines = joined["text"].tolist()
+    batch = pa.table({"message": lines})
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [
+            # slowlog: duration + query captured, raw text stays the message
+            (r"%{DATA:postgresql.log.timestamp} \[%{NUMBER:process.pid:int}\] "
+             r"%{DATA:user.name}@%{DATA:postgresql.log.database} "
+             r"%{WORD:log.level}:  duration: %{NUMBER:duration_ms:float} ms  "
+             r"%{WORD:postgresql.log.query_step}: %{MULTIDATA:postgresql.log.query}"),
+            (r"%{DATA:postgresql.log.timestamp} \[%{NUMBER:process.pid:int}\] "
+             r"%{DATA:user.name}@%{DATA:postgresql.log.database} "
+             r"%{WORD:log.level}:  ?%{MULTIDATA:msg}"),
+            (r"%{DATA:postgresql.log.timestamp} \[%{NUMBER:process.pid:int}\] "
+             r"%{WORD:log.level}:  ?%{MULTIDATA:msg}"),
+        ], "pattern_definitions": {"MULTIDATA": r"(?s:.*)"},
+        "ignore_failure": True}},
+        # the module strips brackets from [unknown]@[unknown]
+        {"replace": {"fields": [
+            {"field": "user.name", "pattern": r"^\[|\]$", "replacement": ""},
+            {"field": "postgresql.log.database", "pattern": r"^\[|\]$",
+             "replacement": ""},
+        ], "ignore_missing": True, "fail_on_error": False}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = out.to_pylist()
+    expected = json.load(open(PG_LOG + "-expected.json"))
+    # 19 golden events from multiline-joined lines; this corpus has one event
+    # per line except any continuation lines — align by prefix count
+    assert len(rows) >= len(expected)
+    for got, exp in zip(rows, expected):
+        if "postgresql.log.query" in exp:
+            # slowlog event: raw text stays the message; query/duration extracted
+            assert got["message"] == exp["message"]
+            assert got.get("postgresql_log_query") == exp["postgresql.log.query"]
+            assert got.get("postgresql_log_query_step") == exp["postgresql.log.query_step"]
+            assert int(got["duration_ms"] * 1e6) == exp["event.duration"]
+        else:
+            assert got.get("msg") == exp["message"], got["message"]
+        assert got.get("log_level") == exp.get("log.level")
+        assert got.get("process_pid") == exp.get("process.pid")
+        assert got.get("postgresql_log_timestamp") == exp.get("postgresql.log.timestamp")
+        if "user.name" in exp:
+            assert got.get("user_name") == exp["user.name"]
+        if "postgresql.log.database" in exp:
+            assert got.get("postgresql_log_database") == exp["postgresql.log.database"]
