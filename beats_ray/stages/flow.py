@@ -250,3 +250,60 @@ def multiline_join(ds, pattern: str, conv_col: str = "conv_id",
         return out.reset_index(drop=True)
 
     return ds.groupby(conv_col).map_groups(fold, batch_format="pandas")
+
+
+@register("multiline")
+class MultilineStage(Stage):
+    """Batch-local pattern-mode multiline (the registered stage form of
+    ``multiline_join``).  Joins consecutive matching lines WITHIN each batch,
+    per ``conv_col`` when present — correct only when batches contain whole
+    conversations/files (the documented partitioning assumption, like the
+    rate_limit stage form; use ``multiline_join`` for the exact grouped
+    operator).  config: pattern, negate, match (after|before), max_lines,
+    flush_pattern, field (default "text"), conv_col, order_col."""
+
+    name = "multiline"
+    stateful = True      # ordering-sensitive: keep batches intact per actor
+    may_drop = True      # merging reduces row count
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        c = self.config
+        self.pattern = c["pattern"]
+        self.negate = bool(c.get("negate", False))
+        self.match = c.get("match", "after")
+        self.max_lines = int(c.get("max_lines", 500))
+        self.flush_pattern = c.get("flush_pattern")
+        self.field = field_to_column(c.get("field", "text"))
+        self.conv_col = field_to_column(c.get("conv_col", "conv_id"))
+        self.order_col = field_to_column(c.get("order_col", "turn_idx"))
+
+    def process(self, batch):
+        df = batch.to_pandas()
+        sort_cols = [c for c in (self.conv_col, self.order_col) if c in df.columns]
+        if sort_cols:
+            df = df.sort_values(sort_cols, kind="mergesort")
+        txt = df[self.field].fillna("")
+        hit = txt.str.contains(self.pattern, regex=True).to_numpy() != self.negate
+        fl = txt.str.contains(self.flush_pattern, regex=True).to_numpy() \
+            if self.flush_pattern else np.zeros(len(df), dtype=bool)
+        new_conv = (df[self.conv_col] != df[self.conv_col].shift()).to_numpy() \
+            if self.conv_col in df.columns else \
+            np.concatenate(([True], np.zeros(len(df) - 1, dtype=bool)))
+        if self.match == "after":
+            starts = ~hit | new_conv
+            if self.flush_pattern:
+                starts[1:] |= fl[:-1]
+            grp = np.cumsum(starts)
+        else:
+            ends = ~hit | fl
+            c = np.cumsum(ends)
+            grp = c - ends + np.cumsum(new_conv) * (len(df) + 1)
+        df = df.assign(__grp=grp)
+        pos = df.groupby("__grp").cumcount()
+        df = df[pos < self.max_lines]
+        agg = df.groupby("__grp", sort=True)
+        out = agg.first()
+        out[self.field] = agg[self.field].agg("\n".join)
+        out["n_lines"] = agg.size().astype(np.int32)
+        return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)

@@ -232,3 +232,25 @@ def test_decode_cef_escaped_pipe_header():
     line = "CEF:0|a\\|b|p|1|id|event name|5|k=v"
     out = run("decode_cef", {}, pa.table({"message": [line]}))
     assert out.column("cef_device_vendor").to_pylist() == ["a|b"]
+
+
+def test_multiline_stage_batch_local():
+    batch = pa.table({"conv_id": ["c1"] * 4 + ["c2"],
+                      "turn_idx": pa.array([0, 1, 2, 3, 0], pa.int32()),
+                      "text": ["Error happened", "  at a.py:1", "  at b.py:2",
+                               "next", "hello"]})
+    out = run("multiline", {"pattern": r"^\s", "match": "after"}, batch)
+    d = {(r["conv_id"], r["turn_idx"]): r for r in out.to_pylist()}
+    assert d[("c1", 0)]["text"] == "Error happened\n  at a.py:1\n  at b.py:2"
+    assert d[("c1", 0)]["n_lines"] == 3
+    assert d[("c1", 3)]["text"] == "next"
+    assert d[("c2", 0)]["text"] == "hello"
+
+
+def test_multiline_stage_respects_conv_boundary():
+    # continuation line at the start of a new conv must NOT merge across convs
+    batch = pa.table({"conv_id": ["a", "b"],
+                      "turn_idx": pa.array([0, 0], pa.int32()),
+                      "text": ["head", "  continuation-looking"]})
+    out = run("multiline", {"pattern": r"^\s", "match": "after"}, batch)
+    assert len(out) == 2
