@@ -144,10 +144,22 @@ class GrokStage(Stage):
                 vals = pc.if_else(ok, pc.struct_field(structs, group),
                                   pa.nulls(n, pa.string()))
                 typ = meta["types"].get(group)
-                if typ in ("int", "long"):
-                    vals = pc.cast(vals, pa.int64(), safe=False)
-                elif typ in ("float", "double"):
-                    vals = pc.cast(vals, pa.float64(), safe=False)
+                if typ in ("int", "long", "float", "double"):
+                    # optional non-participating groups extract as "" -> null
+                    vals = pc.if_else(pc.equal(pc.fill_null(vals, ""), ""),
+                                      pa.nulls(n, pa.string()), vals)
+                    target = pa.int64() if typ in ("int", "long") else pa.float64()
+                    try:
+                        vals = pc.cast(vals, target, safe=False)
+                    except pa.ArrowInvalid:
+                        conv = []
+                        for v in vals.to_pylist():
+                            try:
+                                conv.append(int(v) if typ in ("int", "long")
+                                            else float(v))
+                            except (TypeError, ValueError):
+                                conv.append(None)
+                        vals = pa.array(conv, target)
                 if out_name in out_cols:
                     out_cols[out_name] = pc.if_else(
                         pc.is_null(out_cols[out_name]), vals, out_cols[out_name])

@@ -468,3 +468,45 @@ def test_postgresql_module_golden(ray_session):
             assert got.get("user_name") == exp["user.name"]
         if "postgresql.log.database" in exp:
             assert got.get("postgresql_log_database") == exp["postgresql.log.database"]
+
+
+APACHE_LOG = "/root/reference/filebeat/module/apache/error/test/test.log"
+
+
+@pytest.mark.skipif(not os.path.exists(APACHE_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_apache_error_module_golden():
+    """apache/error fileset: 2.2 ([ts] [level] [client ip] msg) and 2.4
+    ([ts] [module:level] [pid N(:tid M)] ([client ip(:port)]) msg) formats —
+    grok first-match chain; parity on message/level/module/pid/tid/client ip."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(APACHE_LOG).read().splitlines() if ln.strip()]
+    batch = pa.table({"message": lines})
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [
+            # 2.4 with client
+            (r"\[%{DATA:tstr}\] \[%{WORD:apache.error.module}:%{LOGLEVEL:log.level}\] "
+             r"\[pid %{NUMBER:process.pid:int}(?::tid %{NUMBER:process.thread.id:int})?\] "
+             r"\[client %{IPORHOST:source.ip}(?::%{NUMBER:source.port:int})?\] %{MULTIDATA:msg}"),
+            # 2.4 without client
+            (r"\[%{DATA:tstr}\] \[%{WORD:apache.error.module}:%{LOGLEVEL:log.level}\] "
+             r"\[pid %{NUMBER:process.pid:int}(?::tid %{NUMBER:process.thread.id:int})?\] "
+             r"%{MULTIDATA:msg}"),
+            # 2.2
+            (r"\[%{DATA:tstr}\] \[%{LOGLEVEL:log.level}\] "
+             r"\[client %{IPORHOST:source.ip}\] %{MULTIDATA:msg}"),
+        ], "pattern_definitions": {"MULTIDATA": r"(?s:.*)"},
+        "ignore_failure": True}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = out.to_pylist()
+    expected = json.load(open(APACHE_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        assert got.get("msg") == exp["message"], got["message"]
+        assert got.get("log_level") == exp.get("log.level")
+        assert got.get("apache_error_module") == exp.get("apache.error.module")
+        assert got.get("process_pid") == exp.get("process.pid")
+        assert got.get("process_thread_id") == exp.get("process.thread.id")
+        assert got.get("source_ip") == exp.get("source.ip")
