@@ -510,3 +510,48 @@ def test_apache_error_module_golden():
         assert got.get("process_pid") == exp.get("process.pid")
         assert got.get("process_thread_id") == exp.get("process.thread.id")
         assert got.get("source_ip") == exp.get("source.ip")
+
+
+AUTH_LOG = "/root/reference/filebeat/module/system/auth/test/secure-rhel7.log"
+
+
+@pytest.mark.skipif(not os.path.exists(AUTH_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_system_auth_module_golden():
+    """system/auth fileset (100-line sshd corpus): syslog header grok +
+    ssh 'Failed password' sub-grok; parity on hostname/process/pid and,
+    for failed-login events, ssh event/method/user/ip/port."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(AUTH_LOG).read().splitlines() if ln.strip()]
+    batch = pa.table({"message": lines})
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [
+            (r"%{MONTH} +%{MONTHDAY} %{TIME} %{NOTSPACE:host.hostname} "
+             r"%{NOTSPACE:process.name}\[%{NUMBER:process.pid:int}\]: "
+             r"%{MULTIDATA:msg}"),
+        ], "pattern_definitions": {"MULTIDATA": r"(?s:.*)"},
+        "ignore_failure": True}},
+        {"grok": {"field": "msg", "patterns": [
+            (r"%{WORD:system.auth.ssh.event} %{WORD:system.auth.ssh.method} "
+             r"for (?:invalid user )?%{NOTSPACE:user.name} from "
+             r"%{IPORHOST:source.ip} port %{NUMBER:source.port:int} ssh2"),
+        ], "ignore_failure": True}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = out.to_pylist()
+    expected = json.load(open(AUTH_LOG + "-expected.json"))
+    assert len(rows) >= len(expected)
+    ssh_checked = 0
+    for got, exp in zip(rows, expected):
+        assert got.get("host_hostname") == exp.get("host.hostname")
+        assert got.get("process_name") == exp.get("process.name")
+        assert got.get("process_pid") == exp.get("process.pid")
+        if exp.get("system.auth.ssh.event") == "Failed":
+            assert got.get("system_auth_ssh_event") == "Failed"
+            assert got.get("system_auth_ssh_method") == exp.get("system.auth.ssh.method")
+            assert got.get("user_name") == exp.get("user.name")
+            assert got.get("source_ip") == exp.get("source.ip")
+            assert got.get("source_port") == exp.get("source.port")
+            ssh_checked += 1
+    assert ssh_checked == 35  # every failed-login event verified
