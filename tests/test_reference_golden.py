@@ -555,3 +555,53 @@ def test_system_auth_module_golden():
             assert got.get("source_port") == exp.get("source.port")
             ssh_checked += 1
     assert ssh_checked == 35  # every failed-login event verified
+
+
+ES_LOG = "/root/reference/filebeat/module/elasticsearch/server/test/test-json.log"
+
+
+@pytest.mark.skipif(not os.path.exists(ES_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_elasticsearch_server_json_golden(ray_session):
+    """elasticsearch/server JSON fileset: ndjson decode -> renames ->
+    comma-fraction+offset timestamp (ISO8601 layout) -> parity on
+    message/level/component/cluster/node/@timestamp."""
+    from beats_ray.pipeline import Pipeline
+    from beats_ray.stages.flow import multiline_join
+    import ray.data as rd
+
+    raw = [ln for ln in open(ES_LOG).read().splitlines() if ln.strip()]
+    src = pa.table({"conv_id": ["f"] * len(raw),
+                    "turn_idx": pa.array(range(len(raw)), pa.int32()),
+                    "text": raw})
+    joined = multiline_join(rd.from_arrow(src), pattern=r"^\{",
+                            negate=True, match="after").to_pandas() \
+        .sort_values("turn_idx")
+    lines = joined["text"].tolist()
+    batch = pa.table({"raw": lines})
+    spec = {"processors": [
+        {"decode_json_fields": {"fields": ["raw"], "target": ""}},
+        {"timestamp": {"field": "timestamp", "target_field": "parsed_ts",
+                       "layouts": ["ISO8601"],
+                       "ignore_missing": True, "ignore_failure": True}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = out.to_pylist()
+    expected = json.load(open(ES_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    ts_checked = 0
+    for got, exp in zip(rows, expected):
+        # the module gsubs a "[controller/PID] " prefix off ML controller
+        # messages; parse-owned parity = exact or that one documented strip
+        assert got.get("message") == exp["message"] or \
+            got["message"].endswith(exp["message"]), (got.get("message"), exp["message"])
+        assert got.get("level") == exp.get("log.level")
+        assert got.get("component") == exp.get("elasticsearch.component")
+        assert got.get("cluster_name") == exp.get("elasticsearch.cluster.name")
+        assert got.get("node_name") == exp.get("elasticsearch.node.name")
+        if got.get("parsed_ts") is not None and exp["@timestamp"].endswith("Z"):
+            ts = got["parsed_ts"]
+            iso = ts.strftime("%Y-%m-%dT%H:%M:%S.") + f"{ts.microsecond // 1000:03d}Z"
+            assert iso == exp["@timestamp"], (iso, exp["@timestamp"])
+            ts_checked += 1
+    assert ts_checked >= 50
