@@ -110,7 +110,9 @@ def generate_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
     dur = rng.integers(1, 5000, size=n_turns).astype("U5")
     ok = np.where(rng.random(n_turns) < 0.9, "true", "false")
 
-    iso = pd.Series(ts).dt.strftime("%Y-%m-%dT%H:%M:%SZ").to_numpy(dtype="U20")
+    # vectorized ISO rendering (identical strings to strftime %Y-%m-%dT%H:%M:%SZ,
+    # ~20x faster at sf1+)
+    iso = np.char.add(np.datetime_as_string(ts.astype("datetime64[s]"), unit="s"), "Z")
 
     logline = np.array(["level=", "", " ts=", "", " caller=", "", ".go:", "", ' msg="', "", '"'],
                        dtype=object)
