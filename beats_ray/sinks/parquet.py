@@ -56,14 +56,26 @@ class RoutedWriter:
         self.key_cols = key_cols
         self.partition_tag = partition_tag
 
-    def _file_id(self, part: pa.Table) -> str:
+    def _file_id(self, part: pa.Table, sink_name: str) -> str:
+        """Content-addressed file id: deterministic for identical block
+        content (idempotent re-runs overwrite with identical bytes) and
+        collision-free across distinct blocks.  The previous min/max-of-key
+        scheme collided whenever key columns were absent and two blocks of a
+        partition had equal row counts — the second os.replace silently
+        dropped the first block's data."""
         h = hashlib.sha1()
         h.update(self.partition_tag.encode())
-        for kc in self.key_cols:
-            if kc in part.column_names:
-                col = part.column(kc)
-                h.update(str(pc.min(col).as_py()).encode())
-                h.update(str(pc.max(col).as_py()).encode())
+        h.update(b"\x00" + sink_name.encode())
+        hash_cols = [kc for kc in self.key_cols if kc in part.column_names]
+        if not hash_cols:
+            hash_cols = list(part.column_names)
+        subset = part.select(hash_cols)
+        # IPC stream serialization truncates sliced buffers, so the hash
+        # covers exactly the logical rows of this block.
+        sink_buf = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink_buf, subset.schema) as w:
+            w.write_table(subset)
+        h.update(memoryview(sink_buf.getvalue()))
         h.update(str(len(part)).encode())
         return h.hexdigest()[:16]
 
@@ -91,7 +103,7 @@ class RoutedWriter:
             out = part if keep_err else _clean_columns(part)
             d = os.path.join(self.out_dir, f"sink={sink_name}")
             os.makedirs(d, exist_ok=True)
-            path = os.path.join(d, f"part-{self._file_id(part)}.parquet")
+            path = os.path.join(d, f"part-{self._file_id(part, sink_name)}.parquet")
             tmp = path + ".tmp"
             pq.write_table(out.drop_columns([self.sink_col])
                            if self.sink_col in out.column_names else out, tmp)

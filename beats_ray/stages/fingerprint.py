@@ -39,6 +39,45 @@ except ImportError:
     _xxh = None
 
 
+def _go_float_g(v: float) -> str:
+    """Go strconv.FormatFloat(v, 'g', -1, 64): shortest round-trip digits,
+    switching to exponent form when exp < -4 or exp >= 6 (so 123456789.0
+    renders '1.23456789e+08' and 1000000.0 renders '1e+06', matching Go %v;
+    Python repr keeps fixed notation up to 1e16 and would diverge)."""
+    import math
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "+Inf" if v > 0 else "-Inf"
+    neg = math.copysign(1.0, v) < 0
+    a = abs(v)
+    if a == 0:
+        return "-0" if neg else "0"
+    s = repr(a)  # shortest round-trip decimal, same digit set as Go
+    if "e" in s:
+        mant, _, exps = s.partition("e")
+        e10 = int(exps)
+    else:
+        mant, e10 = s, 0
+    ip, _, fp = mant.partition(".")
+    full = ip + fp
+    dp0 = len(ip) + e10            # value = 0.full * 10^dp0
+    stripped = full.lstrip("0")
+    dp = dp0 - (len(full) - len(stripped))
+    digits = stripped.rstrip("0") or "0"
+    exp = dp - 1
+    if exp < -4 or exp >= 6:
+        out = digits[0] + ("." + digits[1:] if len(digits) > 1 else "")
+        out += "e" + ("+" if exp >= 0 else "-") + "%02d" % abs(exp)
+    elif dp <= 0:
+        out = "0." + "0" * (-dp) + digits
+    elif dp >= len(digits):
+        out = digits + "0" * (dp - len(digits))
+    else:
+        out = digits[:dp] + "." + digits[dp:]
+    return ("-" + out) if neg else out
+
+
 def _go_format_value(v) -> str:
     """Go fmt %v for the scalar types that appear in our columns."""
     if v is None:
@@ -46,8 +85,7 @@ def _go_format_value(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        s = repr(v)
-        return s[:-2] if s.endswith(".0") else s
+        return _go_float_g(v)
     if isinstance(v, bytes):
         return v.decode("utf-8", "replace")
     import datetime

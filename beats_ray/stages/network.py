@@ -33,17 +33,44 @@ _PROTO_NUM = {"icmp": 1, "igmp": 2, "tcp": 6, "udp": 17, "gre": 47,
               "icmp6": 58, "icmp-ipv6": 58, "sctp": 132}
 
 
+# ICMP type -> counter-type equivalence (Community ID spec; the reference
+# substitutes icmp type/code for the port pair — communityid.go:168-176).
+_ICMP4_EQUIV = {8: 0, 0: 8, 13: 14, 14: 13, 15: 16, 16: 15,
+                10: 9, 9: 10, 17: 18, 18: 17}
+_ICMP6_EQUIV = {128: 129, 129: 128, 130: 131, 131: 130, 133: 134, 134: 133,
+                135: 136, 136: 135, 139: 140, 140: 139, 144: 145, 145: 144}
+
+
+def _icmp_ports(proto: int, itype: int, icode: int):
+    """Return (sport, dport, one_way) for ICMP flows per the spec: the type
+    and its counter-type act as the port pair; unknown types use (type, code)
+    and mark the flow one-way (endpoints never reordered)."""
+    table = _ICMP4_EQUIV if proto == 1 else _ICMP6_EQUIV
+    equiv = table.get(itype)
+    if equiv is None:
+        return itype, icode, True
+    return itype, equiv, False
+
+
 def community_id_v1(saddr: str, daddr: str, sport: int | None, dport: int | None,
-                    proto: int, seed: int = 0) -> str | None:
+                    proto: int, seed: int = 0,
+                    icmp_type: int | None = None,
+                    icmp_code: int | None = None) -> str | None:
     try:
         sip = ipaddress.ip_address(saddr)
         dip = ipaddress.ip_address(daddr)
     except (ValueError, TypeError):
         return None
-    sp = int(sport or 0) & 0xFFFF
-    dp = int(dport or 0) & 0xFFFF
-    # order the endpoints: smaller (ip, port) first
-    if (sip.packed, sp) > (dip.packed, dp):
+    one_way = False
+    if proto in (1, 58) and icmp_type is not None:
+        sp, dp, one_way = _icmp_ports(proto, int(icmp_type), int(icmp_code or 0))
+        sp &= 0xFFFF
+        dp &= 0xFFFF
+    else:
+        sp = int(sport or 0) & 0xFFFF
+        dp = int(dport or 0) & 0xFFFF
+    # order the endpoints: smaller (ip, port) first (skipped for one-way flows)
+    if not one_way and (sip.packed, sp) > (dip.packed, dp):
         sip, dip, sp, dp = dip, sip, dp, sp
     payload = struct.pack("!H", seed) + sip.packed + dip.packed + \
         struct.pack("BB", proto & 0xFF, 0) + struct.pack("!HH", sp, dp)
@@ -65,6 +92,8 @@ class CommunityID(Stage):
         self.f_dport = f.get("destination_port", "destination.port")
         self.f_trans = f.get("transport", "network.transport")
         self.f_iana = f.get("iana_number", "network.iana_number")
+        self.f_itype = f.get("icmp_type", "icmp.type")
+        self.f_icode = f.get("icmp_code", "icmp.code")
 
     def process(self, batch):
         def col(path):
@@ -74,6 +103,7 @@ class CommunityID(Stage):
         sips, dips = col(self.f_sip), col(self.f_dip)
         sps, dps = col(self.f_sport), col(self.f_dport)
         trans, iana = col(self.f_trans), col(self.f_iana)
+        itypes, icodes = col(self.f_itype), col(self.f_icode)
         out = []
         for i in range(len(batch)):
             proto = None
@@ -88,7 +118,8 @@ class CommunityID(Stage):
                 out.append(None)
                 continue
             out.append(community_id_v1(sips[i], dips[i], sps[i], dps[i],
-                                       proto, self.seed))
+                                       proto, self.seed,
+                                       icmp_type=itypes[i], icmp_code=icodes[i]))
         return set_column(batch, field_to_column(self.target),
                           pa.array(out, pa.string()))
 

@@ -12,6 +12,7 @@ Parse failure -> error_message unless ignore_failure.
 
 from __future__ import annotations
 
+import datetime as _dt
 import re
 
 import pyarrow as pa
@@ -73,9 +74,22 @@ def _nil(v):
 
 
 def _iso(ts):
-    if ts == "-":
+    """RFC5424 (RFC3339) timestamp -> tz-naive UTC ISO string.
+
+    The reference (libbeat/reader/syslog) parses the full RFC3339 form
+    including numeric offsets; normalize '+02:00' / '-07:00' to UTC rather
+    than stripping (which would shift the instant and leave '-' offsets
+    unparseable downstream).
+    """
+    if ts == "-" or ts is None:
         return None
-    return ts.rstrip("Z").split("+")[0][:26]
+    try:
+        dt = _dt.datetime.fromisoformat(ts.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return dt.isoformat()[:26]
 
 
 @register("syslog")
@@ -110,14 +124,17 @@ class SyslogStage(Stage):
             vals = [p.get(k) if p else None for p in parsed]
             batch = set_column(batch, self.prefix + k,
                                pa.array(vals, types.get(k, pa.string())))
-        ts_vals = pa.array([p.get("ts") if p else None for p in parsed], pa.string())
-        ts_parsed = pc.strptime(ts_vals, format="%Y-%m-%dT%H:%M:%S", unit="us",
-                                error_is_null=True)
-        # second chance with fractional seconds
-        frac = pc.strptime(ts_vals, format="%Y-%m-%dT%H:%M:%S.%f", unit="us",
-                           error_is_null=True)
-        ts_parsed = pc.if_else(pc.is_null(ts_parsed), frac, ts_parsed)
-        batch = set_column(batch, self.prefix + "ts", ts_parsed)
+        # Arrow strptime lacks %f, so fractional seconds need Python parsing
+        # (the rows are already materialized for the regex walk anyway).
+        ts_py = []
+        for p in parsed:
+            v = p.get("ts") if p else None
+            try:
+                ts_py.append(_dt.datetime.fromisoformat(v) if v else None)
+            except ValueError:
+                ts_py.append(None)
+        batch = set_column(batch, self.prefix + "ts",
+                           pa.array(ts_py, pa.timestamp("us")))
         fail = pc.invert(pa.array(ok, pa.bool_()))
         if not self.ignore_failure and (pc.sum(fail).as_py() or 0) > 0:
             batch = set_error(batch, fail, "failed to parse syslog message")

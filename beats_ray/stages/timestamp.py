@@ -201,8 +201,19 @@ class Convert(Stage):
                 if d == s:
                     orig = batch.column(s)
                     if orig.type != conv.type:
-                        conv_ok = conv
-                        batch = set_column(batch, d, conv_ok)
+                        # convert.go clones the event and restores it on
+                        # error, so failed rows must keep their ORIGINAL
+                        # values.  One Arrow column has one type, so merge
+                        # in the original type: ok rows carry the converted
+                        # value rendered back into the source type, failed
+                        # rows keep the source value byte-for-byte (they are
+                        # also error-marked for dead-letter routing).
+                        try:
+                            conv_back = pc.cast(conv, orig.type)
+                            merged = pc.if_else(failed, orig, conv_back)
+                        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                            merged = orig  # full rollback: keep source column
+                        batch = set_column(batch, d, merged)
                     else:
                         batch = set_column(batch, d, pc.if_else(failed, orig, conv))
                 else:
