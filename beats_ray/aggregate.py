@@ -35,6 +35,25 @@ def small_groupby(ds, keys: list[str], partial_fn, agg: dict[str, str],
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def distributed_topk(ds, k: int, by: list[str], ascending: list[bool]) -> pa.Table:
+    """Top-k over an UNBOUNDED-cardinality Dataset without materializing it:
+    each block keeps its own top-k (map_batches), so the driver merges at
+    most k x #blocks rows regardless of input size.  Use after the real
+    shuffle (ds.groupby(...).aggregate) for 'top users by sum'-style queries
+    — per-block top-k BEFORE a sum aggregate would be wrong (a globally hot
+    key can be cold in every individual block)."""
+
+    def blk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by, ascending=ascending).head(k)
+
+    rows = ds.map_batches(blk, batch_format="pandas").take_all()
+    if not rows:
+        return pa.table({})
+    df = pd.DataFrame(rows).sort_values(by, ascending=ascending) \
+        .head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def counts_by(ds, key_cols: list[str], count_name: str = "n") -> pa.Table:
     """Per-key row counts via partial aggregation + driver merge."""
     def partial(t: pa.Table) -> pa.Table:

@@ -299,7 +299,9 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def verify_group(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+            return pd.DataFrame({"a": np.array([], dtype=np.int64),
+                                 "b": np.array([], dtype=np.int64),
+                                 "jaccard": np.array([], dtype=np.float64)})
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
         ids = g[id_col].tolist()
         sets = [np.asarray(s, dtype=np.uint32) for s in g["sh"]]
@@ -318,19 +320,17 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                     out_a.append(ids[i])
                     out_b.append(ids[j])
                     out_j.append(round(jac, 6))
-        return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
+        return pd.DataFrame({"a": np.asarray(out_a, dtype=np.int64),
+                             "b": np.asarray(out_b, dtype=np.int64),
+                             "jaccard": np.asarray(out_j, dtype=np.float64)})
 
     edges = sigs.groupby(["band", "bh"]).map_groups(verify_group, batch_format="pandas")
-    # same pair surfaces from several bands -> dedup on the driver (verified
-    # edges are assumed driver-small, same contract as connected_components)
-    rows = edges.take_all()
-    if not rows:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    df = pd.DataFrame(rows).drop_duplicates(subset=["a", "b"]) \
-        .sort_values(["a", "b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    # same pair surfaces from several bands -> DISTRIBUTED dedup: jaccard is
+    # computed identically in every band, so Min is a pure dedup and the
+    # edge list never lands on the driver (a boilerplate-heavy corpus can
+    # emit edges proportional to input size)
+    from ray.data.aggregate import Min
+    return edges.groupby(["a", "b"]).aggregate(Min("jaccard", alias_name="jaccard"))
 
 
 def cc_label_propagation(edges, max_rounds: int = 10, n_buckets: int = 32):
@@ -341,7 +341,7 @@ def cc_label_propagation(edges, max_rounds: int = 10, n_buckets: int = 32):
     a node's new label = min(own, incoming).  Implemented with the bucketed
     hash join (labels x edges) + one groupby(node) min per round; converges
     in O(component diameter) rounds (early-exit when labels stop changing).
-    Returns pa.Table (node, root).
+    Returns a Dataset of (node, root) membership (row-proportional).
     """
     import ray
     import ray.data as rd
@@ -386,19 +386,38 @@ def cc_label_propagation(edges, max_rounds: int = 10, n_buckets: int = 32):
                      .union(lab.map_batches(
                          lambda t: t.select(["node", "label"]),
                          batch_format="pyarrow"))
-        new_labels = messages.groupby("node").aggregate(Min("label", alias_name="label"))
-        new_tbl = pa.Table.from_pandas(
-            new_labels.to_pandas().sort_values("node").reset_index(drop=True),
-            preserve_index=False)
-        old_tbl = pa.Table.from_pandas(
-            lab.to_pandas().sort_values("node").reset_index(drop=True),
-            preserve_index=False)
+        new_labels = messages.groupby("node").aggregate(
+            Min("label", alias_name="label")).materialize()
+        # convergence: distributed changed-label count — join old/new labels
+        # per node and count label!=label; the driver sees ONE int per round
+        # (the old full to_pandas comparison materialized the node set twice
+        # per round, a scale-killer at 10^10 nodes)
+        new_r = new_labels.map_batches(
+            lambda t: pa.table({"node": t["node"].combine_chunks().cast(pa.int64()),
+                                "new_label": t["label"].combine_chunks().cast(pa.int64())}),
+            batch_format="pyarrow")
+        joined = bucketed_join(new_r, lab, on="node", n_buckets=n_buckets)
+
+        def diff(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or "new_label" not in t.column_names:
+                return pa.table({"changed": pa.array([], pa.int64())})
+            mask = pc.fill_null(
+                pc.not_equal(t["new_label"], t["label"]), True)
+            return pa.table({"changed": pa.array(
+                [pc.sum(pc.cast(mask, pa.int64())).as_py() or 0], pa.int64())})
+
+        n_changed = sum(r["changed"] for r in
+                        joined.map_batches(diff, batch_format="pyarrow").take_all())
         labels = new_labels
-        if new_tbl.equals(old_tbl):
+        if n_changed == 0:
             break
-    out = labels.to_pandas().sort_values("node").reset_index(drop=True)
-    return pa.table({"node": pa.array(out["node"], pa.int64()),
-                     "root": pa.array(out["label"], pa.int64())})
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"].combine_chunks().cast(pa.int64()),
+                         "root": t["label"].combine_chunks().cast(pa.int64())})
+
+    # (node, root) membership is row-proportional to the corpus: stream it
+    return labels.map_batches(shape, batch_format="pyarrow")
 
 
 def connected_components(edges_df: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:

@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..aggregate import counts_by, small_groupby
+from ..aggregate import counts_by, distributed_topk, small_groupby
 from ..pipeline import Pipeline
 from ..sources.transcripts import transcripts_path
 from .flagship import LOG_TOKENIZER, ROUTE_RULES, TOOL_TABLE, flagship_spec
@@ -167,7 +167,9 @@ def q_transcripts_sessionize(sf_dir: str):
     block partials; all share this oracle."""
     from ..functions.sessionize import sessionize
     ds = _rd().read_parquet(_tpath(sf_dir), columns=["conv_id", "turn_idx", "ts"])
-    return _as_table(sessionize(ds))
+    # row-per-conversation output is proportional to input: return the
+    # Dataset (stream to the consumer) instead of driver-materializing
+    return sessionize(ds)
 
 
 # ---------------------------------------------------------------- events
@@ -239,7 +241,7 @@ def q_events_sessionize(sf_dir: str):
         return pd.DataFrame({"user_id": np.array([g["user_id"].iloc[0]], dtype=np.int64),
                              "n_sessions": np.array([n], dtype=np.int64)})
 
-    return _as_table(ds.groupby("user_id").map_groups(sessions, batch_format="pandas"))
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
 # ---------------------------------------------------------------- tpch-ish
@@ -314,11 +316,12 @@ def q_top_users(sf_dir: str):
         return t2.group_by("user_id").aggregate([("cents", "sum")]) \
                  .rename_columns(["user_id", "cents_p"])
 
-    agg = small_groupby(ds, ["user_id"], partial, {"cents_p": "sum"},
-                        {"cents_p": "total_cents"})
-    df = agg.to_pandas().sort_values(["total_cents", "user_id"],
-                                     ascending=[False, True]).head(10)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    # user_id is unbounded-cardinality: per-block combiner -> REAL shuffle
+    # (ds.groupby) -> per-block top-k, so the driver only ever sees
+    # k x #blocks rows (small_groupby would merge #users x #blocks rows).
+    combined = ds.map_batches(partial, batch_format="pyarrow")
+    agg = combined.groupby("user_id").aggregate(Sum("cents_p", alias_name="total_cents"))
+    return distributed_topk(agg, 10, ["total_cents", "user_id"], [False, True])
 
 
 # ---------------------------------------------------------------- documents
@@ -598,7 +601,7 @@ def q_docs_dedup_minhash(sf_dir: str):
     from ..functions.dedup import minhash_lsh_pairs
     ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id", "text"])
-    return minhash_lsh_pairs(ds, threshold=0.5, census="driver")
+    return minhash_lsh_pairs(ds, threshold=0.5)
 
 
 def q_docs_dedup_simhash(sf_dir: str):
@@ -705,7 +708,8 @@ def q_transcripts_multiline(sf_dir: str):
                          "turn_idx": t["turn_idx"],
                          "text": pc.cast(t["text"], pa.string()),
                          "n_lines": pc.cast(t["n_lines"], pa.int64())})
-    return _as_table(out.map_batches(shape, batch_format="pyarrow"))
+    # full joined output (row-proportional): stream, never driver-materialize
+    return out.map_batches(shape, batch_format="pyarrow")
 
 
 def q_transcripts_script(sf_dir: str):
@@ -785,7 +789,7 @@ def q_transcripts_sessionize_salted(sf_dir: str):
     oracle as transcripts_sessionize — the salting must be invisible."""
     from ..functions.sessionize import sessionize_salted
     ds = _rd().read_parquet(_tpath(sf_dir), columns=["conv_id", "turn_idx", "ts"])
-    return _as_table(sessionize_salted(ds, segment_turns=256))
+    return sessionize_salted(ds, segment_turns=256)
 
 
 QUERIES["transcripts_sessionize_salted"] = q_transcripts_sessionize_salted
@@ -807,7 +811,8 @@ def q_transcripts_correlate(sf_dir: str):
     from ..functions.correlate import correlate_transactions
     ds = _rd().read_parquet(_tpath(sf_dir),
                             columns=["conv_id", "turn_idx", "role", "ts"])
-    return _as_table(correlate_transactions(ds))
+    # transaction list is row-proportional: return the Dataset
+    return correlate_transactions(ds)
 
 
 QUERIES["transcripts_correlate"] = q_transcripts_correlate
@@ -960,7 +965,7 @@ def q_docs_dedup_clusters(sf_dir: str):
     from ..functions.dedup import cc_label_propagation, minhash_lsh_pairs
     ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id", "text"])
-    edges_tbl = minhash_lsh_pairs(ds, threshold=0.5, census="driver")
+    edges_tbl = minhash_lsh_pairs(ds, threshold=0.5)
     if isinstance(edges_tbl, pa.Table):
         if edges_tbl.num_rows == 0:
             return pa.table({"node": pa.array([], pa.int64()),
@@ -1007,11 +1012,12 @@ def q_docs_word_counts(sf_dir: str):
         return pa.table({"word": vc.field("values"),
                          "n_part": pc.cast(vc.field("counts"), pa.int64())})
 
-    agg = small_groupby(ds, ["word"], partial, {"n_part": "sum"},
-                        {"n_part": "n"})
-    df = agg.to_pandas().sort_values(["n", "word"], ascending=[False, True]) \
-        .head(50).reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    # vocabulary is unbounded-cardinality: per-block value_counts combiner
+    # -> real shuffle -> per-block top-k (driver merges <= 50 x #blocks rows)
+    from ray.data.aggregate import Sum
+    combined = ds.map_batches(partial, batch_format="pyarrow")
+    agg = combined.groupby("word").aggregate(Sum("n_part", alias_name="n"))
+    return distributed_topk(agg, 50, ["n", "word"], [False, True])
 
 
 QUERIES.update({
@@ -1059,7 +1065,7 @@ def q_docs_stratified_sample(sf_dir: str):
     from ..functions.sampling import stratified_sample
     ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id", "lang"])
-    return _as_table(stratified_sample(ds, "lang", "doc_id", 5))
+    return stratified_sample(ds, "lang", "doc_id", 5)
 
 
 QUERIES.update({

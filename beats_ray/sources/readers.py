@@ -146,22 +146,69 @@ def fnv32a(data: bytes) -> int:
     return h
 
 
+def fnv32a_batch(payloads_arr: pa.Array) -> "np.ndarray":
+    """Vectorized FNV-32a over a string Array: one numpy pass per BYTE
+    POSITION (max payload length iterations) instead of a Python loop per
+    row x byte.  Bytes come zero-copy from the Arrow offsets/data buffers."""
+    import numpy as np
+    arr = payloads_arr.combine_chunks() if isinstance(
+        payloads_arr, pa.ChunkedArray) else payloads_arr
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint32)
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+    offs = np.frombuffer(off_buf, dtype=np.int32)[arr.offset:arr.offset + n + 1]
+    data = np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None \
+        else np.empty(0, dtype=np.uint8)
+    lens = np.diff(offs).astype(np.int64)
+    maxlen = int(lens.max()) if n else 0
+    # scatter the variable-length byte runs into a padded (n, maxlen) matrix
+    total = int(lens.sum())
+    rows = np.repeat(np.arange(n), lens)
+    cols_ix = np.arange(total) - np.repeat(
+        (offs[:-1].astype(np.int64) - int(offs[0])), lens)
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    buf[rows, cols_ix] = data[offs[0]:offs[0] + total] if total else data[:0]
+    h = np.full(n, 2166136261, dtype=np.uint64)
+    prime = np.uint64(16777619)
+    mask32 = np.uint64(0xFFFFFFFF)
+    for j in range(maxlen):
+        cand = ((h ^ buf[:, j]) * prime) & mask32
+        h = np.where(lens > j, cand, h)
+    return h.astype(np.uint32)
+
+
 def partition_by_key(ds, fields: list[str], num_partitions: int,
                      target: str = "partition"):
     """Kafka hash-partitioner analogue: partition = FNV-32a(field values)
     % N, appended as a column; follow with groupby(target) or a partitioned
     write to co-locate.  (outputs/kafka/partition.go:219-246 semantics:
     hash of the concatenated configured field values.)"""
+    import numpy as np
     cols = [field_to_column(f) for f in fields]
 
     def stage(t: pa.Table) -> pa.Table:
         n = len(t)
-        vals = [t.column(c).to_pylist() if c in t.column_names else [None] * n
-                for c in cols]
-        parts = []
-        for i in range(n):
-            payload = "".join("" if v[i] is None else str(v[i]) for v in vals)
-            parts.append(fnv32a(payload.encode("utf-8")) % num_partitions)
+        scols = []
+        for c in cols:
+            if c not in t.column_names:
+                scols.append(pa.array([""] * n, pa.string()))
+                continue
+            col = t.column(c)
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type) \
+                    or pa.types.is_integer(col.type):
+                scols.append(pc.fill_null(pc.cast(col, pa.string()), ""))
+            else:
+                # non-string/int types keep Python str() rendering
+                scols.append(pa.array(
+                    ["" if v is None else str(v) for v in col.to_pylist()],
+                    pa.string()))
+        payload = scols[0] if len(scols) == 1 else \
+            pc.binary_join_element_wise(*scols, "")
+        h = fnv32a_batch(payload)
+        parts = (h % np.uint32(num_partitions)).astype(np.int32)
         return t.append_column(target, pa.array(parts, pa.int32()))
 
     return ds.map_batches(stage, batch_format="pyarrow")

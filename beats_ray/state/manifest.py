@@ -97,7 +97,11 @@ def run_resumable(pipeline, input_files: list[str], out_dir: str,
             skipped += 1
             continue
         ds = rd.read_parquet(files)
-        n_in = ds.count()
+        # input row count from parquet footer metadata — the old ds.count()
+        # forced a full extra pass over every partition (2x read
+        # amplification on a 100 TB job)
+        import pyarrow.parquet as _pq
+        n_in = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
         out = pipeline.apply(ds)
         man = write(out, out_dir, sink_col=sink_col, partition_tag=pid)
         man_rows = man.take_all()
