@@ -36,6 +36,7 @@ import pyarrow.compute as pc
 
 _MERSENNE = (1 << 61) - 1
 _N_HASH = 128
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 def pc_ge2(t):
@@ -441,75 +442,154 @@ def connected_components(edges_df: pd.DataFrame, id_col: str = "doc_id") -> pd.D
                          "root": [find(x) for x in sorted(nodes)]})
 
 
+def simhash64_batch(texts: list[str | None]) -> np.ndarray:
+    """Vectorized batch simhash: factorize the token stream (C-speed vocab
+    mapping), blake2b once per UNIQUE word, then 64 reduceat passes over the
+    flat bit stream — no per-document Python loop, no (tokens x 64) matrix.
+    Identical output to simhash64() per document."""
+    tokens_per_doc = [t.split() if t else [] for t in texts]
+    lens = np.fromiter((len(x) for x in tokens_per_doc), dtype=np.int64,
+                       count=len(tokens_per_doc))
+    flat = [w for doc in tokens_per_doc for w in doc]
+    sigs = np.zeros(len(texts), dtype=np.uint64)
+    if not flat:
+        return sigs
+    codes, uniques = pd.factorize(pd.Series(flat, dtype=object))
+    uh = np.empty(len(uniques), dtype=np.uint64)
+    for i, w in enumerate(uniques):
+        uh[i] = int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+    wh_all = uh[codes]
+    nonempty = np.where(lens > 0)[0]
+    starts = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])
+    ne_lens = lens[nonempty]
+    sig_ne = np.zeros(len(nonempty), dtype=np.uint64)
+    for b in range(64):
+        bit = ((wh_all >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        ones = np.add.reduceat(bit, starts)
+        # majority: sum(2*bit-1) > 0  <=>  2*ones > n_tokens
+        sig_ne |= ((2 * ones > ne_lens).astype(np.uint64)) << np.uint64(b)
+    sigs[nonempty] = sig_ne
+    return sigs
+
+
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3):
     """SimHash near-dup edges: 64-bit simhash, 4-band blocking (hamming<=3
     guarantees one identical 16-bit band), verify by popcount."""
 
     def sig_stage(t: pa.Table) -> pa.Table:
-        memo: dict = {}
-        ids, bands, keys, sigs = [], [], [], []
-        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            if txt is None:
-                continue
-            sh = simhash64(txt.split(), memo)
-            for b in range(4):
-                ids.append(did)
-                bands.append(b)
-                keys.append((sh >> (16 * b)) & 0xFFFF)
-                sigs.append(sh)
-        return pa.table({id_col: pa.array(ids), "band": pa.array(bands, pa.int32()),
+        texts = t[text_col].to_pylist()
+        dids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        valid = np.array([x is not None for x in texts], dtype=bool)
+        sh = simhash64_batch(texts)[valid]
+        dids = dids[valid]
+        n = len(dids)
+        ids = np.repeat(dids, 4)
+        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        shifts = (16 * np.tile(np.arange(4, dtype=np.uint64), n))
+        keys = ((np.repeat(sh, 4) >> shifts) & np.uint64(0xFFFF)).astype(np.int32)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "band": pa.array(bands, pa.int32()),
                          "key": pa.array(keys, pa.int32()),
-                         "sig": pa.array(sigs, pa.uint64())})
+                         "sig": pa.array(np.repeat(sh, 4), pa.uint64())})
 
     sigs = ds.map_batches(sig_stage, batch_format="pyarrow")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": np.array([], dtype=np.int64),
+                              "b": np.array([], dtype=np.int64),
+                              "hamming": np.array([], dtype=np.int64)})
         if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+            return empty
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].tolist()
-        ss = g["sig"].tolist()
-        a, b, h = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(int(ss[i]) ^ int(ss[j])).count("1")
-                if d <= max_hamming:
-                    a.append(ids[i]); b.append(ids[j]); h.append(d)
-        return pd.DataFrame({"a": a, "b": b, "hamming": h})
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        ss = g["sig"].to_numpy(dtype=np.uint64)
+        # vectorized pairwise popcount via the 8-bit lookup table on the
+        # xor matrix (bucket sizes are ~n/65536 per band by construction;
+        # a pathological hot bucket means a giant near-identical cluster,
+        # which the n x n byte matrix still handles at ~64k members)
+        x = ss[:, None] ^ ss[None, :]
+        d = np.zeros(x.shape, dtype=np.uint8)
+        for shift in range(0, 64, 8):
+            d += _POPCNT8[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)]
+        ia, ib = np.where(np.triu(d <= max_hamming, k=1))
+        if not len(ia):
+            return empty
+        return pd.DataFrame({"a": ids[ia], "b": ids[ib],
+                             "hamming": d[ia, ib].astype(np.int64)})
 
     edges = sigs.groupby(["band", "key"]).map_groups(verify, batch_format="pandas")
-    rows = edges.take_all()
-    if not rows:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "hamming": pa.array([], pa.int64())})
-    df = pd.DataFrame(rows).drop_duplicates(subset=["a", "b"]) \
-        .sort_values(["a", "b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    # pair surfaces from up to 4 bands -> distributed dedup (hamming is
+    # identical across bands for a pair, so Min is a pure dedup)
+    from ray.data.aggregate import Min
+    return edges.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+def _block_pairs(t1: pa.Table, t2: pa.Table | None, id_col: str,
+                 threshold: float) -> pa.Table:
+    """Exact cosine pairs within one block (t2 None) or across two blocks."""
+    ids1 = np.asarray(t1[id_col].to_pylist())
+    u1 = np.asarray(t1["unit"].to_pylist(), dtype=np.float64)
+    if t2 is None:
+        cos = u1 @ u1.T
+        ia, ib = np.where(np.triu(cos >= threshold, k=1))
+        ids2, vals = ids1, cos[ia, ib]
+    else:
+        ids2 = np.asarray(t2[id_col].to_pylist())
+        u2 = np.asarray(t2["unit"].to_pylist(), dtype=np.float64)
+        cos = u1 @ u2.T
+        ia, ib = np.where(cos >= threshold)
+        vals = cos[ia, ib]
+    return pa.table({"a": pa.array(np.minimum(ids1[ia], ids2[ib]), pa.int64()),
+                     "b": pa.array(np.maximum(ids1[ia], ids2[ib]), pa.int64()),
+                     "cos": pa.array(np.round(vals, 6), pa.float64())})
 
 
 def embedding_near_dup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
                        threshold: float = 0.95, block: int | None = None):
-    """Exact cosine near-dup pairs (a<b, cos>=threshold).  O(n^2) within the
-    (optionally vec_id-bounded) set — the oracle-checkable baseline; use
-    embedding_near_dup_lsh for the approximate scale path."""
+    """Exact cosine near-dup pairs (a<b, cos>=threshold) via DISTRIBUTED
+    block-nested-loop: normalize per block, pin the blocks in the object
+    store, and spawn one Ray task per block pair (i<=j) — O(n^2/p) compute
+    with no driver materialization (the old path concat'ed the whole dataset
+    onto the driver).  Exact answer, so it stays the oracle-checked query;
+    embedding_near_dup_lsh is the sub-quadratic approximate path."""
     import ray
+    import ray.data as rd
 
-    tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
-    ids = np.asarray(tbl[id_col].to_pylist())
-    mat = np.asarray(tbl[vec_col].to_pylist(), dtype=np.float64)
-    if block is not None:
-        keep = ids < block
-        ids, mat = ids[keep], mat[keep]
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    unit = mat / norms[:, None]
-    cos = unit @ unit.T
-    ia, ib = np.where(np.triu(cos >= threshold, k=1))
-    return pa.table({"a": pa.array(np.minimum(ids[ia], ids[ib]), pa.int64()),
-                     "b": pa.array(np.maximum(ids[ia], ids[ib]), pa.int64()),
-                     "cos": pa.array(np.round(cos[ia, ib], 6), pa.float64())})
+    def prep(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist())
+        mat = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+        if block is not None:
+            keep = ids < block
+            ids, mat = ids[keep], mat[keep]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "unit": pa.array(unit.tolist(),
+                                          pa.list_(pa.float64()))})
+
+    refs = ds.map_batches(prep, batch_format="pyarrow").to_arrow_refs()
+
+    @ray.remote
+    def cross(b1, b2, same: bool):
+        t1 = b1 if isinstance(b1, pa.Table) else pa.Table.from_batches([b1])
+        t2 = t1 if same else (b2 if isinstance(b2, pa.Table)
+                              else pa.Table.from_batches([b2]))
+        return _block_pairs(t1, None if same else t2, id_col, threshold)
+
+    tasks = []
+    for i in range(len(refs)):
+        tasks.append(cross.remote(refs[i], refs[i], True))
+        for j in range(i + 1, len(refs)):
+            tasks.append(cross.remote(refs[i], refs[j], False))
+    if not tasks:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    # edge blocks stay in the object store; consumers stream them
+    return rd.from_arrow_refs(tasks)
 
 
 def embedding_near_dup_lsh(ds, id_col: str = "vec_id", vec_col: str = "embedding",
@@ -544,21 +624,20 @@ def embedding_near_dup_lsh(ds, id_col: str = "vec_id", vec_col: str = "embedding
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cos": []})
+            return pd.DataFrame({"a": np.array([], dtype=np.int64),
+                                 "b": np.array([], dtype=np.int64),
+                                 "cos": np.array([], dtype=np.float64)})
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
         ids = g[id_col].to_numpy()
         unit = np.asarray(g["unit"].tolist(), dtype=np.float64)
         cos = unit @ unit.T
         ia, ib = np.where(np.triu(cos >= threshold, k=1))
-        return pd.DataFrame({"a": ids[ia], "b": ids[ib],
+        return pd.DataFrame({"a": ids[ia].astype(np.int64),
+                             "b": ids[ib].astype(np.int64),
                              "cos": np.round(cos[ia, ib], 6)})
 
     edges = sigs.groupby(["tbl", "key"]).map_groups(verify, batch_format="pandas")
-    rows = edges.take_all()
-    if not rows:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "cos": pa.array([], pa.float64())})
-    df = pd.DataFrame(rows).drop_duplicates(subset=["a", "b"]) \
-        .sort_values(["a", "b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    # pair surfaces from several LSH tables -> distributed dedup (cos is
+    # computed identically everywhere, so Min is a pure dedup)
+    from ray.data.aggregate import Min
+    return edges.groupby(["a", "b"]).aggregate(Min("cos", alias_name="cos"))

@@ -94,31 +94,80 @@ def train_centroids(sample: np.ndarray, n_centroids: int, n_iter: int = 10,
     return cent
 
 
+def build_ivf_index(ds, n_centroids: int = 16, id_col: str = "vec_id",
+                    vec_col: str = "embedding", sample_rows: int = 2048,
+                    seed: int = 42):
+    """Build the IVF coarse index: train centroids on a DETERMINISTIC HASH
+    sample (no first-N-rows bias), then materialize the centroid-assignment
+    column ONCE.  Returns (assigned_dataset, centroids); the assignment
+    column is the partition key for probing — queries then filter to probed
+    lists instead of rescanning every vector per batch."""
+    n_total = ds.count()  # parquet-metadata fast path on a fresh read
+    rate = min(1.0, sample_rows / max(n_total, 1))
+
+    def hash_sample(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.uint64)
+        keep = ((ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) \
+            < np.uint64(int(rate * 0xFFFFFFFF))
+        return t.filter(pa.array(keep))
+
+    sample_rows_list = ds.map_batches(hash_sample, batch_format="pyarrow") \
+                         .take_all()
+    sample = np.asarray([r[vec_col] for r in sample_rows_list], dtype=np.float64)
+    if len(sample) == 0:
+        sample = np.asarray([r[vec_col] for r in ds.limit(4).take_all()],
+                            dtype=np.float64)
+    cent = train_centroids(sample, n_centroids, seed=seed)
+    import ray
+    cent_ref = ray.put(cent)
+
+    class Assign:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = _unit(np.asarray(t[vec_col].to_pylist(), dtype=np.float64))
+            assign = np.argmax(mat @ self.cent.T, axis=1).astype(np.int32)
+            return t.append_column("centroid", pa.array(assign, pa.int32()))
+
+    assigned = ds.map_batches(Assign, batch_format="pyarrow",
+                              concurrency=(1, 4)).materialize()
+    return assigned, cent
+
+
 def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
             n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-            sample_rows: int = 2048):
-    """IVF-flat approximate top-k: assign vectors to coarse centroids, score
-    only vectors whose centroid is among each query's n_probe nearest."""
+            sample_rows: int = 2048, index=None):
+    """IVF-flat approximate top-k: a real inverted index — the centroid
+    assignment is materialized once (build_ivf_index), probing FILTERS to
+    the probed centroid lists before any scoring, so each query touches
+    ~n_probe/n_centroids of the data (assert via ds.stats() input rows).
+    Pass ``index=(assigned, cent)`` to amortize the build across calls."""
     import ray
-    sample = np.asarray(
-        [r[vec_col] for r in ds.limit(sample_rows).take_all()], dtype=np.float64)
-    cent = train_centroids(sample, n_centroids)
+    if index is None:
+        index = build_ivf_index(ds, n_centroids, id_col, vec_col, sample_rows)
+    assigned, cent = index
     q = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]       # (nq, n_probe)
-    cent_ref = ray.put(cent)
+    probed_set = sorted({int(c) for row in probe for c in row})
     q_ref = ray.put(q)
     probe_ref = ray.put(probe)
 
+    # prune: only vectors in a probed list flow into scoring
+    probed_arr = pa.array(probed_set, pa.int32())
+    pruned = assigned.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["centroid"], value_set=probed_arr)),
+        batch_format="pyarrow")
+
     class ScoreIVF:
         def __init__(self):
-            self.cent = ray.get(cent_ref)
             self.q = ray.get(q_ref)
             self.probe = ray.get(probe_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             mat = _unit(np.asarray(t[vec_col].to_pylist(), dtype=np.float64))
             ids = np.asarray(t[id_col].to_pylist())
-            assign = np.argmax(mat @ self.cent.T, axis=1)
+            assign = np.asarray(t["centroid"].to_pylist())
             out_q, out_id, out_c = [], [], []
             for qi in range(len(self.q)):
                 mask = np.isin(assign, self.probe[qi])
@@ -136,8 +185,8 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
                              id_col: pa.array(out_id, pa.int64()),
                              "cos": pa.array(out_c, pa.float64())})
 
-    partials = ds.map_batches(ScoreIVF, batch_format="pyarrow",
-                              concurrency=(1, 4)).take_all()
+    partials = pruned.map_batches(ScoreIVF, batch_format="pyarrow",
+                                  concurrency=(1, 4)).take_all()
     best: dict[int, list] = {}
     for r in partials:
         heap = best.setdefault(r["query_idx"], [])

@@ -370,10 +370,12 @@ def q_embeddings_knn(sf_dir: str):
     numpy matmul per batch; float64, rounded to 6 digits."""
     import ray
     import pyarrow.parquet as pq
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    # query vector: vec_id == 0
-    idx = tbl.column("vec_id").to_pylist().index(0)
-    qvec = np.asarray(tbl.column("embedding")[idx].as_py(), dtype=np.float64)
+    # query vector: vec_id == 0 — predicate-pushdown one-row read (never
+    # pull the whole embeddings file onto the driver for one vector)
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "==", 0)])
+    qvec = np.asarray(tbl.column("embedding")[0].as_py(), dtype=np.float64)
     qref = ray.put(qvec)
     ds = _rd().read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                             columns=["vec_id", "embedding"])
@@ -626,9 +628,10 @@ def q_embeddings_knn_ivf(sf_dir: str):
     recall vs brute force asserted in unit tests)."""
     import pyarrow.parquet as pq
     from ..functions.similarity import knn_ivf
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    idx = tbl.column("vec_id").to_pylist().index(0)
-    qvec = np.asarray(tbl.column("embedding")[idx].as_py(), dtype=np.float64)
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "==", 0)])
+    qvec = np.asarray(tbl.column("embedding")[0].as_py(), dtype=np.float64)
     ds = _rd().read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                             columns=["vec_id", "embedding"])
     return knn_ivf(ds, qvec, k=10, n_centroids=8, n_probe=8)

@@ -1,0 +1,95 @@
+"""Scale-path regression tests for the round-2 refactors: real IVF pruning,
+distributed embedding near-dup, vectorized simhash, distributed edge dedup."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _embeddings(n=256, d=16, seed=7):
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, d))
+    # plant a near-dup pair: vec 1 = vec 0 + tiny noise
+    mat[1] = mat[0] + 0.01 * rng.standard_normal(d)
+    return pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                     "embedding": pa.array(mat.tolist(), pa.list_(pa.float64()))})
+
+
+def test_ivf_actually_prunes(ray_session):
+    """knn_ivf with n_probe < n_centroids must score FEWER input rows than
+    the dataset holds (the round-1 version rescanned everything per batch)."""
+    import ray.data as rd
+    from beats_ray.functions.similarity import build_ivf_index, knn_ivf
+    tbl = _embeddings(512)
+    ds = rd.from_arrow(tbl).repartition(8)
+    index = build_ivf_index(ds, n_centroids=8, sample_rows=256)
+    assigned, cent = index
+    q = np.asarray(tbl["embedding"][0].as_py(), dtype=np.float64)
+    out = knn_ivf(ds, q, k=5, n_centroids=8, n_probe=2, index=index)
+    assert len(out) == 5
+    # the planted near-dup must be found (it shares vec 0's centroid)
+    ids = out["vec_id"].to_pylist()
+    assert 1 in ids
+    # pruning: count rows in probed lists vs total
+    counts = assigned.to_pandas()["centroid"].value_counts()
+    assert counts.size == 8  # centroids populated -> probe=2 prunes > half
+    probed_rows = counts.sort_values(ascending=False).iloc[:2].sum()
+    assert probed_rows < len(tbl)
+
+
+def test_ivf_full_probe_equals_brute(ray_session):
+    import ray.data as rd
+    from beats_ray.functions.similarity import knn_brute, knn_ivf
+    tbl = _embeddings(200)
+    ds = rd.from_arrow(tbl).repartition(4)
+    q = np.asarray(tbl["embedding"][3].as_py(), dtype=np.float64)
+    brute = knn_brute(ds, q, k=8).to_pandas()
+    ivf = knn_ivf(ds, q, k=8, n_centroids=4, n_probe=4).to_pandas()
+    assert sorted(brute["vec_id"]) == sorted(ivf["vec_id"])
+
+
+def test_embedding_near_dup_distributed_matches_local(ray_session):
+    """Block-nested-loop distributed pairs == single-matrix local answer."""
+    import ray.data as rd
+    from beats_ray.functions.dedup import embedding_near_dup
+    tbl = _embeddings(300)
+    ds = rd.from_arrow(tbl).repartition(5)
+    got = embedding_near_dup(ds, threshold=0.5).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    cos = unit @ unit.T
+    ia, ib = np.where(np.triu(cos >= 0.5, k=1))
+    assert len(got) == len(ia)
+    want = sorted(zip(ia.tolist(), ib.tolist()))
+    assert list(zip(got["a"], got["b"])) == want
+    assert (0, 1) in want  # planted pair
+
+
+def test_simhash_batch_parity():
+    import random
+    from beats_ray.functions.dedup import simhash64, simhash64_batch
+    random.seed(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [" ".join(random.choices(vocab, k=random.randint(0, 30)))
+             for _ in range(100)] + [None, "", "one"]
+    want = [0 if not t else simhash64(t.split(), {}) for t in texts]
+    got = simhash64_batch(texts)
+    assert [int(g) for g in got] == want
+
+
+def test_minhash_edges_deduped_across_bands(ray_session, tmp_path):
+    """Distributed edge dedup: each (a,b) pair appears exactly once even
+    though many bands emit it."""
+    import ray.data as rd
+    from beats_ray.functions.dedup import minhash_lsh_pairs
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["the quick brown fox jumps over the lazy dog today",
+                 "the quick brown fox jumps over the lazy dog tonight",
+                 "completely different content with no shared phrases here"],
+    })
+    edges = minhash_lsh_pairs(rd.from_arrow(docs), threshold=0.5).to_pandas()
+    pairs = list(zip(edges["a"], edges["b"]))
+    assert len(pairs) == len(set(pairs)) == 1
+    assert pairs[0] == (0, 1)
