@@ -35,17 +35,51 @@ import sys
 
 
 def build_pipeline_from_config(cfg: dict):
+    """Compile the YAML config -> (Pipeline, pre_transforms).
+
+    ``pre_transforms`` are Dataset-level grouped operators (currently the
+    multiline parser — an ordering-sensitive per-file fold that a row-local
+    processor chain cannot express) applied before the per-record pipeline.
+    """
     from .pipeline import Pipeline
     from .sources.readers import parsers_to_processors
 
     processors: list = []
+    pre_transforms: list = []
     input_cfg = cfg.get("input", {})
+    is_log = input_cfg.get("type", "parquet") == "log"
     for p in parsers_to_processors(input_cfg.get("parsers", [])):
         if "__multiline__" in p:
-            raise NotImplementedError(
-                "multiline parser requires the grouped operator; use "
-                "beats_ray.stages.flow.multiline_join in a script for now")
-        processors.append(p)
+            mc = dict(p["__multiline__"])
+            conv_col = mc.pop("conv_col",
+                              "log_file_path" if is_log else "conv_id")
+            order_col = mc.pop("order_col",
+                               "log_offset" if is_log else "turn_idx")
+            field = mc.pop("field", "text")
+            mode = mc.pop("type", "pattern")
+            count_lines = int(mc.pop("count_lines", 1))
+            max_lines = mc.pop("max_lines", None)
+            if max_lines is None:
+                max_lines = count_lines if mode == "count" else 500
+            kw = dict(pattern=mc.get("pattern"),
+                      negate=bool(mc.get("negate", False)),
+                      match=mc.get("match", "after"),
+                      flush_pattern=mc.get("flush_pattern"),
+                      mode=mode, count_lines=count_lines,
+                      max_lines=int(max_lines),
+                      conv_col=conv_col, order_col=order_col,
+                      text_col=field)
+            if mode != "count" and not kw["pattern"]:
+                raise ValueError("multiline.pattern is required for type="
+                                 f"{mode} (multiline_config.go:68-79)")
+
+            def make(kw=kw):
+                from .stages.flow import multiline_join
+                return lambda ds: multiline_join(ds, **kw)
+
+            pre_transforms.append(make())
+        else:
+            processors.append(p)
     processors.extend(cfg.get("processors", []))
     out = cfg.get("output", {})
     spec = {"processors": processors}
@@ -53,7 +87,7 @@ def build_pipeline_from_config(cfg: dict):
         spec["route"] = {"rules": out.get("indices", []),
                         "default": out.get("default_sink", "default"),
                         "target": "sink"}
-    return Pipeline(spec)
+    return Pipeline(spec), pre_transforms
 
 
 def cmd_run(args) -> int:
@@ -61,7 +95,7 @@ def cmd_run(args) -> int:
 
     with open(args.config) as f:
         cfg = yaml.safe_load(f)
-    pipe = build_pipeline_from_config(cfg)
+    pipe, pre_transforms = build_pipeline_from_config(cfg)
     input_cfg = cfg.get("input", {})
     out_cfg = cfg.get("output", {})
     out_dir = out_cfg.get("path", "/tmp/beats_ray_out")
@@ -82,8 +116,12 @@ def cmd_run(args) -> int:
         # raw log lines: no per-file partition resume (read_text path);
         # run one pass over everything
         from .sinks.parquet import sink_counts, write_routed
-        from .sources.readers import read_log_lines
-        ds = read_log_lines(files)
+        from .sources.readers import read_log_lines, read_log_records
+        # ordering-sensitive pre-transforms (multiline) need per-file line
+        # order -> the record reader; plain chains use the line reader
+        ds = read_log_records(files) if pre_transforms else read_log_lines(files)
+        for tr in pre_transforms:
+            ds = tr(ds)
         man = write_routed(pipe.apply(ds), out_dir)
         counts = sink_counts(man)
         print(json.dumps({"sink_counts": counts, "partitions_run": 1,
@@ -94,7 +132,8 @@ def cmd_run(args) -> int:
     counts, ran, skipped = run_resumable(
         pipe, files, out_dir,
         files_per_partition=int(cfg.get("files_per_partition", 8)),
-        output_format=out_cfg.get("format", "parquet"))
+        output_format=out_cfg.get("format", "parquet"),
+        pre_transforms=pre_transforms)
     print(json.dumps({"sink_counts": counts, "partitions_run": ran,
                       "partitions_skipped": skipped}))
     return 0

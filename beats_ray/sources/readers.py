@@ -47,6 +47,30 @@ def read_log_lines(paths, **kw):
     return ds.map_batches(shape, batch_format="pyarrow")
 
 
+def read_log_records(paths, **kw):
+    """Text lines with per-file line ordering -> (text, log_file_path,
+    log_offset) rows.  One input file per row group via read_binary_files
+    (the harvester reads a file as one ordered stream, input.go:481) — use
+    when a downstream operator is ordering-sensitive (multiline)."""
+    import ray.data as rd
+    ds = rd.read_binary_files(paths, include_paths=True, **kw)
+
+    def split(t: pa.Table) -> pa.Table:
+        texts, files, offs = [], [], []
+        for path, blob in zip(t["path"].to_pylist(), t["bytes"].to_pylist()):
+            lines = blob.decode("utf-8", "replace").split("\n")
+            if lines and lines[-1] == "":
+                lines.pop()
+            texts.extend(lines)
+            files.extend([path] * len(lines))
+            offs.extend(range(len(lines)))
+        return pa.table({"text": pa.array(texts, pa.string()),
+                         "log_file_path": pa.array(files, pa.string()),
+                         "log_offset": pa.array(offs, pa.int64())})
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
 def read_ndjson(paths, **kw):
     import ray.data as rd
     return rd.read_json(paths, **kw)

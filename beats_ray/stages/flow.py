@@ -207,38 +207,73 @@ class DNSStage(Stage):
         return batch
 
 
-def multiline_join(ds, pattern: str, conv_col: str = "conv_id",
+def _multiline_groups(txt: pd.Series, mode: str, pattern: str | None,
+                      negate: bool, match: str, flush_pattern: str | None,
+                      count_lines: int) -> tuple[np.ndarray, np.ndarray]:
+    """Shared grouping kernel for the three reference aggregation types
+    (multiline_config.go:28-43): returns (group_id, keep_mask) per row.
+
+    - ``pattern`` (pattern.go): matching lines (xor negate) merge into the
+      current message; ``match: after`` appends to the previous
+      non-matching line, ``before`` prepends to the next.
+    - ``count`` (counter.go): every ``count_lines`` non-empty lines form one
+      message; empty lines are skipped (message.Bytes == 0 -> continue).
+    - ``while_pattern`` (while.go): RUNS of consecutive matching lines merge
+      into one message; each non-matching line passes through alone.
+    """
+    n = len(txt)
+    keep = np.ones(n, dtype=bool)
+    if mode == "count":
+        nonempty = (txt != "").to_numpy()
+        keep = nonempty                      # counter.go skips empty lines
+        ordinal = np.cumsum(nonempty) - 1
+        grp = ordinal // max(count_lines, 1)
+        return grp, keep
+    hit = txt.str.contains(pattern, regex=True).to_numpy() != negate
+    fl = txt.str.contains(flush_pattern, regex=True).to_numpy() \
+        if flush_pattern else np.zeros(n, dtype=bool)
+    if mode == "while_pattern":
+        prev_hit = np.concatenate(([False], hit[:-1]))
+        starts = ~hit | (hit & ~prev_hit)
+        return np.cumsum(starts), keep
+    if match == "after":
+        # non-matching lines start a new message; a flush line forces the
+        # NEXT line to start one
+        starts = ~hit
+        if n:
+            starts[0] = True
+        if flush_pattern:
+            starts[1:] |= fl[:-1]
+        grp = np.cumsum(starts)
+    else:  # before: matching lines attach to the NEXT non-matching line
+        ends = ~hit | fl
+        c = np.cumsum(ends)
+        grp = c - ends  # rows after an end belong to the next group
+    return grp, keep
+
+
+def multiline_join(ds, pattern: str | None = None, conv_col: str = "conv_id",
                    order_col: str = "turn_idx", text_col: str = "text",
                    negate: bool = False, match: str = "after",
-                   max_lines: int = 500, flush_pattern: str | None = None):
-    """Pattern-mode multiline (multiline_config.go:28-84 'pattern' type):
-    within each conversation, consecutive rows whose text matches
-    ``pattern`` (xor ``negate``) are merged into the current message —
-    ``match: after`` appends matching lines to the previous non-matching
-    line, ``before`` prepends them to the next.  Joined with '\\n'; merged
-    rows keep the FIRST row's other columns + ``n_lines``.
+                   max_lines: int = 500, flush_pattern: str | None = None,
+                   mode: str = "pattern", count_lines: int = 1):
+    """Multiline aggregation over ordered rows per conversation/file —
+    all three reference types (multiline_config.go:28-43): ``pattern``
+    (pattern.go), ``count`` (counter.go), ``while_pattern`` (while.go).
+    Joined with '\\n'; merged rows keep the FIRST row's other columns +
+    ``n_lines``; ``max_lines`` drops additional lines from the message
+    while grouping still counts them (messageBuffer processedLines).
 
     Ordering-sensitive, stateful per conversation -> sort within conv +
     grouped fold (the reference holds the same state per file)."""
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_col, kind="mergesort").reset_index(drop=True)
         txt = g[text_col].fillna("")
-        hit = txt.str.contains(pattern, regex=True).to_numpy() != negate
-        fl = txt.str.contains(flush_pattern, regex=True).to_numpy() \
-            if flush_pattern else np.zeros(len(g), dtype=bool)
-        if match == "after":
-            # non-matching lines start a new message; a flush line forces the
-            # NEXT line to start one
-            starts = ~hit
-            starts[0] = True
-            if flush_pattern:
-                starts[1:] |= fl[:-1]
-            grp = np.cumsum(starts)
-        else:  # before: matching lines attach to the NEXT non-matching line
-            ends = ~hit | fl
-            c = np.cumsum(ends)
-            grp = c - ends  # rows after an end belong to the next group
+        grp, keep = _multiline_groups(txt, mode, pattern, negate, match,
+                                      flush_pattern, count_lines)
         g = g.assign(__grp=grp)
+        if not keep.all():
+            g = g[keep]
         # max_lines: additional lines beyond the cap are DISCARDED
         # (multiline_config.go max_lines semantics)
         pos = g.groupby("__grp").cumcount()
@@ -254,13 +289,15 @@ def multiline_join(ds, pattern: str, conv_col: str = "conv_id",
 
 @register("multiline")
 class MultilineStage(Stage):
-    """Batch-local pattern-mode multiline (the registered stage form of
-    ``multiline_join``).  Joins consecutive matching lines WITHIN each batch,
-    per ``conv_col`` when present — correct only when batches contain whole
+    """Batch-local multiline (the registered stage form of
+    ``multiline_join``) supporting all three reference aggregation types
+    (multiline_config.go:28-43).  Joins lines WITHIN each batch, per
+    ``conv_col`` when present — correct only when batches contain whole
     conversations/files (the documented partitioning assumption, like the
     rate_limit stage form; use ``multiline_join`` for the exact grouped
-    operator).  config: pattern, negate, match (after|before), max_lines,
-    flush_pattern, field (default "text"), conv_col, order_col."""
+    operator).  config: type (pattern|count|while_pattern), pattern, negate,
+    match (after|before), max_lines, count_lines, flush_pattern, field
+    (default "text"), conv_col, order_col."""
 
     name = "multiline"
     stateful = True      # ordering-sensitive: keep batches intact per actor
@@ -269,10 +306,16 @@ class MultilineStage(Stage):
     def __init__(self, config=None):
         super().__init__(config)
         c = self.config
-        self.pattern = c["pattern"]
+        self.mode = c.get("type", "pattern")
+        self.pattern = c.get("pattern")
+        if self.mode != "count" and self.pattern is None:
+            raise ValueError("multiline.pattern required for "
+                             f"type={self.mode} (multiline_config.go:68-79)")
+        self.count_lines = int(c.get("count_lines", 1))
         self.negate = bool(c.get("negate", False))
         self.match = c.get("match", "after")
-        self.max_lines = int(c.get("max_lines", 500))
+        default_max = self.count_lines if self.mode == "count" else 500
+        self.max_lines = int(c.get("max_lines") or default_max)
         self.flush_pattern = c.get("flush_pattern")
         self.field = field_to_column(c.get("field", "text"))
         self.conv_col = field_to_column(c.get("conv_col", "conv_id"))
@@ -283,27 +326,37 @@ class MultilineStage(Stage):
         sort_cols = [c for c in (self.conv_col, self.order_col) if c in df.columns]
         if sort_cols:
             df = df.sort_values(sort_cols, kind="mergesort")
+        df = df.reset_index(drop=True)
         txt = df[self.field].fillna("")
-        hit = txt.str.contains(self.pattern, regex=True).to_numpy() != self.negate
-        fl = txt.str.contains(self.flush_pattern, regex=True).to_numpy() \
-            if self.flush_pattern else np.zeros(len(df), dtype=bool)
-        new_conv = (df[self.conv_col] != df[self.conv_col].shift()).to_numpy() \
-            if self.conv_col in df.columns else \
-            np.concatenate(([True], np.zeros(len(df) - 1, dtype=bool)))
-        if self.match == "after":
-            starts = ~hit | new_conv
-            if self.flush_pattern:
-                starts[1:] |= fl[:-1]
-            grp = np.cumsum(starts)
+        if self.conv_col in df.columns:
+            new_conv = (df[self.conv_col] != df[self.conv_col].shift()).to_numpy()
         else:
-            ends = ~hit | fl
-            c = np.cumsum(ends)
-            grp = c - ends + np.cumsum(new_conv) * (len(df) + 1)
+            new_conv = np.concatenate(
+                ([True], np.zeros(max(len(df) - 1, 0), dtype=bool)))
+        if len(df) == 0:
+            return batch.append_column("n_lines", pa.array([], pa.int32()))
+        # run the grouping kernel per conversation segment (reader state
+        # restarts at every file/conversation boundary, one reader per file)
+        bounds = list(np.flatnonzero(new_conv)) + [len(df)]
+        grp = np.zeros(len(df), dtype=np.int64)
+        keep = np.ones(len(df), dtype=bool)
+        base = 0
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sub_grp, sub_keep = _multiline_groups(
+                txt.iloc[s:e].reset_index(drop=True), self.mode, self.pattern,
+                self.negate, self.match, self.flush_pattern, self.count_lines)
+            grp[s:e] = sub_grp + base
+            keep[s:e] = sub_keep
+            if e > s:
+                base = int(grp[s:e].max()) + 1
         df = df.assign(__grp=grp)
+        if not keep.all():
+            df = df[keep]
         pos = df.groupby("__grp").cumcount()
         df = df[pos < self.max_lines]
         agg = df.groupby("__grp", sort=True)
         out = agg.first()
         out[self.field] = agg[self.field].agg("\n".join)
         out["n_lines"] = agg.size().astype(np.int32)
-        return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+        out = out.reset_index(drop=True).drop(columns=["__grp"], errors="ignore")
+        return pa.Table.from_pandas(out, preserve_index=False)

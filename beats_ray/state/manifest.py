@@ -72,7 +72,7 @@ def plan_partitions(input_files: list[str], files_per_partition: int = 8) -> lis
 
 def run_resumable(pipeline, input_files: list[str], out_dir: str,
                   files_per_partition: int = 8, sink_col: str = "sink",
-                  output_format: str = "parquet"):
+                  output_format: str = "parquet", pre_transforms=None):
     """Run `pipeline` over the inputs with per-partition checkpointing.
 
     Returns (total_sink_counts, n_partitions_run, n_partitions_skipped).
@@ -102,6 +102,8 @@ def run_resumable(pipeline, input_files: list[str], out_dir: str,
         # amplification on a 100 TB job)
         import pyarrow.parquet as _pq
         n_in = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+        for tr in (pre_transforms or []):
+            ds = tr(ds)
         out = pipeline.apply(ds)
         man = write(out, out_dir, sink_col=sink_col, partition_tag=pid)
         man_rows = man.take_all()
