@@ -32,9 +32,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     import os
 
+    from beats_ray.functions.multimodal import synth_image_parquet
     from beats_ray.pipelines.queries import oracle_sql_map
     from beats_ray.sources.transcripts import transcripts_path
     # correctness runs at sf0.01; generate (idempotent, pure pyarrow) so the
-    # SQL's read_parquet() target exists before DuckDB runs
+    # SQL's read_parquet() targets exist before DuckDB runs
     tdir = transcripts_path("sf0.01")
+    synth_image_parquet()  # multimodal oracle input
     return oracle_sql_map(os.path.join(tdir, "*.parquet"))

@@ -43,6 +43,22 @@ def synth_image_table(n: int = 64, seed: int = 42) -> pa.Table:
     })
 
 
+def synth_image_parquet(path: str | None = None, n: int = 256,
+                        seed: int = 42) -> str:
+    """Persist the deterministic synth table once (idempotent) so both the
+    Ray pipeline and the DuckDB oracle read the SAME parquet input."""
+    import os
+
+    import pyarrow.parquet as pq
+    path = path or "/tmp/beats_ray_data/multimodal_synth.parquet"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(synth_image_table(n, seed), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 @register("image_decode")
 class ImageDecode(Stage):
     """Actor-pool decode stage.  Real pipeline shape; the codec itself is a

@@ -598,12 +598,18 @@ def q_docs_fingerprint_rolling(sf_dir: str):
 
 
 def q_docs_dedup_minhash(sf_dir: str):
-    """MinHash+LSH near-dup edges verified by n-gram Jaccard >= 0.5
-    (rows-only; validated against a constructed corpus in unit tests)."""
+    """MinHash+LSH near-dup edges verified by exact n-gram Jaccard >= 0.5,
+    oracle-checked against a DuckDB exact-Jaccard pair join.  n_bands=64
+    (r=2) makes LSH recall ~1-1e-8 at j>=0.5 (miss prob (1-j^2)^64), so the
+    approximate pipeline matches the exact oracle; production corpora with
+    higher thresholds use fewer bands (see minhash_lsh_pairs docstring)."""
     from ..functions.dedup import minhash_lsh_pairs
     ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id", "text"])
-    return minhash_lsh_pairs(ds, threshold=0.5)
+    edges = minhash_lsh_pairs(ds, threshold=0.5, n_bands=64)
+    # pairs only: the 32-bit-truncated shingle hashes can (rarely) perturb
+    # the 6th jaccard digit vs the oracle's exact grams; membership is exact
+    return edges.select_columns(["a", "b"])
 
 
 def q_docs_dedup_simhash(sf_dir: str):
@@ -634,16 +640,21 @@ def q_embeddings_knn_ivf(sf_dir: str):
     qvec = np.asarray(tbl.column("embedding")[0].as_py(), dtype=np.float64)
     ds = _rd().read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                             columns=["vec_id", "embedding"])
-    return knn_ivf(ds, qvec, k=10, n_centroids=8, n_probe=8)
+    # full probe (n_probe == n_centroids) == exact -> shares the brute-force
+    # SQL oracle; the PRUNED scale path (n_probe < n_centroids, reads only
+    # probed centroid lists) is exercised in tests/test_scale_paths.py
+    res = knn_ivf(ds, qvec, k=10, n_centroids=8, n_probe=8)
+    return res.select(["vec_id", "cos"])
 
 
 def q_multimodal_pipeline(sf_dir: str):
     """Multimodal plumbing: synth binary payload table -> actor-pool decode
-    (stub codec) -> resize -> features; returns shape/integrity summary
-    (rows-only; deterministic)."""
-    from ..functions.multimodal import synth_image_table
-    tbl = synth_image_table(256)
-    ds = _rd().from_arrow(tbl)
+    (stub codec) -> resize -> features; returns a shape/integrity summary
+    oracle-checked against the persisted synth parquet (n_pixels must equal
+    meta_width x meta_height == octet_length(payload) - 4, resize/features
+    output lengths are fixed by config)."""
+    from ..functions.multimodal import synth_image_parquet
+    ds = _rd().read_parquet(synth_image_parquet())
     spec = {"processors": [
         {"image_decode": {"fake": True}},
         {"image_resize": {"width": 8, "height": 8}},
@@ -963,12 +974,14 @@ def q_transcripts_dedup_exact(sf_dir: str):
 
 def q_docs_dedup_clusters(sf_dir: str):
     """End-to-end near-dup clustering: MinHash+LSH edges -> distributed
-    min-label-propagation connected components -> (node, root) membership
-    (rows-only; identity with driver union-find is unit-tested)."""
+    min-label-propagation connected components -> (node, root) membership,
+    oracle-checked against a DuckDB recursive-CTE transitive closure over
+    the exact-Jaccard edge list (identity with driver union-find is also
+    unit-tested)."""
     from ..functions.dedup import cc_label_propagation, minhash_lsh_pairs
     ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id", "text"])
-    edges_tbl = minhash_lsh_pairs(ds, threshold=0.5)
+    edges_tbl = minhash_lsh_pairs(ds, threshold=0.5, n_bands=64)
     if isinstance(edges_tbl, pa.Table):
         if edges_tbl.num_rows == 0:
             return pa.table({"node": pa.array([], pa.int64()),
@@ -983,6 +996,28 @@ QUERIES.update({
     "transcripts_dedup_exact": q_transcripts_dedup_exact,
     "docs_dedup_clusters": q_docs_dedup_clusters,
 })
+# event-time token bucket (6/min, burst 1) restated as a per-conversation
+# recursive fold in event order -- identical step-by-step float64 ops, so
+# the FP trajectory matches the pipeline's numpy fold bit-for-bit.
+_EXTRA_ORACLES2["transcripts_rate_limit"] = """
+    WITH RECURSIVE ord AS (
+        SELECT conv_id, epoch_ns(ts) / 1000000000.0 AS tss,
+               row_number() OVER (PARTITION BY conv_id ORDER BY ts) AS rn
+        FROM read_parquet('__T__')),
+    fold AS (
+        SELECT conv_id, rn, tss AS last_ts, 0.0 AS tokens, 1::BIGINT AS kept
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.conv_id, o.rn, o.tss,
+               CASE WHEN least(1.0, f.tokens + (o.tss - f.last_ts) * 0.1) >= 1.0
+                    THEN least(1.0, f.tokens + (o.tss - f.last_ts) * 0.1) - 1.0
+                    ELSE least(1.0, f.tokens + (o.tss - f.last_ts) * 0.1) END,
+               f.kept + CASE WHEN least(1.0, f.tokens + (o.tss - f.last_ts) * 0.1)
+                                  >= 1.0 THEN 1 ELSE 0 END
+        FROM fold f JOIN ord o ON o.conv_id = f.conv_id AND o.rn = f.rn + 1)
+    SELECT conv_id, max(kept)::BIGINT AS n_kept FROM fold GROUP BY conv_id
+"""
+
 _EXTRA_ORACLES2["transcripts_dedup_exact"] = """
     SELECT role, count(DISTINCT text)::BIGINT AS n_distinct_texts
     FROM read_parquet('__T__') GROUP BY role
@@ -1075,6 +1110,151 @@ QUERIES.update({
     "events_sample": q_events_sample,
     "docs_stratified_sample": q_docs_stratified_sample,
 })
+
+# FNV-32a restated as a DuckDB recursive CTE over the key string's (ASCII)
+# characters -- one fold per distinct user_id, joined back to rows.
+_EXTRA_ORACLES["multimodal_pipeline"] = """
+    SELECT id,
+           (octet_length(payload) - 4)::BIGINT AS n_pixels,
+           64::BIGINT AS n_resized,
+           18::BIGINT AS n_features
+    FROM read_parquet('/tmp/beats_ray_data/multimodal_synth.parquet')
+"""
+
+_EXTRA_ORACLES["embeddings_knn_ivf"] = """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 6) AS cos
+    FROM embeddings
+    ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+_EXTRA_ORACLES["events_partition"] = """
+    WITH RECURSIVE ids AS (
+        SELECT DISTINCT user_id::VARCHAR AS s FROM events),
+    f AS (
+        SELECT s, 0 AS i, 2166136261::UBIGINT AS h FROM ids
+        UNION ALL
+        SELECT s, i + 1,
+               ((xor(h, ord(substr(s, i + 1, 1))::UBIGINT) * 16777619)
+                % 4294967296)::UBIGINT
+        FROM f WHERE i < length(s)),
+    fin AS (SELECT s, h FROM f WHERE i = length(s))
+    SELECT (fin.h % 16)::INTEGER AS partition, count(*)::BIGINT AS n
+    FROM events e JOIN fin ON fin.s = e.user_id::VARCHAR
+    GROUP BY 1
+"""
+
+# stopword-vote language id: score per language = tokens in its function-word
+# set; argmax with first-wins tie-break (en > de > fr > es, dict order).
+_EXTRA_ORACLES["docs_lang_id"] = r"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    t AS (SELECT doc_id, unnest(ws) AS w FROM d),
+    sc AS (
+        SELECT doc_id,
+          count(*) FILTER (WHERE w IN ('the','and','of','a','to','in','is','it','that','for')) AS s_en,
+          count(*) FILTER (WHERE w IN ('der','die','das','und','ist','ein','eine','zu','mit','von')) AS s_de,
+          count(*) FILTER (WHERE w IN ('le','la','les','et','est','un','une','de','pour','dans')) AS s_fr,
+          count(*) FILTER (WHERE w IN ('el','la','los','las','y','es','un','una','de','para')) AS s_es
+        FROM t GROUP BY doc_id),
+    pred AS (
+        SELECT d.lang,
+            CASE WHEN d.ws IS NULL OR len(d.ws) = 0 THEN NULL
+                 WHEN greatest(coalesce(s_en,0), coalesce(s_de,0),
+                               coalesce(s_fr,0), coalesce(s_es,0)) = 0 THEN 'und'
+                 WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                 WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                 WHEN s_fr >= s_es THEN 'fr'
+                 ELSE 'es' END AS lang_pred
+        FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+    SELECT lang, lang_pred, count(*)::BIGINT AS n
+    FROM pred GROUP BY lang, lang_pred
+"""
+
+# exact word-3-gram jaccard pairs (the minhash+LSH result at n_bands=64
+# matches the exact answer; see q_docs_dedup_minhash).
+_MINHASH_EDGE_SQL = r"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    grams AS (
+        SELECT doc_id,
+          CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+               WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+          END AS gs
+        FROM d),
+    gset AS (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM grams),
+    sizes AS (SELECT doc_id, count(*) AS n FROM gset GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        FROM gset x JOIN gset y ON x.g = y.g AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+    SELECT inter.a, inter.b
+    FROM inter JOIN sizes sa ON sa.doc_id = inter.a
+               JOIN sizes sb ON sb.doc_id = inter.b
+    WHERE inter.i * 1.0 / (sa.n + sb.n - inter.i) >= 0.5
+"""
+_EXTRA_ORACLES["docs_dedup_minhash"] = _MINHASH_EDGE_SQL
+
+# connected components over the exact edge list: recursive transitive
+# closure (UNION dedup terminates it), min reachable label per node.
+_EXTRA_ORACLES["docs_dedup_clusters"] = f"""
+    WITH RECURSIVE edges AS ({_MINHASH_EDGE_SQL}),
+    nodes AS (SELECT a AS n FROM edges UNION SELECT b FROM edges),
+    sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    reach AS (
+        SELECT n, n AS r FROM nodes
+        UNION
+        SELECT s.b AS n, reach.r FROM reach JOIN sym s ON s.a = reach.n)
+    SELECT n::BIGINT AS node, min(r)::BIGINT AS root FROM reach GROUP BY n
+"""
+
+# two-level FNV fold: token hash = FNV-1a over (ASCII) bytes, document
+# fingerprint = polynomial roll h = h*prime + tok_hash (mod 2^64); HUGEINT
+# intermediates keep the 64x41-bit products exact.
+_EXTRA_ORACLES["docs_fingerprint_rolling"] = r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, t.i AS tok_idx, ws[t.i] AS tok
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+             unnest(range(1, len(ws) + 1)) AS t(i)),
+    th AS (
+        SELECT doc_id, tok_idx, tok, 0 AS i,
+               14695981039346656037::UBIGINT AS h
+        FROM toks
+        UNION ALL
+        SELECT doc_id, tok_idx, tok, i + 1,
+               ((xor(h, ord(substr(tok, i + 1, 1))::UBIGINT)::HUGEINT
+                 * 1099511628211) % 18446744073709551616)::UBIGINT
+        FROM th WHERE i < length(tok)),
+    tok_hash AS (
+        SELECT doc_id, tok_idx, h FROM th WHERE i = length(tok)),
+    ntoks AS (SELECT doc_id, max(tok_idx) AS n FROM tok_hash GROUP BY doc_id),
+    roll AS (
+        SELECT t.doc_id, t.tok_idx,
+               ((14695981039346656037::HUGEINT * 1099511628211
+                 + t.h) % 18446744073709551616)::UBIGINT AS h
+        FROM tok_hash t WHERE t.tok_idx = 1
+        UNION ALL
+        SELECT t.doc_id, t.tok_idx,
+               ((roll.h::HUGEINT * 1099511628211 + t.h)
+                % 18446744073709551616)::UBIGINT
+        FROM roll JOIN tok_hash t
+          ON t.doc_id = roll.doc_id AND t.tok_idx = roll.tok_idx + 1)
+    SELECT r.doc_id, r.h AS doc_fp
+    FROM roll r JOIN ntoks ON ntoks.doc_id = r.doc_id AND r.tok_idx = ntoks.n
+"""
+
 _EXTRA_ORACLES["events_sample"] = """
     SELECT event_id, event_type,
            CAST(round(value * 100) AS BIGINT) AS value_cents
