@@ -119,7 +119,9 @@ def cmd_run(args) -> int:
         from .sources.readers import read_log_lines, read_log_records
         # ordering-sensitive pre-transforms (multiline) need per-file line
         # order -> the record reader; plain chains use the line reader
-        ds = read_log_records(files) if pre_transforms else read_log_lines(files)
+        enc = input_cfg.get("encoding", "")
+        ds = read_log_records(files, encoding=enc) if pre_transforms \
+            else read_log_lines(files, encoding=enc)
         for tr in pre_transforms:
             ds = tr(ds)
         man = write_routed(pipe.apply(ds), out_dir)

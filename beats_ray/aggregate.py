@@ -32,7 +32,7 @@ def small_groupby(ds, keys: list[str], partial_fn, agg: dict[str, str],
     out = df.groupby(keys, dropna=False, as_index=False).agg(agg)
     if rename:
         out = out.rename(columns=rename)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 def distributed_topk(ds, k: int, by: list[str], ascending: list[bool]) -> pa.Table:
@@ -51,7 +51,7 @@ def distributed_topk(ds, k: int, by: list[str], ascending: list[bool]) -> pa.Tab
         return pa.table({})
     df = pd.DataFrame(rows).sort_values(by, ascending=ascending) \
         .head(k).reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 def counts_by(ds, key_cols: list[str], count_name: str = "n") -> pa.Table:

@@ -85,10 +85,10 @@ def bucketed_join(left, right, on: str, n_buckets: int = 64, how: str = "inner",
             if how == "inner":
                 return pa.table({})
             out = lpart if how == "left" else rpart
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
         merged = lpart.merge(rpart, on=on, how=how,
                              suffixes=(f"_{left_tag}", f"_{right_tag}"))
-        return pa.Table.from_pandas(merged, preserve_index=False)
+        return pa.Table.from_pandas(merged, preserve_index=False).replace_schema_metadata(None)
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 

@@ -35,6 +35,16 @@ def _rd():
     return rd
 
 
+def _read(path, **kw):
+    """read_parquet + strip schema metadata: the testdata files carry
+    b'pandas' schema metadata, which makes pa.Schema unhashable and defeats
+    Ray's schema dedup (the 'Failed to hash the schemas' warnings); the
+    strip is zero-copy and fuses with the next map stage."""
+    ds = _rd().read_parquet(path, **kw)
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _cents(col):
     """round(x*100) -> int64 with DuckDB's tie-break (half away from zero),
     so Ray and oracle agree bit-for-bit on boundary values."""
@@ -73,7 +83,7 @@ def q_transcripts_dissect(sf_dir: str):
         ],
     }
     pipe = Pipeline(spec)
-    ds = _rd().read_parquet(_tpath(sf_dir))
+    ds = _read(_tpath(sf_dir))
     out = pipe.apply(ds)
     out = out.map_batches(
         lambda t: t.filter(pc.is_valid(t["log_time"]))
@@ -101,7 +111,7 @@ def q_transcripts_parse_errors(sf_dir: str):
                      "when": {"regexp": {"text": "^level="}}}},
     ]}
     pipe = Pipeline(spec)
-    ds = _rd().read_parquet(_tpath(sf_dir), columns=["conv_id", "turn_idx", "role", "text"])
+    ds = _read(_tpath(sf_dir), columns=["conv_id", "turn_idx", "role", "text"])
     out = pipe.apply(ds)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -120,7 +130,7 @@ def q_transcripts_route_counts(sf_dir: str):
     """Full parse -> route -> per-sink aggregate counts (the reference's
     per-sink pipeline counter expectation)."""
     pipe = Pipeline(flagship_spec())
-    ds = _rd().read_parquet(_tpath(sf_dir))
+    ds = _read(_tpath(sf_dir))
     routed = pipe.apply(ds)
     return counts_by(routed, ["sink"])
 
@@ -132,7 +142,7 @@ def q_transcripts_enrich(sf_dir: str):
         {"lookup": {"field": "tool", "table": TOOL_TABLE, "target_prefix": "tool"}},
     ]}
     pipe = Pipeline(spec)
-    ds = _rd().read_parquet(_tpath(sf_dir), columns=["tool"])
+    ds = _read(_tpath(sf_dir), columns=["tool"])
     out = pipe.apply(ds)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -155,7 +165,7 @@ def q_transcripts_fingerprint(sf_dir: str):
         {"fingerprint": {"fields": ["conv_id", "turn_idx"], "target_field": "fp"}},
     ]}
     pipe = Pipeline(spec)
-    ds = _rd().read_parquet(_tpath(sf_dir), columns=["conv_id", "turn_idx"])
+    ds = _read(_tpath(sf_dir), columns=["conv_id", "turn_idx"])
     return pipe.apply(ds)
 
 
@@ -166,7 +176,7 @@ def q_transcripts_sessionize(sf_dir: str):
     salted turn-range segments (skew-safe, fastest at sf0.1), sort-based
     block partials; all share this oracle."""
     from ..functions.sessionize import sessionize
-    ds = _rd().read_parquet(_tpath(sf_dir), columns=["conv_id", "turn_idx", "ts"])
+    ds = _read(_tpath(sf_dir), columns=["conv_id", "turn_idx", "ts"])
     # row-per-conversation output is proportional to input: return the
     # Dataset (stream to the consumer) instead of driver-materializing
     return sessionize(ds)
@@ -190,7 +200,7 @@ def q_events_route(sf_dir: str):
         ], "default": "activity", "target": "sink"},
     }
     pipe = Pipeline(spec)
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read(os.path.join(sf_dir, "events.parquet"),
                             columns=["event_type", "value", "props"])
     out = pipe.apply(ds)
 
@@ -211,7 +221,7 @@ def q_events_hourly(sf_dir: str):
     """Tumbling 1h window counts + cents sums per event_type (streaming-shaped
     workload expressed as partial agg + small groupby; ray_guide windows)."""
     from ray.data.aggregate import Sum
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read(os.path.join(sf_dir, "events.parquet"),
                             columns=["ts", "event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -231,7 +241,7 @@ def q_events_hourly(sf_dir: str):
 
 def q_events_sessionize(sf_dir: str):
     """Per-user session count (30 min inactivity gap)."""
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read(os.path.join(sf_dir, "events.parquet"),
                             columns=["user_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
@@ -249,7 +259,7 @@ def q_events_sessionize(sf_dir: str):
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-shaped pricing summary; money in integer cents."""
     from ray.data.aggregate import Sum
-    ds = _rd().read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+    ds = _read(os.path.join(sf_dir, "lineitem.parquet"),
                             columns=["l_returnflag", "l_linestatus", "l_quantity",
                                      "l_extendedprice", "l_discount", "l_shipdate"])
 
@@ -283,7 +293,7 @@ def q_orders_join(sf_dir: str):
     cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
                            columns=["c_custkey", "c_mktsegment"])
     seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
-    ds = _rd().read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    ds = _read(os.path.join(sf_dir, "orders.parquet"),
                             columns=["o_custkey", "o_totalprice"])
 
     class SegmentJoin:
@@ -307,7 +317,7 @@ def q_orders_join(sf_dir: str):
 def q_top_users(sf_dir: str):
     """Sort + limit: top 10 users by summed event value (cents)."""
     from ray.data.aggregate import Sum
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read(os.path.join(sf_dir, "events.parquet"),
                             columns=["user_id", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -330,7 +340,7 @@ def q_docs_stats(sf_dir: str):
     """Text analysis: per-language doc counts, token counts (single-space
     split to match SQL string_split), char sums."""
     from ray.data.aggregate import Sum
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read(os.path.join(sf_dir, "documents.parquet"),
                             columns=["lang", "text", "n_chars"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -351,7 +361,7 @@ def q_docs_dedup_exact(sf_dir: str):
     """Exact dedup: keep min(doc_id) per identical text (hash-partition +
     per-group first; ray_guide dedup pattern)."""
     from ray.data.aggregate import Min
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id", "text"])
 
     def hash_text(t: pa.Table) -> pa.Table:
@@ -377,7 +387,7 @@ def q_embeddings_knn(sf_dir: str):
                         filters=[("vec_id", "==", 0)])
     qvec = np.asarray(tbl.column("embedding")[0].as_py(), dtype=np.float64)
     qref = ray.put(qvec)
-    ds = _rd().read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    ds = _read(os.path.join(sf_dir, "embeddings.parquet"),
                             columns=["vec_id", "embedding"])
 
     class Cosine:
@@ -553,7 +563,7 @@ def q_docs_quality(sf_dir: str):
         {"quality_score": {"field": "text", "prefix": "q"}},
     ]}
     pipe = Pipeline(spec)
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read(os.path.join(sf_dir, "documents.parquet"),
                             columns=["lang", "text"])
     out = pipe.apply(ds)
 
@@ -581,7 +591,7 @@ def q_docs_lang_id(sf_dir: str):
     check; the n-gram scorer is not SQL-expressible)."""
     spec = {"processors": [{"lang_id": {"field": "text", "target": "lang_pred"}}]}
     pipe = Pipeline(spec)
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read(os.path.join(sf_dir, "documents.parquet"),
                             columns=["lang", "text"])
     out = pipe.apply(ds)
     return counts_by(out, ["lang", "lang_pred"])
@@ -591,7 +601,7 @@ def q_docs_fingerprint_rolling(sf_dir: str):
     """Rolling-hash doc fingerprints + distinct count (rows-only check)."""
     spec = {"processors": [{"doc_fingerprint": {"field": "text", "target": "doc_fp"}}]}
     pipe = Pipeline(spec)
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id", "text"])
     out = pipe.apply(ds)
     return out.select_columns(["doc_id", "doc_fp"])
@@ -604,7 +614,7 @@ def q_docs_dedup_minhash(sf_dir: str):
     approximate pipeline matches the exact oracle; production corpora with
     higher thresholds use fewer bands (see minhash_lsh_pairs docstring)."""
     from ..functions.dedup import minhash_lsh_pairs
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id", "text"])
     edges = minhash_lsh_pairs(ds, threshold=0.5, n_bands=64)
     # pairs only: the 32-bit-truncated shingle hashes can (rarely) perturb
@@ -615,7 +625,7 @@ def q_docs_dedup_minhash(sf_dir: str):
 def q_docs_dedup_simhash(sf_dir: str):
     """SimHash near-dup edges, hamming <= 3 (rows-only)."""
     from ..functions.dedup import simhash_dedup
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id", "text"])
     return simhash_dedup(ds)
 
@@ -624,7 +634,7 @@ def q_embeddings_near_dup(sf_dir: str):
     """Exact cosine near-dup pairs (cos >= 0.35, a < b) — oracle-checked
     against a DuckDB cross join."""
     from ..functions.dedup import embedding_near_dup
-    ds = _rd().read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    ds = _read(os.path.join(sf_dir, "embeddings.parquet"),
                             columns=["vec_id", "embedding"])
     return embedding_near_dup(ds, threshold=0.35)
 
@@ -638,7 +648,7 @@ def q_embeddings_knn_ivf(sf_dir: str):
                         columns=["vec_id", "embedding"],
                         filters=[("vec_id", "==", 0)])
     qvec = np.asarray(tbl.column("embedding")[0].as_py(), dtype=np.float64)
-    ds = _rd().read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    ds = _read(os.path.join(sf_dir, "embeddings.parquet"),
                             columns=["vec_id", "embedding"])
     # full probe (n_probe == n_centroids) == exact -> shares the brute-force
     # SQL oracle; the PRUNED scale path (n_probe < n_centroids, reads only
@@ -654,7 +664,7 @@ def q_multimodal_pipeline(sf_dir: str):
     meta_width x meta_height == octet_length(payload) - 4, resize/features
     output lengths are fixed by config)."""
     from ..functions.multimodal import synth_image_parquet
-    ds = _rd().read_parquet(synth_image_parquet())
+    ds = _read(synth_image_parquet())
     spec = {"processors": [
         {"image_decode": {"fake": True}},
         {"image_resize": {"width": 8, "height": 8}},
@@ -712,7 +722,7 @@ def q_transcripts_multiline(sf_dir: str):
     attach to the previous record) — grouped per-conversation fold, oracle
     = window-function grouping + string_agg."""
     from ..stages.flow import multiline_join
-    ds = _rd().read_parquet(_tpath(sf_dir),
+    ds = _read(_tpath(sf_dir),
                             columns=["conv_id", "turn_idx", "text"])
     out = multiline_join(ds, pattern="^level=", negate=True, match="after",
                          max_lines=10**6)
@@ -738,7 +748,7 @@ def process_batch(table, params):
 """
     spec = {"processors": [{"script": {"source": src}}]}
     pipe = Pipeline(spec)
-    ds = _rd().read_parquet(_tpath(sf_dir),
+    ds = _read(_tpath(sf_dir),
                             columns=["conv_id", "turn_idx", "role", "text"])
     out = pipe.apply(ds)
     return out.map_batches(
@@ -750,7 +760,7 @@ def q_transcripts_rate_limit(sf_dir: str):
     """Event-time token-bucket rate limit (6/m per conversation) -> surviving
     turn count per conv (rows-only: sequential fold isn't SQL-expressible)."""
     from ..stages.flow import rate_limit_groups
-    ds = _rd().read_parquet(_tpath(sf_dir),
+    ds = _read(_tpath(sf_dir),
                             columns=["conv_id", "turn_idx", "ts"])
     out = rate_limit_groups(ds, "6/m", ["conv_id"])
     return counts_by(out, ["conv_id"], "n_kept")
@@ -760,7 +770,7 @@ def q_events_partition(sf_dir: str):
     """Kafka-style FNV-32a hash partitioner -> rows per partition
     (rows-only; FNV isn't a DuckDB builtin)."""
     from ..sources.readers import partition_by_key
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read(os.path.join(sf_dir, "events.parquet"),
                             columns=["event_type", "user_id"])
     out = partition_by_key(ds, ["user_id"], 16)
     return counts_by(out, ["partition"])
@@ -802,7 +812,7 @@ def q_transcripts_sessionize_salted(sf_dir: str):
     turn-range segments -> mergeable partials -> per-conv merge.  Same
     oracle as transcripts_sessionize — the salting must be invisible."""
     from ..functions.sessionize import sessionize_salted
-    ds = _rd().read_parquet(_tpath(sf_dir), columns=["conv_id", "turn_idx", "ts"])
+    ds = _read(_tpath(sf_dir), columns=["conv_id", "turn_idx", "ts"])
     return sessionize_salted(ds, segment_turns=256)
 
 
@@ -823,7 +833,7 @@ def q_transcripts_correlate(sf_dir: str):
     (assistant turn immediately followed by a tool turn = one transaction);
     oracle = lead() window function."""
     from ..functions.correlate import correlate_transactions
-    ds = _rd().read_parquet(_tpath(sf_dir),
+    ds = _read(_tpath(sf_dir),
                             columns=["conv_id", "turn_idx", "role", "ts"])
     # transaction list is row-proportional: return the Dataset
     return correlate_transactions(ds)
@@ -850,7 +860,7 @@ def q_events_sliding_window(sf_dir: str):
     """Sliding 1h window, 15min hop: per-window counts + cents sums.  Events
     explode x4 inside map_batches (vectorized), then partial agg."""
     from ..functions.windows import sliding_window_explode
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read(os.path.join(sf_dir, "events.parquet"),
                             columns=["ts", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -874,9 +884,9 @@ def q_orders_lineitem_join(sf_dir: str):
     hash-bucket both sides, one shuffle, vectorized merge per bucket) ->
     revenue per order priority."""
     from ..functions.joins import bucketed_join
-    orders = _rd().read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = _read(os.path.join(sf_dir, "orders.parquet"),
                                 columns=["o_orderkey", "o_orderpriority"])
-    items = _rd().read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+    items = _read(os.path.join(sf_dir, "lineitem.parquet"),
                                columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -902,9 +912,9 @@ def q_orders_lineitem_join_native(sf_dir: str):
     — same oracle; proves parity between the explicit bucketed join and
     Ray's built-in."""
     from ..functions.joins import native_join
-    orders = _rd().read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = _read(os.path.join(sf_dir, "orders.parquet"),
                                 columns=["o_orderkey", "o_orderpriority"])
-    items = _rd().read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+    items = _read(os.path.join(sf_dir, "lineitem.parquet"),
                                columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -959,7 +969,7 @@ def q_transcripts_dedup_exact(sf_dir: str):
     (conv_id, turn_idx) per distinct text -> count distinct texts per role
     (oracle-checked).  Pattern: hash -> groupby -> first."""
     from ray.data.aggregate import Count
-    ds = _rd().read_parquet(_tpath(sf_dir), columns=["role", "text"])
+    ds = _read(_tpath(sf_dir), columns=["role", "text"])
 
     def hash_stage(t: pa.Table) -> pa.Table:
         import hashlib
@@ -979,7 +989,7 @@ def q_docs_dedup_clusters(sf_dir: str):
     the exact-Jaccard edge list (identity with driver union-find is also
     unit-tested)."""
     from ..functions.dedup import cc_label_propagation, minhash_lsh_pairs
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id", "text"])
     edges_tbl = minhash_lsh_pairs(ds, threshold=0.5, n_bands=64)
     if isinstance(edges_tbl, pa.Table):
@@ -1029,7 +1039,7 @@ def q_docs_redact(sf_dir: str):
     redacted text rows (oracle = chained regexp_replace 'g')."""
     spec = {"processors": [{"redact": {"fields": ["text"]}}]}
     pipe = Pipeline(spec)
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id", "text"])
     out = pipe.apply(ds)
     return out.map_batches(
@@ -1041,7 +1051,7 @@ def q_docs_redact(sf_dir: str):
 def q_docs_word_counts(sf_dir: str):
     """Corpus word counts, top 50 by (count desc, word asc) — the canonical
     n-gram/corpus-stats sweep: per-batch partial counts, tiny final merge."""
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read(os.path.join(sf_dir, "documents.parquet"),
                             columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1087,7 +1097,7 @@ def q_events_sample(sf_dir: str):
         {"sample": {"field": "event_id", "method": "modulo", "numer": 1, "denom": 10}},
     ]}
     pipe = Pipeline(spec)
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read(os.path.join(sf_dir, "events.parquet"),
                             columns=["event_id", "event_type", "value"])
     out = pipe.apply(ds)
     return out.map_batches(
@@ -1101,7 +1111,7 @@ def q_docs_stratified_sample(sf_dir: str):
     """Class-balanced subset: first 5 docs per language by doc_id
     (oracle = row_number window)."""
     from ..functions.sampling import stratified_sample
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id", "lang"])
     return stratified_sample(ds, "lang", "doc_id", 5)
 
@@ -1273,7 +1283,7 @@ def q_transcripts_routed_rows(sf_dir: str):
     every (conv_id, turn_idx) with its selected sink — oracle-checked
     against the CASE-expression equivalent of the selector rules."""
     pipe = Pipeline(flagship_spec())
-    ds = _rd().read_parquet(_tpath(sf_dir))
+    ds = _read(_tpath(sf_dir))
     routed = pipe.apply(ds)
     return routed.map_batches(
         lambda t: t.select(["conv_id", "turn_idx", "sink"]),
@@ -1304,7 +1314,7 @@ def q_transcripts_grok(sf_dir: str):
                   "ignore_failure": True}},
     ]}
     pipe = Pipeline(spec)
-    ds = _rd().read_parquet(_tpath(sf_dir), columns=["conv_id", "turn_idx", "text"])
+    ds = _read(_tpath(sf_dir), columns=["conv_id", "turn_idx", "text"])
     out = pipe.apply(ds)
     return out.map_batches(
         lambda t: t.filter(pc.is_valid(t["level"]))

@@ -35,10 +35,56 @@ def read_parquet_table(path, columns=None, **kw):
     return rd.read_parquet(path, columns=columns, **kw)
 
 
-def read_log_lines(paths, **kw):
+# Beats encoding names -> Python codecs (readfile/encoding/encoding.go:34-107).
+# 'plain'/'nop' pass bytes through untransformed -> latin-1 (byte-preserving);
+# the -bom utf-16 variants require a BOM, the plain ones consume one if
+# present (Python 'utf-16' auto-detects).
+_ENCODINGS = {
+    "": "utf-8", "nop": "latin-1", "plain": "latin-1",
+    "utf-8": "utf-8", "utf8": "utf-8", "unicode-1-1-utf-8": "utf-8",
+    "gbk": "gbk", "koi8r": "koi8_r", "koi8u": "koi8_u",
+    "macintosh": "mac_roman", "macintosh-cyrillic": "mac_cyrillic",
+    "utf-16-bom": "utf-16", "utf-16be-bom": "utf-16",
+    "utf-16le-bom": "utf-16", "utf-16be": "utf-16-be", "utf-16le": "utf-16-le",
+    **{f"iso8859-{i}": f"iso8859-{i}"
+       for i in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 13, 14, 15, 16)},
+    **{f"windows{i}": f"cp{i}"
+       for i in (874, 1250, 1251, 1252, 1253, 1254, 1255, 1256, 1257, 1258)},
+    **{f"cp{i}": f"cp{i}" for i in (437, 850, 852, 855, 858, 860, 862, 863,
+                                    865, 866)},
+}
+
+
+def resolve_encoding(name: str) -> str:
+    key = (name or "").lower()
+    if key not in _ENCODINGS:
+        raise ValueError(f"unknown encoding {name!r} "
+                         "(readfile/encoding/encoding.go:34)")
+    return _ENCODINGS[key]
+
+
+def _decode_blob(blob: bytes, codec: str) -> str:
+    # strip the BOM for explicit-endian utf-16 variants (Python keeps it)
+    if codec == "utf-16-le" and blob[:2] == b"\xff\xfe":
+        blob = blob[2:]
+    elif codec == "utf-16-be" and blob[:2] == b"\xfe\xff":
+        blob = blob[2:]
+    elif codec == "utf-8" and blob[:3] == b"\xef\xbb\xbf":
+        blob = blob[3:]
+    return blob.decode(codec, "replace")
+
+
+def read_log_lines(paths, encoding: str = "", **kw):
     """Text lines -> (text, log_file_path) rows (file-metadata annotator,
-    input.go:481)."""
+    input.go:481).  ``encoding`` takes the Beats name set
+    (readfile/encoding/encoding.go); non-UTF-8 charsets read each file as
+    one blob (charset decode needs byte-level framing, and a log file is
+    one harvester stream anyway)."""
     import ray.data as rd
+    codec = resolve_encoding(encoding)
+    if codec not in ("utf-8",):
+        return read_log_records(paths, encoding=encoding, **kw) \
+            .drop_columns(["log_offset"])
     ds = rd.read_text(paths, include_paths=True, **kw)
 
     def shape(t: pa.Table) -> pa.Table:
@@ -47,20 +93,23 @@ def read_log_lines(paths, **kw):
     return ds.map_batches(shape, batch_format="pyarrow")
 
 
-def read_log_records(paths, **kw):
+def read_log_records(paths, encoding: str = "", **kw):
     """Text lines with per-file line ordering -> (text, log_file_path,
     log_offset) rows.  One input file per row group via read_binary_files
     (the harvester reads a file as one ordered stream, input.go:481) — use
-    when a downstream operator is ordering-sensitive (multiline)."""
+    when a downstream operator is ordering-sensitive (multiline) or the
+    charset is not UTF-8 (``encoding``: Beats name set, BOM handled)."""
     import ray.data as rd
+    codec = resolve_encoding(encoding)
     ds = rd.read_binary_files(paths, include_paths=True, **kw)
 
     def split(t: pa.Table) -> pa.Table:
         texts, files, offs = [], [], []
         for path, blob in zip(t["path"].to_pylist(), t["bytes"].to_pylist()):
-            lines = blob.decode("utf-8", "replace").split("\n")
+            lines = _decode_blob(blob, codec).split("\n")
             if lines and lines[-1] == "":
                 lines.pop()
+            lines = [ln[:-1] if ln.endswith("\r") else ln for ln in lines]
             texts.extend(lines)
             files.extend([path] * len(lines))
             offs.extend(range(len(lines)))

@@ -359,4 +359,4 @@ class MultilineStage(Stage):
         out[self.field] = agg[self.field].agg("\n".join)
         out["n_lines"] = agg.size().astype(np.int32)
         out = out.reset_index(drop=True).drop(columns=["__grp"], errors="ignore")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
