@@ -121,3 +121,47 @@ def sessionize_salted(ds, key: str = "conv_id", order: str = "turn_idx",
                              "n_sessions": np.array([n], dtype=np.int64)})
 
     return partials.groupby(key).map_groups(merge, batch_format="pandas")
+
+
+def sessionize_salted_time(ds, key: str = "user_id", ts: str = "ts",
+                           gap_s: float = 1800.0, window_s: float = 86400.0):
+    """Time-window-salted session count for event streams WITHOUT an ordinal
+    column (order == event time): salt = floor(epoch / window_s), so a hot
+    key splits into contiguous TIME segments with the same mergeable
+    partials as ``sessionize_salted`` (segments are contiguous in ts by
+    construction).  Identity with ``sessionize(order=ts)`` is tested."""
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        epoch = pc.divide(pc.cast(t[ts], pa.int64()), 1_000_000)  # us -> s
+        salt = pc.cast(pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
+                                          float(window_s))), pa.int64())
+        return t.append_column("salt", salt)
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+
+    def segment_fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts)
+        gaps = g[ts].diff().dt.total_seconds()
+        n = int((gaps > gap_s).sum()) + 1
+        return pd.DataFrame({
+            key: np.array([g[key].iloc[0]]),
+            "salt": np.array([g["salt"].iloc[0]], dtype=np.int64),
+            "first_ts": [g[ts].iloc[0]],
+            "last_ts": [g[ts].iloc[-1]],
+            "n_sessions": np.array([n], dtype=np.int64),
+        })
+
+    partials = salted.groupby([key, "salt"]).map_groups(
+        segment_fold, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("salt")
+        n = int(g["n_sessions"].sum())
+        gaps = (g["first_ts"].iloc[1:].reset_index(drop=True)
+                - g["last_ts"].iloc[:-1].reset_index(drop=True)).dt.total_seconds()
+        n -= int((gaps <= gap_s).sum())
+        return pd.DataFrame({key: np.array([g[key].iloc[0]]),
+                             "n_sessions": np.array([n], dtype=np.int64)})
+
+    return partials.groupby(key).map_groups(merge, batch_format="pandas")

@@ -816,6 +816,29 @@ def q_transcripts_sessionize_salted(sf_dir: str):
     return sessionize_salted(ds, segment_turns=256)
 
 
+def q_events_sessionize_salted(sf_dir: str):
+    """Time-window-salted per-user session count (hot-user skew path for
+    streams with no ordinal column); same oracle as events_sessionize —
+    the salting must be invisible."""
+    from ..functions.sessionize import sessionize_salted_time
+    ds = _read(os.path.join(sf_dir, "events.parquet"),
+               columns=["user_id", "ts"])
+    return sessionize_salted_time(ds, key="user_id", ts="ts",
+                                  window_s=6 * 3600.0)
+
+
+QUERIES["events_sessionize_salted"] = q_events_sessionize_salted
+_EXTRA_ORACLES["events_sessionize_salted"] = """
+    WITH d AS (
+        SELECT user_id,
+               ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+        FROM events)
+    SELECT user_id,
+           (1 + count(*) FILTER (WHERE gap > INTERVAL 1800 SECOND))::BIGINT AS n_sessions
+    FROM d GROUP BY user_id
+"""
+
+
 QUERIES["transcripts_sessionize_salted"] = q_transcripts_sessionize_salted
 _EXTRA_ORACLES2["transcripts_sessionize_salted"] = """
     WITH d AS (

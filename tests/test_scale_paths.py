@@ -93,3 +93,24 @@ def test_minhash_edges_deduped_across_bands(ray_session, tmp_path):
     pairs = list(zip(edges["a"], edges["b"]))
     assert len(pairs) == len(set(pairs)) == 1
     assert pairs[0] == (0, 1)
+
+
+def test_sessionize_salted_time_identity(ray_session):
+    """Time-window salting is invisible: equals the direct per-key fold."""
+    import pandas as pd
+    import ray.data as rd
+    from beats_ray.functions.sessionize import sessionize, sessionize_salted_time
+    rng = np.random.default_rng(11)
+    n = 2000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 20, size=n),
+        "ts": pd.to_datetime(rng.integers(0, 5 * 86400, size=n), unit="s"),
+    })
+    ds = rd.from_pandas(df).repartition(6)
+    direct = sessionize(ds, key="user_id", order="ts", ts="ts") \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    salted = sessionize_salted_time(rd.from_pandas(df).repartition(6),
+                                    key="user_id", window_s=6 * 3600.0) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert direct["user_id"].tolist() == salted["user_id"].tolist()
+    assert direct["n_sessions"].tolist() == salted["n_sessions"].tolist()
