@@ -307,6 +307,8 @@ def parsers_to_processors(parsers: list[dict]) -> list[dict]:
             out.append({"syslog": p["syslog"] or {}})
         elif "container" in p:
             out.append({"container": p["container"] or {}})
+        elif "auditd" in p:
+            out.append({"auditd": p["auditd"] or {}})
         elif "multiline" in p:
             # grouped operator, not a row-local stage — handled by the
             # pipeline driver via flow.multiline_join

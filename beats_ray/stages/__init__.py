@@ -4,6 +4,7 @@ libbeat/processors/registry.go)."""
 
 from .base import FnStage, Stage, register, registered_stages, stage_factory  # noqa: F401
 from . import actions  # noqa: F401
+from . import auditd  # noqa: F401
 from . import cef  # noqa: F401
 from . import decode  # noqa: F401
 from . import dissect  # noqa: F401
