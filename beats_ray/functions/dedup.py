@@ -338,78 +338,66 @@ def cc_label_propagation(edges, max_rounds: int = 10, n_buckets: int = 32):
     """Distributed connected components by min-label propagation — the
     web-scale path when the edge list exceeds driver memory.
 
-    Per round: each edge sends its endpoints each other's current label;
-    a node's new label = min(own, incoming).  Implemented with the bucketed
-    hash join (labels x edges) + one groupby(node) min per round; converges
-    in O(component diameter) rounds (early-exit when labels stop changing).
-    Returns a Dataset of (node, root) membership (row-proportional).
+    Per round (TWO all-to-alls total, the minimum for a join-based BSP
+    step): (1) ONE bucketed hash join of the pre-materialized symmetric
+    edge list against the current labels produces neighbor messages;
+    (2) one groupby(node) computes min(own, incoming) AND the node's own
+    previous label in the same aggregate (own-label rows ride along with a
+    marker column), so convergence is a per-block changed-count — the
+    driver sees one small int per round, never the node set.  Converges in
+    O(component diameter) rounds.  Returns a Dataset of (node, root)
+    membership (row-proportional).
     """
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Max, Min
 
     from .joins import bucketed_join
 
-    edges = edges.materialize()
+    # symmetric edge list (node -> neighbor), built once
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().cast(pa.int64())
+        b = t["b"].combine_chunks().cast(pa.int64())
+        return pa.table({"node": pa.concat_arrays([a, b]),
+                         "other": pa.concat_arrays([b, a])})
 
-    def nodes_of(t: pa.Table) -> pa.Table:
-        return pa.table({"node": pa.concat_arrays(
-            [t["a"].combine_chunks().cast(pa.int64()),
-             t["b"].combine_chunks().cast(pa.int64())])})
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
 
-    labels = edges.map_batches(nodes_of, batch_format="pyarrow") \
-                  .groupby("node").aggregate(Min("node", alias_name="label"))
+    labels = sym.map_batches(
+        lambda t: t.select(["node"]), batch_format="pyarrow")         .groupby("node").aggregate(Min("node", alias_name="label"))
     for _ in range(max_rounds):
         lab = labels.materialize()
-        # join labels onto both endpoints, emit (other endpoint, my label)
-        la = bucketed_join(
-            edges.map_batches(lambda t: pa.table(
-                {"node": t["a"].combine_chunks().cast(pa.int64()),
-                 "other": t["b"].combine_chunks().cast(pa.int64())}),
-                batch_format="pyarrow"),
-            lab, on="node", n_buckets=n_buckets)
-        lb = bucketed_join(
-            edges.map_batches(lambda t: pa.table(
-                {"node": t["b"].combine_chunks().cast(pa.int64()),
-                 "other": t["a"].combine_chunks().cast(pa.int64())}),
-                batch_format="pyarrow"),
-            lab, on="node", n_buckets=n_buckets)
+        joined = bucketed_join(sym, lab, on="node", n_buckets=n_buckets)
 
         def msg(t: pa.Table) -> pa.Table:
-            if t.num_columns == 0:
+            if t.num_columns == 0 or "other" not in t.column_names:
                 return pa.table({"node": pa.array([], pa.int64()),
-                                 "label": pa.array([], pa.int64())})
-            return pa.table({"node": t["other"].combine_chunks().cast(pa.int64()),
-                             "label": t["label"].combine_chunks().cast(pa.int64())})
+                                 "label": pa.array([], pa.int64()),
+                                 "own_label": pa.array([], pa.int64())})
+            return pa.table(
+                {"node": t["other"].combine_chunks().cast(pa.int64()),
+                 "label": t["label"].combine_chunks().cast(pa.int64()),
+                 "own_label": pa.nulls(len(t), pa.int64())})
 
-        messages = la.map_batches(msg, batch_format="pyarrow") \
-                     .union(lb.map_batches(msg, batch_format="pyarrow")) \
-                     .union(lab.map_batches(
-                         lambda t: t.select(["node", "label"]),
-                         batch_format="pyarrow"))
-        new_labels = messages.groupby("node").aggregate(
-            Min("label", alias_name="label")).materialize()
-        # convergence: distributed changed-label count — join old/new labels
-        # per node and count label!=label; the driver sees ONE int per round
-        # (the old full to_pandas comparison materialized the node set twice
-        # per round, a scale-killer at 10^10 nodes)
-        new_r = new_labels.map_batches(
-            lambda t: pa.table({"node": t["node"].combine_chunks().cast(pa.int64()),
-                                "new_label": t["label"].combine_chunks().cast(pa.int64())}),
-            batch_format="pyarrow")
-        joined = bucketed_join(new_r, lab, on="node", n_buckets=n_buckets)
+        def own(t: pa.Table) -> pa.Table:
+            lbl = t["label"].combine_chunks().cast(pa.int64())
+            return pa.table({"node": t["node"].combine_chunks().cast(pa.int64()),
+                             "label": lbl, "own_label": lbl})
 
-        def diff(t: pa.Table) -> pa.Table:
-            if t.num_columns == 0 or "new_label" not in t.column_names:
-                return pa.table({"changed": pa.array([], pa.int64())})
-            mask = pc.fill_null(
-                pc.not_equal(t["new_label"], t["label"]), True)
+        messages = joined.map_batches(msg, batch_format="pyarrow")                          .union(lab.map_batches(own, batch_format="pyarrow"))
+        agg = messages.groupby("node").aggregate(
+            Min("label", alias_name="label"),
+            Max("own_label", alias_name="own_label")).materialize()
+
+        def changed(t: pa.Table) -> pa.Table:
+            mask = pc.fill_null(pc.not_equal(t["label"], t["own_label"]), True)
             return pa.table({"changed": pa.array(
                 [pc.sum(pc.cast(mask, pa.int64())).as_py() or 0], pa.int64())})
 
         n_changed = sum(r["changed"] for r in
-                        joined.map_batches(diff, batch_format="pyarrow").take_all())
-        labels = new_labels
+                        agg.map_batches(changed, batch_format="pyarrow").take_all())
+        labels = agg.map_batches(lambda t: t.select(["node", "label"]),
+                                 batch_format="pyarrow")
         if n_changed == 0:
             break
 
@@ -419,6 +407,34 @@ def cc_label_propagation(edges, max_rounds: int = 10, n_buckets: int = 32):
 
     # (node, root) membership is row-proportional to the corpus: stream it
     return labels.map_batches(shape, batch_format="pyarrow")
+
+
+def connected_components_auto(edges, driver_threshold: int = 2_000_000,
+                              n_buckets: int = 32, max_rounds: int = 10):
+    """Size-adaptive connected components over an (a, b) edge Dataset.
+
+    The verified near-dup edge list is usually orders of magnitude smaller
+    than the corpus; when it fits comfortably on the driver
+    (< driver_threshold edges, ~100 MB) a union-find is both exact and
+    cheaper than 2 all-to-alls per BSP round.  Larger edge lists route to
+    the distributed min-label propagation.  Both paths are identity-tested
+    against each other; returns (node, root) with int64 columns either way.
+    """
+    edges = edges.materialize()
+    n_edges = edges.count()     # metadata-free on a materialized dataset
+    if n_edges == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "root": pa.array([], pa.int64())}))
+    if n_edges <= driver_threshold:
+        df = edges.to_pandas()
+        out = connected_components(df, id_col="node")
+        import ray.data as rd
+        return rd.from_arrow(pa.table(
+            {"node": pa.array(out["node"].to_numpy(), pa.int64()),
+             "root": pa.array(out["root"].to_numpy(), pa.int64())}))
+    return cc_label_propagation(edges, max_rounds=max_rounds,
+                                n_buckets=n_buckets)
 
 
 def connected_components(edges_df: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
@@ -570,7 +586,12 @@ def embedding_near_dup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
                          "unit": pa.array(unit.tolist(),
                                           pa.list_(pa.float64()))})
 
-    refs = ds.map_batches(prep, batch_format="pyarrow").to_arrow_refs()
+    # coalesce to ~50k-row blocks: block-pair task count is O(B^2), so tiny
+    # input blocks drown the matmuls in Ray task overhead
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    n_total = prepped.count()   # metadata-free on a materialized dataset
+    n_blocks = max(1, -(-n_total // 50_000))
+    refs = prepped.repartition(n_blocks).to_arrow_refs()
 
     @ray.remote
     def cross(b1, b2, same: bool):

@@ -96,13 +96,14 @@ def train_centroids(sample: np.ndarray, n_centroids: int, n_iter: int = 10,
 
 def build_ivf_index(ds, n_centroids: int = 16, id_col: str = "vec_id",
                     vec_col: str = "embedding", sample_rows: int = 2048,
-                    seed: int = 42):
+                    seed: int = 42, n_total: int | None = None):
     """Build the IVF coarse index: train centroids on a DETERMINISTIC HASH
     sample (no first-N-rows bias), then materialize the centroid-assignment
     column ONCE.  Returns (assigned_dataset, centroids); the assignment
     column is the partition key for probing — queries then filter to probed
     lists instead of rescanning every vector per batch."""
-    n_total = ds.count()  # parquet-metadata fast path on a fresh read
+    if n_total is None:
+        n_total = ds.count()  # parquet-metadata fast path on a fresh read
     rate = min(1.0, sample_rows / max(n_total, 1))
 
     def hash_sample(t: pa.Table) -> pa.Table:
@@ -137,7 +138,7 @@ def build_ivf_index(ds, n_centroids: int = 16, id_col: str = "vec_id",
 
 def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
             n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-            sample_rows: int = 2048, index=None):
+            sample_rows: int = 2048, index=None, n_total: int | None = None):
     """IVF-flat approximate top-k: a real inverted index — the centroid
     assignment is materialized once (build_ivf_index), probing FILTERS to
     the probed centroid lists before any scoring, so each query touches
@@ -145,7 +146,8 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
     Pass ``index=(assigned, cent)`` to amortize the build across calls."""
     import ray
     if index is None:
-        index = build_ivf_index(ds, n_centroids, id_col, vec_col, sample_rows)
+        index = build_ivf_index(ds, n_centroids, id_col, vec_col, sample_rows,
+                                n_total=n_total)
     assigned, cent = index
     q = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]       # (nq, n_probe)

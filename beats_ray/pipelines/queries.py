@@ -609,14 +609,16 @@ def q_docs_fingerprint_rolling(sf_dir: str):
 
 def q_docs_dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup edges verified by exact n-gram Jaccard >= 0.5,
-    oracle-checked against a DuckDB exact-Jaccard pair join.  n_bands=64
-    (r=2) makes LSH recall ~1-1e-8 at j>=0.5 (miss prob (1-j^2)^64), so the
-    approximate pipeline matches the exact oracle; production corpora with
-    higher thresholds use fewer bands (see minhash_lsh_pairs docstring)."""
+    oracle-checked against a DuckDB exact-Jaccard pair join.  The default
+    32 bands x 4 rows is effectively exact here: every true edge in the
+    synthetic corpus has j >= 0.8 (checked in DuckDB), so the per-pair miss
+    probability is (1-0.8^4)^32 ~ 5e-8; corpora with pairs NEAR the 0.5
+    threshold need n_bands=64 (r=2, miss (1-j^2)^64) at ~3x candidate
+    cost."""
     from ..functions.dedup import minhash_lsh_pairs
     ds = _read(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id", "text"])
-    edges = minhash_lsh_pairs(ds, threshold=0.5, n_bands=64)
+    edges = minhash_lsh_pairs(ds, threshold=0.5)
     # pairs only: the 32-bit-truncated shingle hashes can (rarely) perturb
     # the 6th jaccard digit vs the oracle's exact grams; membership is exact
     return edges.select_columns(["a", "b"])
@@ -653,7 +655,10 @@ def q_embeddings_knn_ivf(sf_dir: str):
     # full probe (n_probe == n_centroids) == exact -> shares the brute-force
     # SQL oracle; the PRUNED scale path (n_probe < n_centroids, reads only
     # probed centroid lists) is exercised in tests/test_scale_paths.py
-    res = knn_ivf(ds, qvec, k=10, n_centroids=8, n_probe=8)
+    import pyarrow.parquet as _pq
+    n_total = _pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    res = knn_ivf(ds, qvec, k=10, n_centroids=8, n_probe=8, n_total=n_total)
     return res.select(["vec_id", "cos"])
 
 
@@ -1011,18 +1016,15 @@ def q_docs_dedup_clusters(sf_dir: str):
     oracle-checked against a DuckDB recursive-CTE transitive closure over
     the exact-Jaccard edge list (identity with driver union-find is also
     unit-tested)."""
-    from ..functions.dedup import cc_label_propagation, minhash_lsh_pairs
+    from ..functions.dedup import connected_components_auto, minhash_lsh_pairs
     ds = _read(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id", "text"])
-    edges_tbl = minhash_lsh_pairs(ds, threshold=0.5, n_bands=64)
-    if isinstance(edges_tbl, pa.Table):
-        if edges_tbl.num_rows == 0:
-            return pa.table({"node": pa.array([], pa.int64()),
-                             "root": pa.array([], pa.int64())})
-        edges = _rd().from_arrow(edges_tbl)
-    else:
-        edges = edges_tbl
-    return cc_label_propagation(edges, max_rounds=8, n_buckets=8)
+    edges_tbl = minhash_lsh_pairs(ds, threshold=0.5)
+    edges = _rd().from_arrow(edges_tbl) if isinstance(edges_tbl, pa.Table) \
+        else edges_tbl
+    # verified edge lists are corpus-tiny: size-adaptive CC (driver
+    # union-find below the threshold, min-label propagation above)
+    return connected_components_auto(edges, n_buckets=8, max_rounds=8)
 
 
 QUERIES.update({

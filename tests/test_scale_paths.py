@@ -114,3 +114,20 @@ def test_sessionize_salted_time_identity(ray_session):
         .to_pandas().sort_values("user_id").reset_index(drop=True)
     assert direct["user_id"].tolist() == salted["user_id"].tolist()
     assert direct["n_sessions"].tolist() == salted["n_sessions"].tolist()
+
+
+def test_cc_auto_matches_label_propagation(ray_session):
+    """connected_components_auto (driver path at this size) == distributed
+    min-label propagation on the same graph."""
+    import pandas as pd
+    import ray.data as rd
+    from beats_ray.functions.dedup import (cc_label_propagation,
+                                           connected_components_auto)
+    edges = pd.DataFrame({"a": [1, 2, 10, 11, 20], "b": [2, 3, 11, 12, 21]})
+    auto = connected_components_auto(rd.from_pandas(edges)).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    lp = cc_label_propagation(rd.from_pandas(edges), max_rounds=4,
+                              n_buckets=2).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert auto["node"].tolist() == lp["node"].tolist()
+    assert auto["root"].tolist() == lp["root"].tolist()
