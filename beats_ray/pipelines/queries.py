@@ -36,13 +36,23 @@ def _rd():
 
 
 def _read(path, **kw):
-    """read_parquet + strip schema metadata: the testdata files carry
-    b'pandas' schema metadata, which makes pa.Schema unhashable and defeats
-    Ray's schema dedup (the 'Failed to hash the schemas' warnings); the
-    strip is zero-copy and fuses with the next map stage."""
-    ds = _rd().read_parquet(path, **kw)
-    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
-                          batch_format="pyarrow", zero_copy_batch=True)
+    """read_parquet with schema metadata stripped AT THE READ: the testdata
+    files carry b'pandas' schema metadata, which makes pa.Schema unhashable
+    and defeats Ray's schema dedup (the 'Failed to hash the schemas'
+    warnings).  Passing an explicit metadata-free schema costs zero extra
+    operators (an earlier strip-map doubled block traffic through the
+    object store).  Directory inputs (generated transcripts) are written
+    metadata-free already."""
+    if "schema" not in kw and isinstance(path, str) and path.endswith(".parquet"):
+        import pyarrow.parquet as pq
+        sch = pq.read_schema(path)
+        if sch.metadata:
+            sch = sch.remove_metadata()
+            cols = kw.get("columns")
+            if cols:
+                sch = pa.schema([sch.field(c) for c in cols])
+            kw["schema"] = sch
+    return _rd().read_parquet(path, **kw)
 
 
 def _cents(col):
@@ -828,8 +838,11 @@ def q_events_sessionize_salted(sf_dir: str):
     from ..functions.sessionize import sessionize_salted_time
     ds = _read(os.path.join(sf_dir, "events.parquet"),
                columns=["user_id", "ts"])
+    # window sizing: segments per key = span/window; too-small windows
+    # explode the (key, salt) group count and per-group Python overhead
+    # dominates (measured: 6 h windows -> 180k groups -> 31 s at sf0.1)
     return sessionize_salted_time(ds, key="user_id", ts="ts",
-                                  window_s=6 * 3600.0)
+                                  window_s=7 * 86400.0)
 
 
 QUERIES["events_sessionize_salted"] = q_events_sessionize_salted
