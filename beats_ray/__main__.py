@@ -40,6 +40,12 @@ def build_pipeline_from_config(cfg: dict):
     ``pre_transforms`` are Dataset-level grouped operators (currently the
     multiline parser — an ordering-sensitive per-file fold that a row-local
     processor chain cannot express) applied before the per-record pipeline.
+
+    Partitioning assumption (resumable parquet inputs): the multiline group
+    key (``conv_col``, default conv_id / log_file_path) must not span
+    ``files_per_partition`` boundaries — the grouped fold runs per resume
+    partition, like the reference's per-file reader state.  Log inputs
+    satisfy this by construction (one file = one stream).
     """
     from .pipeline import Pipeline
     from .sources.readers import parsers_to_processors

@@ -63,11 +63,6 @@ def _cents(col):
 
 
 
-def _as_table(ds) -> pa.Table:
-    """Materialize a small map_groups result to pyarrow (map_groups can emit
-    zero-column empty blocks that not every Dataset consumer tolerates)."""
-    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
-
 def _tpath(sf_dir: str) -> str:
     return transcripts_path(sf_dir)
 

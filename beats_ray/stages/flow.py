@@ -265,7 +265,15 @@ def multiline_join(ds, pattern: str | None = None, conv_col: str = "conv_id",
     while grouping still counts them (messageBuffer processedLines).
 
     Ordering-sensitive, stateful per conversation -> sort within conv +
-    grouped fold (the reference holds the same state per file)."""
+    grouped fold (the reference holds the same state per file).
+
+    Timeout analogue: the reference's ``multiline.timeout`` flushes a
+    pending message when the SOURCE goes quiet (wall clock between reads,
+    timeout.go).  A batch engine sees the whole bounded input, so there is
+    no "no more data yet" state — every group flushes at end-of-input,
+    which is exactly the timeout's terminal behavior.  For event-time
+    flushing semantics (split a message at a quiet gap), use
+    ``flush_pattern`` or sessionize on the ts column instead."""
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_col, kind="mergesort").reset_index(drop=True)
         txt = g[text_col].fillna("")

@@ -143,3 +143,40 @@ def test_cli_multiline_end_to_end(ray_session, tmp_path, ml_cfg, lines, want_msg
     texts = sorted(tbl.column("text").to_pylist())
     assert texts == sorted(want_msgs)
     assert set(tbl.column("env").to_pylist()) == {"test"}
+
+
+def test_cli_auditd_parser_end_to_end(ray_session, tmp_path):
+    """filebeat.yml with the auditd parser runs via the CLI front door."""
+    import glob
+    import json as _json
+
+    import yaml
+    from beats_ray.__main__ import cmd_run
+
+    logf = tmp_path / "audit.log"
+    logf.write_text(
+        "type=SYSCALL msg=audit(1492752520.441:8832): arch=c000003e "
+        'syscall=43 success=yes exit=5 comm="sshd"\n'
+        "type=SERVICE_START msg=audit(1594053514.709:6): pid=1 uid=0 "
+        "msg='unit=auditd res=success'\n")
+    out_dir = tmp_path / "out"
+    cfg = {"input": {"type": "log", "paths": [str(logf)],
+                     "parsers": [{"auditd": {"field": "text"}}]},
+           "output": {"path": str(out_dir), "default_sink": "default"}}
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    class A:
+        config = str(cfg_path)
+        resume = False
+
+    assert cmd_run(A()) == 0
+    files = glob.glob(str(out_dir / "sink=default" / "*.parquet"))
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    types = sorted(tbl.column("auditd_record_type").to_pylist())
+    assert types == ["SERVICE_START", "SYSCALL"]
+    recs = {r: _json.loads(m) for r, m in
+            zip(tbl.column("auditd_record_type").to_pylist(),
+                tbl.column("auditd_log").to_pylist())}
+    assert recs["SYSCALL"]["syscall"] == "accept"
+    assert recs["SERVICE_START"]["result"] == "success"
