@@ -148,7 +148,17 @@ class ScriptStage(Stage):
                if r is not None]
         if not out:
             return batch.slice(0, 0)
-        return pa.Table.from_pylist(out)
+        # from_pylist infers the schema from the FIRST row only — fields a
+        # later event adds would silently vanish; normalize to the key union
+        keys: list[str] = []
+        seen: set[str] = set()
+        for r in out:
+            for k in r:
+                if k not in seen:
+                    seen.add(k)
+                    keys.append(k)
+        norm = [{k: r.get(k) for k in keys} for r in out]
+        return pa.Table.from_pylist(norm)
 
 
 @register("dns")

@@ -127,6 +127,7 @@ class GrokStage(Stage):
 
     def process(self, batch):
         col = batch.column(field_to_column(self.field))
+        input_null = pc.is_null(col)
         col = pc.fill_null(pc.cast(col, pa.large_string()), "")
         n = len(batch)
         remaining = pa.array([True] * n, pa.bool_())
@@ -168,8 +169,16 @@ class GrokStage(Stage):
             matched_any = pc.or_(matched_any, ok)
             remaining = pc.and_(remaining, pc.invert(ok))
         for name, vals in out_cols.items():
+            if name in batch.column_names:
+                # null-input rows are SKIPPED events (ignore_missing /
+                # processor no-op): their pre-existing values survive; a
+                # wholesale overwrite clobbered earlier stages' captures
+                old = batch.column(name)
+                if old.type != vals.type:
+                    old = pc.cast(old, vals.type, safe=False)
+                vals = pc.if_else(input_null, old, vals)
             batch = set_column(batch, name, vals)
-        failed = pc.invert(matched_any)
+        failed = pc.and_(pc.invert(matched_any), pc.invert(input_null))
         if (pc.sum(failed).as_py() or 0) > 0:
             batch = add_flag(batch, failed, "_grok_parse_failure")
             if not self.ignore_failure:

@@ -94,7 +94,22 @@ class TimestampStage(Stage):
             else:
                 s = col if (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)) \
                     else pc.cast(col, pa.string())
-                parsed = pc.strptime(s, format=layout, unit="us", error_is_null=True)
+                if "%f" in layout:
+                    # Arrow strptime lacks %f: parse the fraction-stripped
+                    # base, then re-add microseconds from the string (same
+                    # approach as the ISO8601 branch, for ANY layout)
+                    base = layout.replace(".%f", "").replace("%f", "")
+                    nofrac = pc.replace_substring_regex(s, r"[.,]\d+", "")
+                    parsed = pc.strptime(nofrac, format=base, unit="us",
+                                         error_is_null=True)
+                    fr = pc.extract_regex(s, r"[.,](?P<f>\d{1,6})")
+                    digits = pc.utf8_rpad(pc.struct_field(fr, "f"), 6, padding="0")
+                    us = pc.cast(pc.fill_null(digits, "0"), pa.int64(), safe=False)
+                    parsed = pc.add(parsed,
+                                    pc.cast(pc.fill_null(us, 0), pa.duration("us")))
+                else:
+                    parsed = pc.strptime(s, format=layout, unit="us",
+                                         error_is_null=True)
                 if getattr(parsed.type, "tz", None):
                     # %z layouts parse to tz-aware UTC; normalize to the
                     # engine's tz-naive-UTC convention (same instant)

@@ -605,3 +605,231 @@ def test_elasticsearch_server_json_golden(ray_session):
             assert iso == exp["@timestamp"], (iso, exp["@timestamp"])
             ts_checked += 1
     assert ts_checked >= 50
+
+
+MONGODB_LOG = "/root/reference/filebeat/module/mongodb/log/test/mongodb-debian-3.2.11.log"
+
+
+@pytest.mark.skipif(not os.path.exists(MONGODB_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_mongodb_log_module_golden():
+    """mongodb/log plaintext fileset (12th module golden): grok with the
+    MONGO3_* custom patterns + ISO8601-with-offset timestamp + conditional
+    event.type appends, matching
+    filebeat/module/mongodb/log/ingest/pipeline-plaintext.yml on the
+    parse-owned keys for the whole 37-line corpus."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(MONGODB_LOG).read().splitlines() if ln.strip()]
+    # when-gated column-adding stages run via the filter+concat fallback,
+    # which scrambles row order — carry an ordinal and sort the output
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [
+            r"%{TIMESTAMP_ISO8601:mongodb.log.timestamp}%{SPACE}"
+            r"%{MONGO3_SEVERITY:log.level}%{SPACE}"
+            r"%{MONGO3_COMPONENT:mongodb.log.component}%{SPACE}"
+            r"(?:\[%{DATA:mongodb.log.context}\])?%{SPACE}"
+            r"%{GREEDYDATA:message}"],
+            "pattern_definitions": {"MONGO3_SEVERITY": r"\w",
+                                    "MONGO3_COMPONENT": r"%{WORD}"}}},
+        {"timestamp": {"field": "mongodb.log.timestamp", "layouts": ["ISO8601"],
+                       "target_field": "@timestamp"}},
+        {"drop_fields": {"fields": ["mongodb.log.timestamp"]}},
+        {"add_tags": {"tags": ["access"], "target": "event.type",
+                      "when": {"equals": {"mongodb.log.component": "ACCESS"}}}},
+        {"add_tags": {"tags": ["change"], "target": "event.type",
+                      "when": {"equals": {"mongodb.log.component": "WRITE"}}}},
+        {"add_tags": {"tags": ["info"], "target": "event.type",
+                      "when": {"not": {"or": [
+                          {"equals": {"mongodb.log.component": "WRITE"}},
+                          {"equals": {"mongodb.log.component": "ACCESS"}}]}}}},
+        {"add_tags": {"tags": ["error"], "target": "event.type",
+                      "when": {"or": [{"equals": {"log.level": "F"}},
+                                      {"equals": {"log.level": "E"}}]}}},
+        {"add_tags": {"tags": ["database"], "target": "event.category"}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "mongodb",
+            "event.dataset": "mongodb.log", "fileset.name": "log",
+            "input.type": "log", "service.type": "mongodb"}}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(MONGODB_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key == "@timestamp":
+                iso = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{got['ts'].microsecond // 1000:03d}Z"
+                assert iso == want, ("@timestamp", iso, want)
+            elif key == "log.offset":
+                continue  # harness-added, outside the parse chain
+            elif key in ("event.type", "event.category"):
+                # the golden harness stores these lists sorted
+                assert sorted(got[key.replace(".", "_")]) == sorted(want), \
+                    (key, got.get(key.replace(".", "_")), want)
+            else:
+                col = key.replace(".", "_")
+                assert str(got.get(col)) == str(want), (key, got.get(col), want)
+
+
+ICINGA_LOG = "/root/reference/filebeat/module/icinga/debug/test/test.log"
+
+
+@pytest.mark.skipif(not os.path.exists(ICINGA_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_icinga_debug_module_golden():
+    """icinga/debug fileset (13th module golden): custom-TIMESTAMP grok +
+    'yyyy-MM-dd HH:mm:ss Z' date + error/info level classification
+    (filebeat/module/icinga/debug/ingest/pipeline.yml)."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(ICINGA_LOG).read().splitlines() if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [
+            r"\[%{TIMESTAMP:icinga.debug.timestamp}\] "
+            r"%{WORD:log.level}/%{WORD:icinga.debug.facility}: "
+            r"%{GREEDYDATA:message}"],
+            "pattern_definitions": {
+                "TIMESTAMP": r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY} "
+                             r"%{HOUR}:%{MINUTE}:%{SECOND} %{ISO8601_TIMEZONE}"}}},
+        {"timestamp": {"field": "icinga.debug.timestamp",
+                       "layouts": ["%Y-%m-%d %H:%M:%S %z"],
+                       "target_field": "@timestamp"}},
+        {"drop_fields": {"fields": ["icinga.debug.timestamp"]}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "icinga",
+            "event.dataset": "icinga.debug", "fileset.name": "debug",
+            "input.type": "log", "service.type": "icinga"}}},
+        {"script": {"source": (
+            "def process(event, params):\n"
+            "    lvl = event.get('log_level')\n"
+            "    if lvl is not None:\n"
+            "        event['event_type'] = 'error' "
+            "if lvl in ('warning', 'critical') else 'info'\n"
+            "    return event\n")}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(ICINGA_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key == "@timestamp":
+                iso = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{got['ts'].microsecond // 1000:03d}Z"
+                want_norm = want if "." in want else \
+                    want.replace("Z", ".000Z")
+                assert iso == want_norm, ("@timestamp", iso, want)
+            elif key == "log.offset":
+                continue
+            else:
+                col = key.replace(".", "_")
+                assert str(got.get(col)) == str(want), (key, got.get(col), want)
+
+
+NATS_LOG = "/root/reference/filebeat/module/nats/log/test/test.log"
+
+
+@pytest.mark.skipif(not os.path.exists(NATS_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_nats_log_module_golden():
+    """nats/log fileset (14th module golden): three chained groks with
+    custom pattern definitions, lookup-style remaps (level / msg type /
+    direction) and conditional event.type/related.ip — matching
+    filebeat/module/nats/log/ingest/pipeline.yml on the whole 18-line
+    corpus."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(NATS_LOG).read().splitlines() if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    natsdefs = {
+        "NATSTIME": r"%{YEAR}/%{MONTHNUM}/%{MONTHDAY} %{TIME}",
+        "NATSLOGLEVEL": r"(?:INF|DBG|WRN|ERR|FTL|TRC)",
+        "NATSDIRECTION": r"(?:<<-|->>)",
+        "NATSMSG": "MSG", "NATSPUB": "PUB", "NATSSUB": "SUB",
+        "NATSUNSUB": "UNSUB", "NATSPAYLOAD": "MSG_PAYLOAD",
+        "NATSERROR": "-ERROR", "NATSPING": "PING", "NATSPONG": "PONG",
+        "NATSOK": "OK", "NATSCONNECT": "CONNECT", "NATSINFO": "INFO",
+        "NATSCONNECTION": r"(?:%{NATSCONNECT}|%{NATSINFO})",
+        "NATSNOINFO": r"(?:%{NATSPING}|%{NATSPONG}|%{NATSOK})",
+    }
+    remap = (
+        "def process(event, params):\n"
+        "    lv = {'INF': 'info', 'DBG': 'debug', 'WRN': 'warning',\n"
+        "          'ERR': 'error', 'FTL': 'fatal', 'TRC': 'trace'}\n"
+        "    mt = {'MSG': 'message', 'PUB': 'publish', 'SUB': 'subscribe',\n"
+        "          'UNSUB': 'unsubscribe', 'MSG_PAYLOAD': 'payload',\n"
+        "          '-ERROR': 'error', 'PING': 'ping', 'PONG': 'pong',\n"
+        "          'OK': 'acknowledge', 'CONNECT': 'connection',\n"
+        "          'INFO': 'information'}\n"
+        "    dr = {'<<-': 'inbound', '->>': 'outbound'}\n"
+        "    if event.get('log_level') in lv:\n"
+        "        event['log_level'] = lv[event['log_level']]\n"
+        "    if event.get('nats_log_msg_type') in mt:\n"
+        "        event['nats_log_msg_type'] = mt[event['nats_log_msg_type']]\n"
+        "    if event.get('network_direction') in dr:\n"
+        "        event['network_direction'] = dr[event['network_direction']]\n"
+        "    event['event_type'] = ['info', 'error'] \\\n"
+        "        if event['log_level'] in ('error', 'fatal') else ['info']\n"
+        "    if event.get('client_ip'):\n"
+        "        event['related_ip'] = [event['client_ip']]\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [
+            r"\[%{POSINT:process.pid}\](?: %{NATSTIME:nats.log.timestamp})? "
+            r"\[%{NATSLOGLEVEL:log.level}\] %{GREEDYDATA:nats.log.info}"],
+            "pattern_definitions": natsdefs}},
+        {"grok": {"field": "nats.log.info", "patterns": [
+            r"%{IPV4:client.ip}:%{POSINT:client.port} - "
+            r"cid:%{POSINT:nats.log.client.id} - %{GREEDYDATA:nats.log.msg.info}",
+            r"%{GREEDYDATA:nats.log.msg.data}"],
+            "pattern_definitions": natsdefs, "ignore_missing": True}},
+        {"grok": {"field": "nats.log.msg.info", "patterns": [
+            r"%{NATSDIRECTION:network.direction} %{NATSPAYLOAD:nats.log.msg.type}: \[%{GREEDYDATA:nats.log.msg.payload}\]",
+            r"%{NATSDIRECTION:network.direction} \[%{NATSNOINFO:nats.log.msg.type}\]",
+            r"%{NATSDIRECTION:network.direction} \[%{NATSUNSUB:nats.log.msg.type}\s+%{POSINT:nats.log.msg.sid}(?:\s+%{POSINT:nats.log.msg.max_messages})?\]",
+            r"%{NATSDIRECTION:network.direction} \[%{NATSPUB:nats.log.msg.type}\s+%{NOTSPACE:nats.log.msg.subject}(?:\s+%{NOTSPACE:nats.log.msg.reply_to})?\s+%{POSINT:nats.log.msg.bytes}\]",
+            r"%{NATSDIRECTION:network.direction} \[%{NATSSUB:nats.log.msg.type}\s+%{NOTSPACE:nats.log.msg.subject}(?:\s+%{NOTSPACE:nats.log.msg.queue_group})?\s+%{POSINT:nats.log.msg.sid}\]",
+            r"%{NATSDIRECTION:network.direction} \[%{NATSMSG:nats.log.msg.type}\s+%{NOTSPACE:nats.log.msg.subject}\s+%{POSINT:nats.log.msg.sid}(?:\s+%{NOTSPACE:nats.log.msg.reply_to})?\s+%{POSINT:nats.log.msg.bytes}\]",
+            r"%{NATSDIRECTION:network.direction} \[%{NATSCONNECTION:nats.log.msg.type}\s+%{GREEDYDATA:nats.log.msg.data}\]",
+            r"%{GREEDYDATA:nats.log.msg.data}"],
+            "pattern_definitions": natsdefs, "ignore_missing": True}},
+        {"drop_fields": {"fields": ["nats.log.info", "nats.log.msg.info",
+                                    "nats.log.msg.payload", "message"],
+                         "ignore_missing": True}},
+        {"rename": {"fields": [{"from": "nats.log.msg.data", "to": "message"}],
+                    "ignore_missing": True, "fail_on_error": False}},
+        {"timestamp": {"field": "nats.log.timestamp",
+                       "layouts": ["%Y/%m/%d %H:%M:%S.%f"],
+                       "target_field": "@timestamp"}},
+        {"drop_fields": {"fields": ["nats.log.timestamp"]}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "nats",
+            "event.dataset": "nats.log", "fileset.name": "log",
+            "input.type": "log", "service.type": "nats"}}},
+        {"script": {"source": remap}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(NATS_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key == "@timestamp":
+                iso = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{got['ts'].microsecond // 1000:03d}Z"
+                assert iso == want, ("@timestamp", iso, want)
+            elif key == "log.offset":
+                continue
+            elif key in ("event.type", "related.ip"):
+                assert got.get(key.replace(".", "_")) == want, (key, got, want)
+            else:
+                col = key.replace(".", "_")
+                assert str(got.get(col)) == str(want), (key, got.get(col), want)
