@@ -131,6 +131,17 @@ class ScriptStage(Stage):
     def setup(self):
         if self._batch_fn or self._row_fn:
             return
+        lang = self.config.get("lang", "").lower()
+        if lang == "javascript" or (not lang and
+                                    re.search(r"function\s+process\s*\(",
+                                              self.source)):
+            # reference-compatible JS sources (script/processor.go:35): run
+            # through the mini-JS interpreter (supported subset documented
+            # in stages/minijs.py; unsupported constructs fail at compile)
+            from .minijs import compile_js
+            js_fn = compile_js(self.source)
+            self._row_fn = lambda event, params, _f=js_fn: _f(event)
+            return
         ns: dict = {"pa": pa, "pd": pd, "np": np}
         exec(compile(self.source, "<script-processor>", "exec"), ns)
         self._batch_fn = ns.get("process_batch")

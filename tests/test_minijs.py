@@ -1,0 +1,153 @@
+"""Mini-JS interpreter for Beats script processors — cases mirror the
+reference's beatevent_v0_test.go / javascript_test.go event-API tests."""
+
+import pyarrow as pa
+import pytest
+
+from beats_ray.stages.base import stage_factory
+from beats_ray.stages.minijs import JSUnsupported, compile_js
+
+
+def run_js(src, row):
+    fn = compile_js(src)
+    return fn(dict(row))
+
+
+# ---- event API vectors (beatevent_v0_test.go) -------------------------
+
+def test_put():
+    out = run_js('function process(evt) { evt.Put("hello", "world"); }', {})
+    assert out == {"hello": "world"}
+
+
+def test_object_put_key():
+    out = run_js('function process(evt) { evt.fields["hello"] = "world"; }', {})
+    assert out == {"hello": "world"}
+
+
+def test_put_dotted_path_maps_to_column():
+    out = run_js('function process(evt) { evt.Put("a.b", 1); }', {})
+    assert out == {"a_b": 1}
+
+
+def test_get():
+    out = run_js('function process(evt) { evt.Put("copy", evt.Get("src")); }',
+                 {"src": 42})
+    assert out["copy"] == 42
+
+
+def test_get_missing_is_null():
+    out = run_js('function process(evt) {'
+                 ' if (evt.Get("nope") === null) { evt.Put("missing", true); } }',
+                 {})
+    assert out["missing"] is True
+
+
+def test_rename():
+    out = run_js('function process(evt) { evt.Rename("a", "b"); }', {"a": 7})
+    assert out == {"b": 7}
+
+
+def test_delete():
+    out = run_js('function process(evt) { evt.Delete("a"); }', {"a": 7, "b": 1})
+    assert out == {"b": 1}
+
+
+def test_cancel_drops_event():
+    out = run_js('function process(evt) { evt.Cancel(); }', {"a": 1})
+    assert out is None
+
+
+def test_tag():
+    out = run_js('function process(evt) { evt.Tag("t1"); evt.Tag("t1"); '
+                 'evt.Tag("t2"); }', {})
+    assert out["tags"] == ["t1", "t2"]
+
+
+def test_append_to():
+    out = run_js('function process(evt) { evt.AppendTo("xs", "a"); '
+                 'evt.AppendTo("xs", "b"); }', {})
+    assert out["xs"] == ["a", "b"]
+
+
+# ---- language subset --------------------------------------------------
+
+def test_var_if_else_and_ops():
+    src = """
+    function process(event) {
+        var lvl = event.Get("level");
+        if (lvl === "ERR" || lvl === "FTL") {
+            event.Put("severity", "high");
+        } else if (lvl == "WRN") {
+            event.Put("severity", "medium");
+        } else {
+            event.Put("severity", "low");
+        }
+        event.Put("code", 10 + 2 * 3);
+        return event;
+    }
+    """
+    assert run_js(src, {"level": "ERR"})["severity"] == "high"
+    assert run_js(src, {"level": "WRN"})["severity"] == "medium"
+    assert run_js(src, {"level": "INF"})["severity"] == "low"
+    assert run_js(src, {})["code"] == 16
+
+
+def test_string_methods_and_concat():
+    src = """
+    function process(e) {
+        var msg = e.Get("message");
+        e.Put("upper", msg.toUpperCase());
+        e.Put("head", msg.split(" ")[0]);
+        e.Put("label", "msg=" + msg);
+        e.Put("is_err", msg.startsWith("ERROR"));
+    }
+    """
+    out = run_js(src, {"message": "ERROR disk full"})
+    assert out["upper"] == "ERROR DISK FULL"
+    assert out["head"] == "ERROR"
+    assert out["label"] == "msg=ERROR disk full"
+    assert out["is_err"] is True
+
+
+def test_ternary_and_not():
+    src = ('function process(e) { e.Put("x", '
+           '!e.Get("flag") ? "off" : "on"); }')
+    assert run_js(src, {"flag": True})["x"] == "on"
+    assert run_js(src, {"flag": None})["x"] == "off"
+
+
+def test_unsupported_constructs_fail_at_compile():
+    with pytest.raises(JSUnsupported):
+        compile_js('function process(e) { for (var i = 0; i < 3; i++) {} }')
+    with pytest.raises(JSUnsupported):
+        compile_js('function process(e) { while (true) {} }')
+
+
+# ---- stage integration ------------------------------------------------
+
+def test_script_stage_runs_js_source():
+    batch = pa.table({"level": ["ERR", "INF"], "n": [1, 2]})
+    src = """
+    function process(event) {
+        if (event.Get("level") === "INF") {
+            event.Cancel();
+        }
+        event.Put("flagged", true);
+        return event;
+    }
+    """
+    st = stage_factory("script")({"source": src})
+    st.setup()
+    out = st.apply(batch)
+    assert out.column("level").to_pylist() == ["ERR"]
+    assert out.column("flagged").to_pylist() == [True]
+
+
+def test_script_stage_explicit_lang():
+    batch = pa.table({"a": [1]})
+    st = stage_factory("script")({
+        "lang": "javascript",
+        "source": 'function process(e) { e.Put("b", e.Get("a") + 1); }'})
+    st.setup()
+    assert st.apply(batch).column("b").to_pylist() == [2]
