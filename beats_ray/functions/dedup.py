@@ -23,6 +23,13 @@ Embedding:       cosine >= t near-dups; exact O(n^2) within blocks for the
                  path (documented recall characteristics).
 
 Determinism: all hash seeds are fixed constants; no PYTHONHASHSEED exposure.
+
+Composition order for copy-heavy corpora (measured, scripts/scale_probe.py
+--dup): run EXACT dedup first and minhash only the unique survivors.  With
+K exact copies per document, every LSH bucket of duplicated content is hot
+in ALL bands and candidate verification degenerates toward all-pairs within
+each clique — exact dedup removes the cliques for the price of one cheap
+hash groupby.
 """
 
 from __future__ import annotations
