@@ -147,6 +147,28 @@ def minhash_signature(shingle_hashes: set[int], a: np.ndarray, b: np.ndarray) ->
     return mat.min(axis=1)
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """murmur3 64-bit finalizer (vectorized, wrapping uint64 arithmetic)."""
+    x = x.copy()
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def _band_keys(sig: np.ndarray, n_bands: int, r: int) -> np.ndarray:
+    """One 64-bit bucket key per band: order-sensitive xor-mix chain over
+    the band's r minhashes — replaces n_bands blake2b hexdigest calls per
+    document with ~4 vectorized ops (collision prob ~2^-64 per bucket)."""
+    m = sig[:n_bands * r].reshape(n_bands, r).astype(np.uint64)
+    acc = np.full(n_bands, np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+    for j in range(r):
+        acc = _mix64(acc ^ m[:, j])
+    return acc
+
+
 def simhash64(tokens: list[str], memo: dict | None = None) -> int:
     """Charikar simhash over token 64-bit hashes — vectorized: one (n x 64)
     bit matrix per document; word hashes memoized across a batch."""
@@ -205,26 +227,44 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def sig_stage(t: pa.Table) -> pa.Table:
         memo: dict = {}          # word-hash memo shared across the batch
-        ids, bands, bhashes, shs = [], [], [], []
+        ids_list, band_hashes, sh_arrays = [], [], []
         for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
             if txt is None:
                 continue
             sh = _shingle_hash_array(txt, shingle_k, memo)
             sig = minhash_signature(sh, a_seed, b_seed)
-            sh32 = (sh & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-            for b in range(n_bands):
-                band = sig[b * rows_per_band:(b + 1) * rows_per_band]
-                bh = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
-                ids.append(did)
-                bands.append(b)
-                bhashes.append(bh)
-                shs.append(sh32)
+            ids_list.append(did)
+            band_hashes.append(_band_keys(sig, n_bands, rows_per_band))
+            sh_arrays.append((sh & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        n = len(ids_list)
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int32()),
+                             "bh": pa.array([], pa.uint64()),
+                             "sh": pa.array([], pa.list_(pa.uint32()))})
         # band rows carry the compact shingle-hash SET, not the document —
-        # the shuffle moves signatures, never text (scale-critical)
-        return pa.table({id_col: pa.array(ids), "band": pa.array(bands, pa.int32()),
-                         "bh": pa.array(bhashes, pa.string()),
-                         "sh": pa.array([s.tolist() for s in shs],
-                                        pa.list_(pa.uint32()))})
+        # the shuffle moves signatures, never text (scale-critical).  The
+        # per-doc duplication across bands is ONE numpy tile per doc + a
+        # single ListArray build (the old per-row .tolist() materialized
+        # 32x the shingles as Python ints), and band keys are a vectorized
+        # numpy mix instead of n_bands blake2b calls per doc.
+        ids = np.repeat(np.asarray(ids_list, dtype=np.int64), n_bands)
+        bands = np.tile(np.arange(n_bands, dtype=np.int32), n)
+        bh = np.concatenate(band_hashes)                 # (n * n_bands,)
+        lens = np.fromiter((len(s) for s in sh_arrays), dtype=np.int64, count=n)
+        values = np.concatenate(
+            [np.tile(s, n_bands) for s in sh_arrays]) if n else \
+            np.empty(0, np.uint32)
+        row_lens = np.repeat(lens, n_bands)
+        offsets = np.empty(n * n_bands + 1, dtype=np.int32)
+        offsets[0] = 0
+        np.cumsum(row_lens, out=offsets[1:])
+        sh_col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                          pa.array(values, pa.uint32()))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "band": pa.array(bands, pa.int32()),
+                         "bh": pa.array(bh, pa.uint64()),
+                         "sh": sh_col})
 
     # signatures are consumed twice (bucket census + verify): pin them once
     # rather than recompute the minhash pass
