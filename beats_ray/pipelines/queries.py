@@ -693,8 +693,46 @@ def q_multimodal_pipeline(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_embeddings_knn_ivf_pruned(sf_dir: str):
+    """IVF with REAL pruning (n_probe=2 of 8 centroid lists scanned) —
+    rows-only: an approximate result has no SQL oracle; recall vs brute and
+    the pruning itself are asserted in tests/test_scale_paths.py.  This is
+    the query shape a 100 TB ANN deployment runs; embeddings_knn_ivf keeps
+    the full-probe variant for the exact DuckDB oracle."""
+    import pyarrow.parquet as pq
+    from ..functions.similarity import knn_ivf
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "==", 0)])
+    qvec = np.asarray(tbl.column("embedding")[0].as_py(), dtype=np.float64)
+    ds = _read(path, columns=["vec_id", "embedding"])
+    n_total = pq.ParquetFile(path).metadata.num_rows
+    res = knn_ivf(ds, qvec, k=10, n_centroids=8, n_probe=2, n_total=n_total)
+    return res.select(["vec_id", "cos"])
+
+
+def q_embeddings_near_dup_lsh(sf_dir: str):
+    """Random-hyperplane LSH near-dup pairs — the sub-quadratic scale path
+    (rows-only: approximate recall; the exact block-pair variant is the
+    oracle-checked query).  Bucketed verify + distributed table dedup.
+
+    Recall math (collision prob per table = (1 - theta/pi)^planes): this
+    synthetic set's near-dup threshold is unusually LOW (cos 0.35, because
+    max pairwise cos ~ 0.51), where hyperplane LSH is inherently weak —
+    4 planes x 24 tables gives ~0.975 recall here and ~1.0 for cos >= 0.6.
+    Real near-dup deployments (cos >= 0.9: collision 0.71/table) reach
+    recall ~1.0 with far fewer tables; at genuinely low thresholds LSH
+    cannot beat the exact block-pair path (bucket sizes approach n)."""
+    from ..functions.dedup import embedding_near_dup_lsh
+    ds = _read(os.path.join(sf_dir, "embeddings.parquet"),
+               columns=["vec_id", "embedding"])
+    return embedding_near_dup_lsh(ds, threshold=0.35, n_planes=4, n_tables=24)
+
+
 QUERIES.update({
     "docs_quality": q_docs_quality,
+    "embeddings_knn_ivf_pruned": q_embeddings_knn_ivf_pruned,
+    "embeddings_near_dup_lsh": q_embeddings_near_dup_lsh,
     "docs_lang_id": q_docs_lang_id,
     "docs_fingerprint_rolling": q_docs_fingerprint_rolling,
     "docs_dedup_minhash": q_docs_dedup_minhash,
