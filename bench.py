@@ -67,12 +67,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         for name, fn in QUERIES.items():
             best = float("inf")
             try:
-                for _ in range(max(reps, 1)):
+                for rep in range(max(reps, 1)):
                     t0 = time.perf_counter()
                     out = fn(sf_dir)
                     if hasattr(out, "to_pandas"):
                         out.to_pandas()
                     best = min(best, time.perf_counter() - t0)
+                    if best > 3.0:
+                        break   # slow queries: variance is proportionally
+                                # small; don't double total bench time
                 queries[name] = round(best, 3)
             except Exception as ex:  # pragma: no cover
                 queries[name] = f"ERROR: {ex!r}"
