@@ -61,7 +61,7 @@ def build_pipeline_from_config(cfg: dict):
                               "log_file_path" if is_log else "conv_id")
             order_col = mc.pop("order_col",
                                "log_offset" if is_log else "turn_idx")
-            field = mc.pop("field", "text")
+            field = mc.pop("field", "message" if is_log else "text")
             mode = mc.pop("type", "pattern")
             count_lines = int(mc.pop("count_lines", 1))
             max_lines = mc.pop("max_lines", None)

@@ -88,7 +88,8 @@ def read_log_lines(paths, encoding: str = "", **kw):
     ds = rd.read_text(paths, include_paths=True, **kw)
 
     def shape(t: pa.Table) -> pa.Table:
-        return pa.table({"text": t["text"],
+        # Beats-canonical line column name (input.go fills "message")
+        return pa.table({"message": t["text"],
                          "log_file_path": t["path"]})
     return ds.map_batches(shape, batch_format="pyarrow")
 
@@ -113,7 +114,7 @@ def read_log_records(paths, encoding: str = "", **kw):
             texts.extend(lines)
             files.extend([path] * len(lines))
             offs.extend(range(len(lines)))
-        return pa.table({"text": pa.array(texts, pa.string()),
+        return pa.table({"message": pa.array(texts, pa.string()),
                          "log_file_path": pa.array(files, pa.string()),
                          "log_offset": pa.array(offs, pa.int64())})
 

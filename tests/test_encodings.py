@@ -20,7 +20,7 @@ def _read(ray_session, tmp_path, raw: bytes, encoding: str, name="f.log"):
     p = tmp_path / name
     p.write_bytes(raw)
     out = read_log_records([str(p)], encoding=encoding).to_pandas()
-    return out.sort_values("log_offset")["text"].tolist()
+    return out.sort_values("log_offset")["message"].tolist()
 
 
 def test_latin1_golden(ray_session, tmp_path):

@@ -34,9 +34,9 @@ def test_log_files_match_parquet_path(ray_session):
 
     spec = {"processors": [
         {"dissect": {"tokenizer": 'level=%{level} ts=%{ts} caller=%{caller} msg="%{msg}"',
-                     "field": "text", "target_prefix": "log",
+                     "field": "message", "target_prefix": "log",
                      "ignore_failure": True,
-                     "when": {"regexp": {"text": "^level="}}}},
+                     "when": {"regexp": {"message": "^level="}}}},
     ]}
 
     # path 1: harvested files
@@ -44,11 +44,14 @@ def test_log_files_match_parquet_path(ray_session):
     out_files = Pipeline(spec).apply(ds_files).to_pandas()
     assert set(out_files["log_file_path"].str.split("/").str[-1]) == {"a.log", "b.log"}
 
-    # path 2: the parquet table
-    out_tbl = Pipeline(spec).run_local(tbl).to_pandas()
+    # path 2: the parquet table (line column renamed to the readers'
+    # Beats-canonical "message")
+    tbl2 = tbl.rename_columns(
+        ["message" if c == "text" else c for c in tbl.column_names])
+    out_tbl = Pipeline(spec).run_local(tbl2).to_pandas()
 
     # identical parse results (order-insensitive)
-    key = ["text", "log_level", "log_caller", "log_msg"]
+    key = ["message", "log_level", "log_caller", "log_msg"]
     a = out_files[key].fillna("").sort_values(key).reset_index(drop=True)
     b = out_tbl[key].fillna("").sort_values(key).reset_index(drop=True)
     assert a.equals(b)

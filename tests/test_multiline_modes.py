@@ -140,7 +140,7 @@ def test_cli_multiline_end_to_end(ray_session, tmp_path, ml_cfg, lines, want_msg
     files = glob.glob(str(out_dir / "sink=default" / "*.parquet"))
     assert files
     tbl = pa.concat_tables([pq.read_table(f) for f in files])
-    texts = sorted(tbl.column("text").to_pylist())
+    texts = sorted(tbl.column("message").to_pylist())
     assert texts == sorted(want_msgs)
     assert set(tbl.column("env").to_pylist()) == {"test"}
 
@@ -161,7 +161,7 @@ def test_cli_auditd_parser_end_to_end(ray_session, tmp_path):
         "msg='unit=auditd res=success'\n")
     out_dir = tmp_path / "out"
     cfg = {"input": {"type": "log", "paths": [str(logf)],
-                     "parsers": [{"auditd": {"field": "text"}}]},
+                     "parsers": [{"auditd": {}}]},
            "output": {"path": str(out_dir), "default_sink": "default"}}
     cfg_path = tmp_path / "cfg.yml"
     cfg_path.write_text(yaml.safe_dump(cfg))
@@ -180,3 +180,43 @@ def test_cli_auditd_parser_end_to_end(ray_session, tmp_path):
                 tbl.column("auditd_log").to_pylist())}
     assert recs["SYSCALL"]["syscall"] == "accept"
     assert recs["SERVICE_START"]["result"] == "success"
+
+
+def test_example_configs_compile_and_run(ray_session, tmp_path):
+    """Every committed examples/*.yml compiles through the CLI front door
+    and runs end-to-end on a tiny synthetic input."""
+    import glob as _glob
+
+    import yaml
+    from beats_ray.__main__ import build_pipeline_from_config, cmd_run
+
+    samples = {
+        "syslog-to-routed-parquet.yml":
+            "<34>Oct 11 22:14:15 myhost su[230]: auth failure\n",
+        "java-stacktraces-multiline.yml":
+            "2024-06-01T10:00:00Z ERROR com.app.Main - boom\n"
+            "    at com.app.Main.run(Main.java:10)\n"
+            "Caused by: java.io.IOException\n",
+        "auditd-parquet.yml":
+            "type=SYSCALL msg=audit(1492752520.441:8832): arch=c000003e "
+            'syscall=59 success=yes exit=0 comm="bash"\n',
+    }
+    for name, sample in samples.items():
+        cfg = yaml.safe_load(open(f"examples/{name}"))
+        # compile check (the front-door failure mode round 1 had)
+        build_pipeline_from_config(cfg)
+        # run on a synthetic file
+        logf = tmp_path / (name + ".log")
+        logf.write_text(sample)
+        out_dir = tmp_path / (name + ".out")
+        cfg["input"]["paths"] = [str(logf)]
+        cfg["output"]["path"] = str(out_dir)
+        cfg_path = tmp_path / (name + ".cfg.yml")
+        cfg_path.write_text(yaml.safe_dump(cfg))
+
+        class A:
+            config = str(cfg_path)
+            resume = False
+
+        assert cmd_run(A()) == 0, name
+        assert _glob.glob(str(out_dir / "sink=*" / "*.parquet")), name

@@ -833,3 +833,108 @@ def test_nats_log_module_golden():
             else:
                 col = key.replace(".", "_")
                 assert str(got.get(col)) == str(want), (key, got.get(col), want)
+
+
+SANTA_LOG = "/root/reference/filebeat/module/santa/log/test/santa.log"
+
+
+@pytest.mark.skipif(not os.path.exists(SANTA_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_santa_log_module_golden():
+    """santa/log fileset (15th module golden): two-pattern grok with the
+    NOT_SEPARATOR custom class, args split + ECS assembly
+    (filebeat/module/santa/log/ingest/pipeline.yml), whole 10-line corpus."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(SANTA_LOG).read().splitlines() if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    defs = {"NOT_SEPARATOR": r"[^\|]+"}
+    assemble = (
+        "def process(event, params):\n"
+        "    start = event.get('process_start')\n"
+        "    tsv = event.pop('timestamp', None)\n"
+        "    val = start or tsv\n"
+        "    if val:\n"
+        "        event['ts'] = pd.Timestamp(val.rstrip('Z')).to_pydatetime()\n"
+        "    act = event.get('santa_action')\n"
+        "    if act is not None:\n"
+        "        event['event_action'] = act.lower()\n"
+        "        if act == 'EXEC':\n"
+        "            event['event_category'] = ['process']\n"
+        "            event['event_type'] = ['start']\n"
+        "    dec = event.get('santa_decision')\n"
+        "    if dec == 'ALLOW':\n"
+        "        event['event_outcome'] = 'success'\n"
+        "    elif dec == 'DENY':\n"
+        "        event['event_outcome'] = 'failure'\n"
+        "    args = [event['process_executable']] \\\n"
+        "        if event.get('process_executable') else []\n"
+        "    sa = event.pop('santa_args', None)\n"
+        "    if sa:\n"
+        "        args += sa.split(' ')\n"
+        "    if args:\n"
+        "        event['process_args'] = args\n"
+        "    if event.get('user_name'):\n"
+        "        event['related_user'] = [event['user_name']]\n"
+        "    rh = []\n"
+        "    if event.get('santa_certificate_sha256'):\n"
+        "        rh.append(event['santa_certificate_sha256'])\n"
+        "    if event.get('process_hash_sha256'):\n"
+        "        rh.append(event['process_hash_sha256'])\n"
+        "    if rh:\n"
+        "        event['related_hash'] = rh\n"
+        "    if event.get('santa_certificate_common_name'):\n"
+        "        event['file_x509_issuer_common_name'] = \\\n"
+        "            event['santa_certificate_common_name']\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [
+            r"\[%{TIMESTAMP_ISO8601:process.start}\] %{NOT_SEPARATOR:log.level} santad: "
+            r"action=%{NOT_SEPARATOR:santa.action}\|decision=%{NOT_SEPARATOR:santa.decision}"
+            r"\|reason=%{NOT_SEPARATOR:santa.reason}\|sha256=%{NOT_SEPARATOR:process.hash.sha256}"
+            r"\|path=%{NOT_SEPARATOR:process.executable}(?:\|args=%{NOT_SEPARATOR:santa.args})?"
+            r"(?:\|cert_sha256=%{NOT_SEPARATOR:santa.certificate.sha256})?"
+            r"(?:\|cert_cn=%{NOT_SEPARATOR:santa.certificate.common_name})?"
+            r"\|pid=%{NUMBER:process.pid:long}\|ppid=%{NUMBER:process.parent.pid:long}"
+            r"\|uid=%{NUMBER:user.id}\|user=%{NOT_SEPARATOR:user.name}"
+            r"\|gid=%{NUMBER:group.id}\|group=%{NOT_SEPARATOR:group.name}"
+            r"\|mode=%{WORD:santa.mode}",
+            r"\[%{TIMESTAMP_ISO8601:timestamp}\] %{NOT_SEPARATOR:log.level} santad: "
+            r"action=%{NOT_SEPARATOR:santa.action}\|mount=%{NOT_SEPARATOR:santa.disk.mount}?"
+            r"\|volume=%{NOT_SEPARATOR:santa.disk.volume}?\|bsdname=%{NOT_SEPARATOR:santa.disk.bsdname}?"
+            r"\|fs=%{NOT_SEPARATOR:santa.disk.fs}?\|model=%{NOT_SEPARATOR:santa.disk.model}?"
+            r"\|serial=%{NOT_SEPARATOR:santa.disk.serial}?\|bus=%{NOT_SEPARATOR:santa.disk.bus}?"
+            r"\|dmgpath=%{NOT_SEPARATOR:santa.disk.dmgpath}?"],
+            "pattern_definitions": defs}},
+        {"rename": {"fields": [{"from": "message", "to": "event.original"}],
+                    "fail_on_error": False}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "santa",
+            "event.dataset": "santa.log", "fileset.name": "log",
+            "input.type": "log", "service.type": "santa"}}},
+        {"script": {"source": assemble}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(SANTA_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key == "@timestamp":
+                iso = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{got['ts'].microsecond // 1000:03d}Z"
+                assert iso == want, ("@timestamp", iso, want)
+            elif key == "log.offset":
+                continue
+            elif key == "process.start":
+                assert got.get("process_start") == want
+            elif key in ("event.category", "event.type", "related.user",
+                         "related.hash"):
+                assert sorted(got.get(key.replace(".", "_")) or []) == \
+                    sorted(want), (key, got.get(key.replace(".", "_")), want)
+            elif key == "process.args":
+                assert got.get("process_args") == want, (key, got, want)
+            else:
+                col = key.replace(".", "_")
+                assert str(got.get(col)) == str(want), (key, got.get(col), want)
