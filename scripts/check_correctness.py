@@ -50,7 +50,19 @@ def main():
     import __ray_entry__ as e
 
     qs = e.queries()
-    oracles = e.oracle_sql()
+    if "sf0.01" in sf_dir:
+        oracles = e.oracle_sql()   # the driver-contract path, verbatim
+    else:
+        # oracle_sql() pins the driver's sf0.01 transcripts; rebuild the
+        # map against the requested scale's generated transcript files
+        import os as _os
+
+        from beats_ray.functions.multimodal import synth_image_parquet
+        from beats_ray.pipelines.queries import oracle_sql_map
+        from beats_ray.sources.transcripts import transcripts_path
+        synth_image_parquet()
+        tdir = transcripts_path(_os.path.basename(sf_dir.rstrip("/")))
+        oracles = oracle_sql_map(_os.path.join(tdir, "*.parquet"))
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
