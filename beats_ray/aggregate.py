@@ -12,6 +12,13 @@ libbeat/publisher/pipeline/monitoring.go:73-113).
 
 High-cardinality aggregates (per-conversation, per-document) must keep using
 ``ds.groupby(...)`` — the real shuffle.
+
+Time-bucketed keys (events_hourly's hour x type) sit in between: total key
+cardinality grows with the time span, but partial-row volume is
+``sum over blocks of (keys PRESENT in block)`` — and a block covers a
+narrow time slice, so partials stay ~ O(#blocks x keys-per-block), small
+even at 10^12 rows.  If blocks are NOT time-clustered (shuffled input),
+switch those to ``ds.groupby`` too.
 """
 
 from __future__ import annotations

@@ -938,3 +938,52 @@ def test_santa_log_module_golden():
             else:
                 col = key.replace(".", "_")
                 assert str(got.get(col)) == str(want), (key, got.get(col), want)
+
+
+KIBANA_LOG = "/root/reference/filebeat/module/kibana/audit/test/test-audit-711.log"
+
+
+@pytest.mark.skipif(not os.path.exists(KIBANA_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_kibana_audit_module_golden():
+    """kibana/audit ECS-JSON fileset (16th module golden): whole-line JSON
+    decode merged to root + related.user append + @timestamp passthrough
+    with offset preserved (filebeat/module/kibana/audit/ingest/
+    pipeline-json.yml)."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(KIBANA_LOG).read().splitlines() if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    spec = {"processors": [
+        {"decode_json_fields": {"fields": ["message"], "target": "",
+                                "overwrite_keys": True, "max_depth": 8}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "kibana",
+            "event.dataset": "kibana.audit", "fileset.name": "audit",
+            "input.type": "log", "service.type": "kibana",
+            "event.timezone": "-02:00"}}},
+        {"script": {"source": (
+            "def process(event, params):\n"
+            "    if event.get('user_name'):\n"
+            "        event['related_user'] = [event['user_name']]\n"
+            "    return event\n")}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(KIBANA_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key == "log.offset":
+                continue
+            col = key.replace(".", "_") if key != "@timestamp" else "ts"
+            got_v = got.get(col)
+            if isinstance(want, list):
+                if isinstance(got_v, str) and got_v.startswith("["):
+                    got_v = json.loads(got_v)  # engine stores nested JSON
+                                               # arrays as JSON strings
+                assert sorted(map(str, got_v or [])) == sorted(map(str, want)), \
+                    (key, got_v, want)
+            else:
+                assert str(got_v) == str(want), (key, got_v, want)
