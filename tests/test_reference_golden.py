@@ -987,3 +987,94 @@ def test_kibana_audit_module_golden():
                     (key, got_v, want)
             else:
                 assert str(got_v) == str(want), (key, got_v, want)
+
+
+LOGSTASH_LOG = "/root/reference/filebeat/module/logstash/log/test/logstash-json.log"
+
+
+@pytest.mark.skipif(not os.path.exists(LOGSTASH_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_logstash_json_module_golden():
+    """logstash/log JSON fileset (17th module golden): JSON decode under a
+    prefix, UNIX_MS @timestamp, nested logEvent renames and error/info
+    classification (filebeat/module/logstash/log/ingest/pipeline-json.yml)."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(LOGSTASH_LOG).read().splitlines() if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    reshape = (
+        "def jbucket(k):\n"
+        "    # java.util.HashMap iteration order: String.hashCode ->\n"
+        "    # HashMap.hash -> bucket index (capacity 16 for small maps)\n"
+        "    h = 0\n"
+        "    for c in k:\n"
+        "        h = (31 * h + ord(c)) & 0xFFFFFFFF\n"
+        "    return (h ^ (h >> 16)) & 15\n"
+        "def java_str(v):\n"
+        "    # painless item.toString(): java HashMap/ArrayList rendering\n"
+        "    if isinstance(v, dict):\n"
+        "        ks = sorted(v, key=lambda k: jbucket(k))\n"
+        "        return '{' + ', '.join(f'{k}={java_str(v[k])}'\n"
+        "                               for k in ks) + '}'\n"
+        "    if isinstance(v, list):\n"
+        "        return '[' + ', '.join(java_str(x) for x in v) + ']'\n"
+        "    if v is True: return 'true'\n"
+        "    if v is False: return 'false'\n"
+        "    if v is None: return 'null'\n"
+        "    return str(v)\n"
+        "def process(event, params):\n"
+        "    import json as _j\n"
+        "    out = {'line_no': event['line_no']}\n"
+        "    raw = _j.loads(event['message'])\n"
+        "    for k, v in event.items():\n"
+        "        if v is None or k in ('message', 'line_no'):\n"
+        "            continue\n"
+        "        k = k.replace('logstash_log_logEvent_',\n"
+        "                      'logstash_log_log_event_')\n"
+        "        k = k.replace('logstash_log_loggerName', 'logstash_log_module')\n"
+        "        if k == 'logstash_log_level':\n"
+        "            k = 'log_level'\n"
+        "        out[k] = v\n"
+        "    out['message'] = out.pop('logstash_log_log_event_message', None)\n"
+        "    out.pop('logstash_log_timeMillis', None)\n"
+        "    lvl = out.get('log_level')\n"
+        "    out['event_type'] = 'error' if lvl in ('ERROR', 'FATAL') else 'info'\n"
+        "    act = raw.get('logEvent', {}).get('action')\n"
+        "    if isinstance(act, list):\n"
+        "        # insertion order from the ORIGINAL json (the engine's\n"
+        "        # stored nested-JSON string is key-sorted)\n"
+        "        out['logstash_log_log_event_action'] = \\\n"
+        "            [java_str(x) for x in act]\n"
+        "    return out\n")
+    spec = {"processors": [
+        {"decode_json_fields": {"fields": ["message"],
+                                "target": "logstash.log", "max_depth": 2}},
+        {"timestamp": {"field": "logstash.log.timeMillis",
+                       "layouts": ["UNIX_MS"], "target_field": "@timestamp"}},
+        {"script": {"source": reshape}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "logstash",
+            "event.dataset": "logstash.log", "fileset.name": "log",
+            "input.type": "log", "service.type": "logstash"}}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(LOGSTASH_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key == "log.offset":
+                continue
+            if key == "@timestamp":
+                iso = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{got['ts'].microsecond // 1000:03d}Z"
+                assert iso == want, ("@timestamp", iso, want)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, (list, dict)):
+                if isinstance(got_v, str):
+                    got_v = json.loads(got_v)
+                assert got_v == want, (key, got_v, want)
+            else:
+                assert str(got_v) == str(want), (key, got_v, want)
