@@ -169,9 +169,19 @@ def _band_keys(sig: np.ndarray, n_bands: int, r: int) -> np.ndarray:
     return acc
 
 
+def _fnv1a64(s: str) -> int:
+    """FNV-1a 64 of the utf-8 bytes — chosen for simhash token hashing
+    because it is restatable in the DuckDB oracle as a recursive CTE
+    (blake2b is not SQL-expressible)."""
+    h = 14695981039346656037
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def simhash64(tokens: list[str], memo: dict | None = None) -> int:
-    """Charikar simhash over token 64-bit hashes — vectorized: one (n x 64)
-    bit matrix per document; word hashes memoized across a batch."""
+    """Charikar simhash over token 64-bit FNV-1a hashes — vectorized: one
+    (n x 64) bit matrix per document; word hashes memoized across a batch."""
     if not tokens:
         return 0
     if memo is None:
@@ -180,7 +190,7 @@ def simhash64(tokens: list[str], memo: dict | None = None) -> int:
     for i, t in enumerate(tokens):
         h = memo.get(t)
         if h is None:
-            h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            h = _fnv1a64(t)
             memo[t] = h
         wh[i] = h
     bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
@@ -520,8 +530,7 @@ def simhash64_batch(texts: list[str | None]) -> np.ndarray:
     codes, uniques = pd.factorize(pd.Series(flat, dtype=object))
     uh = np.empty(len(uniques), dtype=np.uint64)
     for i, w in enumerate(uniques):
-        uh[i] = int.from_bytes(
-            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        uh[i] = _fnv1a64(w)
     wh_all = uh[codes]
     nonempty = np.where(lens > 0)[0]
     starts = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])

@@ -630,7 +630,11 @@ def q_docs_dedup_minhash(sf_dir: str):
 
 
 def q_docs_dedup_simhash(sf_dir: str):
-    """SimHash near-dup edges, hamming <= 3 (rows-only)."""
+    """SimHash near-dup edges, hamming <= 3 — EXACT despite the banded
+    blocking (pigeonhole: 3 bit flips across 4 bands leave >= 1 band
+    identical), so it carries a full DuckDB oracle: FNV-1a token hashes
+    restated as a recursive CTE, per-bit majority vote, pair join with
+    bit_count on the xor."""
     from ..functions.dedup import simhash_dedup
     ds = _read(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id", "text"])
@@ -1200,6 +1204,41 @@ _EXTRA_ORACLES["multimodal_pipeline"] = """
            64::BIGINT AS n_resized,
            18::BIGINT AS n_features
     FROM read_parquet('/tmp/beats_ray_data/multimodal_synth.parquet')
+"""
+
+_EXTRA_ORACLES["docs_dedup_simhash"] = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, t.i AS tok_idx, ws[t.i] AS tok
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+             unnest(range(1, len(ws) + 1)) AS t(i)),
+    th AS (
+        SELECT doc_id, tok_idx, tok, 0 AS i,
+               14695981039346656037::UBIGINT AS h
+        FROM toks
+        UNION ALL
+        SELECT doc_id, tok_idx, tok, i + 1,
+               ((xor(h, ord(substr(tok, i + 1, 1))::UBIGINT)::HUGEINT
+                 * 1099511628211) % 18446744073709551616)::UBIGINT
+        FROM th WHERE i < length(tok)),
+    tok_hash AS (
+        SELECT doc_id, tok_idx, h FROM th WHERE i = length(tok)),
+    bits AS (
+        SELECT doc_id, b.b AS bit,
+               sum(((h >> b.b) & 1)::BIGINT) AS ones, count(*) AS n
+        FROM tok_hash, unnest(range(0, 64)) AS b(b)
+        GROUP BY doc_id, b.b),
+    sig AS (
+        SELECT doc_id,
+               sum(CASE WHEN ones * 2 > n
+                        THEN (1::UBIGINT << bit) ELSE 0 END)::UBIGINT AS s
+        FROM bits GROUP BY doc_id)
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           bit_count(xor(x.s, y.s))::BIGINT AS hamming
+    FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.s, y.s)) <= 3
 """
 
 _EXTRA_ORACLES["embeddings_knn_ivf"] = """
