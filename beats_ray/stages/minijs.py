@@ -66,10 +66,13 @@ class _Parser:
         self.i = 0
 
     def peek(self, k=0):
-        return self.toks[self.i + k]
+        j = min(self.i + k, len(self.toks) - 1)
+        return self.toks[j]            # clamps to the eof sentinel
 
     def next(self):
-        t = self.toks[self.i]
+        t = self.toks[min(self.i, len(self.toks) - 1)]
+        if t[0] == "eof":
+            raise JSUnsupported("unexpected end of script")
         self.i += 1
         return t
 

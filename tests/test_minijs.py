@@ -151,3 +151,10 @@ def test_script_stage_explicit_lang():
         "source": 'function process(e) { e.Put("b", e.Get("a") + 1); }'})
     st.setup()
     assert st.apply(batch).column("b").to_pylist() == [2]
+
+
+def test_truncated_source_raises_js_unsupported():
+    for src in ["function", "function process(", "function process(e) {",
+                "function process(e) { if (", "function process(e) { var "]:
+        with pytest.raises(JSUnsupported):
+            compile_js(src)
