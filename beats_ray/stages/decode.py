@@ -415,3 +415,65 @@ class DetectMimeType(Stage):
             return batch
         vals = [self.sniff(v) for v in batch.column(s).to_pylist()]
         return set_column(batch, field_to_column(self.dst), pa.array(vals, pa.string()))
+
+
+@register("uri_parts")
+class UriParts(Stage):
+    """ECS URL decomposition (the ES ingest ``uri_parts`` processor the
+    module pipelines rely on): scheme/domain/port/path/query/fragment/
+    username/password/extension from a URI or relative reference.
+    config: field, target_field (default "url"), keep_original (default
+    True), ignore_missing/ignore_failure."""
+
+    name = "uri_parts"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.field = self.config.get("field", "url.original")
+        self.target = self.config.get("target_field", "url")
+        self.keep_original = bool(self.config.get("keep_original", True))
+        self.ignore_failure = bool(self.config.get("ignore_failure", True))
+
+    def input_columns(self):
+        return [field_to_column(self.field)]
+
+    def process(self, batch):
+        from urllib.parse import urlsplit
+        col = field_to_column(self.field)
+        if col not in batch.column_names:
+            return batch
+        vals = batch.column(col).to_pylist()
+        parts: dict[str, list] = {k: [] for k in
+                                  ("scheme", "domain", "port", "path",
+                                   "query", "fragment", "username",
+                                   "password", "extension")}
+        for v in vals:
+            if v is None:
+                for k in parts:
+                    parts[k].append(None)
+                continue
+            try:
+                u = urlsplit(v)
+            except ValueError:
+                for k in parts:
+                    parts[k].append(None)
+                continue
+            parts["scheme"].append(u.scheme or None)
+            parts["domain"].append(u.hostname or None)
+            try:
+                parts["port"].append(u.port)
+            except ValueError:
+                parts["port"].append(None)
+            parts["path"].append(u.path or None)
+            parts["query"].append(u.query or None)
+            parts["fragment"].append(u.fragment or None)
+            parts["username"].append(u.username or None)
+            parts["password"].append(u.password or None)
+            seg = (u.path or "").rsplit("/", 1)[-1]
+            parts["extension"].append(
+                seg.rsplit(".", 1)[1] if "." in seg[1:] else None)
+        prefix = field_to_column(self.target) + "_"
+        for k, v in parts.items():
+            typ = pa.int64() if k == "port" else pa.string()
+            batch = set_column(batch, prefix + k, pa.array(v, typ))
+        return batch

@@ -63,6 +63,10 @@ CORE_PATTERNS: dict[str, str] = {
     "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
     "PATH": r"(?:/[\w_%!$@:.,+~-]*)+",
     "URIPATH": r"(?:/[\w_%!$@:.,+~-]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "URIPATHPARAM": r"(?:/[\w_%!$@:.,+~-]*)+(?:\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*)?",
+    "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+    "SYSLOGTIMESTAMP": r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\b +(?:(?:0[1-9])|(?:[12]\d)|(?:3[01])|[1-9]) (?:2[0123]|[01]?\d):(?:[0-5]\d)(?::(?:(?:[0-5]?\d|60)(?:[:.,]\d+)?))?",
 }
 
 _GROK_TOKEN = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?(?::(\w+))?\}")
@@ -116,17 +120,31 @@ class GrokStage(Stage):
         self.field = c.get("field", "message")
         exprs = c.get("patterns") or [c["pattern"]]
         defs = c.get("pattern_definitions")
-        self.compiled = [compile_grok(e, defs) for e in exprs]
+        # ES grok is UNANCHORED (substring match); this engine's transcript
+        # pipelines historically anchor, so the default stays True and
+        # module-parity specs pass anchor: false explicitly
+        anchor = bool(c.get("anchor", True))
+        self.compiled = [compile_grok(e, defs, anchor=anchor) for e in exprs]
         prefix = c.get("target_prefix", "")
         self.prefix = prefix + "_" if prefix else ""
         self.ignore_failure = bool(c.get("ignore_failure", False))
+        self.ignore_missing = bool(c.get("ignore_missing", False))
 
     def input_columns(self):
         from ..event import FLAGS_COL
         return [field_to_column(self.field), FLAGS_COL]
 
     def process(self, batch):
-        col = batch.column(field_to_column(self.field))
+        cname = field_to_column(self.field)
+        if cname not in batch.column_names:
+            # absent column == every event missing the field: no-op when
+            # ignore_missing (ES grok semantics), error otherwise
+            if self.ignore_missing:
+                return batch
+            return set_error(batch, pa.array([True] * len(batch)),
+                             f"field [{self.field}] not present as part of "
+                             "path [" + self.field + "]")
+        col = batch.column(cname)
         input_null = pc.is_null(col)
         col = pc.fill_null(pc.cast(col, pa.large_string()), "")
         n = len(batch)

@@ -1078,3 +1078,114 @@ def test_logstash_json_module_golden():
                 assert got_v == want, (key, got_v, want)
             else:
                 assert str(got_v) == str(want), (key, got_v, want)
+
+
+HAPROXY_DIR = "/root/reference/filebeat/module/haproxy/log/test"
+
+
+@pytest.mark.skipif(not os.path.exists(HAPROXY_DIR + "/haproxy.log-expected.json"),
+                    reason="reference not present")
+@pytest.mark.parametrize("logname", ["haproxy.log", "default.log", "tcplog.log"])
+def test_haproxy_log_module_golden(logname):
+    """haproxy/log fileset (18th module golden): the module set's heaviest
+    grok (4 alternates, 20+ typed captures), uri_parts decomposition,
+    header splits, duration scaling, outcome/category classification
+    (filebeat/module/haproxy/log/ingest/pipeline.yml).  geoip-derived keys
+    (source.geo.*, source.as.*) are skipped — no geo databases here."""
+    from beats_ray.pipeline import Pipeline
+
+    path = os.path.join(HAPROXY_DIR, logname)
+    lines = [ln for ln in open(path).read().splitlines() if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    HD = r"(?:(?:%{MONTHDAY}[/-]%{MONTH}[/-]%{YEAR}:%{HOUR}:%{MINUTE}:%{SECOND})|%{SYSLOGTIMESTAMP})"
+    assemble = (
+        "def process(event, params):\n"
+        "    t = event.pop('temp_duration', None)\n"
+        "    if t is not None:\n"
+        "        event['event_duration'] = round(int(t) * 1000000)\n"
+        "    for side in ('request', 'response'):\n"
+        "        k = f'haproxy_http_{side}_captured_headers'\n"
+        "        v = event.get(k)\n"
+        "        if v is not None:\n"
+        "            parts = v.split('|')\n"
+        "            while parts and parts[-1] == '':\n"
+        "                parts.pop()   # ES split preserve_trailing=false\n"
+        "            event[k] = parts\n"
+        "    if event.get('http_version') is not None and \\\n"
+        "            event.get('haproxy_bytes_read') is not None:\n"
+        "        event['http_response_bytes'] = int(event['haproxy_bytes_read'])\n"
+        "    da = event.get('destination_address')\n"
+        "    if da is not None:\n"
+        "        import re as _re\n"
+        "        if _re.fullmatch(r'(?:\\d{1,3}\\.){3}\\d{1,3}', da):\n"
+        "            event['destination_ip'] = da\n"
+        "        else:\n"
+        "            event['destination_domain'] = da\n"
+        "    rel = []\n"
+        "    for k in ('source_ip', 'destination_ip'):\n"
+        "        if event.get(k):\n"
+        "            rel.append(event[k])\n"
+        "    if rel:\n"
+        "        event['related_ip'] = rel\n"
+        "    if event.get('destination_domain'):\n"
+        "        event['related_hosts'] = [event['destination_domain']]\n"
+        "    cats, types = [], []\n"
+        "    if event.get('haproxy_mode') == 'HTTP' or \\\n"
+        "            event.get('http_version') is not None or \\\n"
+        "            event.get('haproxy_http_request_raw_request_line') is not None:\n"
+        "        cats.append('web')\n"
+        "    if event.get('source_ip') and event.get('destination_ip'):\n"
+        "        cats.append('network')\n"
+        "        types.append('connection')\n"
+        "    if cats:\n"
+        "        event['event_category'] = cats\n"
+        "    if types:\n"
+        "        event['event_type'] = types\n"
+        "    sc = event.get('http_response_status_code')\n"
+        "    if sc is not None:\n"
+        "        event['event_outcome'] = 'success' if int(sc) < 400 else 'failure'\n"
+        "    event.pop('haproxy_request_date', None)\n"
+        "    event.pop('message', None)\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"grok": {"field": "message", "anchor": False,
+                  "pattern_definitions": {"HAPROXY_DATE": HD},
+                  "patterns": [
+            r"%{HAPROXY_DATE:haproxy.request_date} %{IPORHOST:haproxy.source} %{PROG:process.name}(?:\[%{POSINT:process.pid:long}\])?: %{GREEDYDATA} (?:%{IPORHOST:source.address}|-):%{POSINT:source.port:long} %{WORD} %{IPORHOST:destination.ip}:%{POSINT:destination.port:long} \(%{WORD:haproxy.frontend_name}/%{WORD:haproxy.mode}\)",
+            r"(?:%{NOTSPACE:process.name}\[%{NUMBER:process.pid:long}\]: )?(?:%{IP:source.address}|-):%{NUMBER:source.port:long} \[%{NOTSPACE:haproxy.request_date}\] %{NOTSPACE:haproxy.frontend_name} %{NOTSPACE:haproxy.backend_name}/%{NOTSPACE:haproxy.server_name} (?:%{IPORHOST:destination.address} )?%{NUMBER:haproxy.http.request.time_wait_ms:long}/%{NUMBER:haproxy.total_waiting_time_ms:long}/%{NUMBER:haproxy.connection_wait_time_ms:long}/%{NUMBER:haproxy.http.request.time_wait_without_data_ms:long}/%{NUMBER:temp.duration:long} %{NUMBER:http.response.status_code:long} %{NUMBER:haproxy.bytes_read:long} %{NOTSPACE:haproxy.http.request.captured_cookie} %{NOTSPACE:haproxy.http.response.captured_cookie} %{NOTSPACE:haproxy.termination_state} %{NUMBER:haproxy.connections.active:long}/%{NUMBER:haproxy.connections.frontend:long}/%{NUMBER:haproxy.connections.backend:long}/%{NUMBER:haproxy.connections.server:long}/%{NUMBER:haproxy.connections.retries:long} %{NUMBER:haproxy.server_queue:long}/%{NUMBER:haproxy.backend_queue:long} (?:\{%{DATA:haproxy.http.request.captured_headers}\} \{%{DATA:haproxy.http.response.captured_headers}\} |\{%{DATA}\} )?\"%{GREEDYDATA:haproxy.http.request.raw_request_line}\"",
+            r"(?:%{NOTSPACE:process.name}\[%{NUMBER:process.pid:long}\]: )?(?:%{IP:source.address}|-):%{NUMBER:source.port:long} \[%{NOTSPACE:haproxy.request_date}\] %{NOTSPACE:haproxy.frontend_name}/%{NOTSPACE:haproxy.bind_name} %{GREEDYDATA:haproxy.error_message}",
+            r"%{HAPROXY_DATE} %{IPORHOST:haproxy.source} (?:%{NOTSPACE:process.name}\[%{NUMBER:process.pid:long}\]: )?(?:%{IP:source.address}|-):%{NUMBER:source.port:long} \[%{NOTSPACE:haproxy.request_date}\] %{NOTSPACE:haproxy.frontend_name} %{NOTSPACE:haproxy.backend_name}/%{NOTSPACE:haproxy.server_name} %{NUMBER:haproxy.total_waiting_time_ms:long}/%{NUMBER:haproxy.connection_wait_time_ms:long}/%{NUMBER:temp.duration:long} %{NUMBER:haproxy.bytes_read:long} %{NOTSPACE:haproxy.termination_state} %{NUMBER:haproxy.connections.active:long}/%{NUMBER:haproxy.connections.frontend:long}/%{NUMBER:haproxy.connections.backend:long}/%{NUMBER:haproxy.connections.server:long}/%{NUMBER:haproxy.connections.retries:long} %{NUMBER:haproxy.server_queue:long}/%{NUMBER:haproxy.backend_queue:long}"]}},
+        {"grok": {"field": "haproxy.http.request.raw_request_line",
+                  "ignore_missing": True, "patterns": [
+            r"%{WORD:http.request.method}%{SPACE}%{URIPATHPARAM:url.original}%{SPACE}HTTP/%{NUMBER:http.version}"]}},
+        {"uri_parts": {"field": "url.original"}},
+        {"grok": {"field": "source.address", "ignore_missing": True,
+                  "ignore_failure": True, "patterns": [r"^%{IP:source.ip}$"]}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "haproxy",
+            "event.dataset": "haproxy.log", "fileset.name": "log",
+            "input.type": "log", "service.type": "haproxy",
+            "event.timezone": "-02:00"}}},
+        {"script": {"source": assemble}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(path + "-expected.json"))
+    assert len(rows) == len(expected)
+    SKIP_PREFIXES = ("source.geo.", "source.as.", "destination.geo.",
+                     "destination.as.")
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "@timestamp") or \
+                    key.startswith(SKIP_PREFIXES):
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, list):
+                if key in ("event.category", "event.type"):
+                    got_v = sorted(got_v or [])
+                    want = sorted(want)
+                assert list(map(str, got_v if got_v is not None else [])) == \
+                    list(map(str, want)), (key, got_v, want)
+            else:
+                assert str(got_v) == str(want), (key, got_v, want)

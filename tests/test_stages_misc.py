@@ -243,3 +243,19 @@ def test_timestamp_iso8601_layout_with_fraction():
     assert v[1].isoformat() == "2024-06-01T10:00:00"
     assert v[2].isoformat() == "2024-06-01T10:00:00.500000"  # offset -> UTC
     assert v[3] is None
+
+
+# ---------------------------------------------------------------- uri_parts
+
+def test_uri_parts_full_and_relative():
+    batch = pa.table({"url_original": [
+        "https://u:p@ex.com:8080/a/b.js?q=1#frag",
+        "/docs/x.html?y=2", None]})
+    out = run("uri_parts", {"field": "url.original"}, batch)
+    assert out.column("url_scheme").to_pylist() == ["https", None, None]
+    assert out.column("url_domain").to_pylist() == ["ex.com", None, None]
+    assert out.column("url_port").to_pylist() == [8080, None, None]
+    assert out.column("url_path").to_pylist() == ["/a/b.js", "/docs/x.html", None]
+    assert out.column("url_query").to_pylist() == ["q=1", "y=2", None]
+    assert out.column("url_extension").to_pylist() == ["js", "html", None]
+    assert out.column("url_username").to_pylist() == ["u", None, None]
