@@ -1189,3 +1189,73 @@ def test_haproxy_log_module_golden(logname):
                     list(map(str, want)), (key, got_v, want)
             else:
                 assert str(got_v) == str(want), (key, got_v, want)
+
+
+NGINX_ERR = "/root/reference/filebeat/module/nginx/error/test/error.log"
+
+
+@pytest.mark.skipif(not os.path.exists(NGINX_ERR + "-expected.json"),
+                    reason="reference not present")
+def test_nginx_error_module_golden():
+    """nginx/error fileset (19th module golden): connection-id grok +
+    'yyyy/MM/dd H:m:s' date rendered in the harness timezone
+    (filebeat/module/nginx/error/ingest/pipeline.yml)."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(NGINX_ERR).read().splitlines() if ln.strip()]
+    # continuation lines (multiline error bodies) join to the dated record,
+    # like the module's multiline input config
+    from beats_ray.stages.base import stage_factory
+    raw = pa.table({"conv_id": pa.array(["f"] * len(lines)),
+                    "turn_idx": pa.array(range(len(lines)), pa.int32()),
+                    "message": pa.array(lines, pa.string())})
+    ml = stage_factory("multiline")({"pattern": r"^\d{4}/\d{2}/\d{2} ",
+                                     "negate": True, "match": "after",
+                                     "field": "message"})
+    ml.setup()
+    joined = ml.apply(raw)
+    n_lines_col = joined.column("n_lines").to_pylist()
+    batch = pa.table({"message": joined.column("message"),
+                      "line_no": pa.array(range(len(joined)), pa.int64()),
+                      "log_flags": pa.array(
+                          [["multiline"] if n > 1 else None
+                           for n in n_lines_col], pa.list_(pa.string()))})
+    spec = {"processors": [
+        {"rename": {"fields": [{"from": "message", "to": "event.original"}],
+                    "fail_on_error": False}},
+        {"grok": {"field": "event.original", "patterns": [
+            r"%{DATA:nginx.error.time} \[%{DATA:log.level}\] "
+            r"%{NUMBER:process.pid:long}#%{NUMBER:process.thread.id:long}: "
+            r"(?:\*%{NUMBER:nginx.error.connection_id:long} )?"
+            r"%{GREEDYMULTILINE:message}"],
+            "pattern_definitions": {"GREEDYMULTILINE": r"(?s:.*)"}}},
+        {"timestamp": {"field": "nginx.error.time",
+                       "layouts": ["%Y/%m/%d %H:%M:%S"],
+                       "target_field": "@timestamp"}},
+        {"drop_fields": {"fields": ["nginx.error.time"]}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "nginx",
+            "event.dataset": "nginx.error", "fileset.name": "error",
+            "input.type": "log", "service.type": "nginx",
+            "event.timezone": "-02:00", "event.category": ["web"],
+            "event.type": ["error"]}}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(NGINX_ERR + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key == "log.offset":
+                continue
+            if key == "@timestamp":
+                # harness renders local time with the configured offset
+                iso = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.000-02:00")
+                assert iso == want, ("@timestamp", iso, want)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, list):
+                assert sorted(map(str, got_v or [])) == sorted(map(str, want)), \
+                    (key, got_v, want)
+            else:
+                assert str(got_v) == str(want), (key, got_v, want)
