@@ -438,7 +438,7 @@ class UriParts(Stage):
         return [field_to_column(self.field)]
 
     def process(self, batch):
-        from urllib.parse import urlsplit
+        from urllib.parse import unquote, urlsplit
         col = field_to_column(self.field)
         if col not in batch.column_names:
             return batch
@@ -464,8 +464,9 @@ class UriParts(Stage):
                 parts["port"].append(u.port)
             except ValueError:
                 parts["port"].append(None)
-            parts["path"].append(u.path or None)
-            parts["query"].append(u.query or None)
+            # ES uri_parts percent-decodes path and query
+            parts["path"].append(unquote(u.path) if u.path else None)
+            parts["query"].append(unquote(u.query) if u.query else None)
             parts["fragment"].append(u.fragment or None)
             parts["username"].append(u.username or None)
             parts["password"].append(u.password or None)
@@ -476,4 +477,10 @@ class UriParts(Stage):
         for k, v in parts.items():
             typ = pa.int64() if k == "port" else pa.string()
             batch = set_column(batch, prefix + k, pa.array(v, typ))
+        if self.keep_original:
+            # ES uri_parts writes <target>.original = the raw input value
+            orig_col = prefix + "original"
+            if orig_col != col:
+                batch = set_column(batch, orig_col,
+                                   pc.cast(batch.column(col), pa.string()))
         return batch

@@ -42,7 +42,7 @@ CORE_PATTERNS: dict[str, str] = {
     "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
     "IPV6": r"[0-9A-Fa-f:.]{2,}",
     "IP": r"(?:(?:\d{1,3}\.){3}\d{1,3}|[0-9A-Fa-f:]+:[0-9A-Fa-f:.]*)",
-    "IPORHOST": r"(?:(?:\d{1,3}\.){3}\d{1,3}|[0-9A-Za-z][0-9A-Za-z.-]*)",
+    "IPORHOST": r"(?:(?:\d{1,3}\.){3}\d{1,3}|[0-9A-Fa-f:]+:[0-9A-Fa-f:.]*|[0-9A-Za-z][0-9A-Za-z.-]*)",
     "HOSTNAME": r"\b[0-9A-Za-z][0-9A-Za-z-]{0,62}(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?\b",
     "HOSTPORT": r"\S+:\d+",
     "MONTH": r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\b",

@@ -1259,3 +1259,88 @@ def test_nginx_error_module_golden():
                     (key, got_v, want)
             else:
                 assert str(got_v) == str(want), (key, got_v, want)
+
+
+APACHE_ACCESS_DIR = "/root/reference/filebeat/module/apache/access/test"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(APACHE_ACCESS_DIR + "/darwin-2.4.23.log-expected.json"),
+    reason="reference not present")
+@pytest.mark.parametrize("logname", ["darwin-2.4.23.log", "ssl-request.log"])
+def test_apache_access_module_golden(logname):
+    """apache/access fileset (20th module golden): combined-log + ssl-request
+    grok variants, uri_parts with url.original, HTTPDATE %z -> UTC,
+    outcome classification (filebeat/module/apache/access/ingest/
+    pipeline.yml; geoip/user_agent-plugin keys skipped)."""
+    from beats_ray.pipeline import Pipeline
+
+    path = os.path.join(APACHE_ACCESS_DIR, logname)
+    lines = [ln for ln in open(path).read().splitlines() if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    assemble = (
+        "def process(event, params):\n"
+        "    import re as _re\n"
+        "    sa = event.get('source_address')\n"
+        "    if sa is not None:\n"
+        "        if _re.fullmatch(r'(?:\\d{1,3}\\.){3}\\d{1,3}|[0-9A-Fa-f:]*:[0-9A-Fa-f:.]*', sa):\n"
+        "            event['source_ip'] = sa\n"
+        "        else:\n"
+        "            event['source_domain'] = sa\n"
+        "    sc = event.get('http_response_status_code')\n"
+        "    if sc is not None:\n"
+        "        event['event_outcome'] = 'success' if int(sc) < 400 else 'failure'\n"
+        "    if event.get('url_domain') is None and event.get('destination_domain'):\n"
+        "        event['url_domain'] = event['destination_domain']\n"
+        "    event.pop('_tmp_url_orig', None)\n"
+        "    c = event.get('apache_access_ssl_cipher')\n"
+        "    if c:\n"
+        "        event['tls_cipher'] = c\n"
+        "    p = event.get('apache_access_ssl_protocol')\n"
+        "    if p:\n"
+        "        parts = p.lower().split('v')\n"
+        "        if len(parts) == 2:\n"
+        "            event['tls_version'] = parts[1] if '.' in parts[1] \\\n"
+        "                else parts[1] + '.0'\n"
+        "            event['tls_version_protocol'] = parts[0]\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"rename": {"fields": [{"from": "message", "to": "event.original"}],
+                    "fail_on_error": False}},
+        {"grok": {"field": "event.original", "ignore_missing": True, "patterns": [
+            r"%{IPORHOST:destination.domain} %{IPORHOST:source.ip} - %{DATA:user.name} \[%{HTTPDATE:apache.access.time}\] \"(?:%{WORD:http.request.method} %{DATA:_tmp.url_orig} HTTP/%{NUMBER:http.version}|-)?\" %{NUMBER:http.response.status_code:long} (?:%{NUMBER:http.response.body.bytes:long}|-)(?: \"%{DATA:http.request.referrer}\")?(?: \"%{DATA:user_agent.original}\")?",
+            r"%{IPORHOST:source.address} - %{DATA:user.name} \[%{HTTPDATE:apache.access.time}\] \"(?:%{WORD:http.request.method} %{DATA:_tmp.url_orig} HTTP/%{NUMBER:http.version}|-)?\" %{NUMBER:http.response.status_code:long} (?:%{NUMBER:http.response.body.bytes:long}|-)(?: \"%{DATA:http.request.referrer}\")?(?: \"%{DATA:user_agent.original}\")?",
+            r"%{IPORHOST:source.address} - %{DATA:user.name} \[%{HTTPDATE:apache.access.time}\] \"-\" %{NUMBER:http.response.status_code:long} -",
+            r"\[%{HTTPDATE:apache.access.time}\] %{IPORHOST:source.address} %{DATA:apache.access.ssl.protocol} %{DATA:apache.access.ssl.cipher} \"%{WORD:http.request.method} %{DATA:_tmp.url_orig} HTTP/%{NUMBER:http.version}\" (?:-|%{NUMBER:http.response.body.bytes:long})"]}},
+        {"uri_parts": {"field": "_tmp.url_orig", "target_field": "url"}},
+        {"timestamp": {"field": "apache.access.time",
+                       "layouts": ["%d/%b/%Y:%H:%M:%S %z"],
+                       "target_field": "@timestamp", "ignore_missing": True,
+                       "ignore_failure": True}},
+        {"drop_fields": {"fields": ["apache.access.time"],
+                         "ignore_missing": True}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "apache",
+            "event.dataset": "apache.access", "fileset.name": "access",
+            "input.type": "log", "service.type": "apache",
+            "event.category": "web"}}},
+        {"script": {"source": assemble}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(path + "-expected.json"))
+    assert len(rows) == len(expected)
+    SKIP = ("source.geo.", "source.as.", "user_agent.name", "user_agent.os",
+            "user_agent.device", "user_agent.version")
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key == "log.offset" or key.startswith(SKIP):
+                continue
+            if key == "@timestamp":
+                iso = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{got['ts'].microsecond // 1000:03d}Z"
+                assert iso == want, ("@timestamp", iso, want)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            assert str(got_v) == str(want), (key, got_v, want)
