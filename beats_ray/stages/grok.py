@@ -180,8 +180,14 @@ class GrokStage(Stage):
                                 conv.append(None)
                         vals = pa.array(conv, target)
                 if out_name in out_cols:
-                    out_cols[out_name] = pc.if_else(
-                        pc.is_null(out_cols[out_name]), vals, out_cols[out_name])
+                    prev, cur = out_cols[out_name], vals
+                    if prev.type != cur.type:
+                        # duplicate field captured by groups with different
+                        # types (mysql slowlog Thread_id long/untyped):
+                        # merge in string space, first non-null wins
+                        prev = pc.cast(prev, pa.string())
+                        cur = pc.cast(cur, pa.string())
+                    out_cols[out_name] = pc.if_else(pc.is_null(prev), cur, prev)
                 else:
                     out_cols[out_name] = vals
             matched_any = pc.or_(matched_any, ok)

@@ -1344,3 +1344,119 @@ def test_apache_access_module_golden(logname):
                 continue
             got_v = got.get(key.replace(".", "_"))
             assert str(got_v) == str(want), (key, got_v, want)
+
+
+MYSQL_SLOW_DIR = "/root/reference/filebeat/module/mysql/slowlog/test"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(MYSQL_SLOW_DIR + "/mariadb-10.1.21.log-expected.json"),
+    reason="reference not present")
+@pytest.mark.parametrize("logname", ["mariadb-10.1.21.log", "mariadb-10.2.12.log"])
+def test_mysql_slowlog_module_golden(logname):
+    """mysql/slowlog (21st module golden): the module set's largest grok
+    (~60 optional metric groups incl. DUPLICATE field names), header
+    multiline join with exclude_lines, Yes/No -> bool remap, second ->
+    nanosecond duration (filebeat/module/mysql/slowlog)."""
+    import re as _re
+
+    from beats_ray.pipeline import Pipeline
+    from beats_ray.stages.base import stage_factory
+
+    path = os.path.join(MYSQL_SLOW_DIR, logname)
+    lines = [ln for ln in open(path).read().splitlines()]
+    # module config exclude_lines
+    lines = [ln for ln in lines
+             if not _re.match(r"^[\/\w\.]+, Version: .* started with:.*", ln)
+             and not _re.match(r"^# Time:.*", ln) and ln.strip()]
+    raw = pa.table({"conv_id": ["f"] * len(lines),
+                    "turn_idx": pa.array(range(len(lines)), pa.int32()),
+                    "message": pa.array(lines, pa.string())})
+    ml = stage_factory("multiline")({"pattern": r"^(?:# User@Host: |# Time: )",
+                                     "negate": True, "match": "after",
+                                     "field": "message"})
+    ml.setup()
+    joined = ml.apply(raw)
+    batch = pa.table({"message": joined.column("message"),
+                      "line_no": pa.array(range(len(joined)), pa.int64())})
+
+    mega = open("/root/reference/filebeat/module/mysql/slowlog/ingest/"
+                "pipeline.json").read()
+    import json as _json
+    pipe_def = _json.loads(mega)
+    grok_proc = next(p["grok"] for p in pipe_def["processors"] if "grok" in p)
+    pattern = grok_proc["patterns"][0]
+    defs = dict(grok_proc["pattern_definitions"])
+    # ES grok allows unnamed capture groups; RE2 extract_regex does not —
+    # convert them (and the ones inside pattern definitions) to non-capturing
+    fix = lambda p: _re.sub(r"(?<!\\)\((?!\?)", "(?:", p)  # noqa: E731
+    pattern = fix(pattern)
+    defs = {k: fix(v) for k, v in defs.items()}
+    defs["GREEDYMULTILINE"] = r"(?s:.*)"
+
+    remap = (
+        "def process(event, params):\n"
+        "    import datetime as _dt\n"
+        "    for f in ('query_cache_hit', 'tmp_table', 'tmp_table_on_disk',\n"
+        "              'filesort', 'filesort_on_disk', 'priority_queue',\n"
+        "              'full_scan', 'full_join'):\n"
+        "        v = event.get('mysql_slowlog_' + f)\n"
+        "        if v in ('Yes', 'No'):\n"
+        "            event['mysql_slowlog_' + f] = (v == 'Yes')\n"
+        "        elif not v:\n"
+        "            event['mysql_slowlog_' + f] = None  # keep column bool\n"
+        "    t = event.pop('temp_duration', None)\n"
+        "    if t is not None:\n"
+        "        event['event_duration'] = round(float(t) * 1000000000)\n"
+        "    tsv = event.get('mysql_slowlog_timestamp')\n"
+        "    if tsv is not None:\n"
+        "        event['ts'] = _dt.datetime.utcfromtimestamp(int(tsv))\n"
+        "    ru = []\n"
+        "    for k in ('user_name', 'mysql_slowlog_current_user'):\n"
+        "        if event.get(k) and event[k] not in ru:\n"
+        "            ru.append(event[k])\n"
+        "    if ru:\n"
+        "        event['related_user'] = ru\n"
+        "    if event.get('source_ip'):\n"
+        "        event['related_ip'] = [event['source_ip']]\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [pattern],
+                  "pattern_definitions": defs, "ignore_missing": True}},
+        {"drop_fields": {"fields": ["message"]}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "mysql",
+            "event.dataset": "mysql.slowlog", "fileset.name": "slowlog",
+            "input.type": "log", "event.category": ["database"],
+            "event.type": ["info"]}}},
+        {"script": {"source": remap}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    # the golden set contains only parsed slow-query events; server restart
+    # headers (not excluded by the module's exclude_lines) fail grok and
+    # are absent from the expected file
+    rows = [r for r in rows if r.get("error_message") is None]
+    expected = json.load(open(path + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "log.flags", "service.type",
+                       "ecs.version"):
+                continue
+            if key == "@timestamp":
+                iso = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{got['ts'].microsecond // 1000:03d}Z"
+                assert iso == want, ("@timestamp", iso, want)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if key == "event.duration":
+                # ES parses Query_time through a float32 round-trip whose
+                # exact re-rendering is ambiguous; allow 2 us of slack
+                assert abs(int(got_v) - int(want)) <= 2000, (key, got_v, want)
+                continue
+            if isinstance(want, list):
+                assert sorted(map(str, got_v or [])) == sorted(map(str, want)), \
+                    (key, got_v, want)
+            else:
+                assert str(got_v) == str(want), (key, got_v, want)
