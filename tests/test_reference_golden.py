@@ -1460,3 +1460,115 @@ def test_mysql_slowlog_module_golden(logname):
                     (key, got_v, want)
             else:
                 assert str(got_v) == str(want), (key, got_v, want)
+
+
+PENSANDO_LOG = "/root/reference/filebeat/module/pensando/dfw/test/test.log"
+
+
+@pytest.mark.skipif(not os.path.exists(PENSANDO_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_pensando_dfw_module_golden():
+    """pensando/dfw (22nd module golden): RFC5424-framed JSON firewall
+    records — syslog grok, payload JSON decode, client/server derivation
+    from port comparison, allow/deny classification
+    (x-pack/filebeat/module/pensando/dfw/ingest/pipeline.yml)."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(PENSANDO_LOG).read().splitlines() if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    assemble = (
+        "def process(event, params):\n"
+        "    import json as _j, datetime as _dt\n"
+        "    p = _j.loads(event.pop('payload_raw'))\n"
+        "    if isinstance(p, list):\n"
+        "        p = p[0]\n"
+        "    ren = {'action': 'action', 'app-id': 'app_id',\n"
+        "           'destaddr': 'destination_address',\n"
+        "           'destport': 'destination_port', 'direction': 'direction',\n"
+        "           'protocol': 'protocol', 'rule-id': 'rule_id',\n"
+        "           'session-id': 'session_id',\n"
+        "           'session-state': 'session_state',\n"
+        "           'srcaddr': 'source_address', 'srcport': 'source_port'}\n"
+        "    d = {}\n"
+        "    for k, v in p.items():\n"
+        "        if k in ren:\n"
+        "            d[ren[k]] = v\n"
+        "    for k, v in d.items():\n"
+        "        event['pensando_dfw_' + k] = v\n"
+        "    t = p.get('time')\n"
+        "    if t:\n"
+        "        event['ts'] = _dt.datetime.fromisoformat(\n"
+        "            t.replace('Z', '+00:00')).replace(tzinfo=None)\n"
+        "    proto = d.get('protocol')\n"
+        "    if proto:\n"
+        "        event['network_transport'] = proto.lower()\n"
+        "    sp, dp = d.get('source_port'), d.get('destination_port')\n"
+        "    sa, da = d.get('source_address'), d.get('destination_address')\n"
+        "    event['source_address'] = sa\n"
+        "    event['destination_address'] = da\n"
+        "    event['source_port'] = sp\n"
+        "    event['destination_port'] = dp\n"
+        "    if sp is not None and dp is not None:\n"
+        "        if sp > dp:\n"
+        "            event['client_ip'], event['server_ip'] = sa, da\n"
+        "            event['server_port'] = str(dp)\n"
+        "        elif dp > sp:\n"
+        "            event['client_ip'], event['server_ip'] = da, sa\n"
+        "            event['server_port'] = str(sp)\n"
+        "    if proto == 'ICMP':\n"
+        "        event['client_ip'], event['server_ip'] = sa, da\n"
+        "        event['server_port'] = '0'\n"
+        "    act = d.get('action')\n"
+        "    if act in ('allow', 'deny'):\n"
+        "        event['event_outcome'] = 'success'\n"
+        "        event['event_action'] = 'allowed' if act == 'allow' else 'denied'\n"
+        "        event['event_type'] = ['connection',\n"
+        "                               'allowed' if act == 'allow' else 'denied']\n"
+        "    if d.get('rule_id') is not None:\n"
+        "        event['rule_id'] = str(d['rule_id'])\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"rename": {"fields": [{"from": "message", "to": "event.original"}],
+                    "fail_on_error": False}},
+        {"grok": {"field": "event.original", "patterns": [
+            r"%{SYSLOG5424PRI}%{NONNEGINT:syslog5424_ver} "
+            r"+(?:%{TIMESTAMP_ISO8601:syslog5424_ts}|-) "
+            r"+(?:%{IPORHOST:syslog5424_host}|-) +(?:-|%{NOTSPACE:syslog5424_app}) "
+            r"+(?:-|%{NOTSPACE:syslog5424_proc}) +(?::-|%{NOTSPACE:syslog5424_msgid}) "
+            r"+\[%{GREEDYDATA:payload_raw}\]$"],
+            "pattern_definitions": {"SYSLOG5424PRI": r"<\d+>"}}},
+        {"drop_fields": {"fields": ["syslog5424_ts", "syslog5424_host",
+                                    "syslog5424_app", "syslog5424_proc",
+                                    "syslog5424_msgid", "syslog5424_ver"],
+                         "ignore_missing": True}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "pensando",
+            "event.dataset": "pensando.dfw", "fileset.name": "dfw",
+            "input.type": "log", "service.type": "pensando",
+            "event.timezone": "-02:00", "event.category": ["network"],
+            "network.type": "ipv4", "observer.vendor": "Pensando Systems",
+            "observer.type": "firewall",
+            "observer.product": "Distributed Services Platform"}}},
+        {"script": {"source": assemble}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(PENSANDO_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key == "log.offset" or key.startswith(("source.geo.",
+                                                      "source.as.")):
+                continue
+            if key == "@timestamp":
+                iso = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{got['ts'].microsecond // 1000:03d}Z"
+                assert iso == want, ("@timestamp", iso, want)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, list):
+                assert sorted(map(str, got_v or [])) == sorted(map(str, want)), \
+                    (key, got_v, want)
+            else:
+                assert str(got_v) == str(want), (key, got_v, want)
