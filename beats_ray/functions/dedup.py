@@ -227,10 +227,20 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     j >= ~0.45 reliably (verify discards the false candidates); for a 0.8+
     threshold at extreme scale use n_bands=16 to cut candidate volume.
 
-    Shuffle profile: one groupby on (band, band_hash) over tiny signature
-    rows; document text is re-read only for verification via a broadcast of
-    the candidate buckets' texts (bucket sizes are bounded by construction —
-    a hot bucket means a hot near-dup cluster, which verification caps).
+    Shuffle profile: one groupby on the mixed (band, band_hash) bucket key
+    over tiny signature rows; document text is re-read only for verification
+    via a broadcast of the candidate buckets' texts (bucket sizes are bounded
+    by construction — a hot bucket means a hot near-dup cluster, which
+    verification caps).
+
+    The bucket key is ONE int64 column ``bb`` = mix64(band_hash ^ band),
+    reinterpreted signed: Ray's sort-based shuffle converts uint64 key values
+    > 2^63 through Python ints and falls back to pickled-object blocks
+    (reproduced in round 2 — the ArrowConversionError tail) — int64 keys keep
+    the shuffle zero-copy Arrow.  Mixing band into the hash is a bijection of
+    (bh ^ band), so bucket collisions stay at the ~2^-64 level of the band
+    hash itself, and a collision can only MERGE buckets (extra candidates,
+    removed by exact verify), never lose a candidate pair.
     """
     a_seed, b_seed = _minhash_seeds()
     rows_per_band = _N_HASH // n_bands
@@ -249,8 +259,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         n = len(ids_list)
         if n == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
-                             "band": pa.array([], pa.int32()),
-                             "bh": pa.array([], pa.uint64()),
+                             "bb": pa.array([], pa.int64()),
                              "sh": pa.array([], pa.list_(pa.uint32()))})
         # band rows carry the compact shingle-hash SET, not the document —
         # the shuffle moves signatures, never text (scale-critical).  The
@@ -259,8 +268,9 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         # 32x the shingles as Python ints), and band keys are a vectorized
         # numpy mix instead of n_bands blake2b calls per doc.
         ids = np.repeat(np.asarray(ids_list, dtype=np.int64), n_bands)
-        bands = np.tile(np.arange(n_bands, dtype=np.int32), n)
+        bands = np.tile(np.arange(n_bands, dtype=np.uint64), n)
         bh = np.concatenate(band_hashes)                 # (n * n_bands,)
+        bb = _mix64(bh ^ bands).view(np.int64)           # signed shuffle key
         lens = np.fromiter((len(s) for s in sh_arrays), dtype=np.int64, count=n)
         values = np.concatenate(
             [np.tile(s, n_bands) for s in sh_arrays]) if n else \
@@ -272,8 +282,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         sh_col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
                                           pa.array(values, pa.uint32()))
         return pa.table({id_col: pa.array(ids, pa.int64()),
-                         "band": pa.array(bands, pa.int32()),
-                         "bh": pa.array(bh, pa.uint64()),
+                         "bb": pa.array(bb, pa.int64()),
                          "sh": sh_col})
 
     # signatures are consumed twice (bucket census + verify): pin them once
@@ -287,36 +296,35 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     from ray.data.aggregate import Sum
 
     def bucket_partial(t: pa.Table) -> pa.Table:
-        return t.select(["band", "bh"]).group_by(["band", "bh"]) \
+        return t.select(["bb"]).group_by(["bb"]) \
                 .aggregate([([], "count_all")]) \
-                .rename_columns(["band", "bh", "n_part"])
+                .rename_columns(["bb", "n_part"])
 
     if census == "driver":
-        # small-input shortcut: the (band,bh,n) partials land on the driver
-        # (bytes ~ #docs x n_bands x 24) — skips one all-to-all; use the
+        # small-input shortcut: the (bb,n) partials land on the driver
+        # (bytes ~ #docs x n_bands x 16) — skips one all-to-all; use the
         # distributed census for web-scale corpora
         parts = sigs.map_batches(bucket_partial, batch_format="pyarrow").take_all()
-        agg = pd.DataFrame(parts).groupby(["band", "bh"])["n_part"].sum()
-        hot = [{"band": k[0], "bh": k[1]} for k, v in agg.items() if v >= 2]
+        agg = pd.DataFrame(parts).groupby("bb")["n_part"].sum()
+        hot_keys = [int(k) for k, v in agg.items() if v >= 2]
     else:
         hot = sigs.map_batches(bucket_partial, batch_format="pyarrow") \
-                  .groupby(["band", "bh"]).aggregate(Sum("n_part", alias_name="n")) \
+                  .groupby("bb").aggregate(Sum("n_part", alias_name="n")) \
                   .map_batches(lambda t: t.filter(pc_ge2(t)), batch_format="pyarrow") \
                   .take_all()
-    hot_keys = {(r["band"], r["bh"]) for r in hot}
+        hot_keys = [r["bb"] for r in hot]
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
     if not hot_keys:
         return empty
     import ray
-    hot_ref = ray.put(hot_keys) if ray.is_initialized() else hot_keys
+    hot_arr = pa.array(hot_keys, pa.int64())
+    hot_ref = ray.put(hot_arr) if ray.is_initialized() else hot_arr
 
     def keep_hot(t: pa.Table) -> pa.Table:
-        keys = ray.get(hot_ref) if not isinstance(hot_ref, set) else hot_ref
-        mask = [(b, h) in keys
-                for b, h in zip(t["band"].to_pylist(), t["bh"].to_pylist())]
-        return t.filter(pa.array(mask, pa.bool_()))
+        keys = hot_ref if isinstance(hot_ref, pa.Array) else ray.get(hot_ref)
+        return t.filter(pc.is_in(t["bb"], value_set=keys))
 
     sigs = sigs.map_batches(keep_hot, batch_format="pyarrow")
 
@@ -328,7 +336,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         rows = sigs.take_all()
         buckets: dict = {}
         for r in rows:
-            buckets.setdefault((r["band"], r["bh"]), []).append(
+            buckets.setdefault(r["bb"], []).append(
                 (r[id_col], np.asarray(r["sh"], dtype=np.uint32)))
         seen_pairs: dict = {}
         for members in buckets.values():
@@ -382,7 +390,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                              "b": np.asarray(out_b, dtype=np.int64),
                              "jaccard": np.asarray(out_j, dtype=np.float64)})
 
-    edges = sigs.groupby(["band", "bh"]).map_groups(verify_group, batch_format="pandas")
+    edges = sigs.groupby("bb").map_groups(verify_group, batch_format="pandas")
     # same pair surfaces from several bands -> DISTRIBUTED dedup: jaccard is
     # computed identically in every band, so Min is a pure dedup and the
     # edge list never lands on the driver (a boilerplate-heavy corpus can
@@ -577,19 +585,35 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
         ids = g[id_col].to_numpy(dtype=np.int64)
         ss = g["sig"].to_numpy(dtype=np.uint64)
-        # vectorized pairwise popcount via the 8-bit lookup table on the
-        # xor matrix (bucket sizes are ~n/65536 per band by construction;
-        # a pathological hot bucket means a giant near-identical cluster,
-        # which the n x n byte matrix still handles at ~64k members)
-        x = ss[:, None] ^ ss[None, :]
-        d = np.zeros(x.shape, dtype=np.uint8)
-        for shift in range(0, 64, 8):
-            d += _POPCNT8[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)]
-        ia, ib = np.where(np.triu(d <= max_hamming, k=1))
-        if not len(ia):
+        n = len(ss)
+        # pairwise popcount via the 8-bit lookup table on the xor matrix,
+        # CHUNKED by row block: peak memory is O(chunk x n) (~0.6 GB at the
+        # 2^26-entry bound), not O(n^2) — a pathological hot bucket (giant
+        # near-identical cluster) degrades to more iterations instead of a
+        # multi-GB allocation (round-2 ADVICE: 64k members would need 32 GB
+        # as a single matrix).  Compute is inherently O(n^2) per bucket;
+        # the banding keeps expected bucket size at ~n/65536.
+        chunk = max(64, min(8192, (1 << 26) // max(n, 1)))
+        out_a, out_b, out_d = [], [], []
+        col_idx = np.arange(n)
+        for s0 in range(0, n, chunk):
+            s1 = min(s0 + chunk, n)
+            x = ss[s0:s1, None] ^ ss[None, :]
+            d = np.zeros(x.shape, dtype=np.uint8)
+            for shift in range(0, 64, 8):
+                d += _POPCNT8[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)]
+            # keep only global-upper-triangle pairs (b index > a index)
+            hit = (d <= max_hamming) & (col_idx[None, :] > np.arange(s0, s1)[:, None])
+            ia, ib = np.where(hit)
+            if len(ia):
+                out_a.append(ids[ia + s0])
+                out_b.append(ids[ib])
+                out_d.append(d[ia, ib].astype(np.int64))
+        if not out_a:
             return empty
-        return pd.DataFrame({"a": ids[ia], "b": ids[ib],
-                             "hamming": d[ia, ib].astype(np.int64)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_d)})
 
     edges = sigs.groupby(["band", "key"]).map_groups(verify, batch_format="pandas")
     # pair surfaces from up to 4 bands -> distributed dedup (hamming is
@@ -600,22 +624,46 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
 def _block_pairs(t1: pa.Table, t2: pa.Table | None, id_col: str,
                  threshold: float) -> pa.Table:
-    """Exact cosine pairs within one block (t2 None) or across two blocks."""
-    ids1 = np.asarray(t1[id_col].to_pylist())
-    u1 = np.asarray(t1["unit"].to_pylist(), dtype=np.float64)
-    if t2 is None:
-        cos = u1 @ u1.T
-        ia, ib = np.where(np.triu(cos >= threshold, k=1))
-        ids2, vals = ids1, cos[ia, ib]
+    """Exact cosine pairs within one block (t2 None) or across two blocks.
+
+    The matmul is TILED (rows of u1 in bounded strips against all of u2) so
+    peak per-task memory is O(tile x block) — round-2 ADVICE: a 50k x 50k
+    float64 matrix is 20 GB; the strips stay under ~0.2 GB regardless of
+    block size."""
+    from .veclib import ids_to_numpy, list_to_matrix
+    ids1 = ids_to_numpy(t1[id_col])
+    u1 = list_to_matrix(t1["unit"])
+    same = t2 is None
+    if same:
+        ids2, u2 = ids1, u1
     else:
-        ids2 = np.asarray(t2[id_col].to_pylist())
-        u2 = np.asarray(t2["unit"].to_pylist(), dtype=np.float64)
-        cos = u1 @ u2.T
-        ia, ib = np.where(cos >= threshold)
-        vals = cos[ia, ib]
-    return pa.table({"a": pa.array(np.minimum(ids1[ia], ids2[ib]), pa.int64()),
-                     "b": pa.array(np.maximum(ids1[ia], ids2[ib]), pa.int64()),
-                     "cos": pa.array(np.round(vals, 6), pa.float64())})
+        ids2 = ids_to_numpy(t2[id_col])
+        u2 = list_to_matrix(t2["unit"])
+    n2 = len(ids2)
+    tile = max(64, min(8192, (1 << 25) // max(n2, 1)))
+    out_a, out_b, out_v = [], [], []
+    for s0 in range(0, len(ids1), tile):
+        s1 = min(s0 + tile, len(ids1))
+        cos = u1[s0:s1] @ u2.T
+        hit = cos >= threshold
+        if same:
+            # global upper triangle only (pair each once)
+            hit &= np.arange(n2)[None, :] > np.arange(s0, s1)[:, None]
+        ia, ib = np.where(hit)
+        if len(ia):
+            out_a.append(ids1[ia + s0])
+            out_b.append(ids2[ib])
+            out_v.append(cos[ia, ib])
+    if not out_a:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    v = np.concatenate(out_v)
+    return pa.table({"a": pa.array(np.minimum(a, b), pa.int64()),
+                     "b": pa.array(np.maximum(a, b), pa.int64()),
+                     "cos": pa.array(np.round(v, 6), pa.float64())})
 
 
 def embedding_near_dup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
@@ -629,9 +677,11 @@ def embedding_near_dup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
     import ray
     import ray.data as rd
 
+    from .veclib import ids_to_numpy, list_to_matrix, matrix_to_list
+
     def prep(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col].to_pylist())
-        mat = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+        ids = ids_to_numpy(t[id_col])
+        mat = list_to_matrix(t[vec_col])
         if block is not None:
             keep = ids < block
             ids, mat = ids[keep], mat[keep]
@@ -639,14 +689,15 @@ def embedding_near_dup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
         return pa.table({id_col: pa.array(ids, pa.int64()),
-                         "unit": pa.array(unit.tolist(),
-                                          pa.list_(pa.float64()))})
+                         "unit": matrix_to_list(unit)})
 
-    # coalesce to ~50k-row blocks: block-pair task count is O(B^2), so tiny
-    # input blocks drown the matmuls in Ray task overhead
+    # coalesce to ~8k-row blocks: block-pair task count is O(B^2), so tiny
+    # input blocks drown the matmuls in Ray task overhead, while big blocks
+    # concentrate O(block^2) hits in one task — 8k keeps each pair task's
+    # tiled strips ~0.2 GB (see _block_pairs) with useful matmul sizes
     prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
     n_total = prepped.count()   # metadata-free on a materialized dataset
-    n_blocks = max(1, -(-n_total // 50_000))
+    n_blocks = max(1, -(-n_total // 8_000))
     refs = prepped.repartition(n_blocks).to_arrow_refs()
 
     @ray.remote
@@ -678,42 +729,50 @@ def embedding_near_dup_lsh(ds, id_col: str = "vec_id", vec_col: str = "embedding
     rng = np.random.default_rng(seed)
     planes = [rng.standard_normal((64, n_planes)) for _ in range(n_tables)]
 
+    from .veclib import ids_to_numpy, list_to_matrix, matrix_to_list
+
     def sig_stage(t: pa.Table) -> pa.Table:
-        mat = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+        mat = list_to_matrix(t[vec_col])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
-        ids_in = np.asarray(t[id_col].to_pylist())
-        ids, tables, keys, vecs = [], [], [], []
+        ids_in = ids_to_numpy(t[id_col])
+        n = len(ids_in)
+        keys = np.empty((n_tables, n), dtype=np.int64)
         for ti, P in enumerate(planes):
             bits = (unit @ P[:mat.shape[1]]) > 0
-            key = bits.dot(1 << np.arange(bits.shape[1]))
-            ids.extend(ids_in.tolist())
-            tables.extend([ti] * len(ids_in))
-            keys.extend(key.astype(np.int64).tolist())
-            vecs.extend(unit.tolist())
-        return pa.table({id_col: pa.array(ids, pa.int64()),
-                         "tbl": pa.array(tables, pa.int32()),
-                         "key": pa.array(keys, pa.int64()),
-                         "unit": pa.array(vecs, pa.list_(pa.float64()))})
+            keys[ti] = bits.dot(1 << np.arange(bits.shape[1]))
+        return pa.table({id_col: pa.array(np.tile(ids_in, n_tables), pa.int64()),
+                         "tbl": pa.array(np.repeat(
+                             np.arange(n_tables, dtype=np.int32), n), pa.int32()),
+                         "key": pa.array(keys.ravel(), pa.int64()),
+                         "unit": matrix_to_list(np.tile(unit, (n_tables, 1)))})
 
     sigs = ds.map_batches(sig_stage, batch_format="pyarrow")
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
+    def verify(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64())})
         if len(g) < 2:
-            return pd.DataFrame({"a": np.array([], dtype=np.int64),
-                                 "b": np.array([], dtype=np.int64),
-                                 "cos": np.array([], dtype=np.float64)})
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        unit = np.asarray(g["unit"].tolist(), dtype=np.float64)
+            return empty
+        ids = ids_to_numpy(g[id_col])
+        order = np.argsort(ids, kind="stable")
+        ids_s = ids[order]
+        keep = np.concatenate([[True], ids_s[1:] != ids_s[:-1]])
+        sel, ids = order[keep], ids_s[keep]
+        if len(ids) < 2:
+            return empty
+        unit = list_to_matrix(g["unit"])[sel]
         cos = unit @ unit.T
         ia, ib = np.where(np.triu(cos >= threshold, k=1))
-        return pd.DataFrame({"a": ids[ia].astype(np.int64),
-                             "b": ids[ib].astype(np.int64),
-                             "cos": np.round(cos[ia, ib], 6)})
+        if not len(ia):
+            return empty
+        return pa.table({"a": pa.array(ids[ia], pa.int64()),
+                         "b": pa.array(ids[ib], pa.int64()),
+                         "cos": pa.array(np.round(cos[ia, ib], 6), pa.float64())})
 
-    edges = sigs.groupby(["tbl", "key"]).map_groups(verify, batch_format="pandas")
+    edges = sigs.groupby(["tbl", "key"]).map_groups(verify, batch_format="pyarrow")
     # pair surfaces from several LSH tables -> distributed dedup (cos is
     # computed identically everywhere, so Min is a pure dedup)
     from ray.data.aggregate import Min

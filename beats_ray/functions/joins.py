@@ -53,10 +53,15 @@ def bucketed_join(left, right, on: str, n_buckets: int = 64, how: str = "inner",
                 k = key.to_pandas().fillna(0).to_numpy(dtype=np.int64)
                 bucket = pa.array((np.abs(k) % n_buckets).astype(np.int32))
             else:
-                import zlib
-                bucket = pa.array(
-                    [zlib.crc32(str(v).encode()) % n_buckets if v is not None else 0
-                     for v in key.to_pylist()], pa.int32())
+                # vectorized FNV-32a over the stringified key (the repo's
+                # kafka-partitioner hash) — the round-2 per-row crc32 loop
+                # was the one Python loop left in the join hot path
+                import pyarrow.compute as pc
+                from ..sources.readers import fnv32a_batch
+                s = pc.fill_null(pc.cast(key, pa.string()), "")
+                h = fnv32a_batch(s.combine_chunks()
+                                 if isinstance(s, pa.ChunkedArray) else s)
+                bucket = pa.array((h % np.uint32(n_buckets)).astype(np.int32))
             t = t.append_column("__bucket", bucket)
             return t.append_column("__side", pa.array([which] * len(t), pa.string()))
         return fn

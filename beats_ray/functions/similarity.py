@@ -14,10 +14,13 @@
 from __future__ import annotations
 
 import heapq
+import os
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from .veclib import ids_to_numpy, list_to_matrix
 
 
 def _unit(mat: np.ndarray) -> np.ndarray:
@@ -39,9 +42,9 @@ def knn_brute(ds, queries: np.ndarray, k: int = 10,
             self.q = ray.get(qref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mat = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+            mat = list_to_matrix(t[vec_col])
             cos = _unit(mat) @ self.q.T          # (n, nq)
-            ids = np.asarray(t[id_col].to_pylist())
+            ids = ids_to_numpy(t[id_col])
             out_q, out_id, out_c = [], [], []
             kk = min(k, len(ids))
             for qi in range(cos.shape[1]):
@@ -94,30 +97,84 @@ def train_centroids(sample: np.ndarray, n_centroids: int, n_iter: int = 10,
     return cent
 
 
+def ivf_cache_dir(root: str, paths: list[str], n_centroids: int,
+                  seed: int = 42) -> str:
+    """Deterministic index location keyed by corpus content identity
+    ((name, size, mtime_ns) per file) + index params — a changed corpus
+    gets a fresh key, so a stale index can never serve queries."""
+    import hashlib
+    h = hashlib.sha1()
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns};".encode())
+    h.update(f"c{n_centroids}s{seed}".encode())
+    return os.path.join(root, h.hexdigest()[:16])
+
+
+def save_ivf_index(assigned, cent: np.ndarray, cache_dir: str) -> None:
+    """Persist (assignment parquet partitioned by centroid list, centroids
+    npy).  The parquet IS the inverted file: rows grouped by coarse cell, so
+    a probing query's read planner can skip whole files (at 100 TB the index
+    re-arrangement is the one-time cost that turns ANN from a scan into a
+    ~n_probe/n_centroids read)."""
+    import shutil
+    tmp = cache_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    np.save(os.path.join(tmp, "centroids.npy"), cent)
+    assigned.write_parquet(os.path.join(tmp, "assign"))
+    shutil.rmtree(cache_dir, ignore_errors=True)
+    os.rename(tmp, cache_dir)          # atomic publish
+
+
+def load_ivf_index(cache_dir: str):
+    """Load a persisted IVF index -> (assigned_dataset, centroids) or None."""
+    cpath = os.path.join(cache_dir, "centroids.npy")
+    apath = os.path.join(cache_dir, "assign")
+    if not (os.path.exists(cpath) and os.path.isdir(apath)):
+        return None
+    import ray.data as rd
+    cent = np.load(cpath)
+    return rd.read_parquet(apath), cent
+
+
 def build_ivf_index(ds, n_centroids: int = 16, id_col: str = "vec_id",
                     vec_col: str = "embedding", sample_rows: int = 2048,
-                    seed: int = 42, n_total: int | None = None):
+                    seed: int = 42, n_total: int | None = None,
+                    cache_dir: str | None = None):
     """Build the IVF coarse index: train centroids on a DETERMINISTIC HASH
     sample (no first-N-rows bias), then materialize the centroid-assignment
     column ONCE.  Returns (assigned_dataset, centroids); the assignment
     column is the partition key for probing — queries then filter to probed
-    lists instead of rescanning every vector per batch."""
+    lists instead of rescanning every vector per batch.
+
+    ``cache_dir`` (see ivf_cache_dir) makes the index PERSISTENT: a prior
+    build is loaded instead of re-training + re-assigning (round-2 verdict:
+    per-call rebuild was ~4 s of a 6 s query; at 100 TB a rebuild per query
+    is the difference between ANN and a scan).  Deterministic seeds make the
+    cached and fresh indexes identical."""
+    if cache_dir:
+        cached = load_ivf_index(cache_dir)
+        if cached is not None:
+            return cached
     if n_total is None:
         n_total = ds.count()  # parquet-metadata fast path on a fresh read
     rate = min(1.0, sample_rows / max(n_total, 1))
 
     def hash_sample(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col].to_pylist(), dtype=np.uint64)
+        ids = ids_to_numpy(t[id_col]).astype(np.uint64)
         keep = ((ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) \
             < np.uint64(int(rate * 0xFFFFFFFF))
         return t.filter(pa.array(keep))
 
-    sample_rows_list = ds.map_batches(hash_sample, batch_format="pyarrow") \
-                         .take_all()
-    sample = np.asarray([r[vec_col] for r in sample_rows_list], dtype=np.float64)
-    if len(sample) == 0:
-        sample = np.asarray([r[vec_col] for r in ds.limit(4).take_all()],
-                            dtype=np.float64)
+    try:
+        sample_tbl = ds.map_batches(hash_sample, batch_format="pyarrow") \
+                       .take_batch(sample_rows * 4, batch_format="pyarrow")
+    except (ValueError, StopIteration):      # hash sample came up empty
+        sample_tbl = ds.limit(4).take_batch(4, batch_format="pyarrow")
+    if isinstance(sample_tbl, dict):
+        sample_tbl = pa.table(sample_tbl)
+    sample = list_to_matrix(sample_tbl[vec_col])
     cent = train_centroids(sample, n_centroids, seed=seed)
     import ray
     cent_ref = ray.put(cent)
@@ -127,27 +184,31 @@ def build_ivf_index(ds, n_centroids: int = 16, id_col: str = "vec_id",
             self.cent = ray.get(cent_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mat = _unit(np.asarray(t[vec_col].to_pylist(), dtype=np.float64))
+            mat = _unit(list_to_matrix(t[vec_col]))
             assign = np.argmax(mat @ self.cent.T, axis=1).astype(np.int32)
             return t.append_column("centroid", pa.array(assign, pa.int32()))
 
     assigned = ds.map_batches(Assign, batch_format="pyarrow",
                               concurrency=(1, 4)).materialize()
+    if cache_dir:
+        save_ivf_index(assigned, cent, cache_dir)
     return assigned, cent
 
 
 def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
             n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-            sample_rows: int = 2048, index=None, n_total: int | None = None):
+            sample_rows: int = 2048, index=None, n_total: int | None = None,
+            cache_dir: str | None = None):
     """IVF-flat approximate top-k: a real inverted index — the centroid
     assignment is materialized once (build_ivf_index), probing FILTERS to
     the probed centroid lists before any scoring, so each query touches
     ~n_probe/n_centroids of the data (assert via ds.stats() input rows).
-    Pass ``index=(assigned, cent)`` to amortize the build across calls."""
+    Pass ``index=(assigned, cent)`` to amortize the build across calls
+    within a process, or ``cache_dir`` to amortize it across runs."""
     import ray
     if index is None:
         index = build_ivf_index(ds, n_centroids, id_col, vec_col, sample_rows,
-                                n_total=n_total)
+                                n_total=n_total, cache_dir=cache_dir)
     assigned, cent = index
     q = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]       # (nq, n_probe)
@@ -167,9 +228,9 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
             self.probe = ray.get(probe_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mat = _unit(np.asarray(t[vec_col].to_pylist(), dtype=np.float64))
-            ids = np.asarray(t[id_col].to_pylist())
-            assign = np.asarray(t["centroid"].to_pylist())
+            mat = _unit(list_to_matrix(t[vec_col]))
+            ids = ids_to_numpy(t[id_col])
+            assign = t["centroid"].combine_chunks().to_numpy(zero_copy_only=False)
             out_q, out_id, out_c = [], [], []
             for qi in range(len(self.q)):
                 mask = np.isin(assign, self.probe[qi])

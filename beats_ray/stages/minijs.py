@@ -7,11 +7,13 @@ Real-world Beats script processors are overwhelmingly straight-line field
 surgery in that API, so this module implements a compact recursive-descent
 parser + tree-walking interpreter for the JS SUBSET those scripts use:
 
-  statements:  var declarations, assignments, expression statements,
-               if/else (with blocks), return
+  statements:  var declarations, assignments (incl. += -= *= /= %=),
+               expression statements, if/else (with blocks), return,
+               while, for(;;), for-in, break, continue
   expressions: string/number/bool/null literals, identifiers, member
                access, [] indexing, function calls, ===, !==, ==, !=,
-               <, >, <=, >=, +, -, *, %, &&, ||, !, ternary ?:
+               <, >, <=, >=, +, -, *, %, &&, ||, !, ternary ?:,
+               typeof, ++/-- (prefix and postfix)
   event API:   event.Get/Put/Rename/Delete/Cancel/Tag/AppendTo,
                event.fields["k"] read/write
   string API:  toUpperCase, toLowerCase, trim, split, indexOf, substring,
@@ -19,12 +21,21 @@ parser + tree-walking interpreter for the JS SUBSET those scripts use:
 
 Anything outside the subset raises ``JSUnsupported`` at COMPILE time with
 the offending token, so unsupported configs fail loudly at pipeline build,
-never silently mid-run.  Dotted field paths map to the engine's flattened
-columns via ``field_to_column`` (same convention as every other stage).
+never silently mid-run.  Loops carry a per-invocation iteration budget
+(``_MAX_ITER``) so a runaway script fails loudly instead of hanging a
+worker.  Dotted field paths map to the engine's flattened columns via
+``field_to_column`` (same convention as every other stage).
+
+Semantics notes (goja/ES5 parity, round-2/3 ADVICE): string literals decode
+real JS escapes (\\n is a newline, not 'n'); ``==``/``!=`` apply JS abstract
+coercion (1 == "1"); relational ops on mixed string/number coerce to number
+(never a Python TypeError); ``%`` keeps the dividend's sign; ``x/0`` is
+Infinity (0/0 NaN).
 """
 
 from __future__ import annotations
 
+import math
 import re
 
 from ..event import field_to_column
@@ -34,12 +45,31 @@ _TOKEN_RE = re.compile(r"""
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<num>\d+(?:\.\d+)?)
   | (?P<ident>[A-Za-z_$][A-Za-z0-9_$]*)
-  | (?P<punct>===|!==|==|!=|<=|>=|&&|\|\||[{}()\[\];,.=<>+\-*/%!?:])
+  | (?P<punct>===|!==|==|!=|<=|>=|&&|\|\||\+\+|--|\+=|-=|\*=|/=|%=
+              |[{}()\[\];,.=<>+\-*/%!?:])
 """, re.X | re.S)
 
 _KEYWORDS = {"function", "var", "let", "const", "if", "else", "return",
              "true", "false", "null", "undefined", "new", "for", "while",
-             "throw", "typeof"}
+             "throw", "typeof", "break", "continue", "in", "do"}
+
+_MAX_ITER = 1_000_000       # per-process() loop-iteration budget
+
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+            "v": "\v", "0": "\0", "\\": "\\", "'": "'", '"': '"', "/": "/"}
+
+
+def _unescape_js(body: str) -> str:
+    """Decode JS string escapes the way goja does (round-3 ADVICE: the old
+    ``\\(.) -> \\1`` turned \\n into a literal 'n')."""
+    def sub(m: re.Match) -> str:
+        e = m.group(1)
+        if e[0] == "x":
+            return chr(int(e[1:3], 16))
+        if e[0] == "u":
+            return chr(int(e[1:5], 16))
+        return _ESCAPES.get(e, e)
+    return re.sub(r"\\(x[0-9A-Fa-f]{2}|u[0-9A-Fa-f]{4}|.)", sub, body)
 
 
 class JSUnsupported(ValueError):
@@ -134,16 +164,86 @@ class _Parser:
                 expr = self.parse_expr()
             self._semi()
             return ("return", expr)
-        if val in ("for", "while", "throw", "function", "new", "typeof"):
+        if val == "while":
+            self.next()
+            self.expect("(")
+            cond = self.parse_expr()
+            self.expect(")")
+            body = self.parse_block() if self.peek()[1] == "{" \
+                else [self.parse_stmt()]
+            return ("while", cond, body)
+        if val == "for":
+            return self.parse_for()
+        if val == "break":
+            self.next()
+            self._semi()
+            return ("break",)
+        if val == "continue":
+            self.next()
+            self._semi()
+            return ("continue",)
+        if val in ("throw", "function", "new", "do"):
             raise JSUnsupported(f"JS construct {val!r} is outside the "
                                 "supported subset (see stages/minijs.py)")
         expr = self.parse_expr()
-        if self.peek()[1] == "=":
+        nxt = self.peek()[1]
+        if nxt == "=":
             self.next()
             rhs = self.parse_expr()
             self._semi()
             return ("assign", expr, rhs)
+        if nxt in ("+=", "-=", "*=", "/=", "%="):
+            self.next()
+            rhs = self.parse_expr()
+            self._semi()
+            return ("assign", expr, ("arith", nxt[0], expr, rhs))
         self._semi()
+        return ("expr", expr)
+
+    def parse_for(self):
+        self.next()                    # 'for'
+        self.expect("(")
+        # for (var k in obj) / for (k in obj)
+        save = self.i
+        if self.peek()[1] in ("var", "let", "const"):
+            self.next()
+        if self.peek()[0] == "ident" and self.peek(1)[1] == "in":
+            name = self.next()[1]
+            self.next()                # 'in'
+            obj = self.parse_expr()
+            self.expect(")")
+            body = self.parse_block() if self.peek()[1] == "{" \
+                else [self.parse_stmt()]
+            return ("forin", name, obj, body)
+        self.i = save
+        init = None
+        if self.peek()[1] != ";":
+            init = self.parse_stmt()   # consumes the ';'
+        else:
+            self.next()
+        cond = None
+        if self.peek()[1] != ";":
+            cond = self.parse_expr()
+        self.expect(";")
+        update = None
+        if self.peek()[1] != ")":
+            update = self._parse_update()
+        self.expect(")")
+        body = self.parse_block() if self.peek()[1] == "{" \
+            else [self.parse_stmt()]
+        return ("for", init, cond, update, body)
+
+    def _parse_update(self):
+        """The third for-clause: assignment / compound / ++/-- / expr,
+        without a trailing semicolon."""
+        expr = self.parse_expr()       # ++/-- handled inside parse_postfix
+        nxt = self.peek()[1]
+        if nxt == "=":
+            self.next()
+            return ("assign", expr, self.parse_expr())
+        if nxt in ("+=", "-=", "*=", "/=", "%="):
+            self.next()
+            return ("assign", expr, ("arith", nxt[0], expr, self.parse_expr()))
         return ("expr", expr)
 
     def _semi(self):
@@ -206,12 +306,21 @@ class _Parser:
         if self.peek()[1] == "-":
             self.next()
             return ("neg", self.parse_unary())
+        if self.peek()[1] == "typeof":
+            self.next()
+            return ("typeof", self.parse_unary())
+        if self.peek()[1] in ("++", "--"):
+            op = self.next()[1]
+            return ("incdec", self.parse_unary(), 1 if op == "++" else -1, False)
         return self.parse_postfix()
 
     def parse_postfix(self):
         e = self.parse_primary()
         while True:
             kind, val = self.peek()
+            if val in ("++", "--"):
+                self.next()
+                return ("incdec", e, 1 if val == "++" else -1, True)
             if val == ".":
                 self.next()
                 name = self.next()[1]
@@ -236,8 +345,7 @@ class _Parser:
     def parse_primary(self):
         kind, val = self.next()
         if kind == "str":
-            body = val[1:-1]
-            return ("lit", re.sub(r"\\(.)", r"\1", body))
+            return ("lit", _unescape_js(val[1:-1]))
         if kind == "num":
             return ("lit", float(val) if "." in val else int(val))
         if val == "true":
@@ -270,6 +378,14 @@ class _Cancelled(Exception):
 class _Returned(Exception):
     def __init__(self, value):
         self.value = value
+
+
+class _Break(Exception):
+    pass
+
+
+class _Continue(Exception):
+    pass
 
 
 class _EventProxy:
@@ -340,6 +456,7 @@ class _Interp:
         env = {self.arg: proxy, "String": str, "Number": float,
                "parseInt": lambda v, base=10: int(str(v), int(base)),
                "parseFloat": float}
+        self._iters = _MAX_ITER
         try:
             for st in self.body:
                 self.exec_stmt(st, env)
@@ -366,8 +483,67 @@ class _Interp:
             self.assign(st[1], self.eval(st[2], env), env)
         elif op == "expr":
             self.eval(st[1], env)
+        elif op == "while":
+            _, cond, body = st
+            while _truthy(self.eval(cond, env)):
+                self._tick()
+                try:
+                    for s in body:
+                        self.exec_stmt(s, env)
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+        elif op == "for":
+            _, init, cond, update, body = st
+            if init is not None:
+                self.exec_stmt(init, env)
+            while cond is None or _truthy(self.eval(cond, env)):
+                self._tick()
+                try:
+                    for s in body:
+                        self.exec_stmt(s, env)
+                except _Break:
+                    break
+                except _Continue:
+                    pass
+                if update is not None:
+                    self.exec_stmt(update, env)
+        elif op == "forin":
+            _, name, obj_node, body = st
+            obj = self.eval(obj_node, env)
+            if isinstance(obj, _EventProxy):
+                keys = list(obj.row.keys())
+            elif isinstance(obj, dict):
+                keys = list(obj.keys())
+            elif isinstance(obj, (list, tuple, str)):
+                keys = list(range(len(obj)))
+            elif obj is None:
+                keys = []
+            else:
+                raise JSUnsupported(f"for-in over {type(obj).__name__}")
+            for k in keys:
+                self._tick()
+                env[name] = k
+                try:
+                    for s in body:
+                        self.exec_stmt(s, env)
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+        elif op == "break":
+            raise _Break()
+        elif op == "continue":
+            raise _Continue()
         else:  # pragma: no cover
             raise JSUnsupported(f"statement {op}")
+
+    def _tick(self):
+        self._iters -= 1
+        if self._iters <= 0:
+            raise JSUnsupported(
+                f"script exceeded the {_MAX_ITER} loop-iteration budget")
 
     def assign(self, target, value, env):
         if target[0] == "ident":
@@ -388,6 +564,12 @@ class _Interp:
                 key = self.eval(target[2], env) if target[0] == "index" \
                     else target[2]
                 obj[key] = value
+                return
+            if isinstance(obj, list) and target[0] == "index":
+                idx = int(self.eval(target[2], env))
+                if idx >= len(obj):          # JS arrays grow on assignment
+                    obj.extend([None] * (idx + 1 - len(obj)))
+                obj[idx] = value
                 return
         raise JSUnsupported("unsupported assignment target")
 
@@ -474,39 +656,140 @@ class _Interp:
         if op == "not":
             return not _truthy(self.eval(node[1], env))
         if op == "neg":
-            return -self.eval(node[1], env)
+            return -_tonum(self.eval(node[1], env))
+        if op == "typeof":
+            try:
+                v = self.eval(node[1], env)
+            except JSUnsupported:
+                return "undefined"      # typeof <unknown ident> in JS
+            if v is None:
+                return "undefined"
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, (int, float)):
+                return "number"
+            if isinstance(v, str):
+                return "string"
+            if callable(v):
+                return "function"
+            return "object"
+        if op == "incdec":
+            _, target, delta, post = node
+            old = self.eval(target, env)
+            oldn = _tonum(old)
+            self.assign(target, oldn + delta, env)
+            return oldn if post else oldn + delta
         if op == "cmp":
             _, o, a, b = node
             l, r = self.eval(a, env), self.eval(b, env)
-            if o in ("==", "==="):
-                return l == r
-            if o in ("!=", "!=="):
-                return l != r
+            if o == "===":
+                return _strict_eq(l, r)
+            if o == "!==":
+                return not _strict_eq(l, r)
+            if o == "==":
+                return _abstract_eq(l, r)
+            if o == "!=":
+                return not _abstract_eq(l, r)
             if l is None or r is None:
                 return False
-            return {"<": l < r, ">": l > r, "<=": l <= r, ">=": l >= r}[o]
+            if isinstance(l, str) and isinstance(r, str):
+                return {"<": l < r, ">": l > r, "<=": l <= r, ">=": l >= r}[o]
+            ln, rn = _tonum(l), _tonum(r)
+            if math.isnan(ln) or math.isnan(rn):
+                return False            # JS: any NaN relational is false
+            return {"<": ln < rn, ">": ln > rn,
+                    "<=": ln <= rn, ">=": ln >= rn}[o]
         if op == "arith":
             _, o, a, b = node
             l, r = self.eval(a, env), self.eval(b, env)
             if o == "+":
                 if isinstance(l, str) or isinstance(r, str):
                     return _jstr(l) + _jstr(r)
-                return (l or 0) + (r or 0)
+                return _tonum(l) + _tonum(r)
+            ln, rn = _tonum(l), _tonum(r)
             if o == "-":
-                return (l or 0) - (r or 0)
+                return ln - rn
             if o == "*":
-                return (l or 0) * (r or 0)
+                return ln * rn
             if o == "%":
-                return (l or 0) % (r or 1)
+                # JS remainder keeps the DIVIDEND's sign (math.fmod), and
+                # x % 0 is NaN — not Python's floored modulo
+                if rn == 0 or math.isnan(ln) or math.isnan(rn):
+                    return math.nan
+                return math.fmod(ln, rn)
             if o == "/":
-                return (l or 0) / (r or 1)
+                # JS: x/0 is +-Infinity, 0/0 is NaN
+                if rn == 0:
+                    if ln == 0 or math.isnan(ln):
+                        return math.nan
+                    return math.inf if ln > 0 else -math.inf
+                return ln / rn
         raise JSUnsupported(f"expression {op}")
 
 
 def _truthy(v) -> bool:
     if v is None or v is False or v == "" or v == 0:
         return False
+    if isinstance(v, float) and math.isnan(v):
+        return False
     return True
+
+
+def _tonum(v) -> float | int:
+    """JS ToNumber: null->0, undefined->NaN (both None here -> 0, the safer
+    field-surgery default), bool->0/1, numeric strings parse, else NaN."""
+    if v is None:
+        return 0
+    if isinstance(v, bool):
+        return 1 if v else 0
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        s = v.strip()
+        if s == "":
+            return 0
+        try:
+            return int(s)
+        except ValueError:
+            try:
+                return float(s)
+            except ValueError:
+                return math.nan
+    return math.nan
+
+
+def _strict_eq(l, r) -> bool:
+    """JS === : no coercion; bool is its own type (1 === true is false)."""
+    if isinstance(l, bool) != isinstance(r, bool):
+        return False
+    if isinstance(l, (int, float)) and isinstance(r, (int, float)) \
+            and not isinstance(l, bool):
+        return l == r
+    if type(l) is not type(r) and not (l is None and r is None):
+        # int/float pairs handled above; str/str, list/list etc. need same type
+        if not (isinstance(l, (list, tuple)) and isinstance(r, (list, tuple))):
+            return False
+    return l == r
+
+
+def _abstract_eq(l, r) -> bool:
+    """JS == abstract equality: null==undefined, bool->number,
+    string<->number coercion (1 == "1" is true)."""
+    if l is None or r is None:
+        return l is None and r is None
+    if isinstance(l, bool):
+        l = 1 if l else 0
+    if isinstance(r, bool):
+        r = 1 if r else 0
+    if isinstance(l, str) and isinstance(r, (int, float)):
+        l = _tonum(l)
+    elif isinstance(r, str) and isinstance(l, (int, float)):
+        r = _tonum(r)
+    if isinstance(l, float) and math.isnan(l):
+        return False
+    if isinstance(r, float) and math.isnan(r):
+        return False
+    return l == r
 
 
 def _jstr(v) -> str:
@@ -534,7 +817,9 @@ def _row_view(self):
         def __setitem__(self, k, v):
             proxy.Put(k, v)
 
-    return View()
+    # seed with the row's columns so for-in / length see the real keys
+    # (reads and writes still route through the proxy's field mapping)
+    return View(proxy.row)
 
 
 _EventProxy.row_view = _row_view

@@ -22,6 +22,55 @@ import pyarrow.compute as pc
 from ..event import field_to_column, set_column, set_error
 from .base import Stage, register
 
+# strptime directive -> value regex (non-capturing), for anchoring the
+# fractional-seconds extraction to its POSITION in the layout: a global
+# "[.,]\d+" strip mangles dotted-date layouts like %d.%m.%Y %H:%M:%S.%f
+# (the day/month dots match first — round-3 ADVICE finding).
+_DIRECTIVE_RE = {
+    "Y": r"\d{4}", "y": r"\d{2}", "m": r"\d{1,2}", "d": r"\d{1,2}",
+    "e": r"\s?\d{1,2}", "H": r"\d{1,2}", "I": r"\d{1,2}", "M": r"\d{1,2}",
+    "S": r"\d{1,2}", "j": r"\d{1,3}", "b": r"[A-Za-z]+", "B": r"[A-Za-z]+",
+    "a": r"[A-Za-z]+", "A": r"[A-Za-z]+", "p": r"[APap]\.?[Mm]\.?",
+    "z": r"(?:[+-]\d{2}:?\d{2}|Z)", "Z": r"[A-Za-z/_+\-0-9]+", "%": r"%",
+}
+
+
+def _layout_fraction_res(layout: str):
+    """Build (strip_pattern, extract_pattern) anchored to the layout's %f.
+
+    strip_pattern matches "<prefix-shaped text><sep><digits>" with the prefix
+    captured (replace with r"\\1" removes ONLY the true fraction);
+    extract_pattern captures the fraction digits as group "f".  Returns None
+    when the layout has a directive we can't shape (caller falls back to the
+    unanchored heuristic).
+    """
+    i = layout.find("%f")
+    if i <= 0:
+        return None
+    sep = layout[i - 1]
+    if sep not in ".,":
+        return None
+    prefix, out = layout[:i - 1], []
+    j = 0
+    while j < len(prefix):
+        ch = prefix[j]
+        if ch == "%":
+            if j + 1 >= len(prefix):
+                return None
+            d = prefix[j + 1]
+            r = _DIRECTIVE_RE.get(d)
+            if r is None:
+                return None
+            out.append(r)
+            j += 2
+        else:
+            out.append(re.escape(ch))
+            j += 1
+    prefix_re = "".join(out)
+    strip = f"^({prefix_re}){re.escape(sep)}\\d+"
+    extract = f"^{prefix_re}{re.escape(sep)}(?P<f>\\d{{1,6}})"
+    return strip, extract
+
 
 @register("timestamp")
 class TimestampStage(Stage):
@@ -97,12 +146,25 @@ class TimestampStage(Stage):
                 if "%f" in layout:
                     # Arrow strptime lacks %f: parse the fraction-stripped
                     # base, then re-add microseconds from the string (same
-                    # approach as the ISO8601 branch, for ANY layout)
-                    base = layout.replace(".%f", "").replace("%f", "")
-                    nofrac = pc.replace_substring_regex(s, r"[.,]\d+", "")
+                    # approach as the ISO8601 branch, for ANY layout).  The
+                    # strip/extract regexes are ANCHORED to the fraction's
+                    # position in the layout so dotted-date layouts
+                    # (%d.%m.%Y ... %S.%f) don't lose their date separators.
+                    fi = layout.find("%f")
+                    if fi > 0 and layout[fi - 1] in ".,":
+                        base = layout[:fi - 1] + layout[fi + 2:]
+                    else:
+                        base = layout.replace("%f", "")
+                    anchored = _layout_fraction_res(layout)
+                    if anchored is not None:
+                        nofrac = pc.replace_substring_regex(
+                            s, anchored[0], r"\1")
+                        fr = pc.extract_regex(s, anchored[1])
+                    else:
+                        nofrac = pc.replace_substring_regex(s, r"[.,]\d+", "")
+                        fr = pc.extract_regex(s, r"[.,](?P<f>\d{1,6})")
                     parsed = pc.strptime(nofrac, format=base, unit="us",
                                          error_is_null=True)
-                    fr = pc.extract_regex(s, r"[.,](?P<f>\d{1,6})")
                     digits = pc.utf8_rpad(pc.struct_field(fr, "f"), 6, padding="0")
                     us = pc.cast(pc.fill_null(digits, "0"), pa.int64(), safe=False)
                     parsed = pc.add(parsed,

@@ -119,9 +119,73 @@ def test_ternary_and_not():
 
 def test_unsupported_constructs_fail_at_compile():
     with pytest.raises(JSUnsupported):
-        compile_js('function process(e) { for (var i = 0; i < 3; i++) {} }')
+        compile_js('function process(e) { throw "boom"; }')
     with pytest.raises(JSUnsupported):
-        compile_js('function process(e) { while (true) {} }')
+        compile_js('function process(e) { var x = new Date(); }')
+    with pytest.raises(JSUnsupported):
+        compile_js('function process(e) { do { } while (false); }')
+
+
+def test_loops_run_with_budget():
+    src = """
+    function process(e) {
+        var total = 0;
+        for (var i = 1; i <= 4; i++) { total += i; }
+        var j = 0;
+        while (j < 3) { j++; }
+        e.Put("total", total);
+        e.Put("j", j);
+    }
+    """
+    out = run_js(src, {})
+    assert out["total"] == 10
+    assert out["j"] == 3
+    # runaway loops hit the iteration budget loudly instead of hanging
+    with pytest.raises(JSUnsupported):
+        run_js('function process(e) { while (true) { } }', {})
+
+
+def test_for_in_and_array_iteration():
+    src = """
+    function process(e) {
+        var tags = e.Get("tags");
+        var kept = [];
+        for (var i = 0; i < tags.length; i++) {
+            if (tags[i] === "drop") { continue; }
+            kept[kept.length] = tags[i];
+        }
+        e.Put("kept", kept);
+        var nkeys = 0;
+        for (var k in e.fields) { nkeys++; }
+        e.Put("nkeys", nkeys);
+    }
+    """
+    out = run_js(src, {"tags": ["a", "drop", "b"]})
+    assert out["kept"] == ["a", "b"]
+    assert out["nkeys"] == 2    # "tags" + the just-Put "kept"
+
+
+def test_js_escape_sequences():
+    src = r'function process(e) { e.Put("s", "a\nb\tc\\d\x41B"); }'
+    assert run_js(src, {})["s"] == "a\nb\tc\\dAB"
+    src2 = r'function process(e) { e.Put("n", e.Get("m").split("\n").length); }'
+    assert run_js(src2, {"m": "x\ny\nz"})["n"] == 3
+
+
+def test_js_coercion_semantics():
+    src = """
+    function process(e) {
+        e.Put("eq", 1 == "1");
+        e.Put("seq", 1 === "1");
+        e.Put("lt", "2" < 10);
+        e.Put("mod", -7 % 3);
+        e.Put("div", 1 / 0);
+    }
+    """
+    out = run_js(src, {})
+    assert out["eq"] is True and out["seq"] is False and out["lt"] is True
+    assert out["mod"] == -1.0
+    assert out["div"] == float("inf")
 
 
 # ---- stage integration ------------------------------------------------
