@@ -112,30 +112,69 @@ def ivf_cache_dir(root: str, paths: list[str], n_centroids: int,
 
 
 def save_ivf_index(assigned, cent: np.ndarray, cache_dir: str) -> None:
-    """Persist (assignment parquet partitioned by centroid list, centroids
-    npy).  The parquet IS the inverted file: rows grouped by coarse cell, so
-    a probing query's read planner can skip whole files (at 100 TB the index
+    """Persist (assignment parquet HIVE-PARTITIONED by centroid, centroids
+    npy).  The parquet IS the inverted file: one directory per coarse cell,
+    so a probing query READS only the probed lists — at 100 TB the index
     re-arrangement is the one-time cost that turns ANN from a scan into a
-    ~n_probe/n_centroids read)."""
+    ~n_probe/n_centroids read."""
     import shutil
     tmp = cache_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     np.save(os.path.join(tmp, "centroids.npy"), cent)
-    assigned.write_parquet(os.path.join(tmp, "assign"))
+    apath = os.path.join(tmp, "assign")
+    assigned.write_parquet(apath, partition_cols=["centroid"])
+    # de-hive the cell dirs (centroid=N -> cell_N): explicit-file reads of
+    # hive-named paths trip Ray's partitioning inference into inconsistent
+    # per-block schemas; the loader re-attaches the cell id from the path
+    for d in os.listdir(apath):
+        if d.startswith("centroid="):
+            os.rename(os.path.join(apath, d),
+                      os.path.join(apath, "cell_" + d.split("=", 1)[1]))
     shutil.rmtree(cache_dir, ignore_errors=True)
     os.rename(tmp, cache_dir)          # atomic publish
 
 
-def load_ivf_index(cache_dir: str):
-    """Load a persisted IVF index -> (assigned_dataset, centroids) or None."""
+def load_ivf_index(cache_dir: str, probe_cells: list[int] | None = None):
+    """Load a persisted IVF index -> (assigned_dataset, centroids) or None.
+
+    ``probe_cells`` limits the read to those centroid directories (file-level
+    pruning — the unprobed lists never leave storage)."""
     cpath = os.path.join(cache_dir, "centroids.npy")
     apath = os.path.join(cache_dir, "assign")
     if not (os.path.exists(cpath) and os.path.isdir(apath)):
         return None
     import ray.data as rd
     cent = np.load(cpath)
-    return rd.read_parquet(apath), cent
+    if probe_cells is not None:
+        dirs = [os.path.join(apath, f"cell_{c}") for c in probe_cells]
+        cells = [(d, int(os.path.basename(d).split("_", 1)[1]))
+                 for d in dirs if os.path.isdir(d)]
+    else:
+        cells = [(os.path.join(apath, d), int(d.split("_", 1)[1]))
+                 for d in sorted(os.listdir(apath))
+                 if d.startswith("cell_")]
+    if not cells:
+        return None
+    # expand each hive cell dir to its parquet files and carry the cell id
+    # per file (read_parquet on explicit FILE paths drops the hive column)
+    paths, cell_of_path = [], {}
+    for d, c in cells:
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                p = os.path.join(d, f)
+                paths.append(p)
+                cell_of_path[p] = c
+    if not paths:
+        return None
+    ds = rd.read_parquet(paths, include_paths=True)
+
+    def restore(t: pa.Table) -> pa.Table:
+        cent_col = pa.array(
+            [cell_of_path[p] for p in t["path"].to_pylist()], pa.int32())
+        return t.drop_columns(["path"]).append_column("centroid", cent_col)
+
+    return ds.map_batches(restore, batch_format="pyarrow"), cent
 
 
 def build_ivf_index(ds, n_centroids: int = 16, id_col: str = "vec_id",
@@ -206,11 +245,22 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
     Pass ``index=(assigned, cent)`` to amortize the build across calls
     within a process, or ``cache_dir`` to amortize it across runs."""
     import ray
+    q = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    if index is None and cache_dir:
+        # persisted-index fast path: centroids load from npy, probing picks
+        # the cells, and ONLY those hive partitions are read from disk
+        cpath = os.path.join(cache_dir, "centroids.npy")
+        if os.path.exists(cpath):
+            cent0 = np.load(cpath)
+            probe0 = np.argsort(-(q @ cent0.T), axis=1)[:, :n_probe]
+            cells = sorted({int(c) for row in probe0 for c in row})
+            loaded = load_ivf_index(cache_dir, probe_cells=cells)
+            if loaded is not None:
+                index = loaded
     if index is None:
         index = build_ivf_index(ds, n_centroids, id_col, vec_col, sample_rows,
                                 n_total=n_total, cache_dir=cache_dir)
     assigned, cent = index
-    q = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]       # (nq, n_probe)
     probed_set = sorted({int(c) for row in probe for c in row})
     q_ref = ray.put(q)

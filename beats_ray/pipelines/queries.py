@@ -665,9 +665,13 @@ def q_embeddings_knn_ivf(sf_dir: str):
     # SQL oracle; the PRUNED scale path (n_probe < n_centroids, reads only
     # probed centroid lists) is exercised in tests/test_scale_paths.py
     import pyarrow.parquet as _pq
+    from ..functions.similarity import ivf_cache_dir
     n_total = _pq.ParquetFile(
         os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
-    res = knn_ivf(ds, qvec, k=10, n_centroids=8, n_probe=8, n_total=n_total)
+    cache = ivf_cache_dir("/tmp/beats_ray_data/ivf",
+                          [os.path.join(sf_dir, "embeddings.parquet")], 8)
+    res = knn_ivf(ds, qvec, k=10, n_centroids=8, n_probe=8, n_total=n_total,
+                  cache_dir=cache)
     return res.select(["vec_id", "cos"])
 
 
@@ -711,7 +715,13 @@ def q_embeddings_knn_ivf_pruned(sf_dir: str):
     qvec = np.asarray(tbl.column("embedding")[0].as_py(), dtype=np.float64)
     ds = _read(path, columns=["vec_id", "embedding"])
     n_total = pq.ParquetFile(path).metadata.num_rows
-    res = knn_ivf(ds, qvec, k=10, n_centroids=8, n_probe=2, n_total=n_total)
+    # persisted content-keyed index (shared with the full-probe query):
+    # first call builds + saves, every later call loads — at 100 TB the
+    # rebuild-per-query alternative is the difference between ANN and a scan
+    from ..functions.similarity import ivf_cache_dir
+    cache = ivf_cache_dir("/tmp/beats_ray_data/ivf", [path], 8)
+    res = knn_ivf(ds, qvec, k=10, n_centroids=8, n_probe=2, n_total=n_total,
+                  cache_dir=cache)
     return res.select(["vec_id", "cos"])
 
 
