@@ -123,6 +123,41 @@ def sessionize_salted(ds, key: str = "conv_id", order: str = "turn_idx",
     return partials.groupby(key).map_groups(merge, batch_format="pandas")
 
 
+def sessionize_auto(ds, key: str = "conv_id", order: str | None = None,
+                    ts: str = "ts", gap_s: float = 1800.0,
+                    segment_turns: int = 256, window_s: float = 86400.0,
+                    sample_rows: int = 65536,
+                    keys_per_row_cutoff: float = 0.01):
+    """Strategy router: pick the sessionize implementation from an estimated
+    key density instead of per-group pandas on every key.
+
+    One sample batch estimates distinct-keys-per-row.  HIGH density (avg
+    group below ~1/cutoff rows) means per-group UDF overhead dominates ->
+    the sort-based strategy (Python cost O(blocks), zero per-key calls).
+    LOW density means few (possibly hot/skewed) keys -> the salted two-phase
+    strategy (turn-range segments when an ordinal column exists, time-window
+    segments otherwise).  All strategies are identity-tested against the
+    direct per-group fold and share its oracle.
+    """
+    try:
+        sample = ds.take_batch(sample_rows, batch_format="pyarrow")
+    except (ValueError, StopIteration):      # empty input: any strategy works
+        return sessionize(ds, key=key, order=order or ts, ts=ts, gap_s=gap_s)
+    if isinstance(sample, dict):
+        sample = pa.table(sample)
+    import pyarrow.compute as pc
+    n = len(sample)
+    density = (pc.count_distinct(sample[key]).as_py() or 0) / max(n, 1)
+    if density >= keys_per_row_cutoff:
+        return sessionize_sorted(ds, key=key, order=order or ts, ts=ts,
+                                 gap_s=gap_s)
+    if order is not None:
+        return sessionize_salted(ds, key=key, order=order, ts=ts,
+                                 gap_s=gap_s, segment_turns=segment_turns)
+    return sessionize_salted_time(ds, key=key, ts=ts, gap_s=gap_s,
+                                  window_s=window_s)
+
+
 def sessionize_salted_time(ds, key: str = "user_id", ts: str = "ts",
                            gap_s: float = 1800.0, window_s: float = 86400.0):
     """Time-window-salted session count for event streams WITHOUT an ordinal

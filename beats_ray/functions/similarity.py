@@ -206,14 +206,15 @@ def build_ivf_index(ds, n_centroids: int = 16, id_col: str = "vec_id",
             < np.uint64(int(rate * 0xFFFFFFFF))
         return t.filter(pa.array(keep))
 
-    try:
-        sample_tbl = ds.map_batches(hash_sample, batch_format="pyarrow") \
-                       .take_batch(sample_rows * 4, batch_format="pyarrow")
-    except (ValueError, StopIteration):      # hash sample came up empty
-        sample_tbl = ds.limit(4).take_batch(4, batch_format="pyarrow")
-    if isinstance(sample_tbl, dict):
-        sample_tbl = pa.table(sample_tbl)
-    sample = list_to_matrix(sample_tbl[vec_col])
+    # collect ALL hash-sampled rows (bounded ~sample_rows by the rate) and
+    # SORT by id: streaming block arrival order is nondeterministic, and
+    # k-means init indexes into the sample — an unsorted sample would make
+    # a cached index differ from a fresh build of the same corpus
+    rows = ds.map_batches(hash_sample, batch_format="pyarrow").take_all()
+    if not rows:
+        rows = ds.limit(4).take_all()
+    rows.sort(key=lambda r: r[id_col])
+    sample = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
     cent = train_centroids(sample, n_centroids, seed=seed)
     import ray
     cent_ref = ray.put(cent)

@@ -245,18 +245,14 @@ def q_events_hourly(sf_dir: str):
 
 
 def q_events_sessionize(sf_dir: str):
-    """Per-user session count (30 min inactivity gap)."""
+    """Per-user session count (30 min inactivity gap) — routed through the
+    density-based strategy selector (sessionize_auto): high key density
+    picks the sort-based path (no per-key Python), low density the salted
+    time-window path (skew-safe).  Same oracle as the direct fold."""
+    from ..functions.sessionize import sessionize_auto
     ds = _read(os.path.join(sf_dir, "events.parquet"),
                             columns=["user_id", "ts"])
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff().dt.total_seconds()
-        n = int((gaps > 1800).sum()) + 1
-        return pd.DataFrame({"user_id": np.array([g["user_id"].iloc[0]], dtype=np.int64),
-                             "n_sessions": np.array([n], dtype=np.int64)})
-
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return sessionize_auto(ds, key="user_id", order=None, ts="ts")
 
 
 # ---------------------------------------------------------------- tpch-ish

@@ -15,4 +15,5 @@ from . import flow  # noqa: F401
 from . import network  # noqa: F401
 from . import syslog  # noqa: F401
 from . import timestamp  # noqa: F401
+from . import vpcflow  # noqa: F401
 from ..sources import readers as _readers  # noqa: F401  (reader-chain stages)

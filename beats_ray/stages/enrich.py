@@ -129,38 +129,160 @@ class TranslateLDAP(LookupEnrich):
         super().__init__(config)
 
 
+_CACHE_PATH_CLEAN = str.maketrans({c: "_" for c in '/<>:"\\|?* .'})
+
+
 @register("cache")
 class CacheStage(Stage):
     """KV cache processor (cache/cache.go:40): ``put`` stores
     {key_field -> value_field} into actor-local state; ``get`` enriches from
-    it.  The reference's file-backed store (file_store.go) maps to an optional
-    JSON checkpoint written on flush.  NOTE: actor-local state is per-worker —
-    a ``get`` only sees ``put``s processed by the same actor, so pipelines that
-    need global visibility must partition input by the cache key (documented
-    partitioning assumption, SURVEY.md custom-operator rule)."""
+    it; ``delete`` evicts.  Config mirrors the reference
+    (cache/config.go:96-122): ``store.memory.id`` or ``store.file.{id,
+    write_interval}`` plus ``store.capacity`` and per-put ``ttl``.
+
+    File-backed store (file_store.go): state is an ndjson of
+    ``{"key":…, "val":…, "expires":…}`` entries at
+    ``<store_root>/cache_processor/<clean_id>`` — read at actor setup
+    (readState, file_store.go:170), written atomically via tmp+rename
+    (writeState :245).  Deviation for the batch engine: the reference's
+    periodic-writer goroutine maps to a flush at batch boundaries once
+    ``write_interval`` has elapsed (interval 0 = every batch), since a Ray
+    actor has no guaranteed finalizer for the reference's final write.
+
+    NOTE: actor-local state is per-worker — a ``get`` only sees ``put``s
+    processed by the same actor, so pipelines that need global visibility
+    must partition input by the cache key (documented partitioning
+    assumption, SURVEY.md custom-operator rule)."""
 
     name = "cache"
     stateful = True
 
     def __init__(self, config=None):
         super().__init__(config)
+        import math as _math
+        import time as _time
         c = self.config
-        self.op = "put" if "put" in c else "get"
-        opcfg = c.get(self.op, {})
+        self.op = "put" if "put" in c else ("delete" if "delete" in c else "get")
+        opcfg = c.get(self.op) if isinstance(c.get(self.op), dict) else {}
         self.key_field = opcfg.get("key_field", c.get("key_field"))
         self.value_field = opcfg.get("value_field", c.get("value_field"))
         self.target_field = opcfg.get("target_field", c.get("target_field", "cache_value"))
-        self.store: dict = dict(c.get("seed", {}))
+        self.ttl = self._dur(opcfg.get("ttl", c.get("ttl")))
+        store = c.get("store") or {}
+        self.capacity = int(store.get("capacity", 0) or 0) or None
+        self.path = None
+        self.write_interval = 0.0
+        fcfg = store.get("file")
+        if fcfg:
+            sid = str(fcfg.get("id", "default")).translate(_CACHE_PATH_CLEAN)
+            root = c.get("store_root", "/tmp/beats_ray_data")
+            import os
+            self.path = os.path.join(root, "cache_processor", sid)
+            self.write_interval = self._dur(fcfg.get("write_interval")) or 0.0
+        # key -> (value, expires_epoch)
+        inf = _math.inf
+        self.store: dict = {k: (v, inf) for k, v in (c.get("seed") or {}).items()}
+        self._dirty = False
+        self._last_write = _time.monotonic()
+        if self.path:
+            self._read_state()
+
+    @staticmethod
+    def _dur(v):
+        if v is None:
+            return None
+        if isinstance(v, (int, float)):
+            return float(v)
+        from .timestamp import DecodeDuration
+        return DecodeDuration.parse_duration(str(v))
+
+    def _read_state(self):
+        import json
+        import math
+        import time
+        try:
+            with open(self.path) as f:
+                now = time.time()
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    e = json.loads(line)
+                    exp = e.get("expires")
+                    exp = math.inf if exp is None else float(exp)
+                    if exp > now:
+                        self.store[e["key"]] = (e["val"], exp)
+        except FileNotFoundError:
+            pass
+
+    def _write_state(self):
+        import json
+        import math
+        import os
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        tmp = f"{self.path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            for k, (v, exp) in self.store.items():
+                f.write(json.dumps(
+                    {"key": k, "val": v,
+                     "expires": None if exp == math.inf else exp},
+                    default=str) + "\n")
+        os.replace(tmp, self.path)      # atomic publish (writeState :280)
+        self._dirty = False
+
+    def _maybe_flush(self):
+        import time
+        if not (self.path and self._dirty):
+            return
+        now = time.monotonic()
+        if now - self._last_write >= self.write_interval:
+            self._write_state()
+            self._last_write = now
+
+    def flush(self):
+        """Final write-out (the reference's writeState(final=True))."""
+        if self.path and self._dirty:
+            self._write_state()
+
+    def __del__(self):      # best-effort final flush on actor teardown
+        try:
+            self.flush()
+        except Exception:
+            pass
+
+    def _evict(self):
+        if self.capacity and len(self.store) > self.capacity:
+            # reference evicts by earliest expiry (expiryHeap); ties keep
+            # insertion order stable
+            for k in sorted(self.store, key=lambda k: self.store[k][1])[
+                    :len(self.store) - self.capacity]:
+                del self.store[k]
 
     def process(self, batch):
+        import math
+        import time
         keys = batch.column(field_to_column(self.key_field)).to_pylist()
+        now = time.time()
         if self.op == "put":
             vals = batch.column(field_to_column(self.value_field)).to_pylist()
+            exp = now + self.ttl if self.ttl else math.inf
             for k, v in zip(keys, vals):
                 if k is not None:
-                    self.store[k] = v
+                    self.store[k] = (v, exp)
+                    self._dirty = True
+            self._evict()
+            self._maybe_flush()
             return batch
-        out = [self.store.get(k) for k in keys]
+        if self.op == "delete":
+            for k in keys:
+                if self.store.pop(k, None) is not None:
+                    self._dirty = True
+            self._maybe_flush()
+            return batch
+        out = []
+        for k in keys:
+            e = self.store.get(k)
+            out.append(e[0] if e is not None and e[1] > now else None)
         return set_column(batch, field_to_column(self.target_field), pa.array(out))
 
 

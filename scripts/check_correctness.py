@@ -116,6 +116,79 @@ def main():
             print("  orac:", ora.head(3).to_dict("records"))
         else:
             print(f"PASS {name}: rows={len(mine)}")
+    # Quantitative gates for the two deliberately-approximate rows-only
+    # queries: recall against their exact oracle-checked siblings (the
+    # documented recall math says ~0.975 for the LSH pairs on this corpus
+    # and ~1.0 for the planted-neighborhood IVF probe; gates leave margin).
+    RECALL_GATES = {
+        "embeddings_near_dup_lsh": ("embeddings_near_dup", ["a", "b"], 0.95),
+    }
+    for approx, (exact, keys, floor) in RECALL_GATES.items():
+        if only and approx not in only:
+            continue
+        if approx not in qs or exact not in qs:
+            continue
+        try:
+            a = to_pandas(qs[approx](sf_dir))
+            b = to_pandas(qs[exact](sf_dir))
+            sa = set(map(tuple, a[keys].values.tolist()))
+            sb = set(map(tuple, b[keys].values.tolist()))
+            rec = len(sa & sb) / max(len(sb), 1)
+        except Exception as ex:
+            failures.append((approx, f"recall gate raised: {ex!r}"))
+            print(f"FAIL {approx}: recall gate raised {ex!r}")
+            continue
+        if rec < floor:
+            failures.append((approx, f"recall {rec:.3f} < {floor} vs {exact}"))
+            print(f"FAIL {approx}: recall {rec:.3f} < {floor} vs {exact}")
+        else:
+            print(f"PASS {approx}: recall {rec:.3f} >= {floor} vs {exact}")
+
+    # Exactness gate for the pruned-IVF query: its answer must EQUAL the
+    # exact brute-force top-k restricted to the probed cells (the pruned
+    # problem's true answer).  A recall-vs-global-brute floor would be
+    # corpus-dependent (these synthetic embeddings are near-uniform on the
+    # sphere, so the global top-10 legitimately spreads across cells); this
+    # gate is deterministic and catches any probing/scoring breakage.
+    if (not only or "embeddings_knn_ivf_pruned" in only) and \
+            "embeddings_knn_ivf_pruned" in qs:
+        try:
+            import os as _os
+
+            import numpy as _np
+            import pyarrow.parquet as _pq
+
+            from beats_ray.functions.similarity import (_unit, ivf_cache_dir,
+                                                        load_ivf_index)
+            mine = to_pandas(qs["embeddings_knn_ivf_pruned"](sf_dir))
+            path = _os.path.join(sf_dir, "embeddings.parquet")
+            cache = ivf_cache_dir("/tmp/beats_ray_data/ivf", [path], 8)
+            cent = _np.load(_os.path.join(cache, "centroids.npy"))
+            qtbl = _pq.read_table(path, columns=["vec_id", "embedding"],
+                                  filters=[("vec_id", "==", 0)])
+            q = _unit(_np.atleast_2d(
+                _np.asarray(qtbl["embedding"][0].as_py())))[0]
+            cells = _np.argsort(-(q @ cent.T))[:2].tolist()
+            adf = load_ivf_index(cache, probe_cells=cells)[0].to_pandas()
+            mat = _unit(_np.asarray(adf["embedding"].tolist()))
+            cos = _np.round(mat @ q, 6)
+            order = _np.lexsort((adf["vec_id"].to_numpy(), -cos))[:10]
+            exp = {(int(adf["vec_id"].iloc[i]), float(cos[i]))
+                   for i in order}
+            got = {(int(v), float(c))
+                   for v, c in zip(mine["vec_id"], mine["cos"])}
+            if got == exp:
+                print("PASS embeddings_knn_ivf_pruned: exact on probed cells")
+            else:
+                failures.append(("embeddings_knn_ivf_pruned",
+                                 "pruned != exact-over-probed-cells"))
+                print("FAIL embeddings_knn_ivf_pruned: "
+                      f"pruned {sorted(got)[:3]}... != exact {sorted(exp)[:3]}...")
+        except Exception as ex:
+            failures.append(("embeddings_knn_ivf_pruned",
+                             f"pruned gate raised: {ex!r}"))
+            print(f"FAIL embeddings_knn_ivf_pruned: gate raised {ex!r}")
+
     print(f"\n{len(failures)} failures")
     ray.shutdown()
     sys.exit(1 if failures else 0)

@@ -157,3 +157,146 @@ def test_minhash_bucket_key_is_int64(ray_session):
     edges = minhash_lsh_pairs(ds, threshold=0.5)
     pairs = edges.to_pandas() if hasattr(edges, "to_pandas") else edges.to_pandas()
     assert (0, 50) in set(zip(pairs["a"], pairs["b"]))
+
+
+# ------------------------------------------------- file-backed cache store
+
+def test_cache_file_store_survives_restart(tmp_path):
+    """file_store.go semantics: state written at flush, read at setup, so a
+    fresh actor (new stage instance) sees a previous run's puts."""
+    import pyarrow as pa
+    from beats_ray.stages.enrich import CacheStage
+    cfg = {"store": {"file": {"id": "sess meta"}},
+           "store_root": str(tmp_path)}
+    put = CacheStage({**cfg, "put": {"key_field": "k", "value_field": "v"}})
+    put.process(pa.table({"k": ["a", "b"], "v": [1, 2]}))
+    # interval 0 -> flushed at the batch boundary; path uses the cleaned id
+    assert (tmp_path / "cache_processor" / "sess_meta").exists()
+    # "restart": a brand-new instance must recover the state
+    get = CacheStage({**cfg, "get": {"key_field": "k", "target_field": "c"}})
+    out = get.process(pa.table({"k": ["b", "a", "missing"]}))
+    assert out["c"].to_pylist() == [2, 1, None]
+
+
+def test_cache_file_store_write_interval_and_ttl(tmp_path):
+    import time
+    import pyarrow as pa
+    from beats_ray.stages.enrich import CacheStage
+    cfg = {"store": {"file": {"id": "slow", "write_interval": "1h"}},
+           "store_root": str(tmp_path)}
+    put = CacheStage({**cfg, "put": {"key_field": "k", "value_field": "v",
+                                     "ttl": "10ms"}})
+    put.process(pa.table({"k": ["x"], "v": ["y"]}))
+    # write_interval not yet elapsed -> nothing on disk
+    assert not (tmp_path / "cache_processor" / "slow").exists()
+    put.flush()                      # final write-out
+    assert (tmp_path / "cache_processor" / "slow").exists()
+    time.sleep(0.02)                 # ttl expiry
+    get = CacheStage({**cfg, "get": {"key_field": "k", "target_field": "c"}})
+    out = get.process(pa.table({"k": ["x"]}))
+    assert out["c"].to_pylist() == [None]
+
+
+def test_cache_delete_and_capacity():
+    import pyarrow as pa
+    from beats_ray.stages.enrich import CacheStage
+    st = CacheStage({"put": {"key_field": "k", "value_field": "v"},
+                     "store": {"memory": {"id": "m"}, "capacity": 2}})
+    st.process(pa.table({"k": ["a", "b", "c"], "v": [1, 2, 3]}))
+    assert len(st.store) == 2        # capacity eviction
+    dele = CacheStage({"delete": {"key_field": "k"}})
+    dele.store = dict(st.store)
+    dele.process(pa.table({"k": list(st.store.keys())[:1]}))
+    assert len(dele.store) == 1
+
+
+# --------------------------------------------- aws_vpcflow reference golden
+
+def _flatten_golden(obj, prefix=""):
+    out = {}
+    for k, v in obj.items():
+        key = "ts" if (not prefix and k == "@timestamp") else \
+            (prefix + k.replace(".", "_"))
+        if isinstance(v, dict):
+            out.update(_flatten_golden(v, key + "_"))
+        else:
+            out[key] = v
+    return out
+
+
+def test_aws_vpcflow_reference_goldens():
+    """Run every reference golden case (x-pack/filebeat/processors/
+    aws_vpcflow/testdata) through the registered stage and compare the full
+    flattened event against the reference's own -golden.json output."""
+    import datetime
+    import json
+    import os
+    import yaml
+    import pyarrow as pa
+    from beats_ray.stages import stage_factory
+
+    tdir = "/root/reference/x-pack/filebeat/processors/aws_vpcflow/testdata"
+    with open(os.path.join(tdir, "aws-vpc-flow-logs.yml")) as f:
+        cases = yaml.safe_load(f)
+
+    def render(v):
+        if isinstance(v, datetime.datetime):
+            return v.strftime("%Y-%m-%dT%H:%M:%SZ")
+        return v
+
+    n_cases = 0
+    for name, tc in cases.items():
+        golden_path = os.path.join(tdir, f"{name}.golden.json")
+        if not os.path.exists(golden_path):
+            continue
+        with open(golden_path) as f:
+            golden = json.load(f)
+        cfg = {"format": tc["format"]}
+        if tc.get("mode"):
+            cfg["mode"] = tc["mode"]
+        st = stage_factory("parse_aws_vpc_flow_log")(cfg)
+        batch = pa.table({"message": pa.array(tc["samples"], pa.string())})
+        out = st.process(batch)
+        assert "error_message" not in out.column_names or \
+            out["error_message"].null_count == len(out), \
+            f"{name}: rows failed to parse"
+        rows = out.to_pylist()
+        assert len(rows) == len(golden)
+        for row, exp in zip(rows, golden):
+            got = {k: render(v) for k, v in row.items() if v is not None}
+            want = _flatten_golden(exp)
+            assert got == want, f"{name}: {got} != {want}"
+        n_cases += 1
+    assert n_cases >= 12     # all golden-backed cases ran
+
+
+# ------------------------------------------------- sessionize auto-routing
+
+def test_sessionize_auto_identity_both_regimes(ray_session):
+    """The router must return the same answer as the direct fold in both
+    density regimes (it picks sorted vs salted by sample key density)."""
+    import pandas as pd
+    import ray.data as rd
+    from beats_ray.functions.sessionize import sessionize, sessionize_auto
+    rng = np.random.default_rng(11)
+    # low density: 5 hot users, many events each (-> salted_time path)
+    n = 4000
+    low = pd.DataFrame({
+        "user_id": rng.integers(0, 5, n),
+        "ts": pd.to_datetime(rng.integers(0, 4 * 86400, n), unit="s")})
+    # high density: ~1 key per 2 rows (-> sorted path)
+    high = pd.DataFrame({
+        "user_id": rng.integers(0, 2000, n),
+        "ts": pd.to_datetime(rng.integers(0, 4 * 86400, n), unit="s")})
+    for df in (low, high):
+        direct = sessionize(rd.from_pandas(df), key="user_id", order="ts",
+                            ts="ts").to_pandas()
+        routed = sessionize_auto(rd.from_pandas(df), key="user_id",
+                                 order=None, ts="ts")
+        routed = routed.to_pandas() if hasattr(routed, "to_pandas") else \
+            routed.to_pandas()
+        a = direct.sort_values("user_id").reset_index(drop=True)
+        b = routed.to_pandas() if not isinstance(routed, pd.DataFrame) else routed
+        b = b.sort_values("user_id").reset_index(drop=True)
+        assert a["n_sessions"].tolist() == b["n_sessions"].tolist()
+        assert a["user_id"].tolist() == b["user_id"].tolist()
