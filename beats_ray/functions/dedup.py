@@ -553,10 +553,67 @@ def simhash64_batch(texts: list[str | None]) -> np.ndarray:
     return sigs
 
 
+def _simhash_verify_segments(ids: np.ndarray, ss: np.ndarray,
+                             bb: np.ndarray, max_hamming: int):
+    """Pairwise popcount verify over CONTIGUOUS (band,key) segments of a
+    sorted row set: one small numpy pass per multi-member segment (no pandas
+    slicing), each segment's xor matrix CHUNKED so peak memory is
+    O(chunk x segment) — a pathological hot bucket (giant near-identical
+    cluster) degrades to more iterations, never a multi-GB allocation
+    (round-2 ADVICE: 64k members would need 32 GB as one matrix)."""
+    out_a, out_b, out_d = [], [], []
+    # segment boundaries of the sorted bb column
+    starts = np.flatnonzero(np.concatenate([[True], bb[1:] != bb[:-1]]))
+    ends = np.concatenate([starts[1:], [len(bb)]])
+    for s, e in zip(starts, ends):
+        n = e - s
+        if n < 2:
+            continue
+        gi, gs = ids[s:e], ss[s:e]
+        # dedup ids within the bucket (same doc can land twice pre-filter)
+        order = np.argsort(gi, kind="stable")
+        keep = np.concatenate([[True], gi[order][1:] != gi[order][:-1]])
+        sel = order[keep]
+        gi, gs = gi[sel], gs[sel]
+        n = len(gi)
+        if n < 2:
+            continue
+        chunk = max(64, min(8192, (1 << 26) // n))
+        col_idx = np.arange(n)
+        for s0 in range(0, n, chunk):
+            s1 = min(s0 + chunk, n)
+            x = gs[s0:s1, None] ^ gs[None, :]
+            d = np.zeros(x.shape, dtype=np.uint8)
+            for shift in range(0, 64, 8):
+                d += _POPCNT8[((x >> np.uint64(shift))
+                               & np.uint64(0xFF)).astype(np.uint8)]
+            hit = (d <= max_hamming) & \
+                (col_idx[None, :] > np.arange(s0, s1)[:, None])
+            ia, ib = np.where(hit)
+            if len(ia):
+                out_a.append(gi[ia + s0])
+                out_b.append(gi[ib])
+                out_d.append(d[ia, ib].astype(np.int64))
+    if not out_a:
+        return (np.empty(0, np.int64),) * 3
+    return (np.concatenate(out_a), np.concatenate(out_b),
+            np.concatenate(out_d))
+
+
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3):
+                  max_hamming: int = 3, n_buckets: int = 256):
     """SimHash near-dup edges: 64-bit simhash, 4-band blocking (hamming<=3
-    guarantees one identical 16-bit band), verify by popcount."""
+    guarantees one identical 16-bit band), verify by popcount.
+
+    Shuffle/verify shape (round-3): the (band, 16-bit key) pair packs into
+    ONE exact int32 ``bb`` = band*65536 + key; a census prefilter (partial
+    count per block -> one small groupby) drops the singleton buckets that
+    dominate non-duplicated corpora; surviving rows shuffle ONCE by
+    ``bb % n_buckets`` so each verify task handles MANY buckets with
+    numpy segment processing — per-group Python overhead is O(n_buckets),
+    not O(#hot buckets) (the round-2 shape spent ~90% of the dup-corpus
+    wall time in ~250k per-group pandas calls)."""
+    from ray.data.aggregate import Sum
 
     def sig_stage(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
@@ -566,56 +623,63 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         dids = dids[valid]
         n = len(dids)
         ids = np.repeat(dids, 4)
-        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        bands = np.tile(np.arange(4, dtype=np.int64), n)
         shifts = (16 * np.tile(np.arange(4, dtype=np.uint64), n))
-        keys = ((np.repeat(sh, 4) >> shifts) & np.uint64(0xFFFF)).astype(np.int32)
+        keys = ((np.repeat(sh, 4) >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+        bb = (bands * 65536 + keys).astype(np.int32)     # exact packed key
         return pa.table({id_col: pa.array(ids, pa.int64()),
-                         "band": pa.array(bands, pa.int32()),
-                         "key": pa.array(keys, pa.int32()),
+                         "bb": pa.array(bb, pa.int32()),
                          "sig": pa.array(np.repeat(sh, 4), pa.uint64())})
 
-    sigs = ds.map_batches(sig_stage, batch_format="pyarrow")
+    sigs = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": np.array([], dtype=np.int64),
-                              "b": np.array([], dtype=np.int64),
-                              "hamming": np.array([], dtype=np.int64)})
-        if len(g) < 2:
-            return empty
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].to_numpy(dtype=np.int64)
-        ss = g["sig"].to_numpy(dtype=np.uint64)
-        n = len(ss)
-        # pairwise popcount via the 8-bit lookup table on the xor matrix,
-        # CHUNKED by row block: peak memory is O(chunk x n) (~0.6 GB at the
-        # 2^26-entry bound), not O(n^2) — a pathological hot bucket (giant
-        # near-identical cluster) degrades to more iterations instead of a
-        # multi-GB allocation (round-2 ADVICE: 64k members would need 32 GB
-        # as a single matrix).  Compute is inherently O(n^2) per bucket;
-        # the banding keeps expected bucket size at ~n/65536.
-        chunk = max(64, min(8192, (1 << 26) // max(n, 1)))
-        out_a, out_b, out_d = [], [], []
-        col_idx = np.arange(n)
-        for s0 in range(0, n, chunk):
-            s1 = min(s0 + chunk, n)
-            x = ss[s0:s1, None] ^ ss[None, :]
-            d = np.zeros(x.shape, dtype=np.uint8)
-            for shift in range(0, 64, 8):
-                d += _POPCNT8[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)]
-            # keep only global-upper-triangle pairs (b index > a index)
-            hit = (d <= max_hamming) & (col_idx[None, :] > np.arange(s0, s1)[:, None])
-            ia, ib = np.where(hit)
-            if len(ia):
-                out_a.append(ids[ia + s0])
-                out_b.append(ids[ib])
-                out_d.append(d[ia, ib].astype(np.int64))
-        if not out_a:
-            return empty
-        return pd.DataFrame({"a": np.concatenate(out_a),
-                             "b": np.concatenate(out_b),
-                             "hamming": np.concatenate(out_d)})
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        return t.select(["bb"]).group_by(["bb"]) \
+                .aggregate([([], "count_all")]) \
+                .rename_columns(["bb", "n_part"])
 
-    edges = sigs.groupby(["band", "key"]).map_groups(verify, batch_format="pandas")
+    hot = sigs.map_batches(bucket_partial, batch_format="pyarrow") \
+              .groupby("bb").aggregate(Sum("n_part", alias_name="n")) \
+              .map_batches(lambda t: t.filter(pc_ge2(t)),
+                           batch_format="pyarrow").take_all()
+    hot_keys = [r["bb"] for r in hot]
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    if not hot_keys:
+        import ray.data as rd
+        return rd.from_arrow(empty)
+    import ray
+    hot_arr = pa.array(hot_keys, pa.int32())
+    hot_ref = ray.put(hot_arr) if ray.is_initialized() else hot_arr
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        keys = hot_ref if isinstance(hot_ref, pa.Array) else ray.get(hot_ref)
+        t = t.filter(pc.is_in(t["bb"], value_set=keys))
+        shard = pc.cast(pc.bit_wise_and(t["bb"], n_buckets - 1), pa.int32()) \
+            if (n_buckets & (n_buckets - 1)) == 0 else \
+            pa.array((t["bb"].to_numpy(zero_copy_only=False)
+                      % n_buckets).astype(np.int32))
+        return t.append_column("shard", shard)
+
+    hot_sigs = sigs.map_batches(keep_hot, batch_format="pyarrow")
+
+    def verify_shard(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or len(g) < 2:
+            return empty
+        bb = g["bb"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ss = g["sig"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(bb, kind="stable")
+        a, b, d = _simhash_verify_segments(
+            ids[order].astype(np.int64), ss[order].astype(np.uint64),
+            bb[order], max_hamming)
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64()),
+                         "hamming": pa.array(d, pa.int64())})
+
+    edges = hot_sigs.groupby("shard").map_groups(verify_shard,
+                                                 batch_format="pyarrow")
     # pair surfaces from up to 4 bands -> distributed dedup (hamming is
     # identical across bands for a pair, so Min is a pure dedup)
     from ray.data.aggregate import Min

@@ -127,17 +127,26 @@ def sessionize_auto(ds, key: str = "conv_id", order: str | None = None,
                     ts: str = "ts", gap_s: float = 1800.0,
                     segment_turns: int = 256, window_s: float = 86400.0,
                     sample_rows: int = 65536,
-                    keys_per_row_cutoff: float = 0.01):
-    """Strategy router: pick the sessionize implementation from an estimated
-    key density instead of per-group pandas on every key.
+                    keys_per_row_cutoff: float = 0.30,
+                    hot_key_share: float = 0.10):
+    """Strategy router: pick the sessionize implementation from sampled key
+    statistics instead of hard-coding one shuffle shape.
 
-    One sample batch estimates distinct-keys-per-row.  HIGH density (avg
-    group below ~1/cutoff rows) means per-group UDF overhead dominates ->
-    the sort-based strategy (Python cost O(blocks), zero per-key calls).
-    LOW density means few (possibly hot/skewed) keys -> the salted two-phase
-    strategy (turn-range segments when an ordinal column exists, time-window
-    segments otherwise).  All strategies are identity-tested against the
-    direct per-group fold and share its oracle.
+    One sample batch estimates (a) distinct-keys-per-row and (b) the hottest
+    key's row share.  EXTREME density (avg group below ~3 rows — e.g. a
+    nearly-unique key) means per-group UDF calls dominate -> the sort-based
+    strategy (Python cost O(blocks), zero per-key calls; note Ray's
+    map_groups performs the same key sort internally, so the sorted path
+    only wins when the per-group call count itself is the cost).  A HOT key
+    (> hot_key_share of sampled rows) means one giant group would pin a
+    single task -> the salted two-phase strategy (turn-range segments with
+    an ordinal column, time-window segments otherwise).  Everything else ->
+    the direct per-group fold: with moderate key counts it is the cheapest
+    shape (ONE shuffle; measured in round 3, both alternatives were 8-10x
+    slower on an unskewed 1500-key stream — salting explodes (key, window)
+    group counts, the sorted path pays a second global exchange).  All
+    strategies are identity-tested against the direct fold and share its
+    oracle.
     """
     try:
         sample = ds.take_batch(sample_rows, batch_format="pyarrow")
@@ -151,11 +160,15 @@ def sessionize_auto(ds, key: str = "conv_id", order: str | None = None,
     if density >= keys_per_row_cutoff:
         return sessionize_sorted(ds, key=key, order=order or ts, ts=ts,
                                  gap_s=gap_s)
-    if order is not None:
-        return sessionize_salted(ds, key=key, order=order, ts=ts,
-                                 gap_s=gap_s, segment_turns=segment_turns)
-    return sessionize_salted_time(ds, key=key, ts=ts, gap_s=gap_s,
-                                  window_s=window_s)
+    counts = sample[key].value_counts()
+    top = max((c.as_py() for c in counts.field("counts")), default=0)
+    if top / max(n, 1) >= hot_key_share:
+        if order is not None:
+            return sessionize_salted(ds, key=key, order=order, ts=ts,
+                                     gap_s=gap_s, segment_turns=segment_turns)
+        return sessionize_salted_time(ds, key=key, ts=ts, gap_s=gap_s,
+                                      window_s=window_s)
+    return sessionize(ds, key=key, order=order or ts, ts=ts, gap_s=gap_s)
 
 
 def sessionize_salted_time(ds, key: str = "user_id", ts: str = "ts",

@@ -279,7 +279,7 @@ def test_sessionize_auto_identity_both_regimes(ray_session):
     import ray.data as rd
     from beats_ray.functions.sessionize import sessionize, sessionize_auto
     rng = np.random.default_rng(11)
-    # low density: 5 hot users, many events each (-> salted_time path)
+    # hot-key skew: 5 users, each > 10% of rows (-> salted_time path)
     n = 4000
     low = pd.DataFrame({
         "user_id": rng.integers(0, 5, n),
@@ -288,7 +288,11 @@ def test_sessionize_auto_identity_both_regimes(ray_session):
     high = pd.DataFrame({
         "user_id": rng.integers(0, 2000, n),
         "ts": pd.to_datetime(rng.integers(0, 4 * 86400, n), unit="s")})
-    for df in (low, high):
+    # few evenly-sized keys, no skew (-> direct fold, one shuffle)
+    mid = pd.DataFrame({
+        "user_id": rng.integers(0, 30, n),
+        "ts": pd.to_datetime(rng.integers(0, 4 * 86400, n), unit="s")})
+    for df in (low, high, mid):
         direct = sessionize(rd.from_pandas(df), key="user_id", order="ts",
                             ts="ts").to_pandas()
         routed = sessionize_auto(rd.from_pandas(df), key="user_id",
