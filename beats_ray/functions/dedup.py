@@ -5,12 +5,13 @@ scale" / dedup pattern):
 
 1. a vectorized ``map_batches`` stage computes per-document signatures
    (content hash / minhash bands / simhash bands) — embarrassingly parallel;
-2. ONE ``groupby`` on the signature key co-locates candidates (the only
-   shuffle; signatures are tiny compared to the documents);
+2. a ``groupby`` on the signature key co-locates candidates (band rows are
+   TINY — signatures or keys only, never document text, and shingle sets
+   travel at most twice via co-group joins rather than once per band);
 3. per-group verification (exact compare / Jaccard / hamming) emits dup
-   edges; connected components resolve via iterative min-label propagation
-   (bounded rounds of small groupbys) — union-find on the driver only for
-   provably small candidate sets.
+   edges, each candidate pair verified ONCE; connected components resolve
+   via iterative min-label propagation (bounded rounds of small groupbys) —
+   union-find on the driver only for provably small candidate sets.
 
 Exact dedup:     sha1(text) -> groupby(hash) -> min(doc_id) survivor.
 MinHash+LSH:     word-shingle set -> k permutation-free minhashes (xor-mix
@@ -216,9 +217,83 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
                  .select_columns([id_col])
 
 
+def _segment_all_pairs(ids: np.ndarray, seg: np.ndarray):
+    """All (a<b) id pairs within each segment of ``seg`` (rows pre-sorted by
+    (seg, id), (seg,id)-deduplicated).  Fully vectorized: segments are
+    grouped BY SIZE, so each distinct size costs one gather + one
+    ``triu_indices`` — no per-segment Python loop (a dup-heavy corpus has
+    ~bands x clusters segments; looping them was the round-2 hot spot)."""
+    starts = np.flatnonzero(np.concatenate([[True], seg[1:] != seg[:-1]]))
+    counts = np.diff(np.concatenate([starts, [len(seg)]]))
+    out_a, out_b = [], []
+    for c in np.unique(counts):
+        if c < 2:
+            continue
+        s = starts[counts == c]                       # (S,) segment starts
+        m = ids[s[:, None] + np.arange(c)[None, :]]   # (S, c) ids ascending
+        iu, ju = np.triu_indices(int(c), 1)
+        out_a.append(m[:, iu].ravel())
+        out_b.append(m[:, ju].ravel())
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+def _jaccard_flat(P: int, la: np.ndarray, lb: np.ndarray,
+                  va: np.ndarray, pid_a: np.ndarray,
+                  vb: np.ndarray, pid_b: np.ndarray) -> np.ndarray:
+    """Exact Jaccard for P (set, set) pairs given flat value runs in ONE
+    numpy pass: tag every shingle value with its pair index
+    ((pid<<32)|value), count distinct tags per pair via np.unique + bincount
+    — |A∪B| directly, so jac = (|A|+|B|-|A∪B|) / |A∪B|.  No per-pair
+    Python loop."""
+    keys = np.concatenate([(pid_a.astype(np.uint64) << np.uint64(32))
+                           | va.astype(np.uint64),
+                           (pid_b.astype(np.uint64) << np.uint64(32))
+                           | vb.astype(np.uint64)])
+    uniq = np.unique(keys)
+    union = np.bincount((uniq >> np.uint64(32)).astype(np.int64), minlength=P)
+    inter = (la + lb) - union
+    jac = np.ones(P, dtype=np.float64)        # both-empty -> 1.0
+    nz = union > 0
+    jac[nz] = inter[nz] / union[nz]
+    return np.round(jac, 6)
+
+
+def _jaccard_batch(sh_a: pa.Array, sh_b: pa.Array) -> np.ndarray:
+    """`_jaccard_flat` over two aligned ``list<uint32>`` columns."""
+    # list_flatten / list_value_length honour slice offsets (raw
+    # .values/.offsets on a sliced ListArray would read the full buffer)
+    la = pc.list_value_length(sh_a).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    lb = pc.list_value_length(sh_b).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    va = pc.list_flatten(sh_a).to_numpy(zero_copy_only=False)
+    vb = pc.list_flatten(sh_b).to_numpy(zero_copy_only=False)
+    P = len(la)
+    return _jaccard_flat(P, la, lb,
+                         va, np.repeat(np.arange(P, dtype=np.int64), la),
+                         vb, np.repeat(np.arange(P, dtype=np.int64), lb))
+
+
+def _ragged_gather(idx: np.ndarray, offsets: np.ndarray, lens: np.ndarray,
+                   values: np.ndarray):
+    """Gather ragged value runs ``values[offsets[i]:offsets[i]+lens[i]]``
+    for every i in ``idx`` into one flat array plus per-run ids — the
+    vectorized ragged-arange trick (no per-run Python)."""
+    l_ = lens[idx]
+    cum = np.cumsum(l_)
+    total = int(cum[-1]) if len(cum) else 0
+    flat = (np.arange(total, dtype=np.int64)
+            - np.repeat(cum - l_, l_)
+            + np.repeat(offsets[idx], l_))
+    return values[flat], np.repeat(np.arange(len(idx), dtype=np.int64), l_)
+
+
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       n_bands: int = 32, threshold: float = 0.8, shingle_k: int = 3,
-                      census: str = "distributed"):
+                      n_shards: int = 64, n_buckets: int = 64,
+                      mode: str = "auto", broadcast_rows: int = 200_000):
     """Near-dup candidate pairs via MinHash+LSH, verified with exact n-gram
     Jaccard >= threshold.  Returns a Dataset of (a, b, jaccard) edges, a < b.
 
@@ -227,11 +302,29 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     j >= ~0.45 reliably (verify discards the false candidates); for a 0.8+
     threshold at extreme scale use n_bands=16 to cut candidate volume.
 
-    Shuffle profile: one groupby on the mixed (band, band_hash) bucket key
-    over tiny signature rows; document text is re-read only for verification
-    via a broadcast of the candidate buckets' texts (bucket sizes are bounded
-    by construction — a hot bucket means a hot near-dup cluster, which
-    verification caps).
+    Two size regimes (``mode="auto"`` picks by corpus row count, mirroring
+    connected_components_auto): below ``broadcast_rows`` the per-doc shingle
+    store is ray.put ONCE and pairs verify inline in the pair-generation
+    stage — two all-to-alls total; above it, the join path below keeps every
+    stage fully distributed.
+
+    Join-path shuffle profile (shingles move TWICE, not x n_bands):
+
+    1. one vectorized signature pass stores each doc's compact shingle-hash
+       SET once (``per_doc``, materialized — it feeds three consumers);
+    2. tiny (doc_id, bucket-key) band rows — 20 bytes/row, NO shingles —
+       shuffle once by key-shard; contiguous same-key segments emit
+       candidate (a, b) pairs, vectorized by segment size;
+    3. pairs co-group with per-doc shingle sets by hash(a) % n_buckets:
+       duplicate pairs from multiple bands collapse HERE (every copy of
+       (a,b) shares a, so the dedup is global), then sh_a attaches by
+       vectorized index_in + list-take;
+    4. the same co-group by hash(b) attaches sh_b and computes exact
+       Jaccard for every surviving pair in one numpy pass.
+
+    The round-2 shape tiled every shingle set x 32 band rows through a
+    materialize + shuffle and re-verified each pair once PER BAND; this
+    shape ships each shingle set twice and verifies each pair once.
 
     The bucket key is ONE int64 column ``bb`` = mix64(band_hash ^ band),
     reinterpreted signed: Ray's sort-based shuffle converts uint64 key values
@@ -241,11 +334,16 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     (bh ^ band), so bucket collisions stay at the ~2^-64 level of the band
     hash itself, and a collision can only MERGE buckets (extra candidates,
     removed by exact verify), never lose a candidate pair.
+
+    Skew note: a giant cluster of IDENTICAL documents would emit O(m^2)
+    pairs from one segment — run ``exact_dedup`` first (the catalogue does);
+    LSH's job is the near-miss tail, where cluster sizes are bounded by the
+    similarity threshold itself.
     """
     a_seed, b_seed = _minhash_seeds()
     rows_per_band = _N_HASH // n_bands
 
-    def sig_stage(t: pa.Table) -> pa.Table:
+    def sig_doc(t: pa.Table) -> pa.Table:
         memo: dict = {}          # word-hash memo shared across the batch
         ids_list, band_hashes, sh_arrays = [], [], []
         for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
@@ -259,144 +357,187 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         n = len(ids_list)
         if n == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
-                             "bb": pa.array([], pa.int64()),
-                             "sh": pa.array([], pa.list_(pa.uint32()))})
-        # band rows carry the compact shingle-hash SET, not the document —
-        # the shuffle moves signatures, never text (scale-critical).  The
-        # per-doc duplication across bands is ONE numpy tile per doc + a
-        # single ListArray build (the old per-row .tolist() materialized
-        # 32x the shingles as Python ints), and band keys are a vectorized
-        # numpy mix instead of n_bands blake2b calls per doc.
-        ids = np.repeat(np.asarray(ids_list, dtype=np.int64), n_bands)
+                             "sh": pa.array([], pa.list_(pa.uint32())),
+                             "bbs": pa.array([], pa.list_(pa.int64()))})
         bands = np.tile(np.arange(n_bands, dtype=np.uint64), n)
         bh = np.concatenate(band_hashes)                 # (n * n_bands,)
         bb = _mix64(bh ^ bands).view(np.int64)           # signed shuffle key
+        bb_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * n_bands, n_bands, dtype=np.int32)),
+            pa.array(bb, pa.int64()))
         lens = np.fromiter((len(s) for s in sh_arrays), dtype=np.int64, count=n)
-        values = np.concatenate(
-            [np.tile(s, n_bands) for s in sh_arrays]) if n else \
-            np.empty(0, np.uint32)
-        row_lens = np.repeat(lens, n_bands)
-        offsets = np.empty(n * n_bands + 1, dtype=np.int32)
+        offsets = np.empty(n + 1, dtype=np.int32)
         offsets[0] = 0
-        np.cumsum(row_lens, out=offsets[1:])
-        sh_col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
-                                          pa.array(values, pa.uint32()))
+        np.cumsum(lens, out=offsets[1:])
+        sh_col = pa.ListArray.from_arrays(
+            pa.array(offsets),
+            pa.array(np.concatenate(sh_arrays) if n else np.empty(0, np.uint32),
+                     pa.uint32()))
+        return pa.table({id_col: pa.array(np.asarray(ids_list, np.int64)),
+                         "sh": sh_col, "bbs": bb_col})
+
+    per_doc = ds.map_batches(sig_doc, batch_format="pyarrow").materialize()
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        bbs = t["bbs"].combine_chunks() if isinstance(t["bbs"], pa.ChunkedArray) \
+            else t["bbs"]
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), n_bands)
+        bb = bbs.values.to_numpy(zero_copy_only=False)
+        shard = (np.abs(bb) % n_shards).astype(np.int32)
         return pa.table({id_col: pa.array(ids, pa.int64()),
                          "bb": pa.array(bb, pa.int64()),
-                         "sh": sh_col})
+                         "shard": pa.array(shard)})
 
-    # signatures are consumed twice (bucket census + verify): pin them once
-    # rather than recompute the minhash pass
-    sigs = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
-
-    # Prefilter: the overwhelming majority of LSH buckets are singletons —
-    # count bucket cardinality with the vectorized Arrow aggregate (partial
-    # per block + groupby over small (band,bh,n) rows), keep only buckets
-    # with >= 2 members, and run the per-group Python verify ONLY on those.
-    from ray.data.aggregate import Sum
-
-    def bucket_partial(t: pa.Table) -> pa.Table:
-        return t.select(["bb"]).group_by(["bb"]) \
-                .aggregate([([], "count_all")]) \
-                .rename_columns(["bb", "n_part"])
-
-    if census == "driver":
-        # small-input shortcut: the (bb,n) partials land on the driver
-        # (bytes ~ #docs x n_bands x 16) — skips one all-to-all; use the
-        # distributed census for web-scale corpora
-        parts = sigs.map_batches(bucket_partial, batch_format="pyarrow").take_all()
-        agg = pd.DataFrame(parts).groupby("bb")["n_part"].sum()
-        hot_keys = [int(k) for k, v in agg.items() if v >= 2]
-    else:
-        hot = sigs.map_batches(bucket_partial, batch_format="pyarrow") \
-                  .groupby("bb").aggregate(Sum("n_part", alias_name="n")) \
-                  .map_batches(lambda t: t.filter(pc_ge2(t)), batch_format="pyarrow") \
-                  .take_all()
-        hot_keys = [r["bb"] for r in hot]
+    band = per_doc.map_batches(explode_bands, batch_format="pyarrow")
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
-    if not hot_keys:
-        return empty
     import ray
-    hot_arr = pa.array(hot_keys, pa.int64())
-    hot_ref = ray.put(hot_arr) if ray.is_initialized() else hot_arr
+    if mode == "auto":
+        mode = "broadcast" if per_doc.count() <= broadcast_rows else "join"
 
-    def keep_hot(t: pa.Table) -> pa.Table:
-        keys = hot_ref if isinstance(hot_ref, pa.Array) else ray.get(hot_ref)
-        return t.filter(pc.is_in(t["bb"], value_set=keys))
+    if mode == "broadcast":
+        # Small-corpus regime (counterpart of connected_components_auto's
+        # driver union-find): the per-doc shingle store fits comfortably in
+        # one object — ray.put it ONCE and verify candidate pairs inline in
+        # the pair-generation stage.  Two all-to-alls total (band shuffle +
+        # cross-band edge dedup) instead of the join path's four; at
+        # web scale the join path engages and shingles never gather.
+        refs = per_doc.select_columns([id_col, "sh"]).to_arrow_refs()
+        tbl = pa.concat_tables([t for t in ray.get(refs) if len(t)]) \
+            if refs else pa.table({id_col: pa.array([], pa.int64()),
+                                   "sh": pa.array([], pa.list_(pa.uint32()))})
+        ids_all = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids_all, kind="stable")
+        sh_sorted = pc.take(tbl["sh"], pa.array(order))
+        lens_s = pc.list_value_length(sh_sorted) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        offs_s = np.concatenate([[0], np.cumsum(lens_s)])[:-1]
+        vals_s = pc.list_flatten(sh_sorted).to_numpy(zero_copy_only=False) \
+            .astype(np.uint32)
+        store = (ids_all[order], offs_s, lens_s, vals_s)
+        store_ref = ray.put(store) if ray.is_initialized() else store
 
-    sigs = sigs.map_batches(keep_hot, batch_format="pyarrow")
+        def gen_verify(g: pa.Table) -> pa.Table:
+            if g.num_columns == 0 or len(g) < 2:
+                return empty
+            bb = g["bb"].to_numpy(zero_copy_only=False)
+            ids = g[id_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, bb))
+            bb, ids = bb[order], ids[order]
+            keep = np.concatenate(
+                [[True], (bb[1:] != bb[:-1]) | (ids[1:] != ids[:-1])])
+            a, b = _segment_all_pairs(ids[keep], bb[keep])
+            # same (a,b) can surface from several bands IN THIS SHARD
+            if len(a) == 0:
+                return empty
+            o = np.lexsort((b, a))
+            a, b = a[o], b[o]
+            k2 = np.concatenate(
+                [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+            a, b = a[k2], b[k2]
+            sid, off, lens_, vals = store_ref if isinstance(store_ref, tuple) \
+                else ray.get(store_ref)
+            ia = np.searchsorted(sid, a)
+            ib = np.searchsorted(sid, b)
+            va, pa_ = _ragged_gather(ia, off, lens_, vals)
+            vb, pb_ = _ragged_gather(ib, off, lens_, vals)
+            jac = _jaccard_flat(len(a), lens_[ia], lens_[ib],
+                                va, pa_, vb, pb_)
+            hit = jac >= threshold
+            return pa.table({"a": pa.array(a[hit], pa.int64()),
+                             "b": pa.array(b[hit], pa.int64()),
+                             "jaccard": pa.array(jac[hit], pa.float64())})
 
-    if census == "driver":
-        # small-input shortcut, continued: hot-bucket rows land on the driver
-        # (bytes ~ hot_rows x shingle_set) and verification runs locally —
-        # no per-group Ray task overhead.  The distributed path below is the
-        # web-scale route.
-        rows = sigs.take_all()
-        buckets: dict = {}
-        for r in rows:
-            buckets.setdefault(r["bb"], []).append(
-                (r[id_col], np.asarray(r["sh"], dtype=np.uint32)))
-        seen_pairs: dict = {}
-        for members in buckets.values():
-            members = sorted({m[0]: m for m in members}.values())
-            for i in range(len(members)):
-                for j in range(i + 1, len(members)):
-                    key = (members[i][0], members[j][0])
-                    if key in seen_pairs:
-                        continue
-                    si, sj = members[i][1], members[j][1]
-                    if len(si) == 0 and len(sj) == 0:
-                        jac = 1.0
-                    elif len(si) == 0 or len(sj) == 0:
-                        jac = 0.0
-                    else:
-                        inter = len(np.intersect1d(si, sj, assume_unique=True))
-                        jac = inter / (len(si) + len(sj) - inter)
-                    seen_pairs[key] = round(jac, 6)
-        out = [(a, b, j) for (a, b), j in seen_pairs.items() if j >= threshold]
-        if not out:
+        edges = band.groupby("shard").map_groups(gen_verify,
+                                                 batch_format="pyarrow")
+        # cross-shard duplicates (same pair from bands in different shards):
+        # jaccard is computed identically everywhere, so Min is a pure dedup
+        from ray.data.aggregate import Min
+        return edges.groupby(["a", "b"]).aggregate(
+            Min("jaccard", alias_name="jaccard"))
+
+    def gen_pairs(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or len(g) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        bb = g["bb"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bb))
+        bb, ids = bb[order], ids[order]
+        keep = np.concatenate([[True],
+                               (bb[1:] != bb[:-1]) | (ids[1:] != ids[:-1])])
+        a, b = _segment_all_pairs(ids[keep], bb[keep])
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    pairs = band.groupby("shard").map_groups(
+        gen_pairs, batch_format="pyarrow").materialize()
+    if pairs.count() == 0:
+        return empty
+
+    def tag(key_col, side):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[key_col].to_numpy(zero_copy_only=False)
+            t = t.append_column(
+                "__bkt", pa.array((np.abs(k) % n_buckets).astype(np.int32)))
+            return t.append_column("__side", pa.array(
+                np.full(len(t), side, np.int8)))
+        return fn
+
+    docs_side = per_doc.map_batches(
+        lambda t: tag(id_col, 1)(t.select([id_col, "sh"])),
+        batch_format="pyarrow")
+
+    def _doc_lookup(g: pa.Table, want_ids: np.ndarray):
+        """(ids -> shingle lists) for the doc-side rows of a co-group."""
+        d = g.filter(pc.equal(g["__side"], 1))
+        idx = pc.index_in(pa.array(want_ids, pa.int64()),
+                          value_set=d[id_col].combine_chunks())
+        return pc.take(d["sh"], idx)
+
+    def attach_a(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or len(g) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "sh_a": pa.array([], pa.list_(pa.uint32()))})
+        p = g.filter(pc.equal(g["__side"], 0))
+        if len(p) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "sh_a": pa.array([], pa.list_(pa.uint32()))})
+        a = p["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = p["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # GLOBAL pair dedup: every band's copy of (a,b) hashed here by a
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        a, b = a[keep], b[keep]
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "sh_a": _doc_lookup(g, a)})
+
+    p1_in = pairs.map_batches(tag("a", 0), batch_format="pyarrow") \
+                 .union(docs_side)
+    p1 = p1_in.groupby("__bkt").map_groups(attach_a, batch_format="pyarrow")
+
+    def verify_b(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or len(g) == 0:
             return empty
-        out.sort()
-        return pa.table({"a": pa.array([x[0] for x in out]),
-                         "b": pa.array([x[1] for x in out]),
-                         "jaccard": pa.array([x[2] for x in out], pa.float64())})
+        p = g.filter(pc.equal(g["__side"], 0))
+        if len(p) == 0:
+            return empty
+        b = p["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        jac = _jaccard_batch(p["sh_a"], _doc_lookup(g, b))
+        hit = jac >= threshold
+        return pa.table({
+            "a": pa.array(p["a"].to_numpy(zero_copy_only=False)[hit],
+                          pa.int64()),
+            "b": pa.array(b[hit], pa.int64()),
+            "jaccard": pa.array(jac[hit], pa.float64())})
 
-    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": np.array([], dtype=np.int64),
-                                 "b": np.array([], dtype=np.int64),
-                                 "jaccard": np.array([], dtype=np.float64)})
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].tolist()
-        sets = [np.asarray(s, dtype=np.uint32) for s in g["sh"]]
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                si, sj = sets[i], sets[j]
-                if len(si) == 0 and len(sj) == 0:
-                    jac = 1.0
-                elif len(si) == 0 or len(sj) == 0:
-                    jac = 0.0
-                else:
-                    inter = len(np.intersect1d(si, sj, assume_unique=True))
-                    jac = inter / (len(si) + len(sj) - inter)
-                if jac >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_j.append(round(jac, 6))
-        return pd.DataFrame({"a": np.asarray(out_a, dtype=np.int64),
-                             "b": np.asarray(out_b, dtype=np.int64),
-                             "jaccard": np.asarray(out_j, dtype=np.float64)})
-
-    edges = sigs.groupby("bb").map_groups(verify_group, batch_format="pandas")
-    # same pair surfaces from several bands -> DISTRIBUTED dedup: jaccard is
-    # computed identically in every band, so Min is a pure dedup and the
-    # edge list never lands on the driver (a boilerplate-heavy corpus can
-    # emit edges proportional to input size)
-    from ray.data.aggregate import Min
-    return edges.groupby(["a", "b"]).aggregate(Min("jaccard", alias_name="jaccard"))
+    p2_in = p1.map_batches(tag("b", 0), batch_format="pyarrow") \
+              .union(docs_side)
+    return p2_in.groupby("__bkt").map_groups(verify_b, batch_format="pyarrow")
 
 
 def cc_label_propagation(edges, max_rounds: int = 10, n_buckets: int = 32):

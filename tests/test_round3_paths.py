@@ -159,6 +159,32 @@ def test_minhash_bucket_key_is_int64(ray_session):
     assert (0, 50) in set(zip(pairs["a"], pairs["b"]))
 
 
+def test_minhash_broadcast_join_identity(ray_session):
+    """The size-gated broadcast regime and the fully-distributed join regime
+    must emit byte-identical (a, b, jaccard) edges."""
+    import pandas as pd
+    import ray.data as rd
+    from beats_ray.functions.dedup import minhash_lsh_pairs
+    base = ["alpha beta gamma delta epsilon zeta eta theta " * 3,
+            "one two three four five six seven eight nine ten " * 2]
+    texts = []
+    for i in range(80):
+        b = base[i % 2].split()
+        # append a distinct tail: docs sharing a base are near-dups, the
+        # tails keep them from being identical
+        texts.append(" ".join(b + ["tail%d" % (i % 7)]))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts)}))
+    out = {}
+    for mode in ("broadcast", "join"):
+        df = minhash_lsh_pairs(ds, threshold=0.4, mode=mode).to_pandas()
+        out[mode] = df[["a", "b", "jaccard"]].sort_values(["a", "b"]) \
+            .reset_index(drop=True)
+    assert len(out["broadcast"]) > 0
+    pd.testing.assert_frame_equal(out["broadcast"], out["join"])
+
+
 # ------------------------------------------------- file-backed cache store
 
 def test_cache_file_store_survives_restart(tmp_path):
