@@ -35,7 +35,7 @@ def _rd():
     return rd
 
 
-def _read(path, **kw):
+def _read(path, split=False, **kw):
     """read_parquet with schema metadata stripped AT THE READ: the testdata
     files carry b'pandas' schema metadata, which makes pa.Schema unhashable
     and defeats Ray's schema dedup (the 'Failed to hash the schemas'
@@ -52,6 +52,17 @@ def _read(path, **kw):
             if cols:
                 sch = pa.schema([sch.field(c) for c in cols])
             kw["schema"] = sch
+    if split and "override_num_blocks" not in kw and \
+            isinstance(path, str) and path.endswith(".parquet") and \
+            os.path.isfile(path) and os.path.getsize(path) < (512 << 20):
+        # A SMALL single-file input yields one block, which serializes any
+        # CPU-heavy downstream map (the minhash signature pass ran on one
+        # core at sf0.1).  Split it so per-doc compute parallelizes.  At
+        # web scale inputs are sharded/multi-row-group and Ray's own block
+        # planning is already parallel — the override would only hurt, so
+        # it is gated to the small-file case.
+        import multiprocessing
+        kw["override_num_blocks"] = min(64, max(8, multiprocessing.cpu_count()))
     return _rd().read_parquet(path, **kw)
 
 
@@ -592,7 +603,7 @@ def q_docs_lang_id(sf_dir: str):
     check; the n-gram scorer is not SQL-expressible)."""
     spec = {"processors": [{"lang_id": {"field": "text", "target": "lang_pred"}}]}
     pipe = Pipeline(spec)
-    ds = _read(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read(os.path.join(sf_dir, "documents.parquet"), split=True,
                             columns=["lang", "text"])
     out = pipe.apply(ds)
     return counts_by(out, ["lang", "lang_pred"])
@@ -602,7 +613,7 @@ def q_docs_fingerprint_rolling(sf_dir: str):
     """Rolling-hash doc fingerprints + distinct count (rows-only check)."""
     spec = {"processors": [{"doc_fingerprint": {"field": "text", "target": "doc_fp"}}]}
     pipe = Pipeline(spec)
-    ds = _read(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read(os.path.join(sf_dir, "documents.parquet"), split=True,
                             columns=["doc_id", "text"])
     out = pipe.apply(ds)
     return out.select_columns(["doc_id", "doc_fp"])
@@ -617,7 +628,7 @@ def q_docs_dedup_minhash(sf_dir: str):
     threshold need n_bands=64 (r=2, miss (1-j^2)^64) at ~3x candidate
     cost."""
     from ..functions.dedup import minhash_lsh_pairs
-    ds = _read(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read(os.path.join(sf_dir, "documents.parquet"), split=True,
                             columns=["doc_id", "text"])
     edges = minhash_lsh_pairs(ds, threshold=0.5)
     # pairs only: the 32-bit-truncated shingle hashes can (rarely) perturb
@@ -632,7 +643,7 @@ def q_docs_dedup_simhash(sf_dir: str):
     restated as a recursive CTE, per-bit majority vote, pair join with
     bit_count on the xor."""
     from ..functions.dedup import simhash_dedup
-    ds = _read(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read(os.path.join(sf_dir, "documents.parquet"), split=True,
                             columns=["doc_id", "text"])
     return simhash_dedup(ds)
 
@@ -1073,7 +1084,7 @@ def q_docs_dedup_clusters(sf_dir: str):
     the exact-Jaccard edge list (identity with driver union-find is also
     unit-tested)."""
     from ..functions.dedup import connected_components_auto, minhash_lsh_pairs
-    ds = _read(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read(os.path.join(sf_dir, "documents.parquet"), split=True,
                             columns=["doc_id", "text"])
     edges_tbl = minhash_lsh_pairs(ds, threshold=0.5)
     edges = _rd().from_arrow(edges_tbl) if isinstance(edges_tbl, pa.Table) \
@@ -1132,7 +1143,7 @@ def q_docs_redact(sf_dir: str):
 def q_docs_word_counts(sf_dir: str):
     """Corpus word counts, top 50 by (count desc, word asc) — the canonical
     n-gram/corpus-stats sweep: per-batch partial counts, tiny final merge."""
-    ds = _read(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read(os.path.join(sf_dir, "documents.parquet"), split=True,
                             columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
