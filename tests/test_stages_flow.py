@@ -219,13 +219,19 @@ def test_decode_cef():
             "src=10.0.0.1 dst=2.1.2.2 spt=1232 msg=hello\\=world there")
     batch = pa.table({"message": [line, "not cef", None]})
     out = run("decode_cef", {"ignore_failure": True}, batch)
-    assert out.column("cef_version").to_pylist() == [0, None, None]
+    # version is a string per decode_cef.go:153 (strconv.Itoa)
+    assert out.column("cef_version").to_pylist() == ["0", None, None]
     assert out.column("cef_device_vendor").to_pylist()[0] == "Security"
     assert out.column("cef_name").to_pylist()[0] == "worm successfully stopped"
     assert out.column("cef_severity").to_pylist()[0] == "10"
-    assert out.column("cef_ext_src").to_pylist()[0] == "10.0.0.1"
-    assert out.column("cef_ext_spt").to_pylist()[0] == "1232"
-    assert out.column("cef_ext_msg").to_pylist()[0] == "hello=world there"
+    # extension keys renamed to full names (cef/keys.go) + typed + ECS mapped
+    assert out.column("cef_extensions_sourceAddress").to_pylist()[0] == "10.0.0.1"
+    assert out.column("cef_extensions_sourcePort").to_pylist()[0] == 1232
+    assert out.column("cef_extensions_message").to_pylist()[0] == "hello=world there"
+    assert out.column("source_ip").to_pylist()[0] == "10.0.0.1"
+    assert out.column("source_port").to_pylist()[0] == 1232
+    # message is replaced by the CEF message extension (decode_cef.go ECS)
+    assert out.column("message").to_pylist()[0] == "hello=world there"
 
 
 def test_decode_cef_escaped_pipe_header():
