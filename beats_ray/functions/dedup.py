@@ -290,6 +290,126 @@ def _ragged_gather(idx: np.ndarray, offsets: np.ndarray, lens: np.ndarray,
     return values[flat], np.repeat(np.arange(len(idx), dtype=np.int64), l_)
 
 
+_EMPTY_EDGES = pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+
+
+def _pair_dedup(a: np.ndarray, b: np.ndarray):
+    """Sort + unique (a, b) pairs (both int64)."""
+    o = np.lexsort((b, a))
+    a, b = a[o], b[o]
+    keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    return a[keep], b[keep]
+
+
+def _broadcast_shingle_store(per_doc, id_col: str):
+    """Gather the (doc_id, sh) columns into one flat searchable store and
+    ``ray.put`` it ONCE: (sorted ids, offsets, lens, flat uint32 values).
+    Small-corpus verify regime only (caller gates on row count)."""
+    import ray
+    refs = per_doc.select_columns([id_col, "sh"]).to_arrow_refs()
+    tbl = pa.concat_tables([t for t in ray.get(refs) if len(t)]) \
+        if refs else pa.table({id_col: pa.array([], pa.int64()),
+                               "sh": pa.array([], pa.list_(pa.uint32()))})
+    ids_all = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids_all, kind="stable")
+    sh_sorted = pc.take(tbl["sh"], pa.array(order))
+    lens_s = pc.list_value_length(sh_sorted) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    offs_s = np.concatenate([[0], np.cumsum(lens_s)])[:-1]
+    vals_s = pc.list_flatten(sh_sorted).to_numpy(zero_copy_only=False) \
+        .astype(np.uint32)
+    store = (ids_all[order], offs_s, lens_s, vals_s)
+    return ray.put(store) if ray.is_initialized() else store
+
+
+def _store_verify(store_ref, a: np.ndarray, b: np.ndarray, threshold: float):
+    """Exact Jaccard for deduped (a, b) pairs against a broadcast store."""
+    import ray
+    sid, off, lens_, vals = store_ref if isinstance(store_ref, tuple) \
+        else ray.get(store_ref)
+    ia = np.searchsorted(sid, a)
+    ib = np.searchsorted(sid, b)
+    va, pa_ = _ragged_gather(ia, off, lens_, vals)
+    vb, pb_ = _ragged_gather(ib, off, lens_, vals)
+    jac = _jaccard_flat(len(a), lens_[ia], lens_[ib], va, pa_, vb, pb_)
+    hit = jac >= threshold
+    return pa.table({"a": pa.array(a[hit], pa.int64()),
+                     "b": pa.array(b[hit], pa.int64()),
+                     "jaccard": pa.array(jac[hit], pa.float64())})
+
+
+def _verify_pairs_join(pairs, per_doc, id_col: str, threshold: float,
+                       n_buckets: int):
+    """Web-scale exact-Jaccard verify of a candidate (a, b) pair Dataset:
+    two bucketed co-group joins against the (doc_id, sh) store — shingle
+    sets ship at most twice, duplicate pairs collapse globally in the first
+    co-group (every copy of (a, b) shares a).  Returns (a, b, jaccard)
+    edges at ``jaccard >= threshold``."""
+    empty = _EMPTY_EDGES
+
+    def tag(key_col, side):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[key_col].to_numpy(zero_copy_only=False)
+            t = t.append_column(
+                "__bkt", pa.array((np.abs(k) % n_buckets).astype(np.int32)))
+            return t.append_column("__side", pa.array(
+                np.full(len(t), side, np.int8)))
+        return fn
+
+    docs_side = per_doc.map_batches(
+        lambda t: tag(id_col, 1)(t.select([id_col, "sh"])),
+        batch_format="pyarrow")
+
+    def _doc_lookup(g: pa.Table, want_ids: np.ndarray):
+        """(ids -> shingle lists) for the doc-side rows of a co-group."""
+        d = g.filter(pc.equal(g["__side"], 1))
+        idx = pc.index_in(pa.array(want_ids, pa.int64()),
+                          value_set=d[id_col].combine_chunks())
+        return pc.take(d["sh"], idx)
+
+    def attach_a(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or len(g) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "sh_a": pa.array([], pa.list_(pa.uint32()))})
+        p = g.filter(pc.equal(g["__side"], 0))
+        if len(p) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "sh_a": pa.array([], pa.list_(pa.uint32()))})
+        a = p["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = p["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # GLOBAL pair dedup: every source's copy of (a,b) hashed here by a
+        a, b = _pair_dedup(a, b)
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "sh_a": _doc_lookup(g, a)})
+
+    p1_in = pairs.map_batches(tag("a", 0), batch_format="pyarrow") \
+                 .union(docs_side)
+    p1 = p1_in.groupby("__bkt").map_groups(attach_a, batch_format="pyarrow")
+
+    def verify_b(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or len(g) == 0:
+            return empty
+        p = g.filter(pc.equal(g["__side"], 0))
+        if len(p) == 0:
+            return empty
+        b = p["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        jac = _jaccard_batch(p["sh_a"], _doc_lookup(g, b))
+        hit = jac >= threshold
+        return pa.table({
+            "a": pa.array(p["a"].to_numpy(zero_copy_only=False)[hit],
+                          pa.int64()),
+            "b": pa.array(b[hit], pa.int64()),
+            "jaccard": pa.array(jac[hit], pa.float64())})
+
+    p2_in = p1.map_batches(tag("b", 0), batch_format="pyarrow") \
+              .union(docs_side)
+    return p2_in.groupby("__bkt").map_groups(verify_b, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       n_bands: int = 32, threshold: float = 0.8, shingle_k: int = 3,
                       n_shards: int = 64, n_buckets: int = 64,
@@ -403,20 +523,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         # the pair-generation stage.  Two all-to-alls total (band shuffle +
         # cross-band edge dedup) instead of the join path's four; at
         # web scale the join path engages and shingles never gather.
-        refs = per_doc.select_columns([id_col, "sh"]).to_arrow_refs()
-        tbl = pa.concat_tables([t for t in ray.get(refs) if len(t)]) \
-            if refs else pa.table({id_col: pa.array([], pa.int64()),
-                                   "sh": pa.array([], pa.list_(pa.uint32()))})
-        ids_all = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(ids_all, kind="stable")
-        sh_sorted = pc.take(tbl["sh"], pa.array(order))
-        lens_s = pc.list_value_length(sh_sorted) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        offs_s = np.concatenate([[0], np.cumsum(lens_s)])[:-1]
-        vals_s = pc.list_flatten(sh_sorted).to_numpy(zero_copy_only=False) \
-            .astype(np.uint32)
-        store = (ids_all[order], offs_s, lens_s, vals_s)
-        store_ref = ray.put(store) if ray.is_initialized() else store
+        store_ref = _broadcast_shingle_store(per_doc, id_col)
 
         def gen_verify(g: pa.Table) -> pa.Table:
             if g.num_columns == 0 or len(g) < 2:
@@ -431,23 +538,8 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             # same (a,b) can surface from several bands IN THIS SHARD
             if len(a) == 0:
                 return empty
-            o = np.lexsort((b, a))
-            a, b = a[o], b[o]
-            k2 = np.concatenate(
-                [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
-            a, b = a[k2], b[k2]
-            sid, off, lens_, vals = store_ref if isinstance(store_ref, tuple) \
-                else ray.get(store_ref)
-            ia = np.searchsorted(sid, a)
-            ib = np.searchsorted(sid, b)
-            va, pa_ = _ragged_gather(ia, off, lens_, vals)
-            vb, pb_ = _ragged_gather(ib, off, lens_, vals)
-            jac = _jaccard_flat(len(a), lens_[ia], lens_[ib],
-                                va, pa_, vb, pb_)
-            hit = jac >= threshold
-            return pa.table({"a": pa.array(a[hit], pa.int64()),
-                             "b": pa.array(b[hit], pa.int64()),
-                             "jaccard": pa.array(jac[hit], pa.float64())})
+            a, b = _pair_dedup(a, b)
+            return _store_verify(store_ref, a, b, threshold)
 
         edges = band.groupby("shard").map_groups(gen_verify,
                                                  batch_format="pyarrow")
@@ -475,69 +567,159 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         gen_pairs, batch_format="pyarrow").materialize()
     if pairs.count() == 0:
         return empty
+    return _verify_pairs_join(pairs, per_doc, id_col, threshold, n_buckets)
 
-    def tag(key_col, side):
-        def fn(t: pa.Table) -> pa.Table:
-            k = t[key_col].to_numpy(zero_copy_only=False)
-            t = t.append_column(
-                "__bkt", pa.array((np.abs(k) % n_buckets).astype(np.int32)))
-            return t.append_column("__side", pa.array(
-                np.full(len(t), side, np.int8)))
-        return fn
 
-    docs_side = per_doc.map_batches(
-        lambda t: tag(id_col, 1)(t.select([id_col, "sh"])),
-        batch_format="pyarrow")
+def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.8, shingle_k: int = 3,
+                        n_shards: int = 64, n_buckets: int = 64,
+                        mode: str = "auto", broadcast_rows: int = 200_000):
+    """EXACT n-gram-Jaccard near-dup pairs (no LSH approximation) via
+    prefix-filtered AllPairs (Bayardo/Ma/Srikant, WWW'07; Chaudhuri's
+    prefix filter) — the deterministic sibling of ``minhash_lsh_pairs``.
+    Returns (a, b, jaccard) edges with jaccard >= threshold, a < b.
 
-    def _doc_lookup(g: pa.Table, want_ids: np.ndarray):
-        """(ids -> shingle lists) for the doc-side rows of a co-group."""
-        d = g.filter(pc.equal(g["__side"], 1))
-        idx = pc.index_in(pa.array(want_ids, pa.int64()),
-                          value_set=d[id_col].combine_chunks())
-        return pc.take(d["sh"], idx)
+    Prefix filter (exact, no candidates lost): fix a global total order on
+    shingle hashes (ascending uint32).  If J(A,B) >= t then, with the
+    length filter |B| >= t|A| that J >= t implies, the overlap is
+    o >= ceil(t * max(|A|,|B|)); if the smallest COMMON shingle sat outside
+    A's first |A| - ceil(t|A|) + 1 shingles, all common shingles would sit
+    in A's last ceil(t|A|) - 1 positions — fewer than o.  So every
+    qualifying pair shares a token within both docs' prefixes, and indexing
+    ONLY prefixes finds every edge.  Hash order is a valid total order;
+    production corpora should order by ascending global token frequency
+    (one extra count+join) to shrink hot postings — documented knob, not
+    needed for exactness.
 
-    def attach_a(g: pa.Table) -> pa.Table:
-        if g.num_columns == 0 or len(g) == 0:
+    Ray shape (mirrors minhash_lsh_pairs, shingles ship at most twice):
+
+    1. vectorized signature pass: per doc, sorted unique uint32 shingle
+       set + its prefix tokens (``per_doc`` materialized — feeds pair-gen
+       and verify);
+    2. tiny (token, doc_id, set_size) prefix rows shuffle once by token
+       shard; contiguous same-token segments emit candidate pairs with the
+       length filter min >= t*max applied vectorized;
+    3. verify is EXACT Jaccard: broadcast store below ``broadcast_rows``
+       docs (two all-to-alls total), else the two-co-group join path
+       (``_verify_pairs_join``) — identical machinery to minhash.
+
+    Skew: a shingle shared by f prefix entries emits O(f^2) candidate
+    pairs.  The frequency ordering above is the standard mitigation (hot
+    tokens leave every prefix); run ``exact_dedup`` first for copy-heavy
+    corpora (same note as minhash).
+    """
+    def sig_doc(t: pa.Table) -> pa.Table:
+        memo: dict = {}
+        ids_list, sh_arrays, pref_arrays = [], [], []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            if txt is None:
+                continue
+            sh64 = _shingle_hash_array(txt, shingle_k, memo)
+            if len(sh64) == 0:
+                continue
+            sh = np.unique((sh64 & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+            m = len(sh)
+            # required overlap ceil(t*m); epsilon guards fp ceil overshoot
+            # (a too-large req would shrink the prefix and LOSE candidates)
+            req = int(np.ceil(threshold * m - 1e-9))
+            pref = sh[:max(1, m - req + 1)].astype(np.int64)
+            ids_list.append(did)
+            sh_arrays.append(sh)
+            pref_arrays.append(pref)
+        n = len(ids_list)
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.list_(pa.uint32())),
+                             "pref": pa.array([], pa.list_(pa.int64()))})
+
+        def list_col(arrays, dtype):
+            lens = np.fromiter((len(s) for s in arrays), np.int64, count=n)
+            offs = np.empty(n + 1, dtype=np.int32)
+            offs[0] = 0
+            np.cumsum(lens, out=offs[1:])
+            return pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(np.concatenate(arrays), dtype))
+
+        return pa.table({id_col: pa.array(np.asarray(ids_list, np.int64)),
+                         "sh": list_col(sh_arrays, pa.uint32()),
+                         "pref": list_col(pref_arrays, pa.int64())})
+
+    per_doc = ds.map_batches(sig_doc, batch_format="pyarrow").materialize()
+
+    def explode_prefix(t: pa.Table) -> pa.Table:
+        pref = t["pref"].combine_chunks() if isinstance(
+            t["pref"], pa.ChunkedArray) else t["pref"]
+        lens = pc.list_value_length(pref).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), lens)
+        sizes = np.repeat(
+            pc.list_value_length(t["sh"]).to_numpy(zero_copy_only=False)
+            .astype(np.int32), lens)
+        tok = pc.list_flatten(pref).to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "tok": pa.array(tok, pa.int64()),
+                         "m": pa.array(sizes, pa.int32()),
+                         "shard": pa.array(
+                             (tok % n_shards).astype(np.int32))})
+
+    prefix_rows = per_doc.map_batches(explode_prefix, batch_format="pyarrow")
+    empty = _EMPTY_EDGES
+    if mode == "auto":
+        mode = "broadcast" if per_doc.count() <= broadcast_rows else "join"
+
+    def gen_candidates(g: pa.Table):
+        """(a, b) deduped candidate pairs for one token shard."""
+        if g.num_columns == 0 or len(g) < 2:
+            return None
+        tok = g["tok"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        msz = g["m"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, tok))
+        tok, ids, msz = tok[order], ids[order], msz[order]
+        keep = np.concatenate(
+            [[True], (tok[1:] != tok[:-1]) | (ids[1:] != ids[:-1])])
+        tok, ids, msz = tok[keep], ids[keep], msz[keep]
+        # pair POSITIONS so sizes come along for the length filter
+        pos_a, pos_b = _segment_all_pairs(
+            np.arange(len(ids), dtype=np.int64), tok)
+        if len(pos_a) == 0:
+            return None
+        ma, mb = msz[pos_a].astype(np.float64), msz[pos_b].astype(np.float64)
+        ok = np.minimum(ma, mb) >= threshold * np.maximum(ma, mb) - 1e-9
+        if not ok.any():
+            return None
+        a, b = _pair_dedup(ids[pos_a[ok]], ids[pos_b[ok]])
+        return a, b
+
+    if mode == "broadcast":
+        store_ref = _broadcast_shingle_store(per_doc, id_col)
+
+        def gen_verify(g: pa.Table) -> pa.Table:
+            cand = gen_candidates(g)
+            if cand is None:
+                return empty
+            return _store_verify(store_ref, cand[0], cand[1], threshold)
+
+        edges = prefix_rows.groupby("shard").map_groups(
+            gen_verify, batch_format="pyarrow")
+        # same pair can surface from tokens in different shards
+        from ray.data.aggregate import Min
+        return edges.groupby(["a", "b"]).aggregate(
+            Min("jaccard", alias_name="jaccard"))
+
+    def gen_pairs(g: pa.Table) -> pa.Table:
+        cand = gen_candidates(g)
+        if cand is None:
             return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
-                             "sh_a": pa.array([], pa.list_(pa.uint32()))})
-        p = g.filter(pc.equal(g["__side"], 0))
-        if len(p) == 0:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
-                             "sh_a": pa.array([], pa.list_(pa.uint32()))})
-        a = p["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = p["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # GLOBAL pair dedup: every band's copy of (a,b) hashed here by a
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
-        a, b = a[keep], b[keep]
-        return pa.table({"a": pa.array(a), "b": pa.array(b),
-                         "sh_a": _doc_lookup(g, a)})
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(cand[0], pa.int64()),
+                         "b": pa.array(cand[1], pa.int64())})
 
-    p1_in = pairs.map_batches(tag("a", 0), batch_format="pyarrow") \
-                 .union(docs_side)
-    p1 = p1_in.groupby("__bkt").map_groups(attach_a, batch_format="pyarrow")
-
-    def verify_b(g: pa.Table) -> pa.Table:
-        if g.num_columns == 0 or len(g) == 0:
-            return empty
-        p = g.filter(pc.equal(g["__side"], 0))
-        if len(p) == 0:
-            return empty
-        b = p["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        jac = _jaccard_batch(p["sh_a"], _doc_lookup(g, b))
-        hit = jac >= threshold
-        return pa.table({
-            "a": pa.array(p["a"].to_numpy(zero_copy_only=False)[hit],
-                          pa.int64()),
-            "b": pa.array(b[hit], pa.int64()),
-            "jaccard": pa.array(jac[hit], pa.float64())})
-
-    p2_in = p1.map_batches(tag("b", 0), batch_format="pyarrow") \
-              .union(docs_side)
-    return p2_in.groupby("__bkt").map_groups(verify_b, batch_format="pyarrow")
+    pairs = prefix_rows.groupby("shard").map_groups(
+        gen_pairs, batch_format="pyarrow").materialize()
+    if pairs.count() == 0:
+        return empty
+    return _verify_pairs_join(pairs, per_doc, id_col, threshold, n_buckets)
 
 
 def cc_label_propagation(edges, max_rounds: int = 10, n_buckets: int = 32):

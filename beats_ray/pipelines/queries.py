@@ -636,6 +636,19 @@ def q_docs_dedup_minhash(sf_dir: str):
     return edges.select_columns(["a", "b"])
 
 
+def q_docs_dedup_jaccard(sf_dir: str):
+    """EXACT word-3-gram Jaccard near-dup edges at >= 0.8 via
+    prefix-filtered AllPairs (no LSH, no approximation) — the
+    deterministic member of the dedup family; DuckDB oracle is the same
+    exact pair join as minhash's at the 0.8 threshold."""
+    from ..functions.dedup import ngram_jaccard_pairs
+    ds = _read(os.path.join(sf_dir, "documents.parquet"), split=True,
+                            columns=["doc_id", "text"])
+    edges = ngram_jaccard_pairs(ds, threshold=0.8)
+    # pairs only (same 32-bit-truncation note as q_docs_dedup_minhash)
+    return edges.select_columns(["a", "b"])
+
+
 def q_docs_dedup_simhash(sf_dir: str):
     """SimHash near-dup edges, hamming <= 3 — EXACT despite the banded
     blocking (pigeonhole: 3 bit flips across 4 bands leave >= 1 band
@@ -757,6 +770,7 @@ QUERIES.update({
     "docs_lang_id": q_docs_lang_id,
     "docs_fingerprint_rolling": q_docs_fingerprint_rolling,
     "docs_dedup_minhash": q_docs_dedup_minhash,
+    "docs_dedup_jaccard": q_docs_dedup_jaccard,
     "docs_dedup_simhash": q_docs_dedup_simhash,
     "embeddings_near_dup": q_embeddings_near_dup,
     "embeddings_knn_ivf": q_embeddings_knn_ivf,
@@ -1340,6 +1354,11 @@ _MINHASH_EDGE_SQL = r"""
     WHERE inter.i * 1.0 / (sa.n + sb.n - inter.i) >= 0.5
 """
 _EXTRA_ORACLES["docs_dedup_minhash"] = _MINHASH_EDGE_SQL
+# same exact pair join at the 0.8 threshold for the prefix-filtered
+# AllPairs operator (which is exact BY CONSTRUCTION, not just on this
+# corpus — see ngram_jaccard_pairs docstring).
+_EXTRA_ORACLES["docs_dedup_jaccard"] = _MINHASH_EDGE_SQL.replace(
+    ">= 0.5", ">= 0.8")
 
 # connected components over the exact edge list: recursive transitive
 # closure (UNION dedup terminates it), min reachable label per node.

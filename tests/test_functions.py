@@ -126,6 +126,50 @@ def test_minhash_lsh_finds_near_dups(ray_session, near_dup_docs):
     assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in pairs)
 
 
+@pytest.mark.parametrize("mode", ["broadcast", "join"])
+def test_ngram_jaccard_pairs_exact(ray_session, near_dup_docs, mode):
+    """Prefix-filtered AllPairs matches brute-force exact Jaccard on every
+    doc pair, in BOTH verify regimes (broadcast store / co-group join)."""
+    import ray.data as rd
+    from beats_ray.functions.dedup import ngram_jaccard, ngram_jaccard_pairs
+    docs = dict(zip(near_dup_docs["doc_id"].to_pylist(),
+                    near_dup_docs["text"].to_pylist()))
+    for t in (0.5, 0.8):
+        want = {(a, b) for a in docs for b in docs if a < b
+                and ngram_jaccard(docs[a], docs[b]) >= t}
+        edges = ngram_jaccard_pairs(rd.from_arrow(near_dup_docs),
+                                    threshold=t, mode=mode).to_pandas()
+        assert set(zip(edges["a"], edges["b"])) == want
+        for _, r in edges.iterrows():
+            assert abs(r["jaccard"]
+                       - ngram_jaccard(docs[r["a"]], docs[r["b"]])) < 1e-6
+
+
+def test_ngram_jaccard_pairs_boundary(ray_session):
+    """Pairs JUST below threshold are excluded, just-above included —
+    the prefix + length filters must not prune true edges."""
+    import ray.data as rd
+    from beats_ray.functions.dedup import ngram_jaccard, ngram_jaccard_pairs
+    words = [f"w{i}" for i in range(40)]
+    # doc1 shares 30 of 40 word-3-gram positions with doc0
+    d0 = " ".join(words)
+    d1 = " ".join(words[:30] + [f"x{i}" for i in range(10)])
+    d2 = " ".join(reversed(words))                    # same vocab, new grams
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array([d0, d1, d2], pa.string())})
+    j01 = ngram_jaccard(d0, d1)
+    assert 0.1 < j01 < 0.9
+    eps = 1e-6
+    below = ngram_jaccard_pairs(rd.from_arrow(tbl), threshold=j01 + eps,
+                                mode="broadcast").to_pandas()
+    at = ngram_jaccard_pairs(rd.from_arrow(tbl), threshold=j01 - eps,
+                             mode="broadcast").to_pandas()
+    # zero-edge results may come back column-less from the aggregate
+    assert len(below) == 0 or \
+        (0, 1) not in set(zip(below["a"], below["b"]))
+    assert (0, 1) in set(zip(at["a"], at["b"]))
+
+
 def test_simhash_dedup_pipeline(ray_session, near_dup_docs):
     import ray.data as rd
     from beats_ray.functions.dedup import simhash_dedup
