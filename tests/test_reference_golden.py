@@ -1572,3 +1572,104 @@ def test_pensando_dfw_module_golden():
                     (key, got_v, want)
             else:
                 assert str(got_v) == str(want), (key, got_v, want)
+
+
+TRAEFIK_LOG = "/root/reference/filebeat/module/traefik/access/test/test.log"
+
+
+@pytest.mark.skipif(not os.path.exists(TRAEFIK_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_traefik_access_module_golden():
+    """traefik/access fileset (23rd module golden): dissect header +
+    fully-optional grok tail (bytes/referrer/ua/request-count/frontend/
+    backend/duration), uri_parts, ms->ns duration script, outcome +
+    related.* assembly (filebeat/module/traefik/access/ingest/pipeline.yml;
+    geoip/user_agent-plugin keys skipped)."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(TRAEFIK_LOG).read().splitlines() if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    assemble = (
+        "def process(event, params):\n"
+        "    import re as _re\n"
+        "    sa = event.get('source_address')\n"
+        "    if sa is not None:\n"
+        "        if _re.fullmatch(r'(?:\\d{1,3}\\.){3}\\d{1,3}"
+        "|[0-9A-Fa-f:]*:[0-9A-Fa-f:.]*', sa):\n"
+        "            event['source_ip'] = sa\n"
+        "        else:\n"
+        "            event['source_domain'] = sa\n"
+        "    d = event.get('temp_duration')\n"
+        "    if d is not None:\n"
+        "        event['event_duration'] = int(d) * 1000000\n"
+        "    sc = event.get('http_response_status_code')\n"
+        "    if sc is not None:\n"
+        "        event['event_outcome'] = \\\n"
+        "            'success' if int(sc) < 400 else 'failure'\n"
+        "    m = event.get('http_request_method')\n"
+        "    if m is not None and m != '-':\n"
+        "        event['event_category'] = ['web']\n"
+        "        event['event_type'] = ['access']\n"
+        "    if event.get('source_ip') is not None:\n"
+        "        event['related_ip'] = [event['source_ip']]\n"
+        "    u = event.get('user_name')\n"
+        "    if u is not None and u != '-':\n"
+        "        event['related_user'] = [u]\n"
+        "    for k in ('temp_url_orig', 'temp_duration',\n"
+        "              'traefik_access_message', 'traefik_access_time'):\n"
+        "        event.pop(k, None)\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"rename": {"fields": [{"from": "message", "to": "event.original"}],
+                    "fail_on_error": False}},
+        {"dissect": {"tokenizer":
+            '%{source.address} %{traefik.access.user_identifier} '
+            '%{user.name} [%{traefik.access.time}] '
+            '"%{http.request.method} %{temp.url_orig} HTTP/%{http.version}" '
+            '%{http.response.status_code} %{traefik.access.message}',
+            "field": "event.original", "target_prefix": ""}},
+        {"grok": {"field": "traefik.access.message", "ignore_missing": True,
+                  "patterns": [
+            r'(?:%{NUMBER:http.response.body.bytes:long}|-)'
+            r'(?: (?:"%{DATA:http.request.referrer}"|-)?'
+            r'(?: (?:"%{DATA:user_agent.original}"|-)?)?'
+            r'(?: (?:%{NUMBER:traefik.access.request_count:long}|-)?)?'
+            r'(?: (?:"%{DATA:traefik.access.frontend_name}"|-)?)?'
+            r'(?: "%{DATA:traefik.access.backend_url}")?'
+            r'(?: %{NUMBER:temp.duration:long}ms)?)?']}},
+        {"uri_parts": {"field": "temp.url_orig", "target_field": "url"}},
+        {"timestamp": {"field": "traefik.access.time",
+                       "layouts": ["%d/%b/%Y:%H:%M:%S %z"],
+                       "target_field": "@timestamp", "ignore_missing": True,
+                       "ignore_failure": True}},
+        {"convert": {"fields": [
+            {"from": "http.response.status_code", "type": "long"}],
+            "ignore_missing": True, "fail_on_error": False}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "traefik",
+            "event.dataset": "traefik.access", "fileset.name": "access",
+            "input.type": "log", "service.type": "traefik"}}},
+        {"script": {"source": assemble}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(TRAEFIK_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    SKIP = ("source.geo.", "source.as.", "user_agent.name", "user_agent.os",
+            "user_agent.device", "user_agent.version")
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key == "log.offset" or key.startswith(SKIP):
+                continue
+            if key == "@timestamp":
+                iso = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{got['ts'].microsecond // 1000:03d}Z"
+                assert iso == want, ("@timestamp", iso, want)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, list):
+                assert sorted(map(str, got_v or [])) == \
+                    sorted(map(str, want)), (key, got_v, want)
+            else:
+                assert str(got_v) == str(want), (key, got_v, want)
