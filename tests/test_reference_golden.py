@@ -1673,3 +1673,227 @@ def test_traefik_access_module_golden():
                     sorted(map(str, want)), (key, got_v, want)
             else:
                 assert str(got_v) == str(want), (key, got_v, want)
+
+
+INGRESS_LOG = ("/root/reference/filebeat/module/nginx/ingress_controller"
+               "/test/test.log")
+
+
+@pytest.mark.skipif(not os.path.exists(INGRESS_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_nginx_ingress_controller_module_golden():
+    """nginx/ingress_controller fileset (24th module golden): the heaviest
+    list-valued grok in the module tree — address/length/time/status-code
+    LISTS captured as raw spans then split, four painless list-fold scripts
+    (last length, float32 time sum, last non-'-' status, last upstream
+    address), upstream ip:port re-grok with real IP validation (the
+    malformed-IPv6 fixture line must drop ip AND port), private-IP scan for
+    source.address, uri_parts, related.* assembly
+    (filebeat/module/nginx/ingress_controller/ingest/pipeline.yml;
+    geoip/user_agent-plugin keys skipped)."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(INGRESS_LOG).read().splitlines()
+             if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    N = "nginx.ingress_controller"
+    defs = {
+        "NGINX_HOST": r"(?:%{IP}|%{NGINX_NOTSEPARATOR})(?::%{NUMBER})?",
+        "NGINX_NOTSEPARATOR": r"[^\t ,:]+",
+        "NGINX_ADDRESS_LIST": r'(?:%{IP}|%{WORD})(?:"?,?\s*(?:%{IP}|%{WORD}))*',
+        "UPSTREAM_ADDRESS_LIST":
+            r'(?:unix:%{NOTSPACE}|(?:%{IP}(?::%{NUMBER})?)'
+            r'(?:"?,?\s*(?:%{IP}(?::%{NUMBER})?))*)',
+        "UPSTREAM_RESPONSE_LENGTH_LIST":
+            r'(?:%{NUMBER})(?:"?,?\s*(?:%{NUMBER}))*',
+        "UPSTREAM_RESPONSE_TIME_LIST":
+            r'(?:%{NUMBER}|(?:-|%{NUMBER}),\s+(?:-|%{NUMBER})'
+            r'(?:"?,?\s*(?:-|%{NUMBER}))*)',
+        "UPSTREAM_RESPONSE_STATUS_CODE_LIST":
+            r'(?:%{NUMBER}|(?:-|%{NUMBER}),\s+(?:-|%{NUMBER})'
+            r'(?:"?,?\s*(?:-|%{NUMBER}))*)',
+        "IP": r"(?:\[?%{IPV6}\]?|%{IPV4})",
+    }
+    main = (
+        r'(?:%{NGINX_HOST} )?"?'
+        r'(?:%{NGINX_ADDRESS_LIST:' + N + r'.remote_ip_list}'
+        r'|%{NOTSPACE:source.address})'
+        r' - (?:-|%{DATA:user.name}) \[%{HTTPDATE:' + N + r'.time}\]'
+        r' "%{DATA:' + N + r'.info}"'
+        r' %{NUMBER:http.response.status_code:long}'
+        r' %{NUMBER:http.response.body.bytes:long}'
+        r' "(?:-|%{DATA:http.request.referrer})"'
+        r' "(?:-|%{DATA:user_agent.original})"'
+        r' %{NUMBER:' + N + r'.http.request.length:long}'
+        r' %{NUMBER:' + N + r'.http.request.time:double}'
+        r' \[%{DATA:' + N + r'.upstream.name}\]'
+        r' \[%{DATA:' + N + r'.upstream.alternative_name}\]'
+        r' (?:%{UPSTREAM_ADDRESS_LIST:' + N + r'.upstream_address_list}|-)'
+        r' (?:%{UPSTREAM_RESPONSE_LENGTH_LIST:'
+        + N + r'.upstream.response.length_list}|-)'
+        r' (?:-|%{UPSTREAM_RESPONSE_TIME_LIST:'
+        + N + r'.upstream.response.time_list})'
+        r' (?:-|%{UPSTREAM_RESPONSE_STATUS_CODE_LIST:'
+        + N + r'.upstream.response.status_code_list})'
+        r' %{GREEDYDATA:' + N + r'.http.request.id}')
+    lists_script = '''
+def process(event, params):
+    import re as _re
+    import ipaddress as _ipa
+    import numpy as _np
+    P = "nginx_ingress_controller_"
+    sep = _re.compile(r'"?,?\\s+')
+    def getl(key):
+        v = event.get(key)
+        if v is None or v in ("", "-"):
+            event.pop(key, None)
+            return None
+        lst = sep.split(v)
+        event[key] = lst
+        return lst
+    rip = getl(P + "remote_ip_list")
+    ual = getl(P + "upstream_address_list")
+    lenl = getl(P + "upstream_response_length_list")
+    timel = getl(P + "upstream_response_time_list")
+    scl = getl(P + "upstream_response_status_code_list")
+    # painless fold 1: Integer.parseInt over EVERY item, last wins; any
+    # parse failure nulls the whole result (pipeline.yml script #1)
+    if lenl:
+        try:
+            last = None
+            for it in lenl:
+                last = int(it)
+            event[P + "upstream_response_length"] = last
+        except ValueError:
+            pass
+    # fold 2: float32 sum of non-'-' items (painless float accumulator;
+    # shortest-decimal of the float32 matches ES JSON rendering)
+    if timel:
+        tot = _np.float32(0)
+        ok = True
+        for it in timel:
+            if it != "-":
+                try:
+                    tot = _np.float32(tot + _np.float32(it))
+                except ValueError:
+                    ok = False
+                    break
+        if ok:
+            event[P + "upstream_response_time"] = float(
+                _np.format_float_positional(tot, unique=True))
+    # fold 3: last non-'-' status code (uninitialized painless int == 0)
+    if scl:
+        last = 0
+        ok = True
+        for it in scl:
+            if it != "-":
+                try:
+                    last = int(it)
+                except ValueError:
+                    ok = False
+                    break
+        if ok:
+            event[P + "upstream_response_status_code"] = last
+    # fold 4: last upstream address -> ip:port re-grok; ES's strict IPV6
+    # grok + convert(type=ip) pair == real address validation, so the
+    # malformed-IPv6 line drops BOTH ip and port
+    if ual:
+        addr = ual[-1]
+        m = _re.match(
+            r"^\\[(.+)\\]:(\\d+)$|^((?:\\d{1,3}\\.){3}\\d{1,3}):(\\d+)$",
+            addr)
+        if m:
+            ip, port = m.group(1) or m.group(3), m.group(2) or m.group(4)
+            try:
+                _ipa.ip_address(ip)
+                event[P + "upstream_ip"] = ip
+                event[P + "upstream_port"] = int(port)
+            except ValueError:
+                pass
+    # private-IP scan (painless isPrivate via StringTokenizer on '.')
+    def _is_private(s):
+        try:
+            parts = s.split(".")
+            fb, sb = int(parts[0]), int(parts[1])
+        except (ValueError, IndexError):
+            return False
+        return (fb in (10, 127) or (fb == 192 and sb == 168)
+                or (fb == 172 and 16 <= sb <= 31))
+    if rip:
+        sa = next((x for x in rip if not _is_private(x)), rip[0])
+        event["source_address"] = sa
+    sa = event.get("source_address")
+    if sa:
+        try:
+            _ipa.ip_address(sa)
+            event["source_ip"] = sa
+        except ValueError:
+            pass
+    sc = event.get("http_response_status_code")
+    if sc is not None:
+        event["event_outcome"] = "success" if int(sc) < 400 else "failure"
+    event["event_kind"] = "event"
+    event["event_category"] = ["web"]
+    event["event_type"] = ["info"]
+    rel = []
+    for k in ("source_ip", "destination_ip", P + "upstream_ip"):
+        v = event.get(k)
+        if v is not None and v not in rel:
+            rel.append(v)
+    if rel:
+        event["related_ip"] = rel
+    un = event.get("user_name")
+    if un:
+        event["related_user"] = [un]
+    rid = event.get(P + "http_request_id")
+    if rid:
+        event["http_request_id"] = rid
+    for k in ("http_request_referrer", "user_agent_original", "user_name"):
+        if event.get(k) == "":
+            event.pop(k)
+    event.pop(P + "info", None)
+    event.pop(P + "time", None)
+    return event
+'''
+    spec = {"processors": [
+        {"rename": {"fields": [{"from": "message", "to": "event.original"}],
+                    "fail_on_error": False}},
+        {"grok": {"field": "event.original", "patterns": [main],
+                  "pattern_definitions": defs, "ignore_missing": True}},
+        {"grok": {"field": N + ".info", "ignore_missing": True,
+                  "ignore_failure": True, "patterns": [
+            r"%{WORD:http.request.method} %{DATA:url.original}"
+            r" HTTP/%{NUMBER:http.version}"]}},
+        {"uri_parts": {"field": "url.original", "target_field": "url"}},
+        {"timestamp": {"field": N + ".time",
+                       "layouts": ["%d/%b/%Y:%H:%M:%S %z"],
+                       "target_field": "@timestamp", "ignore_missing": True,
+                       "ignore_failure": True}},
+        {"script": {"source": lists_script}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "nginx", "event.dataset": N,
+            "fileset.name": "ingress_controller", "input.type": "log",
+            "service.type": "nginx", "event.timezone": "-02:00"}}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(INGRESS_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    SKIP = ("source.geo.", "source.as.", "user_agent.name", "user_agent.os",
+            "user_agent.device", "user_agent.version")
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key == "log.offset" or key.startswith(SKIP):
+                continue
+            if key == "@timestamp":
+                iso = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{got['ts'].microsecond // 1000:03d}Z"
+                assert iso == want, ("@timestamp", iso, want)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, list):
+                assert sorted(map(str, got_v or [])) == \
+                    sorted(map(str, want)), (key, got_v, want)
+            else:
+                assert str(got_v) == str(want), (key, got_v, want)
