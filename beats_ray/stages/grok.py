@@ -66,6 +66,15 @@ CORE_PATTERNS: dict[str, str] = {
     "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
     "URIPATHPARAM": r"(?:/[\w_%!$@:.,+~-]*)+(?:\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*)?",
     "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+    "COMMONMAC": r"(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
+    "CISCOMAC": r"(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4}",
+    "WINDOWSMAC": r"(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}",
+    "MAC": r"(?:(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4}"
+           r"|(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}"
+           r"|(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2})",
+    # RE2-safe BASE16NUM (the grok original guards with a lookbehind RE2
+    # lacks; callers rely on surrounding context for the boundary)
+    "BASE16NUM": r"(?:[+-]?(?:0[xX])?[0-9A-Fa-f]+)",
     "SYSLOGTIMESTAMP": r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\b +(?:(?:0[1-9])|(?:[12]\d)|(?:3[01])|[1-9]) (?:2[0123]|[01]?\d):(?:[0-5]\d)(?::(?:(?:[0-5]?\d|60)(?:[:.,]\d+)?))?",
 }
 
@@ -187,7 +196,20 @@ class GrokStage(Stage):
                         # merge in string space, first non-null wins
                         prev = pc.cast(prev, pa.string())
                         cur = pc.cast(cur, pa.string())
-                    out_cols[out_name] = pc.if_else(pc.is_null(prev), cur, prev)
+                    # within ONE pattern a duplicated field appears in
+                    # several alternation branches (iptables event.action);
+                    # RE2 extracts non-participating groups as "" while ES
+                    # grok leaves the field unset — treat an empty prev as
+                    # missing when a later duplicate holds a real value
+                    if pa.types.is_string(prev.type) or \
+                            pa.types.is_large_string(prev.type):
+                        # fill_null first: pc.or_ is non-Kleene, a null prev
+                        # would poison the mask
+                        prev_missing = pc.equal(pc.fill_null(prev, ""), "")
+                    else:
+                        prev_missing = pc.is_null(prev)
+                    take_cur = pc.and_(prev_missing, pc.is_valid(cur))
+                    out_cols[out_name] = pc.if_else(take_cur, cur, prev)
                 else:
                     out_cols[out_name] = vals
             matched_any = pc.or_(matched_any, ok)

@@ -30,7 +30,8 @@ from ..event import field_to_column, set_column, set_error
 from .base import Stage, register
 
 _PROTO_NUM = {"icmp": 1, "igmp": 2, "tcp": 6, "udp": 17, "gre": 47,
-              "icmp6": 58, "icmp-ipv6": 58, "sctp": 132}
+              "icmp6": 58, "icmp-ipv6": 58, "icmpv6": 58, "ipv6-icmp": 58,
+              "sctp": 132}
 
 
 # ICMP type -> counter-type equivalence (Community ID spec; the reference

@@ -1897,3 +1897,257 @@ def process(event, params):
                     sorted(map(str, want)), (key, got_v, want)
             else:
                 assert str(got_v) == str(want), (key, got_v, want)
+
+
+IPTABLES_DIR = "/root/reference/x-pack/filebeat/module/iptables/log/test"
+
+
+@pytest.mark.skipif(not os.path.isdir(IPTABLES_DIR),
+                    reason="reference not present")
+def test_iptables_module_golden():
+    """iptables/log fileset (25th module golden), all 5 fixture files (36
+    lines): netfilter kv grok with MAC/ETHTYPE splitting, ubiquiti rule
+    labels + zone split, ICMP/TCP/UDP payload alternatives, hex-field
+    conversion, action/type mapping tables, and — the real prize —
+    END-TO-END network.community_id parity against ES-computed hashes for
+    tcp/udp/icmp/ipv6-icmp flows
+    (x-pack/filebeat/module/iptables/log/ingest/pipeline.yml; geoip keys
+    skipped)."""
+    from beats_ray.pipeline import Pipeline
+
+    N = "iptables"
+    defs = {
+        "IPTABLES_HOSTNAME":
+            r"%{HOSTNAME:observer.name}%{SPACE}(?:%{NOTSPACE}%{SPACE})?kernel:",
+        "IPTABLES_ACTION":
+            r"(?::?%{WORD:event.action}:"
+            r"|%{IPTABLES_HOSTNAME}%{SPACE}iptables%{SPACE}%{WORD:event.action}"
+            r"|%{IPTABLES_HOSTNAME})",
+        "UNSIGNED_INT": r"[0-9]+",
+        "ETHTYPE": r"(?:[A-Fa-f0-9]{2}):(?:[A-Fa-f0-9]{2})",
+        "ETHTYPE_DISCARD": r"(?::[A-Fa-f0-9]{2})*",
+        "NETFILTERMAC":
+            r"(?:%{MAC:destination.mac}:%{MAC:source.mac}:"
+            r"%{ETHTYPE:iptables.ether_type}?%{ETHTYPE_DISCARD}"
+            r"|%{MAC:destination.mac}%{ETHTYPE_DISCARD}:"
+            r"%{ETHTYPE:iptables.ether_type}?)",
+        "IPTABLES_ETHERNET":
+            r"IN=%{DATA:iptables.input_device}"
+            r" OUT=%{DATA:iptables.output_device}?"
+            r"(?: MAC=%{NETFILTERMAC})?",
+        "IPTABLES_PORT_PAIR":
+            r"SPT=%{UNSIGNED_INT:source.port:int}"
+            r" DPT=%{UNSIGNED_INT:destination.port:int}",
+        "IPTABLES_TCP_FLAGS": r"(?:CWR |ECE |URG |ACK |PSH |RST |SYN |FIN )*",
+        "IPTABLES_TCP_SEQ":
+            r"SEQ=%{UNSIGNED_INT:iptables.tcp.seq:int}"
+            r" ACK=%{UNSIGNED_INT:iptables.tcp.ack:int}",
+        "IPTABLES_TCP_DETAILS":
+            r"(?:%{IPTABLES_TCP_SEQ} )?"
+            r"WINDOW=%{UNSIGNED_INT:iptables.tcp.window:int}"
+            r" RES=0x%{BASE16NUM:iptables.tcp_reserved_bits}"
+            r" %{IPTABLES_TCP_FLAGS:iptables.tcp.flags}",
+        "IPTABLES_INCOMPLETE_PACKET":
+            r"INCOMPLETE \[%{UNSIGNED_INT:iptables.incomplete_bytes:int}"
+            r" bytes\]",
+        "IPTABLES_UDP_DETAILS": r"LEN=%{UNSIGNED_INT:iptables.udp.length:int}",
+        "IPTABLES_ICMP_EXTRA_ECHO":
+            r"ID=%{UNSIGNED_INT:iptables.icmp.id:int}"
+            r" SEQ=%{UNSIGNED_INT:iptables.icmp.seq:int}",
+        "IPTABLES_ICMP_EXTRA_PARAM":
+            r"PARAMETER=%{UNSIGNED_INT:iptables.icmp.parameter:int}",
+        "IPTABLES_ICMP_EXTRA_REDIRECT": r"GATEWAY=%{IP:iptables.icmp.redirect}",
+        "IPTABLES_ICMP_EXTRA":
+            r"(?: (?:%{IPTABLES_ICMP_EXTRA_ECHO}|%{IPTABLES_ICMP_EXTRA_PARAM}"
+            r"|%{IPTABLES_ICMP_EXTRA_REDIRECT}))*",
+        "IPTABLES_ICMP_DETAILS":
+            r"TYPE=%{UNSIGNED_INT:iptables.icmp.type:int}"
+            r" CODE=%{UNSIGNED_INT:iptables.icmp.code:int}"
+            r"(?:(?: %{IPTABLES_INCOMPLETE_PACKET})|%{IPTABLES_ICMP_EXTRA})",
+        # the reference's inline (?<network.transport>[a-zA-Z0-9]+) — dotted
+        # inline group names aren't RE2-legal, same charset via a definition
+        "PROTOWORD": r"[a-zA-Z0-9]+",
+        "IPTABLES_PROTOCOL": r"PROTO=%{PROTOWORD:network.transport}",
+        "IPTABLES_IP_PAYLOAD":
+            r"%{IPTABLES_PROTOCOL}(?: %{IPTABLES_PORT_PAIR})?"
+            r"(?: (?:%{IPTABLES_TCP_DETAILS}|%{IPTABLES_UDP_DETAILS}"
+            r"|%{IPTABLES_ICMP_DETAILS}|%{IPTABLES_INCOMPLETE_PACKET}))?",
+        # reference uses ((?<= )(CE|DF|MF))* — RE2 has no lookbehind; the
+        # leading space lives in the optional wrapper inside IP_START
+        "IPTABLES_IP_FRAGFLAG": r"(?:CE|DF|MF)(?: (?:CE|DF|MF))*",
+        "IPTABLES_IP_START":
+            r"SRC=%{IPV4:source.ip} DST=%{IPV4:destination.ip}"
+            r" LEN=%{UNSIGNED_INT:iptables.length:int}"
+            r" TOS=(?:0x)?%{BASE16NUM:iptables.tos}"
+            r" PREC=0x%{BASE16NUM:iptables.precedence_bits}"
+            r" TTL=%{UNSIGNED_INT:iptables.ttl:int}"
+            r" ID=%{UNSIGNED_INT:iptables.id:int}"
+            r"(?: %{IPTABLES_IP_FRAGFLAG:iptables.fragment_flags})?"
+            r"(?: FRAG: %{UNSIGNED_INT:iptables.fragment_offset:int})?",
+        "IPTABLES_IP": r"%{IPTABLES_IP_START} %{IPTABLES_IP_PAYLOAD}",
+        "IPTABLES_IPV6_START":
+            r"SRC=%{IPV6:source.ip} DST=%{IPV6:destination.ip}"
+            r" LEN=%{UNSIGNED_INT:iptables.length:int}"
+            r" TC=%{UNSIGNED_INT:iptables.tos}"
+            r" HOPLIMIT=%{UNSIGNED_INT:iptables.ttl:int}"
+            r" FLOWLBL=%{UNSIGNED_INT:iptables.flow_label:int}",
+        "IPTABLES_IPV6": r"%{IPTABLES_IPV6_START} %{IPTABLES_IP_PAYLOAD}",
+        "IPTABLES":
+            r"%{IPTABLES_ETHERNET} (?::?%{IPTABLES_IP}|%{IPTABLES_IPV6})",
+        "UBIQUITI_FIELD": r"[^-\]]*",
+        "UBIQUITI_RULESET_NAME": r"[^\]]*",
+        "UBIQUITI_LABEL":
+            r"%{UBIQUITI_RULESET_NAME:iptables.ubiquiti.rule_set}-"
+            r"%{UBIQUITI_FIELD:iptables.ubiquiti.rule_number}-"
+            r"%{UBIQUITI_FIELD:event.action}",
+        "UDM_LOGS":
+            r"(?:%{UNSIGNED_INT}%{SPACE})?"
+            r"(?:TTL|TL|L)=(?:%{UNSIGNED_INT:iptables.ttl:int})%{SPACE}"
+            r"(?:ID=(?:%{UNSIGNED_INT:iptables.id:int})%{SPACE})?"
+            r"(?:DF%{SPACE})?",
+    }
+    patterns = [
+        r"%{SYSLOGTIMESTAMP:iptables.raw_date}%{SPACE}%{IPTABLES_HOSTNAME}"
+        r"%{GREEDYDATA}\[%{UBIQUITI_LABEL}\]%{IPTABLES}%{SPACE}",
+        r"%{SYSLOGTIMESTAMP:iptables.raw_date}%{SPACE}%{IPTABLES_ACTION}"
+        r"%{GREEDYDATA}%{IPTABLES}%{SPACE}",
+        r"%{SYSLOGTIMESTAMP:iptables.raw_date}%{SPACE}%{IPTABLES_HOSTNAME}"
+        r"%{SPACE}%{UDM_LOGS}%{IPTABLES_IP_PAYLOAD}",
+        r"%{GREEDYDATA}\[%{UBIQUITI_LABEL}\]%{IPTABLES}%{SPACE}",
+        r"%{GREEDYDATA}%{IPTABLES}%{SPACE}",
+    ]
+    assemble = '''
+def process(event, params):
+    import re as _re
+    I = "iptables_"
+    # lowercase (ES lowercase processors)
+    for k in ("network_transport", "event_action"):
+        v = event.get(k)
+        if v:
+            event[k] = v.lower()
+    # mapping-table script (pipeline.yml params.mappings, in order)
+    et = event.get(I + "ether_type")
+    if et:
+        m = {"08:00": "ipv4", "86:dd": "ipv6"}.get(et)
+        if m:
+            event["network_type"] = m
+    a = event.get("event_action")
+    if a:
+        m = {"d": "drop", "a": "accept"}.get(a)
+        if m:
+            event["event_action"] = m
+    a = event.get("event_action")
+    etype = None
+    if a:
+        etype = {"drop": "denied", "accept": "allowed", "deny": "denied",
+                 "drop_input": "denied"}.get(a)
+    t = event.get("network_transport")
+    if t == "icmpv6":
+        event["network_transport"] = "ipv6-icmp"
+    # hex-field conversion script (skips non-hex chars like ':')
+    for k in ("ether_type", "tos", "precedence_bits", "tcp_reserved_bits"):
+        v = event.get(I + k)
+        if v == "":
+            event.pop(I + k)   # non-participating capture == unset in ES
+            continue
+        if v is None:
+            continue
+        digits = _re.sub(r"[^0-9a-f]", "", str(v).lower())
+        event[I + k] = int(digits, 16) if digits else 0
+    # rename tcp_reserved_bits -> tcp.reserved_bits
+    if event.get(I + "tcp_reserved_bits") is not None:
+        event[I + "tcp_reserved_bits_renamed"] = True
+        event[I + "tcp_reserved_bits2"] = event.pop(I + "tcp_reserved_bits")
+    # splits (drop java-split trailing empties)
+    for k in (I + "tcp_flags", I + "fragment_flags"):
+        v = event.get(k)
+        if v is None or v == "":
+            event.pop(k, None)
+            continue
+        event[k] = [x for x in _re.split(r"\\s+", v) if x != ""]
+    # ubiquiti zone/rule copies (set ... ignore_empty_value)
+    oz = event.get(I + "ubiquiti_output_zone")
+    if oz:
+        event["observer_egress_zone"] = oz
+    iz = event.get(I + "ubiquiti_input_zone")
+    if iz:
+        event["observer_ingress_zone"] = iz
+    rn = event.get(I + "ubiquiti_rule_number")
+    if rn:
+        event["rule_id"] = rn
+    rs = event.get(I + "ubiquiti_rule_set")
+    if rs:
+        event["rule_name"] = rs
+    # ECS assembly
+    event["event_kind"] = "event"
+    event["event_category"] = ["network"]
+    types = [etype] if etype else []
+    rel = []
+    for k in ("source_ip", "destination_ip"):
+        v = event.get(k)
+        if v:
+            rel.append(v)
+    if len(rel) == 2:
+        types.append("connection")
+    if types:
+        event["event_type"] = types
+    if rel:
+        event["related_ip"] = rel
+    event["tags"] = ["forwarded", "iptables"]
+    # drop ""-valued non-participating captures ES grok leaves unset
+    for k in (I + "ether_type", "source_mac", "destination_mac",
+              "observer_name", "event_action",
+              I + "ubiquiti_rule_set", I + "ubiquiti_rule_number",
+              I + "ubiquiti_input_zone", I + "ubiquiti_output_zone"):
+        if event.get(k) == "":
+            event.pop(k)
+    event.pop(I + "raw_date", None)
+    return event
+'''
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": patterns,
+                  "pattern_definitions": defs, "ignore_failure": True}},
+        {"rename": {"fields": [{"from": "message", "to": "event.original"}],
+                    "fail_on_error": False}},
+        {"grok": {"field": N + ".ubiquiti.rule_set", "ignore_missing": True,
+                  "ignore_failure": True, "patterns": [
+            r"%{UBIQUITI_ZFIELD:iptables.ubiquiti.input_zone}-"
+            r"%{UBIQUITI_ZFIELD:iptables.ubiquiti.output_zone}"],
+            "pattern_definitions": {"UBIQUITI_ZFIELD": r"[^-]*"}}},
+        {"script": {"source": assemble}},
+        {"community_id": {"target": "network.community_id", "fields": {
+            "icmp_type": "iptables.icmp.type",
+            "icmp_code": "iptables.icmp.code"}}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "iptables", "event.dataset": "iptables.log",
+            "fileset.name": "log", "input.type": "log",
+            "service.type": "iptables", "event.timezone": "-02:00"}}},
+    ]}
+    pipe = Pipeline(spec)
+    SKIP = ("source.geo", "destination.geo", "source.as", "destination.as")
+    total = 0
+    for name in ("iptables", "icmp", "ipv6", "ubiquiti", "geo"):
+        log = os.path.join(IPTABLES_DIR, name + ".log")
+        lines = [ln for ln in open(log).read().splitlines() if ln.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)), pa.int64())})
+        out = pipe.run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(log + "-expected.json"))
+        assert len(rows) == len(expected), name
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "@timestamp", "event.ingested") \
+                        or key.startswith(SKIP):
+                    continue
+                col = key.replace(".", "_")
+                if key == "iptables.tcp.reserved_bits":
+                    col = "iptables_tcp_reserved_bits2"
+                got_v = got.get(col)
+                if isinstance(want, list):
+                    assert sorted(map(str, got_v or [])) == \
+                        sorted(map(str, want)), (name, key, got_v, want)
+                else:
+                    assert str(got_v) == str(want), (name, key, got_v, want)
+        total += len(rows)
+    assert total == 36
