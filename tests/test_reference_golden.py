@@ -2151,3 +2151,114 @@ def process(event, params):
                     assert str(got_v) == str(want), (name, key, got_v, want)
         total += len(rows)
     assert total == 36
+
+
+COREDNS_DIR = "/root/reference/x-pack/filebeat/module/coredns/log/test"
+
+
+@pytest.mark.skipif(not os.path.exists(COREDNS_DIR), reason="reference not present")
+def test_coredns_module_golden():
+    """coredns/log fileset (26th module golden), both fixtures: plaintext
+    dissect + the k8s-wrapped JSON variant (x-pack/filebeat/module/coredns/
+    log/ingest/pipeline-{entry,plaintext,json}.yml).  Covers the painless
+    source ip:port / [v6]:port split, header-flag uppercase+split (+DO on
+    dnssec_ok), duration s->ns, trailing-dot trim on dns.question.name,
+    NOERROR->success outcome, and the json.kubernetes.* subtree lift.
+    @timestamp is the raw dissected string copy (ctx['@timestamp'] =
+    ctx['timestamp']), compared verbatim.  geoip-plugin keys absent in the
+    fixtures; log.offset is harness context."""
+    from beats_ray.pipeline import Pipeline
+
+    entry_tail = (
+        "def process(event, params):\n"
+        "    src = event.pop('temp_source', None)\n"
+        "    if src is not None:\n"
+        "        if src.startswith('['):\n"
+        "            p = src.index(']')\n"
+        "            event['source_address'] = src[1:p]\n"
+        "            event['source_port'] = int(src[p + 2:])\n"
+        "        else:\n"
+        "            p = src.index(':')\n"
+        "            event['source_address'] = src[:p]\n"
+        "            event['source_port'] = int(src[p + 1:])\n"
+        "        event['source_ip'] = event['source_address']\n"
+        "        event['related_ip'] = [event['source_address']]\n"
+        "    flags = event.get('dns_header_flags')\n"
+        "    if flags is not None:\n"
+        "        flags = flags.upper().split(',')\n"
+        "        if event.get('coredns_dnssec_ok') == 'true':\n"
+        "            flags.append('DO')\n"
+        "        event['dns_header_flags'] = flags\n"
+        "    event.pop('coredns_dnssec_ok', None)\n"
+        "    d = event.pop('coredns_duration', None)\n"
+        "    if d is not None:\n"
+        "        event['event_duration'] = round(float(d) * 1000000000)\n"
+        "    for k in ('coredns_query_size', 'coredns_response_size'):\n"
+        "        if event.get(k) is not None:\n"
+        "            event[k] = int(event[k])\n"
+        "    q = event.get('dns_question_name')\n"
+        "    if q is not None and q.endswith('.'):\n"
+        "        event['dns_question_name'] = q[:-1]\n"
+        "    rc = event.get('dns_response_code')\n"
+        "    if rc is not None:\n"
+        "        event['event_outcome'] = \\\n"
+        "            'success' if rc == 'NOERROR' else 'failure'\n"
+        "    event['event_category'] = ['network']\n"
+        "    event['event_type'] = ['protocol']\n"
+        "    event['tags'] = ['coredns']\n"
+        "    return event\n")
+    DISSECT = ('%{timestamp} [%{log.level}] %{temp.source} - %{dns.id} '
+               '"%{dns.question.type} %{dns.question.class} '
+               '%{dns.question.name} %{network.transport} '
+               '%{coredns.query.size} %{coredns.dnssec_ok} %{?bufsize}" '
+               '%{dns.response_code} %{dns.header_flags} '
+               '%{coredns.response.size} %{coredns.duration}s')
+    K8S_LEAVES = ("container.name", "labels.k8s-app",
+                  "labels.pod-template-hash", "namespace", "node.name",
+                  "pod.name", "pod.uid", "replicaset.name")
+    CONST = {"add_fields": {"target": "", "fields": {
+        "event.kind": "event", "event.module": "coredns",
+        "event.dataset": "coredns.log", "fileset.name": "log",
+        "input.type": "log", "service.type": "coredns",
+        "network.protocol": "dns"}}}
+    plain_spec = {"processors": [
+        {"dissect": {"tokenizer": DISSECT, "field": "message",
+                     "target_prefix": ""}},
+        CONST, {"script": {"source": entry_tail}},
+    ]}
+    json_spec = {"processors": [
+        {"rename": {"fields": [{"from": "message", "to": "event.original"}]}},
+        {"decode_json_fields": {"fields": ["event.original"],
+                                "target": "json", "max_depth": 5}},
+        {"dissect": {"tokenizer": DISSECT, "field": "json.message",
+                     "target_prefix": ""}},
+        {"rename": {"fields":
+            [{"from": "json.message", "to": "message"}] +
+            [{"from": f"json.kubernetes.{k}", "to": f"kubernetes.{k}"}
+             for k in K8S_LEAVES], "fail_on_error": False}},
+        {"drop_fields": {"fields": ["json.stream", "json.time"],
+                         "ignore_missing": True}},
+        CONST, {"script": {"source": entry_tail}},
+    ]}
+    for logname, spec in (("coredns.log", plain_spec),
+                          ("coredns-json.log", json_spec)):
+        log = os.path.join(COREDNS_DIR, logname)
+        lines = [ln for ln in open(log).read().splitlines() if ln.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)), pa.int64())})
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(log + "-expected.json"))
+        assert len(rows) == len(expected), logname
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "event.ingested"):
+                    continue
+                col = "timestamp" if key == "@timestamp" \
+                    else key.replace(".", "_")
+                got_v = got.get(col)
+                if isinstance(want, list):
+                    assert sorted(map(str, got_v or [])) == \
+                        sorted(map(str, want)), (logname, key, got_v, want)
+                else:
+                    assert str(got_v) == str(want), (logname, key, got_v, want)
