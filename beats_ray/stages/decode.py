@@ -484,3 +484,116 @@ class UriParts(Stage):
                 batch = set_column(batch, orig_col,
                                    pc.cast(batch.column(col), pa.string()))
         return batch
+
+
+@register("user_agent")
+class UserAgent(Stage):
+    """ES ingest ``user_agent`` processor analogue (the module pipelines —
+    envoyproxy, apache, nginx — call it after grok/dissect).  Parses a
+    User-Agent string into ECS ``user_agent.{name,version}``,
+    ``user_agent.os.{name,version,full}`` and ``user_agent.device.name``
+    with an ordered uap-core-style regex subset (major browser families +
+    the generic ``product/version`` tools — curl, wget, Go-http-client,
+    python-requests); unknowns fall back to name/device "Other", matching
+    uap-core's catch-all.  config: field, target_field (default
+    "user_agent"), ignore_missing.
+
+    Regexes compile once per stage instance (actor-pool ``__init__``), the
+    per-row loop is format-inherent string parsing like cef/syslog.
+    """
+
+    name = "user_agent"
+
+    _BROWSERS = [
+        # (compiled later) pattern, family name; version = group 1
+        (r"Edg(?:e|A|iOS)?/(\d+[\w.]*)", "Edge"),
+        (r"OPR/(\d+[\w.]*)", "Opera"),
+        (r"Opera[ /](\d+[\w.]*)", "Opera"),
+        (r"Firefox/(\d+[\w.]*)", "Firefox"),
+        (r"FxiOS/(\d+[\w.]*)", "Firefox iOS"),
+        (r"CriOS/(\d+[\w.]*)", "Chrome Mobile iOS"),
+        (r"Chrome/(\d+[\w.]*)", "Chrome"),
+        (r"Version/(\d+[\w.]*).*Mobile.*Safari/", "Mobile Safari"),
+        (r"Version/(\d+[\w.]*).*Safari/", "Safari"),
+        (r"MSIE (\d+[\w.]*)", "IE"),
+        (r"Trident/.*rv:(\d+[\w.]*)", "IE"),
+        # generic product/version (curl/7.59.0, wget/1.20, Go-http-client/1.1)
+        (r"^([A-Za-z0-9._!-]+)/v?(\d[\w.-]*)", None),
+    ]
+    _OSES = [
+        (r"Windows NT (\d+\.\d+)", "Windows",
+         {"10.0": "10", "6.3": "8.1", "6.2": "8", "6.1": "7",
+          "6.0": "Vista", "5.1": "XP"}),
+        (r"iPhone OS (\d+[_\d]*)", "iOS", None),
+        (r"iPad.*? OS (\d+[_\d]*)", "iOS", None),
+        (r"Mac OS X (\d+[_.\d]*)", "Mac OS X", None),
+        (r"Android (\d+[\w.]*)", "Android", None),
+        (r"(Linux)", "Linux", None),
+    ]
+
+    def __init__(self, config=None):
+        import re
+        super().__init__(config)
+        self.field = self.config.get("field", "user_agent.original")
+        self.target = self.config.get("target_field", "user_agent")
+        self.ignore_missing = bool(self.config.get("ignore_missing", True))
+        self._browsers = [(re.compile(p), n) for p, n in self._BROWSERS]
+        self._oses = [(re.compile(p), n, m) for p, n, m in self._OSES]
+
+    def input_columns(self):
+        return [field_to_column(self.field)]
+
+    def _parse(self, ua):
+        if ua is None:
+            return (None,) * 6
+        name = "Other"
+        version = None
+        for rx, fam in self._browsers:
+            m = rx.search(ua)
+            if m:
+                if fam is None:
+                    name, version = m.group(1), m.group(2)
+                else:
+                    name, version = fam, m.group(1)
+                break
+        os_name = os_ver = os_full = None
+        for rx, fam, vmap in self._oses:
+            m = rx.search(ua)
+            if m:
+                os_name = fam
+                raw = m.group(1).replace("_", ".")
+                if fam == "Linux":
+                    os_full = fam
+                    break
+                os_ver = vmap.get(raw, raw) if vmap else raw
+                os_full = f"{fam} {os_ver}"
+                break
+        if "iPhone" in ua:
+            device = "iPhone"
+        elif "iPad" in ua:
+            device = "iPad"
+        elif "Android" in ua and "Mobile" in ua:
+            device = "Generic Smartphone"
+        else:
+            device = "Other"
+        return name, version, os_name, os_ver, os_full, device
+
+    def process(self, batch):
+        col = field_to_column(self.field)
+        if col not in batch.column_names:
+            if self.ignore_missing:
+                return batch
+            raise KeyError(col)
+        vals = batch.column(col).to_pylist()
+        cols = list(zip(*[self._parse(v) for v in vals])) or [[]] * 6
+        prefix = field_to_column(self.target) + "_"
+        for key, data in zip(("name", "version", "os_name", "os_version",
+                              "os_full", "device_name"), cols):
+            arr = pa.array(data, pa.string())
+            if arr.null_count < len(arr):
+                batch = set_column(batch, prefix + key, arr)
+        orig = prefix + "original"
+        if orig != col and field_to_column(self.field) != orig:
+            batch = set_column(batch, orig,
+                               pc.cast(batch.column(col), pa.string()))
+        return batch

@@ -2262,3 +2262,146 @@ def test_coredns_module_golden():
                         sorted(map(str, want)), (logname, key, got_v, want)
                 else:
                     assert str(got_v) == str(want), (logname, key, got_v, want)
+
+
+ENVOY_DIR = "/root/reference/x-pack/filebeat/module/envoyproxy/log/test"
+
+
+@pytest.mark.skipif(not os.path.exists(ENVOY_DIR), reason="reference not present")
+def test_envoyproxy_module_golden():
+    """envoyproxy/log fileset (27th module golden), both fixtures
+    (x-pack/filebeat/module/envoyproxy/log/ingest/pipeline-{entry,plaintext,
+    json,http,tcp}.yml): ACCESS-prefix normalization, 15-field dissect, the
+    http/tcp branch (http.* renames + upstream_service_time ms->ns vs
+    destination/source.bytes), dest ip:port split, response-flag split,
+    flag-driven outcome, related.ip assembly, k8s JSON subtree lift — and
+    the new ``user_agent`` stage (ES ingest user_agent analogue) on the
+    http rows.  @timestamp is the raw dissected string copy; geoip-plugin
+    keys are absent in the fixtures themselves."""
+    from beats_ray.pipeline import Pipeline
+
+    normalize = (
+        "def process(event, params):\n"
+        "    m = event.get('message')\n"
+        "    if m.startswith('['):\n"
+        "        event['temp_message'] = 'ACCESS ' + m\n"
+        "    elif m.startswith('ACCESS '):\n"
+        "        event['temp_message'] = m\n"
+        "    return event\n")
+    assemble = (
+        "def process(event, params):\n"
+        "    dest = event.pop('dest', None)\n"
+        "    if dest and dest != '-':\n"
+        "        p = dest.rindex(':')\n"
+        "        event['destination_address'] = dest[:p]\n"
+        "        event['destination_port'] = int(dest[p + 1:])\n"
+        "    d = event.pop('duration', None)\n"
+        "    if d is not None:\n"
+        "        event['event_duration'] = round(float(d) * 1000000)\n"
+        "    proto = event.pop('proto', None)\n"
+        "    ust = event.pop('upstream_service_time', None)\n"
+        "    if proto and not proto.startswith('-'):\n"
+        "        event['http_version'] = proto.split('/', 1)[1]\n"
+        "        event['http_request_method'] = event.pop('method', None)\n"
+        "        event['url_path'] = event.pop('path', None)\n"
+        "        event['http_response_status_code'] = \\\n"
+        "            int(event.pop('response_code'))\n"
+        "        event['http_response_body_bytes'] = \\\n"
+        "            int(event.pop('bytes_received'))\n"
+        "        event['http_request_body_bytes'] = \\\n"
+        "            int(event.pop('bytes_sent'))\n"
+        "        if ust is not None and ust != '-':\n"
+        "            event['envoyproxy_upstream_service_time'] = \\\n"
+        "                round(float(ust) * 1000000)\n"
+        "        event['envoyproxy_proxy_type'] = 'http'\n"
+        "        auth = event.get('envoyproxy_authority')\n"
+        "        if auth:\n"
+        "            event['url_domain'] = auth\n"
+        "        event['event_type'] = ['connection', 'protocol']\n"
+        "        event['network_protocol'] = 'http'\n"
+        "    else:\n"
+        "        for k in ('method', 'user_agent_original', 'path',\n"
+        "                  'response_code'):\n"
+        "            event.pop(k, None)\n"
+        "        event['destination_bytes'] = int(event.pop('bytes_received'))\n"
+        "        event['source_bytes'] = int(event.pop('bytes_sent'))\n"
+        "        event['envoyproxy_proxy_type'] = 'tcp'\n"
+        "        event['event_type'] = ['connection']\n"
+        "        event['network_transport'] = 'tcp'\n"
+        "    if event.get('source_address') == '-':\n"
+        "        event.pop('source_address')\n"
+        "    rf = event.get('envoyproxy_response_flags')\n"
+        "    if rf == '-':\n"
+        "        event.pop('envoyproxy_response_flags')\n"
+        "    elif rf is not None:\n"
+        "        event['envoyproxy_response_flags'] = rf.split(',')\n"
+        "    if event.get('destination_address'):\n"
+        "        event['destination_ip'] = event['destination_address']\n"
+        "    if event.get('source_address'):\n"
+        "        event['source_ip'] = event['source_address']\n"
+        "    related = []\n"
+        "    if event.get('source_ip'):\n"
+        "        related.append(event['source_ip'])\n"
+        "    if event.get('destination_ip'):\n"
+        "        related.append(event['destination_ip'])\n"
+        "    if related:\n"
+        "        event['related_ip'] = related\n"
+        "    event['event_outcome'] = ['failure'] \\\n"
+        "        if event.get('envoyproxy_response_flags') else ['success']\n"
+        "    event['event_category'] = ['network']\n"
+        "    event['tags'] = ['envoyproxy']\n"
+        "    event.pop('temp_message', None)\n"
+        "    return event\n")
+    DISSECT = ('%{envoyproxy.log_type} [%{timestamp}] '
+               '"%{method} %{path} %{proto}" %{response_code} '
+               '%{envoyproxy.response_flags} %{bytes_received} %{bytes_sent} '
+               '%{duration} %{upstream_service_time} "%{source.address}" '
+               '"%{user_agent.original}" "%{envoyproxy.request_id}" '
+               '"%{envoyproxy.authority}" "%{dest}"')
+    K8S_LEAVES = ("container.name", "labels.service", "namespace",
+                  "node.name", "pod.name", "pod.uid", "replicaset.name")
+    shared_tail = [
+        {"dissect": {"tokenizer": DISSECT, "field": "temp_message",
+                     "target_prefix": ""}},
+        {"script": {"source": assemble}},
+        {"user_agent": {"field": "user_agent.original"}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "envoyproxy",
+            "event.dataset": "envoyproxy.log", "fileset.name": "log",
+            "input.type": "log", "service.type": "envoyproxy"}}},
+    ]
+    plain_spec = {"processors": [{"script": {"source": normalize}}] +
+                  shared_tail}
+    json_spec = {"processors": [
+        {"decode_json_fields": {"fields": ["message"], "target": "json",
+                                "max_depth": 5}},
+        {"drop_fields": {"fields": ["message", "json.stream", "json.time"],
+                         "ignore_missing": True}},
+        {"rename": {"fields":
+            [{"from": "json.message", "to": "message"}] +
+            [{"from": f"json.kubernetes.{k}", "to": f"kubernetes.{k}"}
+             for k in K8S_LEAVES], "fail_on_error": False}},
+        {"script": {"source": normalize}},
+    ] + shared_tail}
+    for logname, spec in (("envoy.log", plain_spec),
+                          ("envoy-json.log", json_spec)):
+        log = os.path.join(ENVOY_DIR, logname)
+        lines = [ln for ln in open(log).read().splitlines() if ln.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)), pa.int64())})
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(log + "-expected.json"))
+        assert len(rows) == len(expected), logname
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "event.ingested", "event.created"):
+                    continue
+                col = "timestamp" if key == "@timestamp" \
+                    else key.replace(".", "_")
+                got_v = got.get(col)
+                if isinstance(want, list):
+                    assert sorted(map(str, got_v or [])) == \
+                        sorted(map(str, want)), (logname, key, got_v, want)
+                else:
+                    assert str(got_v) == str(want), (logname, key, got_v, want)
