@@ -22,6 +22,7 @@ import csv
 import gzip
 import io
 import json
+import re
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -505,20 +506,23 @@ class UserAgent(Stage):
     name = "user_agent"
 
     _BROWSERS = [
-        # (compiled later) pattern, family name; version = group 1
-        (r"Edg(?:e|A|iOS)?/(\d+[\w.]*)", "Edge"),
-        (r"OPR/(\d+[\w.]*)", "Opera"),
-        (r"Opera[ /](\d+[\w.]*)", "Opera"),
-        (r"Firefox/(\d+[\w.]*)", "Firefox"),
-        (r"FxiOS/(\d+[\w.]*)", "Firefox iOS"),
-        (r"CriOS/(\d+[\w.]*)", "Chrome Mobile iOS"),
-        (r"Chrome/(\d+[\w.]*)", "Chrome"),
-        (r"Version/(\d+[\w.]*).*Mobile.*Safari/", "Mobile Safari"),
-        (r"Version/(\d+[\w.]*).*Safari/", "Safari"),
-        (r"MSIE (\d+[\w.]*)", "IE"),
-        (r"Trident/.*rv:(\d+[\w.]*)", "IE"),
+        # (compiled later) pattern, family name, fixed version override;
+        # version = group 1 unless the override is set
+        (r"Edg(?:e|A|iOS)?/(\d+[\w.]*)", "Edge", None),
+        (r"OPR/(\d+[\w.]*)", "Opera", None),
+        (r"Opera[ /](\d+[\w.]*)", "Opera", None),
+        (r"Firefox/(\d+[\w.]*)", "Firefox", None),
+        (r"FxiOS/(\d+[\w.]*)", "Firefox iOS", None),
+        (r"CriOS/(\d+[\w.]*)", "Chrome Mobile iOS", None),
+        (r"Chrome/(\d+[\w.]*)", "Chrome", None),
+        (r"Version/(\d+[\w.]*).*Mobile.*Safari/", "Mobile Safari", None),
+        (r"Version/(\d+[\w.]*).*Safari/", "Safari", None),
+        (r"Trident/.*rv:(\d+[\w.]*)", "IE", None),
+        # uap-core: Trident/7.0 IS IE 11 regardless of the masked MSIE token
+        (r"Trident/(7)\.0", "IE", "11.0"),
+        (r"MSIE (\d+[\w.]*)", "IE", None),
         # generic product/version (curl/7.59.0, wget/1.20, Go-http-client/1.1)
-        (r"^([A-Za-z0-9._!-]+)/v?(\d[\w.-]*)", None),
+        (r"^([A-Za-z0-9._!-]+)/v?(\d[\w.-]*)", None, None),
     ]
     _OSES = [
         (r"Windows NT (\d+\.\d+)", "Windows",
@@ -531,13 +535,15 @@ class UserAgent(Stage):
         (r"(Linux)", "Linux", None),
     ]
 
+    _SPIDER = re.compile(r"(?i)bot\b|spider|crawler|slurp")
+
     def __init__(self, config=None):
-        import re
         super().__init__(config)
         self.field = self.config.get("field", "user_agent.original")
         self.target = self.config.get("target_field", "user_agent")
         self.ignore_missing = bool(self.config.get("ignore_missing", True))
-        self._browsers = [(re.compile(p), n) for p, n in self._BROWSERS]
+        self._browsers = [(re.compile(p), n, fv)
+                          for p, n, fv in self._BROWSERS]
         self._oses = [(re.compile(p), n, m) for p, n, m in self._OSES]
 
     def input_columns(self):
@@ -548,13 +554,13 @@ class UserAgent(Stage):
             return (None,) * 6
         name = "Other"
         version = None
-        for rx, fam in self._browsers:
+        for rx, fam, fixed in self._browsers:
             m = rx.search(ua)
             if m:
                 if fam is None:
                     name, version = m.group(1), m.group(2)
                 else:
-                    name, version = fam, m.group(1)
+                    name, version = fam, fixed or m.group(1)
                 break
         os_name = os_ver = os_full = None
         for rx, fam, vmap in self._oses:
@@ -568,12 +574,16 @@ class UserAgent(Stage):
                 os_ver = vmap.get(raw, raw) if vmap else raw
                 os_full = f"{fam} {os_ver}"
                 break
-        if "iPhone" in ua:
+        if self._SPIDER.search(ua):
+            device = "Spider"
+        elif "iPhone" in ua:
             device = "iPhone"
         elif "iPad" in ua:
             device = "iPad"
         elif "Android" in ua and "Mobile" in ua:
             device = "Generic Smartphone"
+        elif "Macintosh" in ua:
+            device = "Mac"
         else:
             device = "Other"
         return name, version, os_name, os_ver, os_full, device

@@ -42,7 +42,9 @@ CORE_PATTERNS: dict[str, str] = {
     "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
     "IPV6": r"[0-9A-Fa-f:.]{2,}",
     "IP": r"(?:(?:\d{1,3}\.){3}\d{1,3}|[0-9A-Fa-f:]+:[0-9A-Fa-f:.]*)",
-    "IPORHOST": r"(?:(?:\d{1,3}\.){3}\d{1,3}|[0-9A-Fa-f:]+:[0-9A-Fa-f:.]*|[0-9A-Za-z][0-9A-Za-z.-]*)",
+    # IPv6 admits the optional %zone suffix the upstream IPV6 pattern has
+    # ("(%.+)?", grok-patterns): iis logs carry "::1%0"-style addresses.
+    "IPORHOST": r"(?:(?:\d{1,3}\.){3}\d{1,3}|[0-9A-Fa-f:]+:[0-9A-Fa-f:.]*(?:%\w+)?|[0-9A-Za-z][0-9A-Za-z.-]*)",
     "HOSTNAME": r"\b[0-9A-Za-z][0-9A-Za-z-]{0,62}(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?\b",
     "HOSTPORT": r"\S+:\d+",
     "MONTH": r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\b",
@@ -109,6 +111,11 @@ def compile_grok(expression: str, pattern_definitions: dict | None = None,
         return f"(?P<{group}>{body})"
 
     pattern = _GROK_TOKEN.sub(sub, expression)
+    # Oniguruma (ES grok) permits bare unnamed capture groups; RE2's
+    # extract_regex rejects them.  Rewrite "(" -> "(?:" unless escaped or
+    # already a (?...) construct — capture-by-name is the only extraction
+    # path here, so plain groups only ever mean grouping.
+    pattern = re.sub(r"(?<!\\)\((?![?])", "(?:", pattern)
     if anchor:
         pattern = "^" + pattern
     return pattern, {"types": types, "fields": fields}
@@ -154,11 +161,29 @@ class GrokStage(Stage):
                              f"field [{self.field}] not present as part of "
                              "path [" + self.field + "]")
         col = batch.column(cname)
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            # A duplicate-capture column is uniformly list-typed in the
+            # Arrow model, but ES sees a scalar on rows where only one
+            # group participated and an array elsewhere.  ES grok throws on
+            # an array value (document untouched under ignore_failure) and
+            # parses the scalar rows normally: unwrap 1-element lists,
+            # treat multi-element rows like skipped/null input.
+            rows = col.to_pylist()
+            multi = [isinstance(r, list) and len(r) > 1 for r in rows]
+            if all(multi):
+                if self.ignore_failure:
+                    return batch
+                return set_error(batch, pa.array([True] * len(batch)),
+                                 f"field [{self.field}] is an array")
+            col = pa.array(
+                [r[0] if isinstance(r, list) and len(r) == 1 else None
+                 for r in rows], pa.string())
         input_null = pc.is_null(col)
         col = pc.fill_null(pc.cast(col, pa.large_string()), "")
         n = len(batch)
         remaining = pa.array([True] * n, pa.bool_())
         out_cols: dict[str, pa.Array] = {}
+        dup_caps: dict[str, list[pa.Array]] = {}
         matched_any = pa.array([False] * n, pa.bool_())
         for pattern, meta in self.compiled:
             structs = pc.extract_regex(col, pattern)
@@ -189,6 +214,10 @@ class GrokStage(Stage):
                                 conv.append(None)
                         vals = pa.array(conv, target)
                 if out_name in out_cols:
+                    dup_caps.setdefault(
+                        out_name,
+                        [pc.cast(out_cols[out_name], pa.string())]
+                    ).append(pc.cast(vals, pa.string()))
                     prev, cur = out_cols[out_name], vals
                     if prev.type != cur.type:
                         # duplicate field captured by groups with different
@@ -214,6 +243,27 @@ class GrokStage(Stage):
                     out_cols[out_name] = vals
             matched_any = pc.or_(matched_any, ok)
             remaining = pc.and_(remaining, pc.invert(ok))
+        # ES grok APPENDS when several groups for the same field all
+        # participate in a row (iis pattern "[%{IPORHOST:destination.address}]
+        # (http://%{IPORHOST:destination.address})" -> a 2-element array).
+        # The scalar first-non-empty merge above covers the common
+        # mutually-exclusive-branch case; only when some row truly captured
+        # >=2 non-empty values does the column become list<string>.
+        for name, caps in dup_caps.items():
+            nonempty = [pc.invert(pc.equal(pc.fill_null(a, ""), ""))
+                        for a in caps]
+            counts = nonempty[0]
+            counts = pc.cast(counts, pa.int32())
+            for m in nonempty[1:]:
+                counts = pc.add(counts, pc.cast(m, pa.int32()))
+            if (pc.max(counts).as_py() or 0) < 2:
+                continue
+            rows = [a.to_pylist() for a in caps]
+            lists = []
+            for i in range(n):
+                vals_i = [r[i] for r in rows if r[i]]
+                lists.append(vals_i if vals_i else None)
+            out_cols[name] = pa.array(lists, pa.list_(pa.string()))
         for name, vals in out_cols.items():
             if name in batch.column_names:
                 # null-input rows are SKIPPED events (ignore_missing /

@@ -2405,3 +2405,172 @@ def test_envoyproxy_module_golden():
                         sorted(map(str, want)), (logname, key, got_v, want)
                 else:
                     assert str(got_v) == str(want), (logname, key, got_v, want)
+
+
+IIS_ACCESS_DIR = "/root/reference/filebeat/module/iis/access/test"
+
+
+@pytest.mark.skipif(not os.path.exists(IIS_ACCESS_DIR),
+                    reason="reference not present")
+def test_iis_access_module_golden():
+    """iis/access fileset (28th module golden), all 6 fixtures
+    (filebeat/module/iis/access/ingest/pipeline.yml): the 5-way W3C
+    field-layout grok alternation (layouts differ per #Fields header),
+    uri_parts + urldecode on stem/query, UA '+'-decode then the user_agent
+    stage (Firefox/Chrome/IE/Mobile-Safari across Windows/Mac/iOS), IPv6
+    %zone strip via the NOZONEIP custom grok, forwarded-ip tail, duration
+    ms->ns, and category/type/related/outcome assembly.  geoip/as keys are
+    plugin output (skipped); '#'-comment lines are dropped by the module's
+    exclude_lines."""
+    from beats_ray.pipeline import Pipeline
+
+    P = [
+        '%{TIMESTAMP_ISO8601:iis.access.time} (?:-|%{IPORHOST:destination.address}) '
+        '(?:-|%{WORD:http.request.method}) (?:-|%{NOTSPACE:_tmp.url_path}) '
+        '(?:-|%{NOTSPACE:_tmp.url_query}) (?:-|%{NUMBER:destination.port:long}) '
+        '(?:-|%{NOTSPACE:user.name}) (?:-|%{IPORHOST:source.address}) '
+        '(?:-|%{NOTSPACE:user_agent.original}) (?:-|%{NOTSPACE:http.request.referrer}) '
+        '(?:-|%{NUMBER:http.response.status_code:long}) '
+        '(?:-|%{NUMBER:iis.access.sub_status:long}) '
+        '(?:-|%{NUMBER:iis.access.win32_status:long}) '
+        '(?:-|%{NUMBER:temp.duration:long})( (?:-|%{IPORHOST:network.forwarded_ip}))?',
+        '%{TIMESTAMP_ISO8601:iis.access.time} (?:-|%{NOTSPACE:iis.access.site_name}) '
+        '(?:-|%{WORD:http.request.method}) (?:-|%{NOTSPACE:_tmp.url_path}) '
+        '(?:-|%{NOTSPACE:_tmp.url_query}) (?:-|%{NUMBER:destination.port:long}) '
+        '(?:-|%{NOTSPACE:user.name}) (?:-|%{IPORHOST:source.address}) '
+        '(?:-|%{NOTSPACE:user_agent.original}) (?:-|%{NOTSPACE:iis.access.cookie}) '
+        '(?:-|%{NOTSPACE:http.request.referrer}) (?:-|%{NOTSPACE:destination.domain}) '
+        '(?:-|%{NUMBER:http.response.status_code:long}) '
+        '(?:-|%{NUMBER:iis.access.sub_status:long}) '
+        '(?:-|%{NUMBER:iis.access.win32_status:long}) '
+        '(?:-|%{NUMBER:http.response.body.bytes:long}) '
+        '(?:-|%{NUMBER:http.request.body.bytes:long}) '
+        '(?:-|%{NUMBER:temp.duration:long})( (?:-|%{IPORHOST:network.forwarded_ip}))?',
+        '%{TIMESTAMP_ISO8601:iis.access.time} (?:-|%{NOTSPACE:iis.access.site_name}) '
+        '(?:-|%{NOTSPACE:iis.access.server_name}) (?:-|%{IPORHOST:destination.address}) '
+        '(?:-|%{WORD:http.request.method}) (?:-|%{NOTSPACE:_tmp.url_path}) '
+        '(?:-|%{NOTSPACE:_tmp.url_query}) (?:-|%{NUMBER:destination.port:long}) '
+        '(?:-|%{NOTSPACE:user.name}) (?:-|%{IPORHOST:source.address}) '
+        '(?:-|HTTP/%{NUMBER:http.version}) (?:-|%{NOTSPACE:user_agent.original}) '
+        '(?:-|%{NOTSPACE:iis.access.cookie}) (?:-|%{NOTSPACE:http.request.referrer}) '
+        '(?:-|%{NOTSPACE:destination.domain}) '
+        '(?:-|%{NUMBER:http.response.status_code:long}) '
+        '(?:-|%{NUMBER:iis.access.sub_status:long}) '
+        '(?:-|%{NUMBER:iis.access.win32_status:long}) '
+        '(?:-|%{NUMBER:http.response.body.bytes:long}) '
+        '(?:-|%{NUMBER:http.request.body.bytes:long}) '
+        '(?:-|%{NUMBER:temp.duration:long})( (?:-|%{IPORHOST:network.forwarded_ip}))?',
+        r'%{TIMESTAMP_ISO8601:iis.access.time} \[%{IPORHOST:destination.address}\]'
+        r'\(http://%{IPORHOST:destination.address}\) (?:-|%{WORD:http.request.method}) '
+        '(?:-|%{NOTSPACE:_tmp.url_path}) (?:-|%{NOTSPACE:_tmp.url_query}) '
+        '(?:-|%{NUMBER:destination.port:long}) (?:-|%{NOTSPACE:user.name}) '
+        r'\[%{IPORHOST:source.address}\]\(http://%{IPORHOST:source.address}\) '
+        '(?:-|%{NOTSPACE:user_agent.original}) '
+        '(?:-|%{NUMBER:http.response.status_code:long}) '
+        '(?:-|%{NUMBER:iis.access.sub_status:long}) '
+        '(?:-|%{NUMBER:iis.access.win32_status:long}) '
+        '(?:-|%{NUMBER:temp.duration:long})( (?:-|%{IPORHOST:network.forwarded_ip}))?',
+        '%{TIMESTAMP_ISO8601:iis.access.time} (?:-|%{IPORHOST:destination.address}) '
+        '(?:-|%{WORD:http.request.method}) (?:-|%{NOTSPACE:_tmp.url_path}) '
+        '(?:-|%{NOTSPACE:_tmp.url_query}) (?:-|%{NUMBER:destination.port:long}) '
+        '(?:-|%{NOTSPACE:user.name}) (?:-|%{IPORHOST:source.address}) '
+        '(?:-|%{NOTSPACE:user_agent.original}) '
+        '(?:-|%{NUMBER:http.response.status_code:long}) '
+        '(?:-|%{NUMBER:iis.access.sub_status:long}) '
+        '(?:-|%{NUMBER:iis.access.win32_status:long}) '
+        '(?:-|%{NUMBER:temp.duration:long})( (?:-|%{IPORHOST:network.forwarded_ip}))?',
+    ]
+    assemble = (
+        "def process(event, params):\n"
+        "    d = event.pop('temp_duration', None)\n"
+        "    if d is not None:\n"
+        "        event['event_duration'] = round(int(d) * 1000000)\n"
+        "    dd = event.get('destination_domain')\n"
+        "    if dd is not None and event.get('url_domain') is None:\n"
+        "        event['url_domain'] = dd\n"
+        "    cat = ['web']\n"
+        "    if event.get('source_ip') and event.get('destination_ip'):\n"
+        "        cat.append('network')\n"
+        "        event['event_type'] = ['connection']\n"
+        "    event['event_category'] = cat\n"
+        "    related = []\n"
+        "    if event.get('source_ip'):\n"
+        "        related.append(event['source_ip'])\n"
+        "    if event.get('destination_ip'):\n"
+        "        related.append(event['destination_ip'])\n"
+        "    if related:\n"
+        "        event['related_ip'] = related\n"
+        "    if event.get('user_name') is not None:\n"
+        "        event['related_user'] = [event['user_name']]\n"
+        "    sc = event.get('http_response_status_code')\n"
+        "    if sc is not None:\n"
+        "        event['event_outcome'] = \\\n"
+        "            'success' if int(sc) < 400 else 'failure'\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"rename": {"fields": [{"from": "message", "to": "event.original"}]}},
+        {"grok": {"field": "event.original", "patterns": P,
+                  "ignore_missing": True}},
+        {"uri_parts": {"field": "_tmp.url_path", "target_field": "url"}},
+        {"urldecode": {"fields": [{"from": "_tmp.url_query",
+                                   "to": "url.query"}],
+                       "ignore_missing": True}},
+        {"timestamp": {"field": "iis.access.time",
+                       "layouts": ["%Y-%m-%d %H:%M:%S"],
+                       "target_field": "@timestamp", "ignore_missing": True}},
+        {"urldecode": {"fields": [{"from": "user_agent.original"}],
+                       "ignore_missing": True}},
+        {"user_agent": {"field": "user_agent.original"}},
+        {"grok": {"field": "destination.address",
+                  "patterns": ["%{NOZONEIP:destination.ip}"],
+                  "pattern_definitions": {"NOZONEIP": "[^%]*"},
+                  "ignore_missing": True, "ignore_failure": True}},
+        {"grok": {"field": "source.address",
+                  "patterns": ["%{NOZONEIP:source.ip}"],
+                  "pattern_definitions": {"NOZONEIP": "[^%]*"},
+                  "ignore_missing": True, "ignore_failure": True}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "iis",
+            "event.dataset": "iis.access", "fileset.name": "access",
+            "input.type": "log", "service.type": "iis"}}},
+        {"script": {"source": assemble}},
+    ]}
+    pipe = Pipeline(spec)
+    SKIP = ("source.geo", "destination.geo", "source.as", "destination.as")
+    total = 0
+    for name in ("test.log", "test-iis-7.2.log", "test-iis-7.5.log",
+                 "test-ipv6zone.log", "test-x-forward-for.log",
+                 "test-x-forward-for-extended.log"):
+        log = os.path.join(IIS_ACCESS_DIR, name)
+        lines = [ln for ln in open(log).read().splitlines()
+                 if ln.strip() and not ln.startswith("#")]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)), pa.int64())})
+        out = pipe.run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(log + "-expected.json"))
+        assert len(rows) == len(expected), name
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "event.ingested", "event.created") \
+                        or key.startswith(SKIP):
+                    continue
+                if key == "@timestamp":
+                    iso = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                        f"{got['ts'].microsecond // 1000:03d}Z"
+                    assert iso == want, (name, iso, want)
+                    continue
+                got_v = got.get(key.replace(".", "_"))
+                # a duplicate-capture column is uniformly list-typed in the
+                # Arrow model; ES emits a scalar on rows where only one
+                # group participated -- unwrap the 1-element list
+                if isinstance(got_v, list) and len(got_v) == 1 \
+                        and not isinstance(want, list):
+                    got_v = got_v[0]
+                if isinstance(want, list):
+                    assert sorted(map(str, got_v or [])) == \
+                        sorted(map(str, want)), (name, key, got_v, want)
+                else:
+                    assert str(got_v) == str(want), (name, key, got_v, want)
+        total += len(rows)
+    assert total == 30
