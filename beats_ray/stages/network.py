@@ -63,8 +63,12 @@ def community_id_v1(saddr: str, daddr: str, sport: int | None, dport: int | None
     except (ValueError, TypeError):
         return None
     one_way = False
-    if proto in (1, 58) and icmp_type is not None:
-        sp, dp, one_way = _icmp_ports(proto, int(icmp_type), int(icmp_code or 0))
+    if proto in (1, 58):
+        # beats hashes ICMP flows even without type/code, zero-valued
+        # (communityid.go:167-171 "Return a flow even if the ICMP
+        # type/code is unavailable" — the Flow's ICMP struct stays 0/0)
+        sp, dp, one_way = _icmp_ports(proto, int(icmp_type or 0),
+                                      int(icmp_code or 0))
         sp &= 0xFFFF
         dp &= 0xFFFF
     else:

@@ -2574,3 +2574,348 @@ def test_iis_access_module_golden():
                     assert str(got_v) == str(want), (name, key, got_v, want)
         total += len(rows)
     assert total == 30
+
+
+ASA_LOG = "/root/reference/x-pack/filebeat/module/cisco/asa/test/asa-fix.log"
+
+
+@pytest.mark.skipif(not os.path.exists(ASA_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_cisco_asa_module_golden():
+    """cisco/asa fileset (29th module golden) on the asa-fix fixture — 14
+    lines across 8 message ids (302016, 106023x3, 106017, 313008, 313009,
+    106100, 106102, 106103, 302015x3), reconstructing the shared
+    asa-ftd-pipeline (x-pack/filebeat/module/cisco/shared/ingest/
+    asa-ftd-pipeline.yml): syslog + %ASA-sev-id header groks (incl. the
+    -session- suffix), per-id grok/dissect handlers, CISCO_USER domain/
+    security-group-tag splitting, hh:mm:ss duration -> event.start/end/
+    duration with the -02:00 module timezone, transport lowercase + iana
+    mapping, outcome normalization + the ECS categorization script, NAT
+    mapped ip/port fields, observer/related assembly, and END-TO-END
+    network.community_id parity (incl. the ICMP-without-type/code zero
+    fallback, communityid.go:167-171).  geoip/as keys skipped; @timestamp
+    is removed from cisco goldens by the harness (remove_timestamp)."""
+    from beats_ray.pipeline import Pipeline
+
+    HOSTDEF = (r"\b(?:[0-9A-Za-z][0-9A-Za-z\-_]{0,62})"
+               r"(?:\.(?:[0-9A-Za-z][0-9A-Za-z\-_]{0,62}))*(\.?|\b)")
+    DEFS = {
+        "HOSTNAME": HOSTDEF,
+        "IPORHOST": "(?:%{IP}|%{HOSTNAME})",
+        "NOTCOLON": "[^:]*",
+        "DURATION": "%{INT}:%{MINUTE}:%{SECOND}",
+        "CISCO_USER": r"((LOCAL\\)?(%{HOSTNAME}\\)?%{USERNAME}"
+                      r"(@%{HOSTNAME})?(, *%{NUMBER})?)",
+    }
+    TEAR_TAIL = (r"Teardown %{NOTSPACE:network.transport} "
+                 r"(?:state-bypass )?connection "
+                 r"%{NOTSPACE:_tmp.connection_id} (?:for|from) "
+                 r"%{NOTCOLON:_tmp.source_interface}:%{DATA:source.address}"
+                 r"/%{NUMBER:source.port:int}\s*"
+                 r"(?:\(?%{CISCO_USER:_tmp.source_username}\)? )?to "
+                 r"%{NOTCOLON:_tmp.destination_interface}:"
+                 r"%{DATA:destination.address}/%{NUMBER:destination.port:int}"
+                 r"\s*(?:\(?%{CISCO_USER:_tmp.destination_username}\)? )?"
+                 r"duration (?:%{DURATION:_tmp.duration_hms} bytes "
+                 r"%{NUMBER:network.bytes})")
+    h302016 = {"grok": {"field": "_tmp.msg", "ignore_failure": True,
+               "patterns": [
+        TEAR_TAIL + r" %{NOTCOLON:event.reason} from "
+                    r"%{NOTCOLON:_tmp.termination_initiator} "
+                    r"\(%{CISCO_USER:_tmp.termination_user}\)",
+        TEAR_TAIL + r" %{NOTCOLON:event.reason} from "
+                    r"%{NOTCOLON:_tmp.termination_initiator}",
+        TEAR_TAIL + r" %{NOTCOLON:event.reason} "
+                    r"\(%{CISCO_USER:_tmp.termination_user}\)",
+        TEAR_TAIL + r" \(%{CISCO_USER:_tmp.termination_user}\)",
+        TEAR_TAIL + r" %{NOTCOLON:event.reason}",
+        TEAR_TAIL,
+    ], "pattern_definitions": DEFS}}
+    h106023 = {"grok": {"field": "_tmp.msg", "ignore_failure": True,
+               "patterns": [
+        r'%{NOTSPACE:event.outcome} ((protocol %{POSINT:network.iana_number})'
+        r'|%{NOTSPACE:network.transport}) src '
+        r'%{NOTCOLON:_tmp.source_interface}:%{IPORHOST:source.address}'
+        r'(/%{POSINT:source.port})?\s*(\(%{CISCO_USER:_tmp.source_username}\) )?'
+        r'dst %{NOTCOLON:_tmp.destination_interface}:'
+        r'%{IPORHOST:destination.address}(/%{POSINT:destination.port})?'
+        r'%{DATA}by access-group "%{NOTSPACE:_tmp.list_id}"',
+    ], "pattern_definitions": DEFS}}
+    h302015 = {"grok": {"field": "_tmp.msg", "ignore_failure": True,
+               "patterns": [
+        r'Built %{NOTSPACE:network.direction} %{NOTSPACE:network.transport} '
+        r'connection %{NUMBER:_tmp.connection_id} for '
+        r'%{NOTCOLON:_tmp.source_interface}:%{IPORHOST:source.address}'
+        r'/%{NUMBER:source.port} \(%{IPORHOST:_tmp.natsrcip}'
+        r'/%{NUMBER:_tmp.mapped_source_port}\)'
+        r'(\(%{CISCO_USER:_tmp.source_username}\))? to '
+        r'%{NOTCOLON:_tmp.destination_interface}:%{NOTSPACE:destination.address}'
+        r'/%{NUMBER:destination.port} \(%{NOTSPACE:_tmp.natdstip}'
+        r'/%{NUMBER:_tmp.mapped_destination_port}\)'
+        r'(\(%{CISCO_USER:_tmp.destination_username}\))?'
+        r'( \(%{CISCO_USER:_tmp.termination_user}\))?%{GREEDYDATA}',
+    ], "pattern_definitions": DEFS}}
+
+    def EQ(mid):
+        return {"equals": {"_tmp.message_id": mid}}
+
+    def dissect(pattern):
+        return {"dissect": {"tokenizer": pattern, "field": "_tmp.msg",
+                            "target_prefix": "", "ignore_failure": True}}
+
+    AL = ("access-list %{_tmp.list_id} %{event.outcome} "
+          "%{network.transport} ")
+    AL_TAIL = ("%{_tmp.source_interface}/%{source.address}(%{source.port})"
+               "%{?sk1}-> %{_tmp.destination_interface}/"
+               "%{destination.address}(%{destination.port})%{?sk2}")
+    handlers = [
+        {"if": EQ("302016"), "then": [h302016]},
+        {"if": EQ("106023"), "then": [h106023]},
+        {"if": EQ("302015"), "then": [h302015]},
+        {"if": EQ("106017"), "then": [dissect(
+            "%{event.outcome} IP due to Land Attack from %{source.address} "
+            "to %{destination.address}")]},
+        {"if": EQ("313008"), "then": [dissect(
+            "%{event.outcome} %{network.transport} type=%{_tmp.icmp_type}, "
+            "code=%{_tmp.icmp_code} from %{source.address} on interface "
+            "%{_tmp.source_interface}")]},
+        {"if": EQ("313009"), "then": [dissect(
+            "%{event.outcome} invalid %{network.transport} code "
+            "%{_tmp.icmp_code}, for %{_tmp.source_interface}:"
+            "%{source.address}/%{source.port} (%{_tmp.natsrcip}/"
+            "%{_tmp.mapped_source_port}) to %{_tmp.destination_interface}:"
+            "%{destination.address}/%{destination.port} (%{_tmp.natdstip}/"
+            "%{_tmp.mapped_destination_port})%{?sk}")]},
+        {"if": EQ("106100"), "then": [dissect(AL + AL_TAIL)]},
+        {"if": {"or": [EQ("106102"), EQ("106103")]},
+         "then": [dissect(AL + "for user %{user.name} " + AL_TAIL)]},
+    ]
+
+    assemble = r'''
+def process(event, params):
+    import re as _re
+    import ipaddress as _ip
+    from datetime import datetime, timedelta
+
+    def g(k):
+        v = event.get(k)
+        return v if v not in (None, "") else None
+
+    LEVELS = {0: "unknown", 1: "alert", 2: "critical", 3: "error",
+              4: "warning", 5: "notification", 6: "informational",
+              7: "debug"}
+    sev = g("event_severity")
+    if sev is not None:
+        event["log_level"] = LEVELS.get(int(sev))
+    mid = g("_tmp_message_id") or ""
+    event["event_action"] = "flow-expiration" if mid == "302016" \
+        else "firewall-rule"
+    # duration hh:mm:ss -> event.start/end/duration in the -02:00 module tz
+    dur = event.pop("_tmp_duration_hms", None)
+    raw = event.pop("_tmp_raw_date", None)
+    if dur and raw:
+        local = datetime.strptime(raw, "%b %d %Y %H:%M:%S")
+        h, m, s = (int(x) for x in dur.split(":"))
+        nanos = (h * 3600 + m * 60 + s) * 1000000000
+        event["event_duration"] = nanos
+        event["event_end"] = \
+            local.strftime("%Y-%m-%dT%H:%M:%S.000-02:00")
+        start = local + timedelta(hours=2) - timedelta(
+            seconds=nanos // 1000000000)
+        event["event_start"] = start.strftime("%Y-%m-%dT%H:%M:%S.000Z")
+    # CISCO_USER: strip security-group tag, then domain\user split
+    for p in ("source", "destination"):
+        u = event.pop(f"_tmp_{p}_username", None)
+        if u in (None, ""):
+            continue
+        mt = _re.fullmatch(r"(.*?)(?:, *(\d+))?", u)
+        u, tag = mt.group(1), mt.group(2)
+        event[f"cisco_asa_{p}_username"] = u
+        if tag is not None:
+            event[f"cisco_asa_{p}_user_security_group_tag"] = int(tag)
+        mu = _re.fullmatch(
+            r"(?:LOCAL\\)?(?:([\w.-]+)\\)?([\w.-]+)(?:@([\w.-]+))?", u)
+        if mu:
+            event[f"{p}_user_name"] = mu.group(2)
+            if mu.group(1):
+                event[f"{p}_user_domain"] = mu.group(1)
+    # transport normalization + iana number
+    IANA = {"icmp": 1, "igmp": 2, "ipv4": 4, "tcp": 6, "egp": 8, "igp": 9,
+            "pup": 12, "udp": 17, "rdp": 27, "irtp": 28, "dccp": 33,
+            "idpr": 35, "ipv6": 41, "ipv6-route": 43, "ipv6-frag": 44,
+            "rsvp": 46, "gre": 47, "esp": 50, "ipv6-icmp": 58,
+            "ipv6-nonxt": 59, "ipv6-opts": 60}
+    t = g("network_transport")
+    if t is not None:
+        t = t.lower()
+        if t == "icmpv6":
+            t = "ipv6-icmp"
+        event["network_transport"] = t
+        if t in IANA:
+            event["network_iana_number"] = IANA[t]
+    d = g("network_direction")
+    if d is not None:
+        event["network_direction"] = d.lower()
+    # outcome normalization
+    o = g("event_outcome")
+    if o is not None:
+        o = o.lower()
+        o = {"est-allowed": "allowed", "permitted": "allowed",
+             "allow": "allowed", "deny": "denied"}.get(o, o)
+        event["event_outcome"] = o
+    # int conversions
+    for k in ("source_port", "destination_port", "network_bytes",
+              "_tmp_mapped_source_port", "_tmp_mapped_destination_port",
+              "_tmp_icmp_code", "_tmp_icmp_type", "network_iana_number"):
+        v = g(k)
+        if v is not None:
+            try:
+                event[k] = int(v)
+            except (TypeError, ValueError):
+                pass
+        elif event.get(k) == "":
+            event[k] = None
+    # address -> ip or domain
+    for p in ("source", "destination"):
+        a = g(f"{p}_address")
+        if a is None:
+            continue
+        try:
+            _ip.ip_address(a)
+            event[f"{p}_ip"] = a
+        except ValueError:
+            event[f"{p}_domain"] = a
+    # NAT mapped fields
+    for p, nat in (("source", "_tmp_natsrcip"),
+                   ("destination", "_tmp_natdstip")):
+        v = event.pop(nat, None)
+        if v in (None, ""):
+            continue
+        try:
+            _ip.ip_address(v)
+            event[f"cisco_asa_mapped_{p}_ip"] = v
+        except ValueError:
+            event[f"cisco_asa_mapped_{p}_host"] = v
+        mp = g(f"_tmp_mapped_{p}_port")
+        if mp is not None:
+            event[f"cisco_asa_mapped_{p}_port"] = mp
+        if event.get(f"cisco_asa_mapped_{p}_ip") is not None \
+                and event[f"cisco_asa_mapped_{p}_ip"] != g(f"{p}_ip"):
+            event[f"{p}_nat_ip"] = event[f"cisco_asa_mapped_{p}_ip"]
+        if mp is not None and mp != g(f"{p}_port"):
+            event[f"{p}_nat_port"] = mp
+    # copy remaining _tmp.cisco fields to cisco.asa.*
+    COPY = {"_tmp_message_id": "cisco_asa_message_id",
+            "_tmp_suffix": "cisco_asa_suffix",
+            "_tmp_source_interface": "cisco_asa_source_interface",
+            "_tmp_destination_interface": "cisco_asa_destination_interface",
+            "_tmp_connection_id": "cisco_asa_connection_id",
+            "_tmp_icmp_code": "cisco_asa_icmp_code",
+            "_tmp_icmp_type": "cisco_asa_icmp_type",
+            "_tmp_termination_user": "cisco_asa_termination_user",
+            "_tmp_list_id": "cisco_asa_rule_name"}
+    for src, dst in COPY.items():
+        v = event.pop(src, None)
+        if v not in (None, ""):
+            event[dst] = v
+    if mid:
+        event["event_code"] = int(mid)
+    # ECS categorization (asa-ftd-pipeline.yml categorization script)
+    action = event["event_action"]
+    PARAMS = {"firewall-rule": ("event", ["network"], []),
+              "flow-expiration": ("event", ["network"],
+                                  ["connection", "end"])}
+    kind, cat, typ = PARAMS[action]
+    event["event_kind"] = kind
+    event["event_category"] = list(cat)
+    typ = list(typ)
+    o = g("event_outcome")
+    if o is None:
+        if action == "firewall-rule":
+            typ.append("info")
+    elif o == "allowed":
+        event["event_outcome"] = "success"
+        typ += ["connection", "allowed"]
+    elif o in ("denied", "block"):
+        event["event_outcome"] = "success"
+        typ += ["connection", "denied"]
+    elif o == "dropped":
+        event["event_outcome"] = "failure"
+        typ += ["connection", "denied"]
+    elif action == "firewall-rule":
+        typ.append("info")
+    event["event_type"] = typ
+    # user.name fallback + observer + related
+    if g("user_name") is None and g("destination_user_name") is not None:
+        event["user_name"] = event["destination_user_name"]
+    hh = g("host_hostname")
+    if hh is not None:
+        event["observer_hostname"] = hh
+        event["related_hosts"] = [hh]
+    ei = g("cisco_asa_source_interface")
+    if ei is not None:
+        event["observer_ingress_interface_name"] = ei
+    eo = g("cisco_asa_destination_interface")
+    if eo is not None:
+        event["observer_egress_interface_name"] = eo
+    rel = []
+    for k in ("source_ip", "source_nat_ip", "destination_ip",
+              "destination_nat_ip"):
+        v = g(k)
+        if v is not None and v not in rel:
+            rel.append(v)
+    if rel:
+        event["related_ip"] = rel
+    ru = []
+    for k in ("user_name", "source_user_name", "destination_user_name"):
+        v = g(k)
+        if v is not None and v not in ru:
+            ru.append(v)
+    if ru:
+        event["related_user"] = ru
+    event["event_original"] = event.get("log_original")
+    event["tags"] = ["cisco-asa", "forwarded"]
+    event.pop("_tmp_msg", None)
+    return event
+'''
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [
+            r"%{ASA_DATE:_tmp.raw_date}(?: %{HOSTNAME:host.hostname} )?"
+            r":\s+%{GREEDYDATA:log.original}"],
+            "pattern_definitions": {
+                "ASA_DATE": "%{MONTH}  *%{MONTHDAY} %{YEAR} %{TIME}",
+                "HOSTNAME": HOSTDEF}}},
+        {"grok": {"field": "log.original", "patterns": [
+            r"%{DATA}%[A-Z]+-(?:%{FTDSUF:_tmp.suffix}-)?"
+            r"%{NONNEGINT:event.severity:int}-%{POSINT:_tmp.message_id}"
+            r":?\s*%{GREEDYDATA:_tmp.msg}"],
+            "pattern_definitions": {"FTDSUF": "[^0-9-]+"}}},
+    ] + handlers + [
+        {"script": {"source": assemble}},
+        {"community_id": {"target": "network.community_id"}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "cisco", "event.dataset": "cisco.asa",
+            "fileset.name": "asa", "input.type": "log",
+            "service.type": "cisco", "event.timezone": "-02:00",
+            "observer.vendor": "Cisco", "observer.type": "firewall",
+            "observer.product": "asa"}}},
+    ]}
+    lines = [ln for ln in open(ASA_LOG).read().splitlines() if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(ASA_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    SKIP = ("source.geo", "destination.geo", "source.as", "destination.as")
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "event.ingested", "event.created") \
+                    or key.startswith(SKIP):
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, list):
+                assert sorted(map(str, got_v or [])) == \
+                    sorted(map(str, want)), (key, got_v, want)
+            else:
+                assert str(got_v) == str(want), (key, got_v, want)
