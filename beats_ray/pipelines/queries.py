@@ -1482,3 +1482,46 @@ _EXTRA_ORACLES2["transcripts_grok"] = """
     FROM read_parquet('__T__')
     WHERE regexp_matches(text, '^level=(\\w+) ts=(.*?) caller=(.*?) msg="(.*?)"')
 """
+
+
+def q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 20 == 0 act as the
+    held-out eval corpus; every other document is scanned for 8-word-gram
+    overlap (the GPT-3-style n-gram decontamination rule).  Exact set
+    membership — full DuckDB oracle restates the gram construction with
+    list slicing + a distinct join."""
+    from ..functions.decontam import ngram_contamination
+    ds = _read(os.path.join(sf_dir, "documents.parquet"), split=True,
+               columns=["doc_id", "text"])
+    # pyarrow.compute has no modulo kernel; numpy over the int64 column is
+    # zero-copy and stays vectorized
+    bench = ds.map_batches(
+        lambda b: b.filter(b.column("doc_id").to_numpy() % 20 == 0),
+        batch_format="pyarrow")
+    train = ds.map_batches(
+        lambda b: b.filter(b.column("doc_id").to_numpy() % 20 != 0),
+        batch_format="pyarrow")
+    return ngram_contamination(train, bench, n=8)
+
+
+QUERIES["docs_decontaminate"] = q_docs_decontaminate
+_EXTRA_ORACLES3["docs_decontaminate"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+      FROM tok
+    ), bgrams AS (
+      SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+      FROM pos WHERE doc_id % 20 = 0
+    ), dgrams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+      FROM pos WHERE doc_id % 20 <> 0
+    )
+    SELECT d.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS contaminated
+    FROM dgrams d JOIN bgrams b USING (g)
+    GROUP BY d.doc_id ORDER BY doc_id
+"""

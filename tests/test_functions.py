@@ -337,3 +337,27 @@ def test_export_shards(ray_session, tmp_path):
     back = pa.concat_tables([pq.read_table(f)
                              for f in g.glob(str(tmp_path / "shard-*" / "*.parquet"))])
     assert sorted(back.column("doc_id").to_pylist()) == list(range(500))
+
+
+def test_ngram_contamination(ray_session):
+    """Planted-overlap check: doc 1 shares an 8-gram span with benchmark
+    doc 0, doc 2 shares nothing, doc 3 shares two distinct 8-gram windows
+    via a 9-word copied span (9 words -> 2 overlapping 8-grams)."""
+    import ray
+
+    from beats_ray.functions.decontam import ngram_contamination
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"          # 8 words
+    span9 = span + " iota"                                          # 9 words
+    bench = ray.data.from_items([
+        {"doc_id": 0, "text": f"benchmark intro {span9} benchmark outro"},
+    ])
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": f"training junk {span} more filler words"},
+        {"doc_id": 2, "text": "totally unrelated text with no overlap at all "
+                              "padded out to be long enough"},
+        {"doc_id": 3, "text": f"another doc copying {span9} verbatim"},
+    ])
+    out = ngram_contamination(docs, bench, n=8).to_pandas()
+    got = dict(zip(out["doc_id"], out["contaminated"]))
+    assert got == {1: 1, 3: 2}, got
