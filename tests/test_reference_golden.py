@@ -2606,6 +2606,11 @@ def test_cisco_asa_module_golden():
         "DURATION": "%{INT}:%{MINUTE}:%{SECOND}",
         "CISCO_USER": r"((LOCAL\\)?(%{HOSTNAME}\\)?%{USERNAME}"
                       r"(@%{HOSTNAME})?(, *%{NUMBER})?)",
+        "ECSDESTIPORHOST": "(?:%{IP:destination.address}"
+                           "|%{HOSTNAME:destination.domain})",
+        "ECSSOURCEIPORHOST": "(?:%{IP:source.address}"
+                             "|%{HOSTNAME:source.domain})",
+        "MAPPEDSRC": "(?:%{IPORHOST:_tmp.natsrcip}|%{HOSTNAME})",
     }
     TEAR_TAIL = (r"Teardown %{NOTSPACE:network.transport} "
                  r"(?:state-bypass )?connection "
@@ -2630,6 +2635,13 @@ def test_cisco_asa_module_golden():
         TEAR_TAIL + r" \(%{CISCO_USER:_tmp.termination_user}\)",
         TEAR_TAIL + r" %{NOTCOLON:event.reason}",
         TEAR_TAIL,
+        r"Teardown %{NOTSPACE:network.transport} connection for faddr "
+        r"(?:%{NOTCOLON:_tmp.source_interface}:)?%{ECSDESTIPORHOST}"
+        r"/%{NUMBER}\s*(?:\(?%{CISCO_USER:_tmp.destination_username}\)? )?"
+        r"gaddr (?:%{NOTCOLON}:)?%{MAPPEDSRC}/%{NUMBER} laddr "
+        r"(?:%{NOTCOLON:_tmp.source_interface}:)?%{ECSSOURCEIPORHOST}"
+        r"/%{NUMBER}\s*(?:\(%{CISCO_USER:_tmp.source_username}\))?"
+        r"(\s*type %{NUMBER:_tmp.icmp_type} code %{NUMBER:_tmp.icmp_code})?",
     ], "pattern_definitions": DEFS}}
     h106023 = {"grok": {"field": "_tmp.msg", "ignore_failure": True,
                "patterns": [
@@ -2669,7 +2681,7 @@ def test_cisco_asa_module_golden():
                "%{?sk1}-> %{_tmp.destination_interface}/"
                "%{destination.address}(%{destination.port})%{?sk2}")
     handlers = [
-        {"if": EQ("302016"), "then": [h302016]},
+        {"if": {"or": [EQ("302016"), EQ("302021")]}, "then": [h302016]},
         {"if": EQ("106023"), "then": [h106023]},
         {"if": EQ("302015"), "then": [h302015]},
         {"if": EQ("106017"), "then": [dissect(
@@ -2689,6 +2701,21 @@ def test_cisco_asa_module_golden():
         {"if": EQ("106100"), "then": [dissect(AL + AL_TAIL)]},
         {"if": {"or": [EQ("106102"), EQ("106103")]},
          "then": [dissect(AL + "for user %{user.name} " + AL_TAIL)]},
+        {"if": EQ("106001"), "then": [dissect(
+            "%{network.direction} %{network.transport} connection "
+            "%{event.outcome} from %{source.address}/%{source.port} to "
+            "%{destination.address}/%{destination.port} flags %{?fl} on "
+            "interface %{_tmp.source_interface}")]},
+        {"if": EQ("338204"), "then": [dissect(
+            "Dynamic %{?f1}ilter %{event.outcome} grey%{?f2}d "
+            "%{network.transport} traffic from %{_tmp.source_interface}:"
+            "%{source.address}/%{source.port} (%{_tmp.natsrcip}/"
+            "%{_tmp.mapped_source_port}) to %{_tmp.destination_interface}:"
+            "%{destination.address}/%{destination.port} (%{_tmp.natdstip}/"
+            "%{_tmp.mapped_destination_port})%{?f3}destination %{?f4} "
+            "resolved from %{_tmp.list_id} list: %{destination.domain}, "
+            "threat-level: %{_tmp.threat_level}, category: "
+            "%{_tmp.threat_category}")]},
     ]
 
     assemble = r'''
@@ -2708,13 +2735,24 @@ def process(event, params):
     if sev is not None:
         event["log_level"] = LEVELS.get(int(sev))
     mid = g("_tmp_message_id") or ""
-    event["event_action"] = "flow-expiration" if mid == "302016" \
-        else "firewall-rule"
+    event["event_action"] = "flow-expiration" \
+        if mid in ("302016", "302021") else "firewall-rule"
+    pri = g("log_syslog_priority")
+    if pri is not None:
+        event["log_syslog_severity_code"] = int(pri) & 0x7
+        event["log_syslog_facility_code"] = int(pri) >> 3
     # duration hh:mm:ss -> event.start/end/duration in the -02:00 module tz
     dur = event.pop("_tmp_duration_hms", None)
     raw = event.pop("_tmp_raw_date", None)
-    if dur and raw:
-        local = datetime.strptime(raw, "%b %d %Y %H:%M:%S")
+    local = None
+    if raw:
+        try:
+            local = datetime.strptime(raw, "%b %d %Y %H:%M:%S")
+            event["_ts_local"] = \
+                local.strftime("%Y-%m-%dT%H:%M:%S.000-02:00")
+        except ValueError:
+            local = None    # year-less syslog date; golden drops @timestamp
+    if dur and local is not None:
         h, m, s = (int(x) for x in dur.split(":"))
         nanos = (h * 3600 + m * 60 + s) * 1000000000
         event["event_duration"] = nanos
@@ -2813,6 +2851,8 @@ def process(event, params):
             "_tmp_icmp_code": "cisco_asa_icmp_code",
             "_tmp_icmp_type": "cisco_asa_icmp_type",
             "_tmp_termination_user": "cisco_asa_termination_user",
+            "_tmp_threat_level": "cisco_asa_threat_level",
+            "_tmp_threat_category": "cisco_asa_threat_category",
             "_tmp_list_id": "cisco_asa_rule_name"}
     for src, dst in COPY.items():
         v = event.pop(src, None)
@@ -2848,10 +2888,18 @@ def process(event, params):
     # user.name fallback + observer + related
     if g("user_name") is None and g("destination_user_name") is not None:
         event["user_name"] = event["destination_user_name"]
+    if mid == "338204" and g("destination_domain") is not None:
+        event["server_domain"] = event["destination_domain"]
     hh = g("host_hostname")
     if hh is not None:
         event["observer_hostname"] = hh
-        event["related_hosts"] = [hh]
+    rh = []
+    for k in ("host_hostname", "destination_domain", "source_domain"):
+        v = g(k)
+        if v is not None and v not in rh:
+            rh.append(v)
+    if rh:
+        event["related_hosts"] = rh
     ei = g("cisco_asa_source_interface")
     if ei is not None:
         event["observer_ingress_interface_name"] = ei
@@ -2880,16 +2928,24 @@ def process(event, params):
 '''
     spec = {"processors": [
         {"grok": {"field": "message", "patterns": [
-            r"%{ASA_DATE:_tmp.raw_date}(?: %{HOSTNAME:host.hostname} )?"
-            r":\s+%{GREEDYDATA:log.original}"],
+            r"(?:<%{NONNEGINT:log.syslog.priority:int}>)?\s*"
+            r"(?:%{ASA_DATE:_tmp.raw_date}:?\s+)?"
+            r"(?:%{HOSTNAME:host.hostname}:?\s+)?"
+            r"(?:%{PROCESS:process.name}"
+            r"(?:\[%{POSINT:process.pid:int}\])?:?\s+)?"
+            r"(?::\s+)?%{GREEDYDATA:log.original}"],
             "pattern_definitions": {
-                "ASA_DATE": "%{MONTH}  *%{MONTHDAY} %{YEAR} %{TIME}",
+                "ASA_DATE": "(?:%{DAY} )?%{MONTH}  *%{MONTHDAY}"
+                            "(?: %{YEAR})? %{TIME}",
+                "PROCESS": r"[^%\s:\[]+",
                 "HOSTNAME": HOSTDEF}}},
         {"grok": {"field": "log.original", "patterns": [
             r"%{DATA}%[A-Z]+-(?:%{FTDSUF:_tmp.suffix}-)?"
             r"%{NONNEGINT:event.severity:int}-%{POSINT:_tmp.message_id}"
             r":?\s*%{GREEDYDATA:_tmp.msg}"],
             "pattern_definitions": {"FTDSUF": "[^0-9-]+"}}},
+        {"if": {"range": {"event.severity": {"gt": 7}}},
+         "then": [{"drop_event": {}}]},
     ] + handlers + [
         {"script": {"source": assemble}},
         {"community_id": {"target": "network.community_id"}},
@@ -2900,22 +2956,33 @@ def process(event, params):
             "observer.vendor": "Cisco", "observer.type": "firewall",
             "observer.product": "asa"}}},
     ]}
-    lines = [ln for ln in open(ASA_LOG).read().splitlines() if ln.strip()]
-    batch = pa.table({"message": lines,
-                      "line_no": pa.array(range(len(lines)), pa.int64())})
-    out = Pipeline(spec).run_local(batch)
-    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
-    expected = json.load(open(ASA_LOG + "-expected.json"))
-    assert len(rows) == len(expected)
+    pipe = Pipeline(spec)
     SKIP = ("source.geo", "destination.geo", "source.as", "destination.as")
-    for got, exp in zip(rows, expected):
-        for key, want in exp.items():
-            if key in ("log.offset", "event.ingested", "event.created") \
-                    or key.startswith(SKIP):
-                continue
-            got_v = got.get(key.replace(".", "_"))
-            if isinstance(want, list):
-                assert sorted(map(str, got_v or [])) == \
-                    sorted(map(str, want)), (key, got_v, want)
-            else:
-                assert str(got_v) == str(want), (key, got_v, want)
+    ASA_DIR = os.path.dirname(ASA_LOG)
+    total = 0
+    for logname in ("asa-fix.log", "hostnames.log", "not-ip.log",
+                    "filtered.log"):
+        log = os.path.join(ASA_DIR, logname)
+        lines = [ln for ln in open(log).read().splitlines() if ln.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)), pa.int64())})
+        out = pipe.run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(log + "-expected.json"))
+        assert len(rows) == len(expected), logname
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "event.ingested", "event.created",
+                           "log.file.path") or key.startswith(SKIP):
+                    continue
+                col = "_ts_local" if key == "@timestamp" \
+                    else key.replace(".", "_")
+                got_v = got.get(col)
+                if isinstance(want, list):
+                    assert sorted(map(str, got_v or [])) == \
+                        sorted(map(str, want)), (logname, key, got_v, want)
+                else:
+                    assert str(got_v) == str(want), \
+                        (logname, key, got_v, want)
+        total += len(rows)
+    assert total == 21
