@@ -20,6 +20,9 @@ fixtures, not live probes (determinism rule, SURVEY.md §7.0).
 
 from __future__ import annotations
 
+import os
+import time
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -349,9 +352,20 @@ class AddFormattedIndex(Stage):
 
 def _watcher_alias(name: str, key_field: str, prefix: str):
     """Config-compat aliases for the watcher-based metadata processors
-    (add_docker_metadata.go:65, add_process_metadata.go:96, ...): the watcher
-    map is injected as the broadcast ``table`` (driver refreshes it per run
-    — SURVEY.md §2.4 'broadcast dict refreshed per run')."""
+    (add_docker_metadata.go:65, add_process_metadata.go:96, ...).
+
+    Two modes:
+    - ``table``: broadcast dict, refreshed per run (SURVEY.md §2.4).
+    - ``table_path`` (+ ``refresh_interval``, default 5 s): the Ray-first
+      equivalent of the reference's watcher goroutine
+      (add_docker_metadata/docker.go:99-142 event loop).  A sidecar
+      watcher writes the container/pod map to a shared JSON file; every
+      enrich ACTOR mtime-polls it (one ``os.stat`` at most per interval,
+      amortized over batches) and reloads + re-columnarizes on change.
+      Staleness is bounded by refresh_interval — same guarantee as the
+      reference's event-lag window — with no coordination between actors
+      and no per-batch shipping.
+    """
 
     @register(name)
     class WatcherEnrich(LookupEnrich):
@@ -359,8 +373,42 @@ def _watcher_alias(name: str, key_field: str, prefix: str):
             config = dict(config or {})
             config.setdefault("field", config.pop("match_field", key_field))
             config.setdefault("target_prefix", prefix)
+            self._path = config.pop("table_path", None)
+            self._interval = float(config.pop("refresh_interval", 5.0))
             config.setdefault("table", {})
+            if self._path is not None:
+                # file-backed state belongs on the actor-pool path
+                config.setdefault("actor", True)
             super().__init__(config)
+            self._mtime = None
+            self._next_check = 0.0
+
+        def _load_file(self):
+            import json as _json
+            with open(self._path) as f:
+                return _json.load(f)
+
+        def setup(self):
+            if self._path is not None and self._maps is None:
+                self._mtime = os.stat(self._path).st_mtime_ns
+                self._table_ref = self._load_file()
+                self._next_check = time.monotonic() + self._interval
+            super().setup()
+
+        def process(self, batch):
+            if self._path is not None and self._maps is not None:
+                now = time.monotonic()
+                if now >= self._next_check:
+                    self._next_check = now + self._interval
+                    try:
+                        m = os.stat(self._path).st_mtime_ns
+                    except OSError:
+                        m = self._mtime   # vanished mid-swap: keep last map
+                    if m != self._mtime:
+                        self._mtime = m
+                        self._table_ref = self._load_file()
+                        self._maps = None   # re-columnarize on next setup()
+            return super().process(batch)
 
     WatcherEnrich.name = name
     WatcherEnrich.__name__ = "Watcher_" + name

@@ -361,3 +361,53 @@ def test_ngram_contamination(ray_session):
     out = ngram_contamination(docs, bench, n=8).to_pandas()
     got = dict(zip(out["doc_id"], out["contaminated"]))
     assert got == {1: 1, 3: 2}, got
+
+
+def test_watcher_metadata_file_reload(tmp_path):
+    """table_path mode: per-actor mtime-polled reload (the Ray-first
+    analogue of add_docker_metadata's watcher loop) — an updated metadata
+    file is picked up on the next batch once refresh_interval elapses."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+
+    from beats_ray.stages.enrich import AddDockerMetadata
+
+    path = tmp_path / "containers.json"
+    path.write_text(_json.dumps({"c1": {"name": "web", "image": "nginx:1"}}))
+    st = AddDockerMetadata({"table_path": str(path),
+                            "refresh_interval": 0.0})
+    batch = pa.table({"container_id": ["c1", "c2"]})
+    out = st.process(batch).to_pylist()
+    assert out[0]["container_name"] == "web"
+    assert out[1]["container_name"] is None
+    _time.sleep(0.02)
+    path.write_text(_json.dumps({"c1": {"name": "web2", "image": "nginx:2"}}))
+    _os.utime(path)
+    out2 = st.process(batch).to_pylist()
+    assert out2[0]["container_name"] == "web2"
+    assert out2[0]["container_image"] == "nginx:2"
+
+
+def test_watcher_metadata_interval_gate(tmp_path):
+    """Before refresh_interval elapses the old map is served (bounded
+    staleness, no stat storm)."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as pa
+
+    from beats_ray.stages.enrich import AddDockerMetadata
+
+    path = tmp_path / "containers.json"
+    path.write_text(_json.dumps({"c1": {"name": "old"}}))
+    st = AddDockerMetadata({"table_path": str(path),
+                            "refresh_interval": 3600.0})
+    batch = pa.table({"container_id": ["c1"]})
+    assert st.process(batch).to_pylist()[0]["container_name"] == "old"
+    path.write_text(_json.dumps({"c1": {"name": "new"}}))
+    _os.utime(path)
+    # interval not elapsed -> still the old map
+    assert st.process(batch).to_pylist()[0]["container_name"] == "old"
