@@ -607,3 +607,115 @@ class UserAgent(Stage):
             batch = set_column(batch, orig,
                                pc.cast(batch.column(col), pa.string()))
         return batch
+
+
+@register("kv")
+class KeyValue(Stage):
+    """ES ingest ``kv`` processor analogue (checkpoint/cef-style
+    structured-data payloads).  config: field, field_split (regex),
+    value_split (regex, first match wins), prefix, target_field,
+    include_keys, exclude_keys, trim_key, trim_value, strip_brackets,
+    ignore_missing, ignore_failure.
+
+    Faithful quirk: like the ES KeyValueProcessor, pairs are written in
+    order and a chunk WITHOUT the value_split aborts the row at that point
+    — fields set so far survive under ignore_failure (the checkpoint
+    module's R80 fixtures depend on this: a quoted list value containing
+    the field_split truncates the tail of the record).
+
+    Row loop is format-inherent (like cef/syslog); regexes compile once
+    per stage instance.
+    """
+
+    name = "kv"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        c = self.config
+        self.field = c["field"]
+        self.fs = re.compile(c.get("field_split", " "))
+        self.vs = re.compile(c.get("value_split", "="))
+        self.prefix = c.get("prefix", "")
+        self.target = c.get("target_field")
+        self.include = set(c.get("include_keys") or [])
+        self.exclude = set(c.get("exclude_keys") or [])
+        self.trim_key = c.get("trim_key")
+        self.trim_value = c.get("trim_value")
+        self.strip_brackets = bool(c.get("strip_brackets", False))
+        self.ignore_missing = bool(c.get("ignore_missing", False))
+        self.ignore_failure = bool(c.get("ignore_failure", False))
+
+    def input_columns(self):
+        return [field_to_column(self.field)]
+
+    def _parse(self, v: str) -> tuple[dict, bool]:
+        out: dict[str, object] = {}
+        for part in self.fs.split(v):
+            if not part:
+                continue
+            kv = self.vs.split(part, maxsplit=1)
+            if len(kv) != 2:
+                return out, True    # ES aborts here, keeping prior fields
+            k, val = kv
+            if self.trim_key:
+                k = k.strip(self.trim_key)
+            if self.trim_value:
+                val = val.strip(self.trim_value)
+            if self.strip_brackets:
+                # ES strips at most ONE bracket/quote per side
+                # ((^[\(\[<"'])|([\]\)>"']$) replaceAll in the reference
+                # processor), so inner brackets survive
+                if val[:1] in "([<\"'":
+                    val = val[1:]
+                if val[-1:] in ")]>\"'":
+                    val = val[:-1]
+            if self.include and k not in self.include:
+                continue
+            if k in self.exclude:
+                continue
+            key = self.prefix + k
+            if key in out:                      # ES appends into an array
+                prev = out[key]
+                out[key] = (prev if isinstance(prev, list) else [prev]) + [val]
+            else:
+                out[key] = val
+        return out, False
+
+    def process(self, batch):
+        col = field_to_column(self.field)
+        if col not in batch.column_names:
+            if self.ignore_missing:
+                return batch
+            return set_error(batch, pa.array([True] * len(batch)),
+                             f"field [{self.field}] not present")
+        rows = batch.column(col).to_pylist()
+        parsed, failed = [], []
+        for v in rows:
+            if v is None:
+                parsed.append({})
+                failed.append(False)
+                continue
+            d, aborted = self._parse(v)
+            parsed.append(d)
+            failed.append(aborted)
+        keys: list[str] = []
+        seen = set()
+        for d in parsed:
+            for k in d:
+                if k not in seen:
+                    seen.add(k)
+                    keys.append(k)
+        tgt_prefix = (field_to_column(self.target) + "_") if self.target else ""
+        for k in keys:
+            vals = [d.get(k) for d in parsed]
+            if any(isinstance(x, list) for x in vals):
+                vals = [x if x is None or isinstance(x, list) else [x]
+                        for x in vals]
+                arr = pa.array(vals, pa.list_(pa.string()))
+            else:
+                arr = pa.array(vals, pa.string())
+            batch = set_column(batch, tgt_prefix + field_to_column(k), arr)
+        if any(failed) and not self.ignore_failure:
+            batch = set_error(batch, pa.array(failed),
+                              "unable to split key-value pair")
+        return batch

@@ -2986,3 +2986,237 @@ def process(event, params):
                         (logname, key, got_v, want)
         total += len(rows)
     assert total == 21
+
+
+CHECKPOINT_DIR = "/root/reference/x-pack/filebeat/module/checkpoint/firewall/test"
+
+
+@pytest.mark.skipif(not os.path.exists(CHECKPOINT_DIR),
+                    reason="reference not present")
+def test_checkpoint_firewall_module_golden():
+    """checkpoint/firewall (30th module golden) on the four R80/R81-era
+    fixtures — 6 rows (x-pack/filebeat/module/checkpoint/firewall/ingest/
+    pipeline.yml): RFC5424 header grok, the new ``kv`` stage with the ES
+    KeyValueProcessor's abort-on-malformed-chunk quirk (a quoted list
+    value containing the field_split truncates the record tail — R80 row 2
+    depends on it), the checkpoint.* → ECS rename/convert map, epoch
+    ``time`` override of the header timestamp, rule_action/action outcome +
+    type assembly, iana→transport map, mac formatting, and the
+    client/server structural copy.  The 100-row checkpoint.log fixture
+    spans many more products and its mappings are out of scope here;
+    geoip/as keys skipped."""
+    from beats_ray.pipeline import Pipeline
+
+    assemble = r'''
+def process(event, params):
+    from datetime import datetime, timezone
+
+    def g(k):
+        v = event.get(k)
+        return v if v not in (None, "") else None
+
+    def take(k):
+        v = event.pop(k, None)
+        return v if v not in (None, "") else None
+
+    # timestamp: checkpoint.time (epoch) overrides the syslog header ts
+    t = take("checkpoint_time")
+    ts = None
+    if t is not None:
+        ts = datetime.fromtimestamp(int(t), tz=timezone.utc)
+    else:
+        raw = g("syslog5424_ts")
+        if raw is not None:
+            ts = datetime.strptime(raw, "%Y-%m-%dT%H:%M:%SZ")
+    if ts is not None:
+        event["_ts"] = ts.strftime("%Y-%m-%dT%H:%M:%S.000Z")
+    event["event_timezone"] = "UTC"
+    cat = ["network"]
+    # observer
+    event["observer_vendor"] = "Checkpoint"
+    event["observer_type"] = take("checkpoint_type") or "firewall"
+    p = take("checkpoint_product")
+    if p is not None:
+        event["observer_product"] = p
+    # renames / converts (pipeline order)
+    ren = [("checkpoint_src", "source_ip"),
+           ("checkpoint_dst", "destination_ip"),
+           ("checkpoint_src_user_group", "source_user_group_name"),
+           ("checkpoint_mac_source_address", "source_mac"),
+           ("checkpoint_loguid", "event_id"),
+           ("checkpoint_rule_uid", "rule_uuid"),
+           ("checkpoint_domain_name", "dns_question_name"),
+           ("checkpoint_start_time", "event_start"),
+           ("checkpoint_service_id", "network_application"),
+           ("checkpoint_ifdir", "network_direction"),
+           ("checkpoint_proto", "network_iana_number"),
+           ("checkpoint_layer_name", "network_name"),
+           ("checkpoint_client_inbound_interface",
+            "observer_ingress_interface_name"),
+           ("checkpoint_client_outbound_interface",
+            "observer_egress_interface_name"),
+           ("checkpoint_origin", "observer_name"),
+           ("checkpoint_origin_ip", "observer_ip"),
+           ("checkpoint_outzone", "observer_egress_zone"),
+           ("checkpoint_inzone", "observer_ingress_zone")]
+    for src, dst in ren:
+        v = take(src)
+        if v is not None and g(dst) is None:
+            event[dst] = v
+    if g("observer_ip") is None:
+        v = take("checkpoint_endpoint_ip")
+        if v is not None:
+            event["observer_ip"] = v
+    conv = [("checkpoint_client_outbound_packets", "source_packets"),
+            ("checkpoint_server_outbound_packets", "destination_packets"),
+            ("checkpoint_client_outbound_bytes", "source_bytes"),
+            ("checkpoint_server_outbound_bytes", "destination_bytes"),
+            ("checkpoint_service", "destination_port"),
+            ("checkpoint_s_port", "source_port"),
+            ("checkpoint_sequencenum", "event_sequence"),
+            ("checkpoint_bytes", "network_bytes"),
+            ("checkpoint_packets", "network_packets")]
+    for src, dst in conv:
+        v = take(src)
+        if v is not None:
+            try:
+                event[dst] = int(v)
+            except ValueError:
+                pass
+    mac = take("checkpoint_mac_address")
+    if mac is not None:
+        event["observer_mac"] = mac.replace(":", "-").upper()
+    # outcome / type from rule_action and action
+    typ = []
+    ra = g("checkpoint_rule_action")
+    if ra in ("Accept", "Allow"):
+        event["event_outcome"] = "success"
+        typ += ["allowed", "connection"]
+    elif ra in ("Drop", "Reject", "Block", "Prevent"):
+        event["event_outcome"] = "success"
+        typ += ["connection", "denied"]
+    act = g("checkpoint_action")
+    if act in ("Log In", "Failed Log In"):
+        cat.append("authentication")
+        event["event_outcome"] = \
+            "success" if act == "Log In" else "failure"
+        typ.append("allowed" if act == "Log In" else "denied")
+        act = "logged-in" if act == "Log In" else "logon-failed"
+    if act is not None:
+        event["event_action"] = act
+    event.pop("checkpoint_action", None)
+    event["event_kind"] = "alert" \
+        if ra in ("Prevent", "Detect", "Quarantine") else "event"
+    if typ:
+        event["event_type"] = typ
+    event["event_category"] = cat
+    # iana -> transport (string iana stays string, pipeline has no convert)
+    iana = g("network_iana_number")
+    IANA = {"0": "hopopt", "1": "icmp", "2": "igmp", "6": "tcp",
+            "8": "egp", "17": "udp", "47": "gre", "50": "esp",
+            "58": "ipv6-icmp", "112": "vrrp", "132": "sctp"}
+    if iana in IANA:
+        event["network_transport"] = IANA[iana]
+    # ifname by direction (only when not already set)
+    ifn = take("checkpoint_ifname")
+    if ifn is not None:
+        d = g("network_direction")
+        if d == "inbound" and g("observer_ingress_interface_name") is None:
+            event["observer_ingress_interface_name"] = ifn
+        elif d == "outbound" and g("observer_egress_interface_name") is None:
+            event["observer_egress_interface_name"] = ifn
+    # related.ip: ES append with allow_duplicates (default) — keep dups
+    rel = [event[k] for k in ("source_ip", "destination_ip")
+           if g(k) is not None]
+    if rel:
+        event["related_ip"] = rel
+    ar = take("checkpoint_action_reason")
+    if ar is not None and " " in ar:
+        event["checkpoint_action_reason_msg"] = ar
+    # client/server structural copy (pre-geoip deviation kept by the module)
+    for k in list(event):
+        if k.startswith("source_") and event[k] is not None:
+            event["client_" + k[len("source_"):]] = event[k]
+        elif k.startswith("destination_") and event[k] is not None:
+            event["server_" + k[len("destination_"):]] = event[k]
+    if g("network_bytes") is None and g("source_bytes") is not None \
+            and g("destination_bytes") is not None:
+        event["network_bytes"] = event["source_bytes"] + \
+            event["destination_bytes"]
+    if g("network_packets") is None and g("source_packets") is not None \
+            and g("destination_packets") is not None:
+        event["network_packets"] = event["source_packets"] + \
+            event["destination_packets"]
+    for k in ("checkpoint___nsons", "checkpoint___p_dport",
+              "checkpoint___pos", "checkpoint_hll_key",
+              "checkpoint_segment_time", "checkpoint_server_outbound_interface",
+              "checkpoint_client_inbound_packets",
+              "checkpoint_server_inbound_packets",
+              "checkpoint_client_inbound_bytes",
+              "checkpoint_server_inbound_bytes",
+              "syslog5424_ts", "syslog5424_host", "syslog5424_app",
+              "syslog5424_proc", "syslog5424_msgid", "syslog5424_pri",
+              "syslog5424_ver", "event_original"):
+        event.pop(k, None)
+    event["tags"] = ["checkpoint-firewall", "forwarded"]
+    return event
+'''
+    spec = {"processors": [
+        {"rename": {"fields": [{"from": "message", "to": "event.original"}]}},
+        {"grok": {"field": "event.original", "patterns": [
+            r"%{SYSLOG5424PRI}%{NONNEGINT:syslog5424_ver} "
+            r"+(?:%{TIMESTAMP_ISO8601:syslog5424_ts}|-) "
+            r"+(?:%{IPORHOST:syslog5424_host}|-) "
+            r"+(-|%{PRINTASCII:syslog5424_app}) "
+            r"+(-|%{PRINTASCII:syslog5424_proc}) "
+            r"+(?::-|%{PRINTASCII:syslog5424_msgid}) "
+            r"+\[%{GREEDYDATA:syslog5424_sd}\]"],
+            "pattern_definitions": {
+                "SYSLOG5424PRI": "<%{NONNEGINT:syslog5424_pri}>",
+                "PRINTASCII": "[!-~]+"}}},
+        {"kv": {"field": "syslog5424_sd", "field_split": "; ",
+                "value_split": ":", "prefix": "checkpoint.",
+                "trim_key": " ", "trim_value": " ",
+                "strip_brackets": True, "ignore_failure": True,
+                "exclude_keys": ["flags", "layer_uuid", "originsicname",
+                                 "__policy_id_tag", "version",
+                                 "rounded_bytes", "db_tag",
+                                 "update_service"]}},
+        {"drop_fields": {"fields": ["syslog5424_sd"],
+                         "ignore_missing": True}},
+        {"script": {"source": assemble}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "checkpoint", "event.dataset":
+            "checkpoint.firewall", "fileset.name": "firewall",
+            "input.type": "log", "service.type": "checkpoint"}}},
+    ]}
+    pipe = Pipeline(spec)
+    SKIP = ("source.geo", "destination.geo", "source.as", "destination.as",
+            "client.geo", "server.geo", "client.as", "server.as")
+    total = 0
+    for logname in ("R80.X.log", "R81.X.log", "trailing-space.log",
+                    "checkpoint_with_time.log"):
+        log = os.path.join(CHECKPOINT_DIR, logname)
+        lines = [ln for ln in open(log).read().splitlines() if ln.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)), pa.int64())})
+        out = pipe.run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(log + "-expected.json"))
+        assert len(rows) == len(expected), logname
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "event.ingested",
+                           "event.created") or key.startswith(SKIP):
+                    continue
+                col = "_ts" if key == "@timestamp" \
+                    else key.replace(".", "_")
+                got_v = got.get(col)
+                if isinstance(want, list):
+                    assert sorted(map(str, got_v or [])) == \
+                        sorted(map(str, want)), (logname, key, got_v, want)
+                else:
+                    assert str(got_v) == str(want), \
+                        (logname, key, got_v, want)
+        total += len(rows)
+    assert total == 6
