@@ -45,6 +45,11 @@ class DecodeJSONFields(Stage):
         self.process_array = bool(c.get("process_array", False))
         self.document_id = c.get("document_id")
         self.target = c.get("target")  # None -> merge under the source field name
+        # keep_arrays: arrays of scalars become native list values (the
+        # reference keeps arrays in the event; the JSON-string default is
+        # this engine's columnar simplification) — zeek configs need real
+        # lists for the script stage to iterate
+        self.keep_arrays = bool(c.get("keep_arrays", False))
 
     def input_columns(self):
         return [field_to_column(f) for f in self.fields]
@@ -52,10 +57,16 @@ class DecodeJSONFields(Stage):
     def _flatten(self, obj, prefix, depth, out):
         if isinstance(obj, dict) and depth <= self.max_depth:
             for k, v in obj.items():
-                self._flatten(v, f"{prefix}{k}_", depth + 1, out)
+                # dots inside a single JSON key flatten like path segments
+                # (matches the pyarrow.json fast path's name.replace)
+                self._flatten(v, f"{prefix}{k.replace('.', '_')}_",
+                              depth + 1, out)
         else:
             key = prefix[:-1]
-            if isinstance(obj, (dict, list)):
+            if isinstance(obj, list) and self.keep_arrays and \
+                    not any(isinstance(x, (dict, list)) for x in obj):
+                out[key] = obj
+            elif isinstance(obj, (dict, list)):
                 out[key] = json.dumps(obj, separators=(",", ":"))
             else:
                 out[key] = obj

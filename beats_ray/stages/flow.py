@@ -169,6 +169,17 @@ class ScriptStage(Stage):
                     seen.add(k)
                     keys.append(k)
         norm = [{k: r.get(k) for k in keys} for r in out]
+        # a column mixing list and scalar values (AppendTo's scalar-then-
+        # array semantics, beatevent_v0 appendString) can't infer one Arrow
+        # type — lift the scalars into 1-element lists
+        for k in keys:
+            vals = [r[k] for r in norm]
+            if any(isinstance(v, list) for v in vals) and \
+                    any(v is not None and not isinstance(v, list)
+                        for v in vals):
+                for r in norm:
+                    if r[k] is not None and not isinstance(r[k], list):
+                        r[k] = [r[k]]
         return pa.Table.from_pylist(norm)
 
 

@@ -115,12 +115,29 @@ class _Parser:
     # ---- statements ----
     def parse_function(self):
         self.expect("function")
-        name = self.next()[1]           # process
+        name = self.next()[1]           # process / helper name
         self.expect("(")
-        arg = self.next()[1]
+        params = []
+        while self.peek()[1] != ")":
+            params.append(self.next()[1])
+            if self.peek()[1] == ",":
+                self.next()
         self.expect(")")
         body = self.parse_block()
-        return name, arg, body
+        return name, params, body
+
+    def parse_program(self):
+        """Top level: function declarations + plain statements (var x =
+        require("net"); ...), in source order."""
+        funcs = {}
+        top = []
+        while self.peek()[0] != "eof":
+            if self.peek()[1] == "function":
+                name, params, body = self.parse_function()
+                funcs[name] = (params, body)
+            else:
+                top.append(self.parse_stmt())
+        return funcs, top
 
     def parse_block(self):
         self.expect("{")
@@ -182,7 +199,9 @@ class _Parser:
             self.next()
             self._semi()
             return ("continue",)
-        if val in ("throw", "function", "new", "do"):
+        if val == "switch":
+            return self.parse_switch()
+        if val in ("throw", "new", "do"):
             raise JSUnsupported(f"JS construct {val!r} is outside the "
                                 "supported subset (see stages/minijs.py)")
         expr = self.parse_expr()
@@ -199,6 +218,32 @@ class _Parser:
             return ("assign", expr, ("arith", nxt[0], expr, rhs))
         self._semi()
         return ("expr", expr)
+
+    def parse_switch(self):
+        """switch/case with C-style fallthrough; case match is ===."""
+        self.next()                    # 'switch'
+        self.expect("(")
+        disc = self.parse_expr()
+        self.expect(")")
+        self.expect("{")
+        cases = []
+        while self.peek()[1] != "}":
+            if self.peek()[1] == "case":
+                self.next()
+                e = self.parse_expr()
+                self.expect(":")
+            elif self.peek()[1] == "default":
+                self.next()
+                self.expect(":")
+                e = None
+            else:
+                raise JSUnsupported("expected case/default in switch")
+            stmts = []
+            while self.peek()[1] not in ("case", "default", "}"):
+                stmts.append(self.parse_stmt())
+            cases.append((e, stmts))
+        self.expect("}")
+        return ("switch", disc, cases)
 
     def parse_for(self):
         self.next()                    # 'for'
@@ -366,6 +411,22 @@ class _Parser:
                     self.next()
             self.expect("]")
             return ("array", items)
+        if val == "{":
+            pairs = []
+            while self.peek()[1] != "}":
+                kt = self.next()
+                if kt[0] == "ident":
+                    key = kt[1]
+                elif kt[0] == "str":
+                    key = _unescape_js(kt[1][1:-1])
+                else:
+                    raise JSUnsupported(f"object key {kt[1]!r}")
+                self.expect(":")
+                pairs.append((key, self.parse_expr()))
+                if self.peek()[1] == ",":
+                    self.next()
+            self.expect("}")
+            return ("object", pairs)
         if kind == "ident" and val not in _KEYWORDS:
             return ("ident", val)
         raise JSUnsupported(f"unsupported expression token {val!r}")
@@ -431,12 +492,20 @@ class _EventProxy:
         self.row["tags"] = tags
 
     def AppendTo(self, key, value):
+        # beatevent_v0.go appendString: nil -> scalar string, scalar ->
+        # 2-element array, array -> append; duplicates are dropped; the
+        # value is stringified (call.Argument(1).String())
         col = field_to_column(key)
+        value = value if isinstance(value, str) else _jstr(value)
         cur = self.row.get(col)
-        cur = list(cur) if isinstance(cur, (list, tuple)) else \
-            ([cur] if cur is not None else [])
-        cur.append(value)
-        self.row[col] = cur
+        if cur is None:
+            self.row[col] = value
+        elif isinstance(cur, (list, tuple)):
+            if value not in cur:
+                self.row[col] = list(cur) + [value]
+        else:
+            if value != cur:
+                self.row[col] = [cur, value]
 
 
 _STRING_METHODS = {
@@ -446,25 +515,84 @@ _STRING_METHODS = {
 }
 
 
+def _require(name):
+    """goja's require() shim for the node builtins Beats module scripts use
+    (zeek configs do var net = require("net"); net.isIP(x))."""
+    import ipaddress as _ip
+    if name == "net":
+        def is_ip(v):
+            try:
+                return 4 if _ip.ip_address(v).version == 4 else 6
+            except (ValueError, TypeError):
+                return 0
+        return {"isIP": is_ip,
+                "isIPv4": lambda v: is_ip(v) == 4,
+                "isIPv6": lambda v: is_ip(v) == 6}
+    if name == "path":
+        import posixpath
+        return {"basename": posixpath.basename,
+                "dirname": posixpath.dirname,
+                "extname": lambda p: posixpath.splitext(p)[1]}
+    raise JSUnsupported(f"require({name!r}) is outside the supported subset")
+
+
+_MAX_CALL_DEPTH = 32
+
+
 class _Interp:
-    def __init__(self, arg_name: str, body):
-        self.arg = arg_name
+    def __init__(self, funcs: dict, top):
+        self.funcs = funcs              # name -> (params, body)
+        params, body = funcs["process"]
+        self.arg = params[0] if params else "event"
         self.body = body
+        self.top = top                  # top-level statements (run per row)
 
     def run(self, row: dict):
         proxy = _EventProxy(row)
-        env = {self.arg: proxy, "String": str, "Number": float,
-               "parseInt": lambda v, base=10: int(str(v), int(base)),
-               "parseFloat": float}
+        self.globals = {"String": str, "Number": float,
+                        "parseInt": lambda v, base=10: int(str(v), int(base)),
+                        "parseFloat": float, "require": _require,
+                        "Math": {"round": lambda v: int(_tonum(v) + 0.5)
+                                 if _tonum(v) >= 0 else -int(-_tonum(v) + 0.5),
+                                 "floor": lambda v: math.floor(_tonum(v)),
+                                 "abs": lambda v: abs(_tonum(v)),
+                                 "max": lambda *a: max(map(_tonum, a)),
+                                 "min": lambda *a: min(map(_tonum, a))}}
         self._iters = _MAX_ITER
+        self._depth = 0
+        env = dict(self.globals)
         try:
-            for st in self.body:
+            for st in self.top:         # var net = require("net"); ...
                 self.exec_stmt(st, env)
+            self.globals.update(env)
+            env2 = dict(self.globals)
+            env2[self.arg] = proxy
+            for st in self.body:
+                self.exec_stmt(st, env2)
         except _Cancelled:
             return None
         except _Returned:
             pass
         return None if proxy.cancelled else proxy.row
+
+    def call_user(self, name, args):
+        if self._depth >= _MAX_CALL_DEPTH:
+            raise JSUnsupported("script call depth exceeded")
+        params, body = self.funcs[name]
+        env = dict(self.globals)
+        for p, a in zip(params, args):
+            env[p] = a
+        for p in params[len(args):]:
+            env[p] = None
+        self._depth += 1
+        try:
+            for st in body:
+                self.exec_stmt(st, env)
+        except _Returned as r:
+            return r.value
+        finally:
+            self._depth -= 1
+        return None
 
     def exec_stmt(self, st, env):
         op = st[0]
@@ -532,6 +660,26 @@ class _Interp:
                     break
                 except _Continue:
                     continue
+        elif op == "switch":
+            _, disc_node, cases = st
+            d = self.eval(disc_node, env)
+            start = None
+            for i, (e, _stmts) in enumerate(cases):
+                if e is not None and _strict_eq(d, self.eval(e, env)):
+                    start = i
+                    break
+            if start is None:
+                for i, (e, _stmts) in enumerate(cases):
+                    if e is None:
+                        start = i
+                        break
+            if start is not None:
+                try:
+                    for _e, stmts in cases[start:]:   # C-style fallthrough
+                        for sub in stmts:
+                            self.exec_stmt(sub, env)
+                except _Break:
+                    pass
         elif op == "break":
             raise _Break()
         elif op == "continue":
@@ -585,6 +733,8 @@ class _Interp:
             return node[1]
         if op == "array":
             return [self.eval(x, env) for x in node[1]]
+        if op == "object":
+            return {k: self.eval(v, env) for k, v in node[1]}
         if op == "ident":
             if node[1] not in env:
                 raise JSUnsupported(f"unknown identifier {node[1]!r}")
@@ -607,6 +757,11 @@ class _Interp:
                     return lambda sub, o=obj: o.find(sub)
                 if name == "substring":
                     return lambda a, b=None, o=obj: o[int(a):None if b is None else int(b)]
+                if name == "substr":
+                    return lambda a, ln=None, o=obj: \
+                        o[int(a):] if ln is None else o[int(a):int(a) + int(ln)]
+                if name == "charAt":
+                    return lambda i, o=obj: o[int(i)] if 0 <= int(i) < len(o) else ""
                 if name == "startsWith":
                     return lambda p, o=obj: o.startswith(p)
                 if name == "endsWith":
@@ -622,6 +777,13 @@ class _Interp:
                     return lambda v, o=obj: v in o
                 if name == "join":
                     return lambda sep, o=obj: sep.join(str(x) for x in o)
+                if name == "push":
+                    def _push(*vs, o=obj):
+                        o.extend(vs)
+                        return len(o)
+                    return _push
+                if name == "pop":
+                    return lambda o=obj: o.pop() if o else None
             if isinstance(obj, dict):
                 return obj.get(name)
             raise JSUnsupported(f"member {name!r} on {type(obj).__name__}")
@@ -639,6 +801,9 @@ class _Interp:
                     return None
             return None
         if op == "call":
+            if node[1][0] == "ident" and node[1][1] in self.funcs:
+                args = [self.eval(a, env) for a in node[2]]
+                return self.call_user(node[1][1], args)
             fn = self.eval(node[1], env)
             args = [self.eval(a, env) for a in node[2]]
             if not callable(fn):
@@ -831,9 +996,8 @@ def compile_js(source: str):
     Raises JSUnsupported at compile time for anything outside the subset."""
     toks = _tokenize(source)
     p = _Parser(toks)
-    # allow leading helper assignments? subset: single process function
-    name, arg, body = p.parse_function()
-    if name != "process":
-        raise JSUnsupported(f"expected function process, got {name!r}")
-    interp = _Interp(arg, body)
+    funcs, top = p.parse_program()
+    if "process" not in funcs:
+        raise JSUnsupported("no function process(event) in script")
+    interp = _Interp(funcs, top)
     return interp.run

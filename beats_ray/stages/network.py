@@ -169,7 +169,11 @@ class RegisteredDomain(Stage):
         super().__init__(config)
         self.field = self.config["field"]
         self.target = self.config.get("target_field", "registered_domain")
-        self.subdomain_field = self.config.get("subdomain_field")
+        # beats config names: target_subdomain_field / target_etld_field
+        # (registered_domain/registered_domain.go config)
+        self.subdomain_field = self.config.get(
+            "target_subdomain_field", self.config.get("subdomain_field"))
+        self.etld_field = self.config.get("target_etld_field")
         self.ignore_failure = bool(self.config.get("ignore_failure", True))
 
     def input_columns(self):
@@ -191,6 +195,12 @@ class RegisteredDomain(Stage):
                     subs.append(None)
             batch = set_column(batch, field_to_column(self.subdomain_field),
                                pa.array(subs, pa.string()))
+        if self.etld_field:
+            # the eTLD is the registered domain minus its first label
+            etlds = [r.split(".", 1)[1] if r and "." in r else None
+                     for r in rd]
+            batch = set_column(batch, field_to_column(self.etld_field),
+                               pa.array(etlds, pa.string()))
         return batch
 
 

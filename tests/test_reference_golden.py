@@ -3220,3 +3220,130 @@ def process(event, params):
                         (logname, key, got_v, want)
         total += len(rows)
     assert total == 6
+
+
+ZEEK_DNS_YML = "/root/reference/x-pack/filebeat/module/zeek/dns/config/dns.yml"
+ZEEK_DNS_LOG = "/root/reference/x-pack/filebeat/module/zeek/dns/test/dns-json.log"
+
+
+@pytest.mark.skipif(not os.path.exists(ZEEK_DNS_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_zeek_dns_module_golden():
+    """zeek/dns (31st module golden) — runs the module's ACTUAL JavaScript
+    config through the mini-JS interpreter: the script source is extracted
+    from config/dns.yml in place (8 helper functions + process, require
+    ("net").isIP, switch/case, object/array literals, .push/.substr) and
+    executed unmodified, alongside the config's real processor chain
+    (decode_json_fields with native arrays, registered_domain with
+    subdomain/eTLD targets, convert rename/copy with types, community_id,
+    add_network_direction over internal_networks=[private]).  The UNIX-
+    float timestamp, AppendTo's scalar-then-array semantics (beatevent_v0
+    appendString) and the answers list<struct> all match the golden."""
+    import re as _re
+
+    from beats_ray.pipeline import Pipeline
+
+    yml = open(ZEEK_DNS_YML).read()
+    m = _re.search(r"source: >\n(.*?)\n  - convert:", yml, _re.S)
+    js = "\n".join(ln[8:] if ln.startswith(" " * 8) else ln
+                   for ln in m.group(1).splitlines())
+    spec = {"processors": [
+        {"rename": {"fields": [{"from": "message", "to": "event.original"}]}},
+        {"decode_json_fields": {"fields": ["event.original"],
+                                "target": "zeek.dns", "keep_arrays": True}},
+        {"registered_domain": {
+            "field": "zeek.dns.query",
+            "target_field": "dns.question.registered_domain",
+            "target_subdomain_field": "dns.question.subdomain",
+            "target_etld_field": "dns.question.top_level_domain",
+            "ignore_missing": True, "ignore_failure": True}},
+        {"script": {"lang": "javascript", "source": js}},
+        {"timestamp": {"field": "zeek.dns.ts", "layouts": ["UNIX"],
+                       "target_field": "@timestamp"}},
+        {"convert": {"mode": "rename", "ignore_missing": True,
+                     "fail_on_error": False, "fields": [
+            {"from": "zeek.dns.id.orig_h", "to": "source.address"},
+            {"from": "zeek.dns.id.orig_p", "to": "source.port",
+             "type": "long"},
+            {"from": "zeek.dns.id.resp_h", "to": "destination.address"},
+            {"from": "zeek.dns.id.resp_p", "to": "destination.port",
+             "type": "long"},
+            {"from": "zeek.dns.uid", "to": "zeek.session_id"},
+            {"from": "zeek.dns.proto", "to": "network.transport"}]}},
+        {"convert": {"mode": "copy", "ignore_missing": True,
+                     "fail_on_error": False, "fields": [
+            {"from": "source.address", "to": "source.ip", "type": "ip"},
+            {"from": "destination.address", "to": "destination.ip",
+             "type": "ip"},
+            {"from": "zeek.session_id", "to": "event.id"},
+            {"from": "zeek.dns.trans_id", "to": "dns.id",
+             "type": "string"},
+            {"from": "zeek.dns.query", "to": "dns.question.name"},
+            {"from": "zeek.dns.qtype_name", "to": "dns.question.type"},
+            {"from": "zeek.dns.rcode_name", "to": "dns.response_code"}]}},
+        {"convert": {"ignore_missing": True, "fail_on_error": False,
+                     "fields": [
+            {"from": "zeek.dns.trans_id", "type": "string"}]}},
+        {"community_id": {"target": "network.community_id"}},
+        {"add_network_direction": {
+            "source": "source.ip", "destination": "destination.ip",
+            "target": "network.direction",
+            "internal_networks": ["private"]}},
+        {"drop_fields": {"fields": ["zeek.dns.Z", "zeek.dns.auth",
+                                    "zeek.dns.addl", "zeek.dns.ts"],
+                         "ignore_missing": True}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "zeek",
+            "event.dataset": "zeek.dns", "fileset.name": "dns",
+            "input.type": "log", "service.type": "zeek",
+            "network.protocol": "dns"}}},
+        {"script": {"source": (
+            "def process(event, params):\n"
+            "    event['event_category'] = ['network']\n"
+            "    event['event_type'] = ['connection', 'info', 'protocol']\n"
+            "    event['tags'] = ['zeek.dns']\n"
+            "    return event\n")}},
+    ]}
+    lines = [ln for ln in open(ZEEK_DNS_LOG).read().splitlines()
+             if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(ZEEK_DNS_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+
+    def _n(v):
+        """normalize for compare: integral floats -> int, recursively"""
+        if isinstance(v, float) and abs(v - round(v)) < 1e-6:
+            return int(round(v))
+        if isinstance(v, list):
+            return [_n(x) for x in v]
+        if isinstance(v, dict):
+            return {k: _n(x) for k, x in sorted(v.items())}
+        return v
+
+    SKIP = ("source.geo", "destination.geo", "source.as", "destination.as",
+            "ecs.version")
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "event.ingested", "event.created") \
+                    or key.startswith(SKIP):
+                continue
+            if key == "@timestamp":
+                iso = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{got['ts'].microsecond // 1000:03d}Z"
+                assert iso == want, ("@timestamp", iso, want)
+                continue
+            got_v = _n(got.get(key.replace(".", "_")))
+            want = _n(want)
+            # columnar lift: a 1-element list where ES kept a scalar
+            if isinstance(got_v, list) and len(got_v) == 1 \
+                    and not isinstance(want, list):
+                got_v = got_v[0]
+            if isinstance(want, list):
+                assert sorted(map(str, got_v if got_v not in (None, "")
+                                  else []), key=str) == \
+                    sorted(map(str, want), key=str), (key, got_v, want)
+            else:
+                assert str(got_v) == str(want), (key, got_v, want)
