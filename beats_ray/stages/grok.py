@@ -140,7 +140,20 @@ class GrokStage(Stage):
         # pipelines historically anchor, so the default stays True and
         # module-parity specs pass anchor: false explicitly
         anchor = bool(c.get("anchor", True))
-        self.compiled = [compile_grok(e, defs, anchor=anchor) for e in exprs]
+        self.compiled = []
+        for e in exprs:
+            pattern, meta = compile_grok(e, defs, anchor=anchor)
+            # ES grok is Oniguruma; RE2 rejects lookarounds/backrefs.  Probe
+            # the compiled pattern once and keep a Python-re engine for the
+            # rare module pattern RE2 can't run (e.g. activemq's
+            # "((?! \|).)*" negative-lookahead fields) — slower (per-row)
+            # but exact, and compiled once per stage instance.
+            try:
+                pc.extract_regex(pa.array([], pa.large_string()), pattern)
+                rx = None
+            except pa.ArrowInvalid:
+                rx = re.compile(pattern)
+            self.compiled.append((pattern, meta, rx))
         prefix = c.get("target_prefix", "")
         self.prefix = prefix + "_" if prefix else ""
         self.ignore_failure = bool(c.get("ignore_failure", False))
@@ -185,8 +198,25 @@ class GrokStage(Stage):
         out_cols: dict[str, pa.Array] = {}
         dup_caps: dict[str, list[pa.Array]] = {}
         matched_any = pa.array([False] * n, pa.bool_())
-        for pattern, meta in self.compiled:
-            structs = pc.extract_regex(col, pattern)
+        for pattern, meta, rx in self.compiled:
+            if rx is None:
+                structs = pc.extract_regex(col, pattern)
+            else:
+                # Python-re fallback: same struct shape as extract_regex
+                # (non-participating groups as "", null = no match)
+                groups = list(rx.groupindex)
+                vals_by_group: dict[str, list] = {g: [] for g in groups}
+                valid = []
+                for v in col.to_pylist():
+                    m = rx.search(v) if v is not None else None
+                    valid.append(m is not None)
+                    for g in groups:
+                        vals_by_group[g].append(
+                            (m.group(g) or "") if m is not None else None)
+                mask = pa.array([not b for b in valid], pa.bool_())
+                structs = pa.StructArray.from_arrays(
+                    [pa.array(vals_by_group[g], pa.string()) for g in groups],
+                    names=groups, mask=mask)
             ok = pc.and_(pc.is_valid(structs), remaining)
             if (pc.sum(ok).as_py() or 0) == 0:
                 continue

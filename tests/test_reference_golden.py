@@ -3347,3 +3347,476 @@ def test_zeek_dns_module_golden():
                     sorted(map(str, want), key=str), (key, got_v, want)
             else:
                 assert str(got_v) == str(want), (key, got_v, want)
+
+
+def _terminated_lines(path):
+    """Beats' line reader only emits terminated lines (libbeat/reader/
+    readfile): an unterminated final line never becomes (part of) an event,
+    and several module fixtures end without a trailing newline."""
+    content = open(path).read()
+    raw = content.splitlines()
+    if raw and not content.endswith("\n"):
+        raw = raw[:-1]
+    return raw
+
+
+ZK_LOG = "/root/reference/x-pack/filebeat/module/zookeeper/log/test/zookeeper.log"
+
+
+@pytest.mark.skipif(not os.path.exists(ZK_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_zookeeper_log_module_golden(ray_session):
+    """zookeeper/log (32nd module golden, all 35 events incl. a 28-line
+    SSL stack trace): date-anchored multiline join -> GREEDYMULTILINE grok
+    (optional [myid:N] group) -> secondary thread/JAVACLASS@line grok ->
+    comma-millis local timestamp + harness timezone -> painless
+    error-level event.type — x-pack/filebeat/module/zookeeper/log/ingest/
+    pipeline.yml over its own test fixture."""
+    from beats_ray.pipeline import Pipeline
+    from beats_ray.stages.flow import multiline_join
+    import ray.data as rd
+
+    raw = _terminated_lines(ZK_LOG)
+    src = pa.table({"conv_id": ["f"] * len(raw),
+                    "turn_idx": pa.array(range(len(raw)), pa.int32()),
+                    "text": raw})
+    joined = multiline_join(rd.from_arrow(src),
+                            pattern=r"[0-9]{4}-[0-9]{2}-[0-9]{2}",
+                            negate=True, match="after").to_pandas() \
+        .sort_values("turn_idx")
+    lines = joined["text"].tolist()
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    etype = (
+        "def process(event, params):\n"
+        "    lv = event.get('log_level')\n"
+        "    if lv:\n"
+        "        event['event_type'] = 'error' if lv in ('ERROR', 'FATAL')"
+        " else 'info'\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"rename": {"fields": [{"from": "message", "to": "event.original"}]}},
+        {"grok": {"field": "event.original", "patterns": [
+            r"%{TIMESTAMP_ISO8601:zookeeper.log.timestamp}%{SPACE}"
+            r"\[myid:(%{POSINT:service.node.name})?\]%{SPACE}-%{SPACE}"
+            r"%{LOGLEVEL:log.level}%{SPACE}\[%{DATA:zookeeper.log.process}\]"
+            r"%{SPACE}-%{SPACE}%{GREEDYMULTILINE:message}"],
+            "pattern_definitions": {"GREEDYMULTILINE": r"(.|\r|\n)*"}}},
+        {"grok": {"field": "zookeeper.log.process", "patterns": [
+            r"%{GREEDYDATA:process.thread.name}:"
+            r"%{CALLER_CLASS:log.logger}@%{POSINT:log.origin.file.line}"],
+            "pattern_definitions": {
+                "CALLER_CLASS": r"(%{JAVACLASS}|%{NOTSPACE})",
+                "JAVACLASS": r"(?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)*"
+                             r"[a-zA-Z$_][a-zA-Z$_0-9]*"},
+            "ignore_missing": True, "ignore_failure": True}},
+        {"drop_fields": {"fields": ["zookeeper.log.process"],
+                         "ignore_missing": True}},
+        {"timestamp": {"field": "zookeeper.log.timestamp",
+                       "layouts": ["%Y-%m-%d %H:%M:%S,%f"],
+                       "target_field": "@timestamp"}},
+        {"drop_fields": {"fields": ["zookeeper.log.timestamp"]}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "zookeeper",
+            "event.dataset": "zookeeper.log", "fileset.name": "log",
+            "input.type": "log", "service.type": "zookeeper",
+            "event.timezone": "-02:00"}}},
+        {"script": {"source": etype}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(ZK_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "log.flags"):
+                continue
+            if key == "@timestamp":
+                clock = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{got['ts'].microsecond // 1000:03d}"
+                assert want == clock + "-02:00", (want, clock)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            assert str(got_v) == str(want), (key, got_v, want)
+        if "service.node.name" not in exp:   # empty [myid:] -> field unset
+            assert not got.get("service_node_name")
+
+
+ZK_AUDIT = "/root/reference/x-pack/filebeat/module/zookeeper/audit/test/audit.log"
+
+
+@pytest.mark.skipif(not os.path.exists(ZK_AUDIT + "-expected.json"),
+                    reason="reference not present")
+def test_zookeeper_audit_module_golden():
+    """zookeeper/audit (whole 23-line fixture, space- AND tab-separated
+    records): grok header -> kv (field_split \\s+) into zookeeper.audit.* ->
+    operation/ip renames, conditional event.outcome, user split-to-array
+    with related.* assembly — x-pack/filebeat/module/zookeeper/audit/
+    ingest/pipeline.yml."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(ZK_AUDIT).read().splitlines() if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    assemble = (
+        "def process(event, params):\n"
+        "    res = event.get('zookeeper_audit_result')\n"
+        "    if res in ('success', 'failure'):\n"
+        "        event['event_outcome'] = res\n"
+        "    user = event.get('zookeeper_audit_user')\n"
+        "    if user:\n"
+        "        event['user_id'] = user\n"
+        "        event['related_user'] = [user]\n"
+        "        event['zookeeper_audit_user'] = user.split(',')\n"
+        "    ip = event.get('zookeeper_audit_ip')\n"
+        "    if ip:\n"
+        "        event['client_address'] = ip\n"
+        "        event['client_ip'] = ip\n"
+        "        event['related_ip'] = [ip]\n"
+        "        event['zookeeper_audit_ip'] = None\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"rename": {"fields": [{"from": "message", "to": "event.original"}]}},
+        {"grok": {"field": "event.original", "patterns": [
+            r"%{TIMESTAMP_ISO8601:zookeeper.audit.timestamp}%{SPACE}"
+            r"%{LOGLEVEL:log.level}%{SPACE}%{CALLER_CLASS:log.logger}:"
+            r"%{SPACE}%{GREEDYDATA:message}"],
+            "pattern_definitions": {
+                "CALLER_CLASS": r"(%{JAVACLASS}|%{NOTSPACE})",
+                "JAVACLASS": r"(?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)*"
+                             r"[a-zA-Z$_][a-zA-Z$_0-9]*"}}},
+        {"timestamp": {"field": "zookeeper.audit.timestamp",
+                       "layouts": ["%Y-%m-%d %H:%M:%S,%f"],
+                       "target_field": "@timestamp"}},
+        {"kv": {"field": "message", "field_split": r"\s+",
+                "value_split": "=", "target_field": "zookeeper.audit"}},
+        {"drop_fields": {"fields": ["message", "zookeeper.audit.timestamp"],
+                         "ignore_missing": True}},
+        {"rename": {"fields": [
+            {"from": "zookeeper.audit.operation", "to": "event.action"}],
+            "ignore_missing": True, "fail_on_error": False}},
+        {"script": {"source": assemble}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "zookeeper", "event.dataset": "zookeeper.audit",
+            "fileset.name": "audit", "input.type": "log",
+            "service.type": "zookeeper", "event.timezone": "-02:00"}}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(ZK_AUDIT + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key == "log.offset":
+                continue
+            if key == "@timestamp":
+                clock = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{got['ts'].microsecond // 1000:03d}"
+                assert want == clock + "-02:00", (want, clock)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            assert str(got_v) == str(want), (key, got_v, want)
+        if "event.outcome" not in exp:      # result=invoked -> no outcome
+            assert not got.get("event_outcome")
+
+
+AMQ_LOG = "/root/reference/x-pack/filebeat/module/activemq/log/test/activemq.log"
+
+
+@pytest.mark.skipif(not os.path.exists(AMQ_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_activemq_log_module_golden(ray_session):
+    """activemq/log (16 events from 30 raw lines incl. a 2-event Java
+    stack-trace join): the module's NOPIPEGREEDYDATA / THREAD_NAME patterns
+    use negative lookahead — Oniguruma constructs RE2 rejects — exercising
+    the grok stage's Python-re fallback engine verbatim on the reference's
+    own pattern text (x-pack/filebeat/module/activemq/log/ingest/
+    pipeline.yml)."""
+    from beats_ray.pipeline import Pipeline
+    from beats_ray.stages.flow import multiline_join
+    import ray.data as rd
+
+    raw = open(AMQ_LOG).read().splitlines()
+    src = pa.table({"conv_id": ["f"] * len(raw),
+                    "turn_idx": pa.array(range(len(raw)), pa.int32()),
+                    "text": raw})
+    joined = multiline_join(rd.from_arrow(src),
+                            pattern=r"^\d{4}-\d{2}-\d{2} ",
+                            negate=True, match="after").to_pandas() \
+        .sort_values("turn_idx")
+    lines = joined["text"].tolist()
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    etype = (
+        "def process(event, params):\n"
+        "    lv = event.get('log_level')\n"
+        "    if lv:\n"
+        "        event['event_type'] = 'error' if lv in"
+        " ('FATAL', 'ERROR', 'WARN') else 'info'\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [
+            "%{TIMESTAMP_ISO8601:timestamp}%{SPACE}\\|%{SPACE}"
+            "%{LOGLEVEL:log.level}%{SPACE}\\|%{SPACE}"
+            "%{NOPIPEGREEDYDATA:msg}%{SPACE}\\|%{SPACE}"
+            "%{NOPIPEGREEDYDATA:activemq.caller}%{SPACE}\\|%{SPACE}"
+            "%{THREAD_NAME:activemq.thread}%{SPACE}"
+            "%{GREEDYMULTILINE:activemq.log.stack_trace}"],
+            "pattern_definitions": {
+                "GREEDYMULTILINE": "(.|\\n|\\t)*",
+                "NOPIPEGREEDYDATA": "((?! \\|).)*",
+                "THREAD_NAME": "((?! \n).)*"},
+            "ignore_missing": True}},
+        {"timestamp": {"field": "timestamp",
+                       "layouts": ["%Y-%m-%d %H:%M:%S,%f"],
+                       "target_field": "@timestamp"}},
+        {"drop_fields": {"fields": ["timestamp", "message"]}},
+        {"rename": {"fields": [{"from": "msg", "to": "message"}],
+                    "ignore_missing": True, "fail_on_error": False}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "activemq",
+            "event.dataset": "activemq.log", "fileset.name": "log",
+            "input.type": "log", "service.type": "activemq",
+            "event.timezone": "-02:00"}}},
+        {"script": {"source": etype}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(AMQ_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "log.flags"):
+                continue
+            if key == "@timestamp":
+                clock = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{got['ts'].microsecond // 1000:03d}"
+                assert want == clock + "-02:00", (want, clock)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            assert str(got_v) == str(want), (key, got_v, want)
+
+
+AMQ_AUDIT = "/root/reference/x-pack/filebeat/module/activemq/audit/test/audit.log"
+
+
+@pytest.mark.skipif(not os.path.exists(AMQ_AUDIT + "-expected.json"),
+                    reason="reference not present")
+def test_activemq_audit_module_golden():
+    """activemq/audit: lookahead-pattern grok (py-fallback) + user.name copy
+    + error-level event.type (x-pack/filebeat/module/activemq/audit/ingest/
+    pipeline.yml, whole fixture)."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(AMQ_AUDIT).read().splitlines() if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    etype = (
+        "def process(event, params):\n"
+        "    lv = event.get('log_level')\n"
+        "    if lv:\n"
+        "        event['event_type'] = 'error' if lv in"
+        " ('FATAL', 'ERROR', 'WARN') else 'info'\n"
+        "    if event.get('activemq_user'):\n"
+        "        event['user_name'] = event['activemq_user']\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [
+            "%{LOGLEVEL:log.level}%{SPACE}\\|%{SPACE}%{WORD:activemq.user}"
+            "%{SPACE}%{NOPIPEGREEDYDATA:msg}%{SPACE}\\|%{SPACE}"
+            "%{THREAD_NAME:activemq.thread}"],
+            "pattern_definitions": {
+                "NOPIPEGREEDYDATA": "((?! \\|).)*",
+                "THREAD_NAME": "((?! \n).)*"},
+            "ignore_missing": True}},
+        {"drop_fields": {"fields": ["message"]}},
+        {"rename": {"fields": [{"from": "msg", "to": "message"}],
+                    "ignore_missing": True, "fail_on_error": False}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "activemq",
+            "event.dataset": "activemq.audit", "fileset.name": "audit",
+            "input.type": "log", "service.type": "activemq"}}},
+        {"script": {"source": etype}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(AMQ_AUDIT + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key == "log.offset":
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            assert str(got_v) == str(want), (key, got_v, want)
+
+
+MSSQL_LOG = "/root/reference/x-pack/filebeat/module/mssql/log/test/test.log"
+
+
+@pytest.mark.skipif(not os.path.exists(MSSQL_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_mssql_log_module_golden(ray_session):
+    """mssql/log: ^\\d\\d multiline join -> lazy MSSQL_DATE(%{DATA} %{DATA})
+    grok whose single-line GREEDYDATA keeps only the header line of a
+    multiline event -> 2-digit-fraction (.99 == 990ms) local timestamp +
+    list-valued event.category/type appends (x-pack/filebeat/module/mssql/
+    log/ingest/pipeline.yml, whole fixture)."""
+    from beats_ray.pipeline import Pipeline
+    from beats_ray.stages.flow import multiline_join
+    import ray.data as rd
+
+    raw = open(MSSQL_LOG).read().splitlines()
+    src = pa.table({"conv_id": ["f"] * len(raw),
+                    "turn_idx": pa.array(range(len(raw)), pa.int32()),
+                    "text": raw})
+    joined = multiline_join(rd.from_arrow(src), pattern=r"^\d\d",
+                            negate=True, match="after").to_pandas() \
+        .sort_values("turn_idx")
+    lines = joined["text"].tolist()
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [
+            r"%{MSSQL_DATE:date} %{DATA:mssql.log.origin} [ ]*"
+            r"%{GREEDYDATA:msg_temp}"],
+            "pattern_definitions": {"MSSQL_DATE": r"%{DATA} %{DATA}"}}},
+        {"timestamp": {"field": "date",
+                       "layouts": ["%Y-%m-%d %H:%M:%S.%f"],
+                       "target_field": "@timestamp"}},
+        {"rename": {"fields": [{"from": "message", "to": "event.original"}]}},
+        {"rename": {"fields": [{"from": "msg_temp", "to": "message"}],
+                    "ignore_missing": True, "fail_on_error": False}},
+        {"drop_fields": {"fields": ["date"], "ignore_missing": True}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "mssql",
+            "event.dataset": "mssql.log", "fileset.name": "log",
+            "input.type": "log", "service.type": "mssql",
+            "event.timezone": "-02:00",
+            "event.category": "database", "event.type": "info"}}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(MSSQL_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "log.flags"):
+                continue
+            if key == "@timestamp":
+                clock = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{got['ts'].microsecond // 1000:03d}"
+                assert want == clock + "-02:00", (want, clock)
+                continue
+            if key in ("event.category", "event.type"):  # append -> list
+                assert [str(got.get(key.replace(".", "_")))] == \
+                    [str(w) for w in want], (key, got, want)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            assert str(got_v) == str(want), (key, got_v, want)
+
+
+RMQ_LOG = "/root/reference/x-pack/filebeat/module/rabbitmq/log/test/test.log"
+
+
+@pytest.mark.skipif(not os.path.exists(RMQ_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_rabbitmq_log_module_golden(ray_session):
+    """rabbitmq/log (55 events): date-anchored multiline -> ERL_PID grok ->
+    secondary auth-action grok + conditional action/outcome/category
+    rewrites -> offset-bearing timestamp (value carries +00:00; golden
+    renders the same instant at the harness -02:00) — x-pack/filebeat/
+    module/rabbitmq/log/ingest/pipeline.yml, whole fixture."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+    from beats_ray.stages.flow import multiline_join
+    import ray.data as rd
+
+    raw = _terminated_lines(RMQ_LOG)
+    src = pa.table({"conv_id": ["f"] * len(raw),
+                    "turn_idx": pa.array(range(len(raw)), pa.int32()),
+                    "text": raw})
+    joined = multiline_join(rd.from_arrow(src),
+                            pattern=r"[0-9]{4}-[0-9]{2}-[0-9]{2}",
+                            negate=True, match="after").to_pandas() \
+        .sort_values("turn_idx")
+    lines = joined["text"].tolist()
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    actions = (
+        "def process(event, params):\n"
+        "    a = event.get('event_action')\n"
+        "    if a == 'authenticated and granted access':\n"
+        "        a = 'logged-in'\n"
+        "    elif a == 'closing':\n"
+        "        a = 'close-connection'\n"
+        "    elif a == 'access denied':\n"
+        "        a = 'logon-failed'\n"
+        "    if a:\n"
+        "        event['event_action'] = a\n"
+        "        if a in ('logged-in', 'close-connection'):\n"
+        "            event['event_outcome'] = 'success'\n"
+        "        elif a == 'logon-failed':\n"
+        "            event['event_outcome'] = 'failure'\n"
+        "        if a in ('logged-in', 'logon-failed'):\n"
+        "            event['event_category'] = ['authentication']\n"
+        "            event['event_type'] = ['start', 'access']\n"
+        "        elif a == 'close-connection':\n"
+        "            event['event_type'] = ['end', 'access']\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [
+            "%{TIMESTAMP_ISO8601:timestamp} \\[%{WORD:log.level}\\] "
+            "%{ERL_PID:rabbitmq.log.pid} %{GREEDYMULTILINE:msg}"],
+            "pattern_definitions": {
+                "GREEDYMULTILINE": "(.|\n)*",
+                "ERL_PID": "\\<%{INT}+\\.%{INT}+\\.%{INT}+\\>"},
+            "ignore_missing": True}},
+        {"drop_fields": {"fields": ["message"]}},
+        {"rename": {"fields": [{"from": "msg", "to": "message"}],
+                    "ignore_missing": True, "fail_on_error": False}},
+        {"grok": {"field": "message", "patterns": [
+            "user '%{WORD:user.name}' %{ALLOWED:event.action}",
+            "%{DENIED:event.action}: user '%{WORD:user.name}'",
+            "%{CLOSING:event.action}%{GREEDYDATA}user: '%{WORD:user.name}'"],
+            "pattern_definitions": {
+                "ALLOWED": "authenticated and granted access",
+                "DENIED": "access denied", "CLOSING": "closing"},
+            "anchor": False,
+            "ignore_missing": True, "ignore_failure": True}},
+        {"script": {"source": actions}},
+        {"timestamp": {"field": "timestamp",
+                       "layouts": ["%Y-%m-%d %H:%M:%S.%f%z"],
+                       "target_field": "@timestamp"}},
+        {"drop_fields": {"fields": ["timestamp"]}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "rabbitmq",
+            "event.dataset": "rabbitmq.log", "fileset.name": "log",
+            "input.type": "log", "service.type": "rabbitmq",
+            "event.timezone": "-02:00"}}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(RMQ_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "log.flags"):
+                continue
+            if key == "@timestamp":
+                # instant compare: the raw value carries an explicit offset;
+                # the golden renders millis, so compare at ms precision
+                want_dt = datetime.fromisoformat(want).astimezone(_tz.utc)
+                got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                got_dt = got_dt.replace(
+                    microsecond=got_dt.microsecond // 1000 * 1000)
+                assert got_dt == want_dt, (got_dt, want_dt)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, list):
+                if not isinstance(got_v, list):
+                    got_v = [got_v]
+                assert [str(v) for v in got_v] == [str(w) for w in want], \
+                    (key, got_v, want)
+                continue
+            assert str(got_v) == str(want), (key, got_v, want)
