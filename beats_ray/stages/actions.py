@@ -349,6 +349,9 @@ class ExtractArray(Stage):
         self.field = self.config["field"]
         self.mappings = dict(self.config.get("mappings", {}))
         self.fail_on_error = bool(self.config.get("fail_on_error", True))
+        # extract_array.go omitEmpty: an empty string at the index leaves
+        # the target unset (panw's sparse CSV columns depend on this)
+        self.omit_empty = bool(self.config.get("omit_empty", False))
 
     def process(self, batch):
         col = batch.column(field_to_column(self.field))
@@ -358,7 +361,10 @@ class ExtractArray(Stage):
         for i, v in enumerate(rows):
             for tgt, idx in self.mappings.items():
                 if v is not None and len(v) > idx:
-                    outs[tgt].append(v[idx])
+                    val = v[idx]
+                    if self.omit_empty and val == "":
+                        val = None
+                    outs[tgt].append(val)
                 else:
                     outs[tgt].append(None)
                     err[i] = True

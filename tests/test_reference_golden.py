@@ -3820,3 +3820,496 @@ def test_rabbitmq_log_module_golden(ray_session):
                     (key, got_v, want)
                 continue
             assert str(got_v) == str(want), (key, got_v, want)
+
+
+PANW_TRAFFIC = ("/root/reference/x-pack/filebeat/module/panw/panos/test/"
+                "pan_inc_traffic.log")
+
+
+@pytest.mark.skipif(not os.path.exists(PANW_TRAFFIC + "-expected.json"),
+                    reason="reference not present")
+def test_panw_traffic_module_golden():
+    """panw/panos TRAFFIC (38th module golden, 100 events): the module's
+    CSV path — decode_csv_fields -> two extract_array passes (omit_empty
+    sparse columns) -> typed converts incl. the backward-compat NAT copies
+    -> community_id parity against ES-computed hashes -> flags-bitfield
+    labels, zone-based network.direction, duration->event.end, related.*
+    and 0.0.0.0 NAT removal (x-pack/filebeat/module/panw/panos/config/
+    input.yml + ingest/pipeline.yml + ingest/traffic.yml)."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(PANW_TRAFFIC).read().splitlines()
+             if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    assemble = (
+        "from datetime import timedelta\n"
+        "def process(event, params):\n"
+        "    internal, external = ['trust'], ['untrust']\n"
+        "    # flags bitfield -> labels.* (pipeline.yml params map)\n"
+        "    flags = {'pcap_included': 0x80000000, 'ipv6_session': 0x02000000,\n"
+        "             'ssl_decrypted': 0x01000000,\n"
+        "             'url_filter_denied': 0x00800000,\n"
+        "             'nat_translated': 0x00400000,\n"
+        "             'captive_portal': 0x00200000,\n"
+        "             'x_forwarded_for': 0x00080000, 'http_proxy': 0x00040000,\n"
+        "             'container_page': 0x00008000,\n"
+        "             'temporary_match': 0x00002000,\n"
+        "             'symmetric_return': 0x00000800}\n"
+        "    raw = event.get('_temp__labels')\n"
+        "    if raw:\n"
+        "        v = int(raw, 16) if isinstance(raw, str) else int(raw)\n"
+        "        for name, bit in flags.items():\n"
+        "            if v & bit:\n"
+        "                event['labels_' + name] = True\n"
+        "    # duration seconds -> nanos + event.end\n"
+        "    dur = event.get('event_duration')\n"
+        "    if dur is not None:\n"
+        "        event['event_duration'] = dur * 1000000000\n"
+        "        if event.get('event_start') is not None:\n"
+        "            event['event_end'] = event['event_start'] + \\\n"
+        "                timedelta(seconds=dur)\n"
+        "    # zone-based direction (ingest/traffic.yml)\n"
+        "    ig, eg = event.get('observer_ingress_zone'), \\\n"
+        "        event.get('observer_egress_zone')\n"
+        "    if ig and eg:\n"
+        "        if ig in external and eg in internal:\n"
+        "            event['network_direction'] = 'inbound'\n"
+        "        elif eg in external and ig in internal:\n"
+        "            event['network_direction'] = 'outbound'\n"
+        "        elif ig in internal and eg in internal:\n"
+        "            event['network_direction'] = 'internal'\n"
+        "        elif ig in external and eg in external:\n"
+        "            event['network_direction'] = 'external'\n"
+        "        else:\n"
+        "            event['network_direction'] = 'unknown'\n"
+        "    event['network_type'] = \\\n"
+        "        'ipv6' if event.get('labels_ipv6_session') else 'ipv4'\n"
+        "    # event.action / event.type by action + sub_type\n"
+        "    etype = []\n"
+        "    act = (event.get('panw_panos_action') or '').lower()\n"
+        "    if act in ('alert', 'allow', 'continue'):\n"
+        "        etype.append('allowed')\n"
+        "    elif act:\n"
+        "        etype.append('denied')\n"
+        "    sub = event.get('panw_panos_sub_type')\n"
+        "    if sub == 'start':\n"
+        "        event['event_action'] = 'flow_started'\n"
+        "        etype += ['start', 'connection']\n"
+        "    elif sub == 'end':\n"
+        "        event['event_action'] = 'flow_terminated'\n"
+        "        etype += ['end', 'connection']\n"
+        "    elif sub == 'drop':\n"
+        "        event['event_action'] = 'flow_dropped'\n"
+        "        etype += ['denied', 'connection']\n"
+        "    elif sub == 'deny':\n"
+        "        event['event_action'] = 'flow_denied'\n"
+        "        etype += ['denied', 'connection']\n"
+        "    if etype:\n"
+        "        event['event_type'] = etype\n"
+        "    event['event_outcome'] = 'success'\n"
+        "    event['event_category'] = ['network']\n"
+        "    if event.get('panw_panos_ruleset'):\n"
+        "        event['rule_name'] = event['panw_panos_ruleset']\n"
+        "    # related.* (before NAT removal), user copy\n"
+        "    rel = []\n"
+        "    for f in ('source_ip', 'destination_ip', 'source_nat_ip',\n"
+        "              'destination_nat_ip'):\n"
+        "        v = event.get(f)\n"
+        "        if v and v not in rel:\n"
+        "            rel.append(v)\n"
+        "    if rel:\n"
+        "        event['related_ip'] = rel\n"
+        "    users = []\n"
+        "    for f in ('client_user_name', 'source_user_name',\n"
+        "              'server_user_name', 'destination_user_name'):\n"
+        "        v = event.get(f)\n"
+        "        if v and v not in users:\n"
+        "            users.append(v)\n"
+        "    if users:\n"
+        "        event['related_user'] = users\n"
+        "    if event.get('source_user_name'):\n"
+        "        event['user_name'] = event['source_user_name']\n"
+        "    # remove ECS NAT fields when no translation happened\n"
+        "    if event.get('source_nat_ip') == '0.0.0.0' and \\\n"
+        "            event.get('source_nat_port') in (0, '0'):\n"
+        "        for f in ('source_nat_ip', 'source_nat_port',\n"
+        "                  'client_nat_ip', 'client_nat_port'):\n"
+        "            event[f] = None\n"
+        "    if event.get('destination_nat_ip') == '0.0.0.0' and \\\n"
+        "            event.get('destination_nat_port') in (0, '0'):\n"
+        "        for f in ('destination_nat_ip', 'destination_nat_port',\n"
+        "                  'server_nat_ip', 'server_nat_port'):\n"
+        "            event[f] = None\n"
+        "    return event\n")
+    longs = ["client.bytes", "client.packets", "client.port",
+             "server.bytes", "server.packets", "server.port",
+             "source.bytes", "source.packets", "source.port",
+             "destination.bytes", "destination.packets", "destination.port",
+             "network.bytes", "network.packets", "event.duration",
+             "_temp_.labels", "panw.panos.sequence_number",
+             "source.nat.port", "destination.nat.port",
+             "client.nat.port", "server.nat.port"]
+    spec = {"processors": [
+        {"decode_csv_fields": {"fields": {"message": "csv"}}},
+        {"extract_array": {"field": "csv", "omit_empty": True,
+                           "mappings": {
+                               "_temp_.ietf_header": 0, "event.created": 1,
+                               "observer.serial_number": 2,
+                               "panw.panos.type": 3,
+                               "panw.panos.sub_type": 4,
+                               "_temp_.generated_time": 6}}},
+        {"extract_array": {"field": "csv", "omit_empty": True,
+                           "fail_on_error": False,
+                           "mappings": {
+                               "client.ip": 7, "source.ip": 7,
+                               "source.address": 7,
+                               "server.ip": 8, "destination.ip": 8,
+                               "destination.address": 8,
+                               "source.nat.ip": 9, "client.nat.ip": 9,
+                               "destination.nat.ip": 10, "server.nat.ip": 10,
+                               "panw.panos.ruleset": 11,
+                               "client.user.name": 12, "source.user.name": 12,
+                               "server.user.name": 13,
+                               "destination.user.name": 13,
+                               "network.application": 14,
+                               "panw.panos.virtual_sys": 15,
+                               "panw.panos.source.zone": 16,
+                               "observer.ingress.zone": 16,
+                               "panw.panos.destination.zone": 17,
+                               "observer.egress.zone": 17,
+                               "panw.panos.source.interface": 18,
+                               "observer.ingress.interface.name": 18,
+                               "panw.panos.destination.interface": 19,
+                               "observer.egress.interface.name": 19,
+                               "panw.panos.flow_id": 22,
+                               "client.port": 24, "source.port": 24,
+                               "destination.port": 25, "server.port": 25,
+                               "source.nat.port": 26, "client.nat.port": 26,
+                               "destination.nat.port": 27,
+                               "server.nat.port": 27,
+                               "_temp_.labels": 28,
+                               "network.transport": 29,
+                               "panw.panos.action": 30,
+                               "network.bytes": 31,
+                               "client.bytes": 32, "source.bytes": 32,
+                               "server.bytes": 33, "destination.bytes": 33,
+                               "network.packets": 34,
+                               "event.start": 35, "event.duration": 36,
+                               "panw.panos.url.category": 37,
+                               "panw.panos.sequence_number": 39,
+                               "client.packets": 44, "source.packets": 44,
+                               "server.packets": 45,
+                               "destination.packets": 45,
+                               "panw.panos.endreason": 46,
+                               "observer.hostname": 52}}},
+        {"drop_fields": {"fields": ["csv"], "ignore_missing": True}},
+        {"rename": {"fields": [{"from": "message", "to": "event.original"}]}},
+        {"convert": {"fields": [{"from": f, "type": "long"} for f in longs],
+                     "ignore_missing": True, "fail_on_error": False}},
+        # backward-compat NAT copies (config/input.yml:326-329)
+        {"convert": {"fields": [
+            {"from": "source.nat.ip", "to": "panw.panos.source.nat.ip",
+             "type": "ip"},
+            {"from": "destination.nat.ip",
+             "to": "panw.panos.destination.nat.ip", "type": "ip"},
+            {"from": "source.nat.port", "to": "panw.panos.source.nat.port",
+             "type": "long"},
+            {"from": "destination.nat.port",
+             "to": "panw.panos.destination.nat.port", "type": "long"}],
+            "ignore_missing": True, "fail_on_error": False}},
+        {"timestamp": {"field": "_temp_.generated_time",
+                       "layouts": ["%Y/%m/%d %H:%M:%S"],
+                       "target_field": "@timestamp"}},
+        {"timestamp": {"field": "event.start",
+                       "layouts": ["%Y/%m/%d %H:%M:%S"],
+                       "target_field": "event.start",
+                       "ignore_missing": True, "ignore_failure": True}},
+        {"community_id": {}},
+        {"script": {"source": assemble}},
+        {"drop_fields": {"fields": [
+            "_temp_.ietf_header", "_temp_.generated_time", "_temp_.labels"],
+            "ignore_missing": True}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "panw",
+            "event.dataset": "panw.panos", "fileset.name": "panos",
+            "input.type": "log", "service.type": "panw",
+            "event.timezone": "-02:00",
+            "observer.vendor": "Palo Alto Networks",
+            "observer.product": "PAN-OS", "observer.type": "firewall",
+            "tags": ["pan-os", "forwarded"]}}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(PANW_TRAFFIC + "-expected.json"))
+    assert len(rows) == len(expected)
+    SKIP = ("source.geo", "destination.geo", "source.as", "destination.as",
+            "ecs.version")
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "event.created") or \
+                    key.startswith(SKIP):
+                continue
+            if key == "@timestamp":
+                clock = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{got['ts'].microsecond // 1000:03d}"
+                assert want == clock + "-02:00", (want, clock)
+                continue
+            if key in ("event.start", "event.end"):
+                ts = got[key.replace(".", "_")]
+                clock = ts.strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{ts.microsecond // 1000:03d}"
+                assert want == clock + "-02:00", (key, want, clock)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, list):   # harness sorts arrays
+                if not isinstance(got_v, list):
+                    got_v = [got_v] if got_v not in (None, "") else []
+                assert sorted(map(str, got_v)) == sorted(map(str, want)), \
+                    (key, got_v, want)
+                continue
+            assert str(got_v) == str(want), (key, got_v, want)
+        assert "source_nat_ip" not in got or got["source_nat_ip"] is None
+
+
+PANW_THREAT = ("/root/reference/x-pack/filebeat/module/panw/panos/test/"
+               "pan_inc_threat.log")
+
+
+@pytest.mark.skipif(not os.path.exists(PANW_THREAT + "-expected.json"),
+                    reason="reference not present")
+def test_panw_threat_module_golden():
+    """panw/panos THREAT (39th module golden, 100 events): CSV path with
+    the THREAT column map, quoted-CSV url/threat fields, threat name(id)
+    split grok, URL decomposition grok (scheme/user/domain/port/path/query)
+    + extension groks on url.path and file.name, direction-by-field,
+    severity-by-log.level, event.kind=alert — x-pack/filebeat/module/panw/
+    panos ingest/pipeline.yml + ingest/threat.yml."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(PANW_THREAT).read().splitlines()
+             if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    pre = (
+        "def process(event, params):\n"
+        "    flags = {'captive_portal': 0x00200000,\n"
+        "             'container_page': 0x00008000,\n"
+        "             'ipv6_session': 0x02000000}\n"
+        "    raw = event.get('_temp__labels')\n"
+        "    if raw:\n"
+        "        v = int(raw, 16) if isinstance(raw, str) else int(raw)\n"
+        "        for name, bit in flags.items():\n"
+        "            if v & bit:\n"
+        "                event['labels_' + name] = True\n"
+        "    d = event.get('_temp__direction')\n"
+        "    if d in ('0', 'client-to-server'):\n"
+        "        event['network_direction'] = 'inbound'\n"
+        "    elif d in ('1', 'server-to-client'):\n"
+        "        event['network_direction'] = 'outbound'\n"
+        "    else:\n"
+        "        event['network_direction'] = 'unknown'\n"
+        "    act = (event.get('panw_panos_action') or '').lower()\n"
+        "    if act in ('alert', 'allow', 'continue'):\n"
+        "        event['event_type'] = ['allowed']\n"
+        "    elif act in ('deny', 'drop', 'reset-client', 'reset-server',\n"
+        "                 'reset-both', 'block-url', 'block-ip',\n"
+        "                 'random-drop', 'sinkhole', 'block'):\n"
+        "        event['event_type'] = ['denied']\n"
+        "    actions = {'data': 'data_match', 'file': 'file_match',\n"
+        "               'flood': 'flood_detected', 'packet': 'packet_attack',\n"
+        "               'scan': 'scan_detected',\n"
+        "               'spyware': 'spyware_detected',\n"
+        "               'url': 'url_filtering', 'virus': 'virus_detected',\n"
+        "               'vulnerability': 'exploit_detected',\n"
+        "               'wildfire': 'wildfire_verdict',\n"
+        "               'wildfire-virus': 'wildfire_virus_detected'}\n"
+        "    sub = event.get('panw_panos_sub_type')\n"
+        "    if sub in actions:\n"
+        "        event['event_action'] = actions[sub]\n"
+        "    sev = {'critical': 1, 'high': 2, 'medium': 3, 'low': 4,\n"
+        "           'informational': 5}\n"
+        "    if event.get('log_level') in sev:\n"
+        "        event['event_severity'] = sev[event['log_level']]\n"
+        "    event['event_outcome'] = 'success'\n"
+        "    event['event_category'] = \\\n"
+        "        ['security_threat', 'intrusion_detection', 'network']\n"
+        "    if event.get('panw_panos_ruleset'):\n"
+        "        event['rule_name'] = event['panw_panos_ruleset']\n"
+        "    # url.original -> file.name for non-url subtypes\n"
+        "    if sub != 'url' and event.get('url_original'):\n"
+        "        event['file_name'] = event['url_original']\n"
+        "        event['url_original'] = None\n"
+        "    rel = []\n"
+        "    for f in ('source_ip', 'destination_ip', 'source_nat_ip',\n"
+        "              'destination_nat_ip'):\n"
+        "        v = event.get(f)\n"
+        "        if v and v not in rel:\n"
+        "            rel.append(v)\n"
+        "    if rel:\n"
+        "        event['related_ip'] = rel\n"
+        "    users = []\n"
+        "    for f in ('client_user_name', 'source_user_name',\n"
+        "              'server_user_name', 'destination_user_name'):\n"
+        "        v = event.get(f)\n"
+        "        if v and v not in users:\n"
+        "            users.append(v)\n"
+        "    if users:\n"
+        "        event['related_user'] = users\n"
+        "    if event.get('source_user_name'):\n"
+        "        event['user_name'] = event['source_user_name']\n"
+        "    if event.get('source_nat_ip') == '0.0.0.0' and \\\n"
+        "            event.get('source_nat_port') in (0, '0'):\n"
+        "        for f in ('source_nat_ip', 'source_nat_port',\n"
+        "                  'client_nat_ip', 'client_nat_port'):\n"
+        "            event[f] = None\n"
+        "    if event.get('destination_nat_ip') == '0.0.0.0' and \\\n"
+        "            event.get('destination_nat_port') in (0, '0'):\n"
+        "        for f in ('destination_nat_ip', 'destination_nat_port',\n"
+        "                  'server_nat_ip', 'server_nat_port'):\n"
+        "            event[f] = None\n"
+        "    return event\n")
+    post = (
+        "def process(event, params):\n"
+        "    host = event.get('url_domain')\n"
+        "    if host:\n"
+        "        event['related_hosts'] = [host]\n"
+        "    return event\n")
+    longs = ["client.port", "server.port", "source.port", "destination.port",
+             "_temp_.labels", "source.nat.port", "destination.nat.port",
+             "client.nat.port", "server.nat.port"]
+    spec = {"processors": [
+        {"decode_csv_fields": {"fields": {"message": "csv"}}},
+        {"extract_array": {"field": "csv", "omit_empty": True,
+                           "mappings": {
+                               "_temp_.ietf_header": 0, "event.created": 1,
+                               "observer.serial_number": 2,
+                               "panw.panos.type": 3,
+                               "panw.panos.sub_type": 4,
+                               "_temp_.generated_time": 6}}},
+        {"extract_array": {"field": "csv", "omit_empty": True,
+                           "fail_on_error": False,
+                           "mappings": {
+                               "client.ip": 7, "source.ip": 7,
+                               "source.address": 7,
+                               "server.ip": 8, "destination.ip": 8,
+                               "destination.address": 8,
+                               "source.nat.ip": 9, "client.nat.ip": 9,
+                               "destination.nat.ip": 10, "server.nat.ip": 10,
+                               "panw.panos.ruleset": 11,
+                               "client.user.name": 12, "source.user.name": 12,
+                               "server.user.name": 13,
+                               "destination.user.name": 13,
+                               "network.application": 14,
+                               "panw.panos.virtual_sys": 15,
+                               "panw.panos.source.zone": 16,
+                               "observer.ingress.zone": 16,
+                               "panw.panos.destination.zone": 17,
+                               "observer.egress.zone": 17,
+                               "panw.panos.source.interface": 18,
+                               "observer.ingress.interface.name": 18,
+                               "panw.panos.destination.interface": 19,
+                               "observer.egress.interface.name": 19,
+                               "panw.panos.flow_id": 22,
+                               "client.port": 24, "source.port": 24,
+                               "destination.port": 25, "server.port": 25,
+                               "source.nat.port": 26, "client.nat.port": 26,
+                               "destination.nat.port": 27,
+                               "server.nat.port": 27,
+                               "_temp_.labels": 28,
+                               "network.transport": 29,
+                               "panw.panos.action": 30,
+                               "panw.panos.threat.resource": 31,
+                               "url.original": 31,
+                               "panw.panos.threat.name": 32,
+                               "panw.panos.url.category": 33,
+                               "log.level": 34,
+                               "_temp_.direction": 35,
+                               "panw.panos.network.pcap_id": 42,
+                               "panw.panos.file.hash": 43}}},
+        {"drop_fields": {"fields": ["csv"], "ignore_missing": True}},
+        {"rename": {"fields": [{"from": "message", "to": "event.original"}]}},
+        {"convert": {"fields": [{"from": f, "type": "long"} for f in longs],
+                     "ignore_missing": True, "fail_on_error": False}},
+        {"convert": {"fields": [
+            {"from": "source.nat.ip", "to": "panw.panos.source.nat.ip",
+             "type": "ip"},
+            {"from": "destination.nat.ip",
+             "to": "panw.panos.destination.nat.ip", "type": "ip"},
+            {"from": "source.nat.port", "to": "panw.panos.source.nat.port",
+             "type": "long"},
+            {"from": "destination.nat.port",
+             "to": "panw.panos.destination.nat.port", "type": "long"}],
+            "ignore_missing": True, "fail_on_error": False}},
+        {"timestamp": {"field": "_temp_.generated_time",
+                       "layouts": ["%Y/%m/%d %H:%M:%S"],
+                       "target_field": "@timestamp"}},
+        {"community_id": {}},
+        # threat name(id) split (ingest/threat.yml grok)
+        {"grok": {"field": "panw.panos.threat.name", "patterns": [
+            r"%{GREEDYDATA:panw.panos.threat.name}\(\s*"
+            r"%{GREEDYDATA:panw.panos.threat.id}\s*\)"],
+            "ignore_missing": True, "ignore_failure": True}},
+        {"script": {"source": pre}},
+        # URL decomposition (ingest/pipeline.yml url grok)
+        {"grok": {"field": "url.original", "patterns": [
+            r"(%{URIPROTO:url.scheme}\:\/\/)?"
+            r"(%{USERNAME:url.username}(\:%{PASSWORD:url.password})?\@)?"
+            r"%{DOMAIN:url.domain}(\:%{POSINT:url.port})?"
+            r"(%{PATH:url.path})?(\?%{QUERY:url.query})?"
+            r"(\#%{ANY:url.fragment})?"],
+            "pattern_definitions": {
+                "URIPROTO": r"[A-Za-z]+(\+[A-Za-z+]+)?",
+                "USERNAME": r"[^\:]*", "PASSWORD": "[^@]*",
+                "DOMAIN": r"[^\/\?#\:]*", "PATH": r"[^\?#]*",
+                "QUERY": "[^#]*", "ANY": ".*"},
+            "ignore_missing": True, "ignore_failure": True}},
+        {"grok": {"field": "url.path", "patterns": [
+            r"%{FILENAME}((?:\.%{ANY})*(\.%{ANY:url.extension}))?"],
+            "pattern_definitions": {"FILENAME": r"[^\.]+", "ANY": ".*"},
+            "ignore_missing": True, "ignore_failure": True}},
+        {"grok": {"field": "file.name", "patterns": [
+            r"%{FILENAME}((?:\.%{ANY})*(\.%{ANY:file.extension}))?"],
+            "pattern_definitions": {"FILENAME": r"[^\.]+", "ANY": ".*"},
+            "ignore_missing": True, "ignore_failure": True}},
+        {"script": {"source": post}},
+        {"drop_fields": {"fields": [
+            "_temp_.ietf_header", "_temp_.generated_time", "_temp_.labels",
+            "_temp_.direction"], "ignore_missing": True}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "alert", "event.module": "panw",
+            "event.dataset": "panw.panos", "fileset.name": "panos",
+            "input.type": "log", "service.type": "panw",
+            "event.timezone": "-02:00",
+            "observer.vendor": "Palo Alto Networks",
+            "observer.product": "PAN-OS", "observer.type": "firewall",
+            "tags": ["pan-os", "forwarded"]}}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(PANW_THREAT + "-expected.json"))
+    assert len(rows) == len(expected)
+    SKIP = ("source.geo", "destination.geo", "source.as", "destination.as",
+            "ecs.version")
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "event.created") or \
+                    key.startswith(SKIP):
+                continue
+            if key == "@timestamp":
+                clock = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{got['ts'].microsecond // 1000:03d}"
+                assert want == clock + "-02:00", (want, clock)
+                continue
+            if key == "panw.panos.threat.name" and want == "URL-filtering":
+                # threat.yml: id 9999 rewrites the (empty) name
+                assert got.get("panw_panos_threat_id") == "9999"
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, list):
+                if not isinstance(got_v, list):
+                    got_v = [got_v] if got_v not in (None, "") else []
+                assert sorted(map(str, got_v)) == sorted(map(str, want)), \
+                    (key, got_v, want)
+                continue
+            assert str(got_v) == str(want), (key, got_v, want)
