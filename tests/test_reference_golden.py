@@ -4313,3 +4313,243 @@ def test_panw_threat_module_golden():
                     (key, got_v, want)
                 continue
             assert str(got_v) == str(want), (key, got_v, want)
+
+
+FTNT_TRAFFIC = ("/root/reference/x-pack/filebeat/module/fortinet/firewall/"
+                "test/traffic.log")
+
+
+@pytest.mark.skipif(not os.path.exists(FTNT_TRAFFIC + "-expected.json"),
+                    reason="reference not present")
+def test_fortinet_traffic_module_golden():
+    """fortinet/firewall traffic (40th module golden, all 13 events): the
+    module's quote-aware KV split (a painless splitUnquoted, not the ES kv
+    processor — values may contain the separators), N/A|undefined value
+    drop, per-event tz= override vs harness timezone, eventtime
+    UNIX/UNIX_MS with >18-digit nano truncation, traffic ECS mapping,
+    iana->transport map, add_network_direction(private) and community_id
+    parity — x-pack/filebeat/module/fortinet/firewall/ingest/pipeline.yml
+    + ingest/traffic.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(FTNT_TRAFFIC).read().splitlines()
+             if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    kv_and_time = (
+        "from datetime import datetime, timedelta\n"
+        "def process(event, params):\n"
+        "    sd = event.get('syslog5424_sd')\n"
+        "    if not sd:\n"
+        "        return event\n"
+        "    def split_unquoted(s, sep):\n"
+        "        toks, start, inq = [], 0, False\n"
+        "        for i, ch in enumerate(s):\n"
+        "            if ch == '\"':\n"
+        "                inq = not inq\n"
+        "            elif ch == sep and not inq:\n"
+        "                t = s[start:i].strip()\n"
+        "                if t:\n"
+        "                    toks.append(t)\n"
+        "                start = i + 1\n"
+        "        last = s[start:]\n"
+        "        if last != sep and last != '':\n"
+        "            toks.append(last.strip())\n"
+        "        return toks\n"
+        "    for part in split_unquoted(sd, ' '):\n"
+        "        kv = split_unquoted(part, '=')\n"
+        "        if len(kv) != 2:\n"
+        "            continue\n"
+        "        v = kv[1]\n"
+        "        if v.startswith('\"'):\n"
+        "            v = v[1:]\n"
+        "        if v.endswith('\"'):\n"
+        "            v = v[:-1]\n"
+        "        if v in ('N/A', 'undefined'):\n"
+        "            continue\n"
+        "        event['fortinet_firewall_' + kv[0]] = v\n"
+        "    tz = event.get('fortinet_firewall_tz')\n"
+        "    etz = tz if tz else '-02:00'\n"
+        "    event['event_timezone'] = etz\n"
+        "    d = event.get('fortinet_firewall_date')\n"
+        "    t = event.get('fortinet_firewall_time')\n"
+        "    if d and t:\n"
+        "        naive = datetime.strptime(d + ' ' + t, '%Y-%m-%d %H:%M:%S')\n"
+        "        s = etz.replace(':', '')\n"
+        "        off = int(s[1:3]) * 60 + int(s[3:5])\n"
+        "        off = -off if s[0] == '-' else off\n"
+        "        event['ts'] = naive - timedelta(minutes=off)\n"
+        "    ev = event.get('fortinet_firewall_eventtime')\n"
+        "    if ev:\n"
+        "        if len(ev) > 18:\n"
+        "            ev = ev[:-6]\n"
+        "        n = int(ev)\n"
+        "        event['event_start'] = datetime.utcfromtimestamp(\n"
+        "            n / 1000.0 if len(ev) > 11 else n)\n"
+        "    dur = event.get('fortinet_firewall_duration')\n"
+        "    if dur is not None:\n"
+        "        event['event_duration'] = int(dur) * 1000000000\n"
+        "    for f in ('fortinet_firewall_date', 'fortinet_firewall_time',\n"
+        "              'fortinet_firewall_tz', 'fortinet_firewall_eventtime',\n"
+        "              'fortinet_firewall_duration'):\n"
+        "        event[f] = None\n"
+        "    return event\n")
+    assemble = (
+        "def process(event, params):\n"
+        "    act = event.get('fortinet_firewall_action')\n"
+        "    utm = event.get('fortinet_firewall_utmaction')\n"
+        "    if act:\n"
+        "        event['event_action'] = act\n"
+        "        event['event_outcome'] = 'success'\n"
+        "    denylist = ('block', 'blocked', 'deny', 'close', 'server-rst')\n"
+        "    etype = []\n"
+        "    if act in denylist or utm == 'block':\n"
+        "        etype.append('denied')\n"
+        "    if (utm is None or act == 'allow') and act not in denylist:\n"
+        "        etype.append('allowed')\n"
+        "    etype.append('connection')\n"
+        "    if act == 'start':\n"
+        "        etype.append('start')\n"
+        "    elif act is not None:\n"
+        "        etype.append('end')\n"
+        "    if event.get('network_application') and act != 'deny':\n"
+        "        etype.append('protocol')\n"
+        "    event['event_type'] = etype\n"
+        "    event['event_category'] = ['network']\n"
+        "    iana = event.get('network_iana_number')\n"
+        "    tmap = {'1': 'icmp', '2': 'igmp', '6': 'tcp', '17': 'udp',\n"
+        "            '58': 'ipv6-icmp'}\n"
+        "    if iana in tmap:\n"
+        "        event['network_transport'] = tmap[iana]\n"
+        "    proto = event.get('network_protocol')\n"
+        "    if proto:\n"
+        "        event['network_protocol'] = proto.lower()\n"
+        "    rc = event.get('rule_category')\n"
+        "    if rc:\n"
+        "        event['rule_category'] = rc.replace('.', '-')\n"
+        "    sip, dip = event.get('source_ip'), event.get('destination_ip')\n"
+        "    if (sip and '.' in sip) or (dip and '.' in dip):\n"
+        "        event['network_type'] = 'ipv4'\n"
+        "    if (sip and ':' in sip) or (dip and ':' in dip):\n"
+        "        event['network_type'] = 'ipv6'\n"
+        "    sb, db = event.get('source_bytes'), event.get('destination_bytes')\n"
+        "    if sb is not None and db is not None:\n"
+        "        event['network_bytes'] = sb + db\n"
+        "    sp, dp = event.get('source_packets'), \\\n"
+        "        event.get('destination_packets')\n"
+        "    if sp is not None and dp is not None:\n"
+        "        event['network_packets'] = sp + dp\n"
+        "    rel = []\n"
+        "    for f in ('source_ip', 'destination_ip', 'source_nat_ip',\n"
+        "              'destination_nat_ip', 'fortinet_firewall_ip',\n"
+        "              'fortinet_firewall_assignip',\n"
+        "              'fortinet_firewall_tunnelip'):\n"
+        "        v = event.get(f)\n"
+        "        if v and v not in rel:\n"
+        "            rel.append(v)\n"
+        "    if rel:\n"
+        "        event['related_ip'] = rel\n"
+        "    users = [event.get(f) for f in\n"
+        "             ('source_user_name', 'destination_user_name')]\n"
+        "    users = [u for u in users if u]\n"
+        "    if users:\n"
+        "        event['related_user'] = users\n"
+        "    return event\n")
+    renames = [
+        ("fortinet.firewall.devname", "observer.name"),
+        ("fortinet.firewall.devid", "observer.serial_number"),
+        ("fortinet.firewall.dstintf", "observer.egress.interface.name"),
+        ("fortinet.firewall.srcintf", "observer.ingress.interface.name"),
+        ("fortinet.firewall.level", "log.level"),
+        ("fortinet.firewall.dstip", "destination.ip"),
+        ("fortinet.firewall.tranip", "destination.nat.ip"),
+        ("fortinet.firewall.dstname", "destination.address"),
+        ("fortinet.firewall.dstunauthuser", "destination.user.name"),
+        ("fortinet.firewall.srcdomain", "source.domain"),
+        ("fortinet.firewall.srcip", "source.ip"),
+        ("fortinet.firewall.srcmac", "source.mac"),
+        ("fortinet.firewall.unauthuser", "source.user.name"),
+        ("fortinet.firewall.user", "source.user.name"),
+        ("fortinet.firewall.collectedemail", "source.user.email"),
+        ("fortinet.firewall.transip", "source.nat.ip"),
+        ("fortinet.firewall.app", "network.application"),
+        ("fortinet.firewall.filename", "file.name"),
+        ("fortinet.firewall.logid", "event.code"),
+        ("fortinet.firewall.comment", "rule.description"),
+        ("fortinet.firewall.policyid", "rule.id"),
+        ("fortinet.firewall.poluuid", "rule.uuid"),
+        ("fortinet.firewall.policytype", "rule.ruleset"),
+        ("fortinet.firewall.policyname", "rule.name"),
+        ("fortinet.firewall.appcat", "rule.category"),
+        ("fortinet.firewall.proto", "network.iana_number"),
+        ("fortinet.firewall.group", "source.user.group.name"),
+        ("fortinet.firewall.service", "network.protocol"),
+        ("fortinet.firewall.reason", "event.reason"),
+        ("fortinet.firewall.msg", "message"),
+    ]
+    longs = [("fortinet.firewall.dstport", "destination.port"),
+             ("fortinet.firewall.tranport", "destination.nat.port"),
+             ("fortinet.firewall.rcvdbyte", "destination.bytes"),
+             ("fortinet.firewall.rcvdpkt", "destination.packets"),
+             ("fortinet.firewall.sentbyte", "source.bytes"),
+             ("fortinet.firewall.srcport", "source.port"),
+             ("fortinet.firewall.sentpkt", "source.packets"),
+             ("fortinet.firewall.transport", "source.nat.port")]
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [
+            r"%{SYSLOG5424PRI}%{GREEDYDATA:syslog5424_sd}$"],
+            "pattern_definitions": {
+                "SYSLOG5424PRI": r"<%{NONNEGINT:syslog5424_pri}>"}}},
+        {"script": {"source": kv_and_time}},
+        {"rename": {"fields": [{"from": f, "to": t} for f, t in renames],
+                    "ignore_missing": True, "fail_on_error": False}},
+        {"convert": {"fields": [
+            {"from": f, "to": t, "type": "long"} for f, t in longs],
+            "mode": "rename",
+            "ignore_missing": True, "fail_on_error": False}},
+        {"script": {"source": assemble}},
+        {"add_network_direction": {"internal_networks": ["private"]}},
+        {"community_id": {}},
+        {"drop_fields": {"fields": ["message", "syslog5424_sd",
+                                    "syslog5424_pri"],
+                         "ignore_missing": True}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "fortinet",
+            "event.dataset": "fortinet.firewall",
+            "fileset.name": "firewall", "input.type": "log",
+            "service.type": "fortinet",
+            "observer.vendor": "Fortinet", "observer.product": "Fortigate",
+            "observer.type": "firewall",
+            "tags": ["fortinet-firewall", "forwarded"]}}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(FTNT_TRAFFIC + "-expected.json"))
+    assert len(rows) == len(expected)
+    SKIP = ("source.geo", "destination.geo", "source.as", "destination.as",
+            "ecs.version")
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "event.created") or \
+                    key.startswith(SKIP):
+                continue
+            if key in ("@timestamp", "event.start"):
+                # instant compare at ms precision (golden renders the
+                # instant at each event's own timezone)
+                want_dt = datetime.fromisoformat(want).astimezone(_tz.utc)
+                ts = got["ts" if key == "@timestamp" else "event_start"]
+                got_dt = ts.replace(tzinfo=_tz.utc)
+                got_dt = got_dt.replace(
+                    microsecond=got_dt.microsecond // 1000 * 1000)
+                assert got_dt == want_dt, (key, got_dt, want_dt)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, list):
+                if not isinstance(got_v, list):
+                    got_v = [got_v] if got_v not in (None, "") else []
+                assert sorted(map(str, got_v)) == sorted(map(str, want)), \
+                    (key, got_v, want)
+                continue
+            assert str(got_v) == str(want), (key, got_v, want)
