@@ -4553,3 +4553,360 @@ def test_fortinet_traffic_module_golden():
                     (key, got_v, want)
                 continue
             assert str(got_v) == str(want), (key, got_v, want)
+
+
+EVE_SMALL = ("/root/reference/x-pack/filebeat/module/suricata/eve/test/"
+             "eve-small.log")
+
+
+@pytest.mark.skipif(not os.path.exists(EVE_SMALL + "-expected.json"),
+                    reason="reference not present")
+def test_suricata_eve_module_golden():
+    """suricata/eve (41st module golden, eve-small: every event type — ssh,
+    alert, http, fileinfo, dns answer v1, stats (128 flattened keys), tls
+    x509 decomposition, flow): Beats-side config processors (decode_json_
+    fields deep flatten, convert rename/copy chains, ISO8601-with-offset
+    timestamp, community_id parity, add_network_direction) + the ingest
+    pipeline's ECS categorize map, app_proto overrides, flow counters,
+    dns answers/resolved_ip, TLS subject/issuer KV-to-x509 split and
+    uri_parts/user_agent — x-pack/filebeat/module/suricata/eve/config/
+    eve.yml + ingest/*.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(EVE_SMALL).read().splitlines() if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    categorize = (
+        "from datetime import datetime\n"
+        "def _iso(v):\n"
+        "    return datetime.strptime(v, '%Y-%m-%dT%H:%M:%S.%f%z')\\\n"
+        "        .astimezone(tz=None).utcfromtimestamp(0) if False else \\\n"
+        "        datetime.strptime(v, '%Y-%m-%dT%H:%M:%S.%f%z')\n"
+        "def process(event, params):\n"
+        "    g = event.get\n"
+        "    params_map = {\n"
+        "        'alert': {'kind': 'alert',\n"
+        "                  'category': ['network', 'intrusion_detection']},\n"
+        "        'dns': {'type': ['protocol'], 'protocol': 'dns'},\n"
+        "        'flow': {'type': ['connection']},\n"
+        "        'http': {'category': ['network', 'web'],\n"
+        "                 'type': ['access', 'protocol'],\n"
+        "                 'protocol': 'http'},\n"
+        "        'ssh': {'type': ['protocol'], 'protocol': 'ssh'},\n"
+        "        'stats': {'kind': 'metric'},\n"
+        "        'tls': {'type': ['protocol'], 'protocol': 'tls'},\n"
+        "    }\n"
+        "    event['event_kind'] = 'event'\n"
+        "    event['event_category'] = ['network']\n"
+        "    et = g('suricata_eve_event_type')\n"
+        "    p = params_map.get(et, {})\n"
+        "    if 'kind' in p:\n"
+        "        event['event_kind'] = p['kind']\n"
+        "    if 'category' in p:\n"
+        "        event['event_category'] = list(p['category'])\n"
+        "    if 'type' in p:\n"
+        "        event['event_type'] = list(p['type'])\n"
+        "    if 'protocol' in p:\n"
+        "        event['network_protocol'] = p['protocol']\n"
+        "    ap = g('suricata_eve_app_proto')\n"
+        "    if ap:\n"
+        "        ap = ap.lower()\n"
+        "        if ap == 'ftp-data':\n"
+        "            event['network_protocol'] = 'ftp'\n"
+        "        elif ap not in ('failed', 'template', 'template-rust'):\n"
+        "            event['network_protocol'] = ap\n"
+        "    status = g('suricata_eve_http_status')\n"
+        "    if et == 'http' and status is not None:\n"
+        "        event['event_outcome'] = \\\n"
+        "            'success' if status < 400 else 'failure'\n"
+        "    st = g('suricata_eve_flow_state')\n"
+        "    if st == 'new':\n"
+        "        event['event_type'] = (event.get('event_type') or []) + \\\n"
+        "            ['start']\n"
+        "    elif st == 'closed':\n"
+        "        event['event_type'] = (event.get('event_type') or []) + \\\n"
+        "            ['end']\n"
+        "    if g('suricata_eve_fileinfo_filename'):\n"
+        "        event['file_path'] = event['suricata_eve_fileinfo_filename']\n"
+        "        event['suricata_eve_fileinfo_filename'] = None\n"
+        "    if g('suricata_eve_fileinfo_size') is not None:\n"
+        "        event['file_size'] = event['suricata_eve_fileinfo_size']\n"
+        "        event['suricata_eve_fileinfo_size'] = None\n"
+        "    # alert block\n"
+        "    if g('suricata_eve_alert_category'):\n"
+        "        event['message'] = event['suricata_eve_alert_category']\n"
+        "        event['rule_category'] = event['suricata_eve_alert_category']\n"
+        "    if g('suricata_eve_alert_signature_id') is not None:\n"
+        "        event['rule_id'] = str(event['suricata_eve_alert_signature_id'])\n"
+        "    if g('suricata_eve_alert_signature'):\n"
+        "        event['rule_name'] = event['suricata_eve_alert_signature']\n"
+        "    act = g('suricata_eve_alert_action')\n"
+        "    if act:\n"
+        "        if act == 'blocked':\n"
+        "            act = 'denied'\n"
+        "        event['event_type'] = (event.get('event_type') or []) + [act]\n"
+        "        event['suricata_eve_alert_action'] = None\n"
+        "    if g('suricata_eve_alert_severity') is not None:\n"
+        "        event['event_severity'] = event['suricata_eve_alert_severity']\n"
+        "        event['suricata_eve_alert_severity'] = None\n"
+        "    # flow counters -> ECS + sums\n"
+        "    for src, tgt in (('suricata_eve_flow_pkts_toclient',\n"
+        "                      'destination_packets'),\n"
+        "                     ('suricata_eve_flow_pkts_toserver',\n"
+        "                      'source_packets'),\n"
+        "                     ('suricata_eve_flow_bytes_toclient',\n"
+        "                      'destination_bytes'),\n"
+        "                     ('suricata_eve_flow_bytes_toserver',\n"
+        "                      'source_bytes')):\n"
+        "        if g(src) is not None:\n"
+        "            event[tgt] = event[src]\n"
+        "            event[src] = None\n"
+        "    sb = event.get('source_bytes') or 0\n"
+        "    db = event.get('destination_bytes') or 0\n"
+        "    sp = event.get('source_packets') or 0\n"
+        "    dp = event.get('destination_packets') or 0\n"
+        "    if sb + db > 0:\n"
+        "        event['network_bytes'] = sb + db\n"
+        "    if sp + dp > 0:\n"
+        "        event['network_packets'] = sp + dp\n"
+        "    fs, fe = g('suricata_eve_flow_start'), g('suricata_eve_flow_end')\n"
+        "    if fs:\n"
+        "        start = _iso(fs)\n"
+        "        event['event_start'] = \\\n"
+        "            start.replace(tzinfo=None) - start.utcoffset()\n"
+        "    if fe:\n"
+        "        end = _iso(fe)\n"
+        "        event['event_end'] = \\\n"
+        "            end.replace(tzinfo=None) - end.utcoffset()\n"
+        "    if fs and fe and event['event_start'] <= event['event_end']:\n"
+        "        event['event_duration'] = int((\n"
+        "            event['event_end'] - event['event_start']\n"
+        "        ).total_seconds() * 1e9)\n"
+        "    event['suricata_eve_flow_start'] = None\n"
+        "    event['suricata_eve_flow_end'] = None\n"
+        "    t = event.get('network_transport')\n"
+        "    if t:\n"
+        "        event['network_transport'] = t.lower()\n"
+        "    # dns (answer v1)\n"
+        "    if event.get('network_protocol') == 'dns':\n"
+        "        for src, tgt in (('suricata_eve_dns_id', 'dns_id'),\n"
+        "                         ('suricata_eve_dns_rcode',\n"
+        "                          'dns_response_code'),\n"
+        "                         ('suricata_eve_dns_type', 'dns_type')):\n"
+        "            if g(src) is not None:\n"
+        "                event[tgt] = str(event[src])\n"
+        "        if event.get('dns_type') == 'answer':\n"
+        "            ans = {}\n"
+        "            for k, f in (('name', 'suricata_eve_dns_rrname'),\n"
+        "                         ('data', 'suricata_eve_dns_rdata'),\n"
+        "                         ('type', 'suricata_eve_dns_rrtype'),\n"
+        "                         ('ttl', 'suricata_eve_dns_ttl')):\n"
+        "                if g(f) is not None:\n"
+        "                    ans[k] = event[f]\n"
+        "            if ans:\n"
+        "                event['dns_answers'] = [ans]\n"
+        "            if ans.get('type') in ('A', 'AAAA'):\n"
+        "                event['dns_resolved_ip'] = [ans['data']]\n"
+        "    # http renames\n"
+        "    if g('suricata_eve_http_http_method'):\n"
+        "        event['http_request_method'] = \\\n"
+        "            event['suricata_eve_http_http_method']\n"
+        "        event['suricata_eve_http_http_method'] = None\n"
+        "    if status is not None:\n"
+        "        event['http_response_status_code'] = status\n"
+        "        event['suricata_eve_http_status'] = None\n"
+        "    if g('suricata_eve_http_hostname'):\n"
+        "        event['destination_domain'] = \\\n"
+        "            event['suricata_eve_http_hostname']\n"
+        "        event['suricata_eve_http_hostname'] = None\n"
+        "    if g('suricata_eve_http_url'):\n"
+        "        event['url_original'] = event['suricata_eve_http_url']\n"
+        "        event['suricata_eve_http_url'] = None\n"
+        "    if g('suricata_eve_http_http_refer'):\n"
+        "        event['http_request_referrer'] = \\\n"
+        "            event['suricata_eve_http_http_refer']\n"
+        "        event['suricata_eve_http_http_refer'] = None\n"
+        "    if g('suricata_eve_http_length') is not None:\n"
+        "        event['http_response_body_bytes'] = \\\n"
+        "            event['suricata_eve_http_length']\n"
+        "        event['suricata_eve_http_length'] = None\n"
+        "    event['suricata_eve_app_proto'] = None\n"
+        "    return event\n")
+    tls_and_related = (
+        "from datetime import datetime\n"
+        "def process(event, params):\n"
+        "    g = event.get\n"
+        "    if event.get('network_protocol') == 'tls':\n"
+        "        ver = g('suricata_eve_tls_version')\n"
+        "        if ver and ver != 'UNDETERMINED' and ' ' in ver:\n"
+        "            proto, v = ver.split(' ', 1)\n"
+        "            event['tls_version_protocol'] = proto.lower()\n"
+        "            event['tls_version'] = v\n"
+        "        sni = g('suricata_eve_tls_sni')\n"
+        "        if sni and sni.endswith('.'):\n"
+        "            sni = sni[:-1]\n"
+        "            event['suricata_eve_tls_sni'] = sni\n"
+        "        def kvparse(dn):\n"
+        "            out = {}\n"
+        "            for part in dn.replace('\\\\,', '').split(', '):\n"
+        "                if '=' in part:\n"
+        "                    k, v = part.split('=', 1)\n"
+        "                    out[k] = v\n"
+        "            return out\n"
+        "        subj = g('suricata_eve_tls_subject')\n"
+        "        if subj:\n"
+        "            event['tls_server_subject'] = subj\n"
+        "            m = kvparse(subj)\n"
+        "            for k, tgt in (('C', 'country'), ('CN', 'common_name'),\n"
+        "                           ('L', 'locality'), ('O', 'organization'),\n"
+        "                           ('OU', 'organizational_unit'),\n"
+        "                           ('ST', 'state_or_province')):\n"
+        "                if k in m:\n"
+        "                    event['tls_server_x509_subject_' + tgt] = m[k]\n"
+        "        iss = g('suricata_eve_tls_issuerdn')\n"
+        "        if iss:\n"
+        "            event['tls_server_issuer'] = iss\n"
+        "            m = kvparse(iss)\n"
+        "            for k, tgt in (('C', 'country'), ('CN', 'common_name'),\n"
+        "                           ('L', 'locality'), ('O', 'organization'),\n"
+        "                           ('OU', 'organizational_unit'),\n"
+        "                           ('ST', 'state_or_province')):\n"
+        "                if k in m:\n"
+        "                    event['tls_server_x509_issuer_' + tgt] = m[k]\n"
+        "        if g('suricata_eve_tls_session_resumed') is not None:\n"
+        "            event['tls_resumed'] = \\\n"
+        "                bool(event['suricata_eve_tls_session_resumed'])\n"
+        "        fp = g('suricata_eve_tls_fingerprint')\n"
+        "        if fp:\n"
+        "            sha1 = fp.upper().replace(':', '')\n"
+        "            event['tls_server_hash_sha1'] = sha1\n"
+        "            event['related_hash'] = [sha1]\n"
+        "        if sni:\n"
+        "            event['tls_client_server_name'] = sni\n"
+        "            event['destination_domain'] = sni\n"
+        "        if g('suricata_eve_tls_ja3s_hash'):\n"
+        "            event['tls_server_ja3s'] = \\\n"
+        "                event['suricata_eve_tls_ja3s_hash']\n"
+        "        if g('suricata_eve_tls_ja3_hash'):\n"
+        "            event['tls_client_ja3'] = event['suricata_eve_tls_ja3_hash']\n"
+        "        serial = g('suricata_eve_tls_serial')\n"
+        "        if serial:\n"
+        "            event['tls_server_x509_serial_number'] = \\\n"
+        "                serial.replace(':', '')\n"
+        "        for src, tgt in (('suricata_eve_tls_notafter', 'not_after'),\n"
+        "                         ('suricata_eve_tls_notbefore',\n"
+        "                          'not_before')):\n"
+        "            v = g(src)\n"
+        "            if v:\n"
+        "                iso = datetime.strptime(v, '%Y-%m-%dT%H:%M:%S')\\\n"
+        "                    .strftime('%Y-%m-%dT%H:%M:%S.000Z')\n"
+        "                event['tls_server_' + tgt] = iso\n"
+        "                event['tls_server_x509_' + tgt] = iso\n"
+        "    # url.port fill + url.domain fallback (http.yml merge-if-null)\n"
+        "    if g('suricata_eve_http_http_port') is not None and \\\n"
+        "            g('url_port') is None:\n"
+        "        event['url_port'] = event['suricata_eve_http_http_port']\n"
+        "        event['suricata_eve_http_http_port'] = None\n"
+        "    if not g('url_domain') and g('destination_domain'):\n"
+        "        event['url_domain'] = event['destination_domain']\n"
+        "    # related.*\n"
+        "    hosts = []\n"
+        "    if g('url_domain'):\n"
+        "        hosts.append(event['url_domain'])\n"
+        "    if hosts:\n"
+        "        event['related_hosts'] = hosts\n"
+        "    rel = list(event.get('dns_resolved_ip') or [])\n"
+        "    for f in ('source_ip', 'destination_ip'):\n"
+        "        v = g(f)\n"
+        "        if v and v not in rel:\n"
+        "            rel.append(v)\n"
+        "    if rel:\n"
+        "        event['related_ip'] = rel\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"rename": {"fields": [{"from": "message", "to": "event.original"}]}},
+        {"decode_json_fields": {"fields": ["event.original"],
+                                "target": "suricata.eve",
+                                "keep_arrays": True, "max_depth": 10}},
+        {"convert": {"mode": "rename", "ignore_missing": True,
+                     "fail_on_error": False, "fields": [
+                         {"from": "suricata.eve.src_ip",
+                          "to": "source.address"},
+                         {"from": "suricata.eve.src_port",
+                          "to": "source.port", "type": "long"},
+                         {"from": "suricata.eve.dest_ip",
+                          "to": "destination.address"},
+                         {"from": "suricata.eve.dest_port",
+                          "to": "destination.port", "type": "long"},
+                         {"from": "suricata.eve.proto",
+                          "to": "network.transport"},
+                         {"from": "suricata.eve.flow_id",
+                          "type": "string"}]}},
+        {"convert": {"mode": "copy", "ignore_missing": True,
+                     "fail_on_error": False, "fields": [
+                         {"from": "source.address", "to": "source.ip",
+                          "type": "ip"},
+                         {"from": "destination.address",
+                          "to": "destination.ip", "type": "ip"}]}},
+        {"timestamp": {"field": "suricata.eve.timestamp",
+                       "layouts": ["%Y-%m-%dT%H:%M:%S.%f%z"],
+                       "target_field": "@timestamp"}},
+        {"drop_fields": {"fields": ["suricata.eve.timestamp"],
+                         "ignore_missing": True}},
+        {"community_id": {}},
+        {"add_network_direction": {"internal_networks": ["private"],
+                                   "target": "network.direction"}},
+        {"script": {"source": categorize}},
+        {"uri_parts": {"field": "url.original", "keep_original": False,
+                       "ignore_missing": True}},
+        {"user_agent": {"field": "suricata.eve.http.http_user_agent",
+                        "ignore_missing": True}},
+        {"script": {"source": tls_and_related}},
+        {"drop_fields": {"fields": [
+            "suricata.eve.http.http_user_agent"], "ignore_missing": True}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "suricata", "event.dataset": "suricata.eve",
+            "fileset.name": "eve", "input.type": "log",
+            "service.type": "suricata", "tags": ["suricata"]}}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(EVE_SMALL + "-expected.json"))
+    assert len(rows) == len(expected)
+    SKIP = ("source.geo", "destination.geo", "source.as", "destination.as",
+            "ecs.version")
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "event.created") or \
+                    key.startswith(SKIP):
+                continue
+            col = key.replace(".", "_")
+            if key == "@timestamp":
+                want_dt = datetime.fromisoformat(
+                    want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                assert got_dt == want_dt, (got_dt, want_dt)
+                continue
+            if key in ("event.start", "event.end"):
+                ts = got[col]
+                iso = ts.strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{ts.microsecond // 1000:03d}Z"
+                assert iso == want, (key, iso, want)
+                continue
+            if key == "dns.answers":
+                got_a = got.get(col) or []
+                norm = lambda lst: sorted(
+                    json.dumps({k: v for k, v in a.items() if v is not None},
+                               sort_keys=True) for a in lst)
+                assert norm(got_a) == norm(want), (key, got_a, want)
+                continue
+            got_v = got.get(col)
+            if isinstance(want, list):
+                if not isinstance(got_v, list):
+                    got_v = [got_v] if got_v not in (None, "") else []
+                assert sorted(map(str, got_v)) == sorted(map(str, want)), \
+                    (key, got_v, want)
+                continue
+            assert str(got_v) == str(want), (key, got_v, want)
