@@ -528,12 +528,20 @@ class UserAgent(Stage):
         (r"Chrome/(\d+[\w.]*)", "Chrome", None),
         (r"Version/(\d+[\w.]*).*Mobile.*Safari/", "Mobile Safari", None),
         (r"Version/(\d+[\w.]*).*Safari/", "Safari", None),
+        # uap-core: iOS device + Mobile [build] Safari without a Version
+        # token -> Mobile Safari, no version
+        (r"(?:iPod|iPhone|iPad).*Mobile(?:/[\w.]+)? Safari", "Mobile Safari",
+         ""),
         (r"Trident/.*rv:(\d+[\w.]*)", "IE", None),
         # uap-core: Trident/7.0 IS IE 11 regardless of the masked MSIE token
         (r"Trident/(7)\.0", "IE", "11.0"),
         (r"MSIE (\d+[\w.]*)", "IE", None),
+        # uap-core: any other UA naming an iOS device is an embedded
+        # WKWebView ("Mobile Safari UI/WKWebView", no version)
+        (r"iPod|iPhone|iPad", "Mobile Safari UI/WKWebView", ""),
         # generic product/version (curl/7.59.0, wget/1.20, Go-http-client/1.1)
-        (r"^([A-Za-z0-9._!-]+)/v?(\d[\w.-]*)", None, None),
+        # -- uap-core never reports the Mozilla/5.0 prefix as a family
+        (r"^(?!Mozilla)([A-Za-z0-9._!-]+)/v?(\d[\w.-]*)", None, None),
     ]
     _OSES = [
         (r"Windows NT (\d+\.\d+)", "Windows",
@@ -541,6 +549,7 @@ class UserAgent(Stage):
           "6.0": "Vista", "5.1": "XP"}),
         (r"iPhone OS (\d+[_\d]*)", "iOS", None),
         (r"iPad.*? OS (\d+[_\d]*)", "iOS", None),
+        (r"\biOS/(\d+[._\d]*)", "iOS", None),
         (r"Mac OS X (\d+[_.\d]*)", "Mac OS X", None),
         (r"Android (\d+[\w.]*)", "Android", None),
         (r"(Linux)", "Linux", None),
@@ -571,7 +580,10 @@ class UserAgent(Stage):
                 if fam is None:
                     name, version = m.group(1), m.group(2)
                 else:
-                    name, version = fam, fixed or m.group(1)
+                    # fixed == "" means the uap rule carries no version
+                    name = fam
+                    version = (fixed or None) if fixed is not None \
+                        else m.group(1)
                 break
         os_name = os_ver = os_full = None
         for rx, fam, vmap in self._oses:

@@ -4910,3 +4910,397 @@ def test_suricata_eve_module_golden():
                     (key, got_v, want)
                 continue
             assert str(got_v) == str(want), (key, got_v, want)
+
+
+OKTA_LOG = ("/root/reference/x-pack/filebeat/module/okta/system/test/"
+            "okta-system-test.json.log")
+
+
+@pytest.mark.skipif(not os.path.exists(OKTA_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_okta_system_module_golden():
+    """okta/system (42nd module golden, all 10 events, 148 golden keys):
+    nested-JSON identity pipeline — camelCase->snake_case ECS renames,
+    debugData 'flattened' copy with brace-string behaviors/risk KV split,
+    logOnlySecurityData embedded-JSON decode, risk level/reasons/behaviors
+    extraction, ipChain/target list-of-object rewrites (the reference's
+    painless MUTATES the matched target element — display_name/id move out
+    of okta.target into user.target.*), category/type maps, uri_parts +
+    user_agent — x-pack/filebeat/module/okta/system/ingest/pipeline.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(OKTA_LOG).read().splitlines() if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    transform = '''
+import json as _json
+import re as _re
+
+CAT = {
+    "iam": ["group.user_membership.add", "group.user_membership.remove",
+            "user.lifecycle.activate", "user.lifecycle.create",
+            "user.lifecycle.deactivate", "user.lifecycle.suspend",
+            "user.lifecycle.unsuspend"],
+    "configuration": ["policy.lifecycle.activate", "policy.lifecycle.create",
+                      "policy.lifecycle.deactivate", "policy.lifecycle.delete",
+                      "policy.lifecycle.update", "policy.rule.activate",
+                      "policy.rule.add", "policy.rule.deactivate",
+                      "policy.rule.delete", "application.lifecycle.create",
+                      "application.lifecycle.delete", "policy.rule.update",
+                      "application.lifecycle.activate",
+                      "application.lifecycle.deactivate",
+                      "application.lifecycle.update"],
+    "authentication": ["user.session.start", "user.session.end",
+                       "user.authentication.sso", "policy.evaluate_sign_on"],
+    "session": ["user.session.start", "user.session.end"],
+    "network": ["security.request.blocked"],
+}
+TYPE = [
+    ("info", ["system.org.rate_limit.warning",
+              "system.org.rate_limit.violation",
+              "core.concurrency.org.limit.violation"]),
+    ("network", ["security.request.blocked",
+                 "system.org.rate_limit.warning",
+                 "system.org.rate_limit.violation",
+                 "core.concurrency.org.limit.violation"]),
+    ("start", ["user.session.start"]),
+    ("end", ["user.session.end"]),
+    ("group", ["group.user_membership.add", "group.user_membership.remove"]),
+    ("user", ["user.lifecycle.activate", "user.lifecycle.create",
+              "user.lifecycle.deactivate", "user.lifecycle.suspend",
+              "user.lifecycle.unsuspend", "user.authentication.sso",
+              "user.session.start", "user.session.end",
+              "application.user_membership.add",
+              "application.user_membership.remove",
+              "application.user_membership.change_username"]),
+    ("change", ["user.lifecycle.activate", "user.lifecycle.deactivate",
+                "user.lifecycle.suspend", "user.lifecycle.unsuspend",
+                "group.user_membership.add", "group.user_membership.remove",
+                "policy.lifecycle.activate", "policy.lifecycle.deactivate",
+                "policy.lifecycle.update", "policy.rule.activate",
+                "policy.rule.add", "policy.rule.deactivate",
+                "policy.rule.update", "application.user_membership.add",
+                "application.user_membership.remove",
+                "application.user_membership.change_username"]),
+    ("creation", ["user.lifecycle.create", "policy.lifecycle.create",
+                  "application.lifecycle.create"]),
+    ("deletion", ["policy.lifecycle.delete", "application.lifecycle.delete"]),
+    ("info", ["policy.evaluate_sign_on"]),
+]
+
+
+def _drop(o):
+    if isinstance(o, dict):
+        return {k: _drop(v) for k, v in o.items()
+                if v is not None and v != "" and _drop(v) not in ({}, [])}
+    if isinstance(o, list):
+        return [_drop(v) for v in o
+                if v is not None and v != "" and _drop(v) not in ({}, [])]
+    return o
+
+
+def _kvbrace(s):
+    """dissect-strip-braces + ES kv(', ', '='); a chunk without '=' (a
+    value containing ', ') aborts the whole parse like the reference's
+    on_failure handler."""
+    if not isinstance(s, str) or not (s.startswith("{") and s.endswith("}")):
+        return None
+    out = {}
+    for part in s[1:-1].split(", "):
+        if "=" not in part:
+            return None
+        k, v = part.split("=", 1)
+        out[k] = v
+    return out or None
+
+
+def process(event, params):
+    j = _json.loads(event["event_original"])
+    et = j.get("eventType")
+    event["okta_event_type"] = et
+    event["event_action"] = et
+    event["event_kind"] = "event"
+    cats = [c for c, lst in CAT.items() if et in lst]
+    if cats:
+        event["event_category"] = cats
+    types = [t for t, lst in TYPE if et in lst]
+    if types:
+        event["event_type"] = types
+    a = j.get("actor") or {}
+    for src, tgt in (("alternateId", "alternate_id"),
+                     ("displayName", "display_name"),
+                     ("id", "id"), ("type", "type")):
+        if a.get(src) is not None:
+            event["okta_actor_" + tgt] = a[src]
+    ac = j.get("authenticationContext") or {}
+    for src, tgt in (("authenticationProvider", "authentication_provider"),
+                     ("authenticationStep", "authentication_step"),
+                     ("credentialProvider", "credential_provider"),
+                     ("credentialType", "credential_type"),
+                     ("externalSessionId", "external_session_id"),
+                     ("interface", "authentication_provider"),
+                     ("issuer", "issuer")):
+        if ac.get(src) is not None:
+            event["okta_authentication_context_" + tgt] = ac[src]
+    c = j.get("client") or {}
+    if c.get("device") is not None:
+        event["okta_client_device"] = c["device"]
+    gc = c.get("geographicalContext") or {}
+    for src, tgt in (("city", "city_name"), ("state", "region_name"),
+                     ("country", "country_name")):
+        if gc.get(src) is not None:
+            event["client_geo_" + tgt] = gc[src]
+    gl = gc.get("geolocation") or {}
+    if gl.get("lat") is not None:
+        event["client_geo_location_lat"] = gl["lat"]
+        event["client_geo_location_lon"] = gl.get("lon")
+    for src, tgt in (("id", "id"), ("ipAddress", "ip"), ("zone", "zone")):
+        if c.get(src) is not None:
+            event["okta_client_" + tgt] = c[src]
+    ua = c.get("userAgent") or {}
+    for src, tgt in (("browser", "browser"), ("os", "os"),
+                     ("rawUserAgent", "raw_user_agent")):
+        if ua.get(src) is not None:
+            event["okta_client_user_agent_" + tgt] = ua[src]
+    if ua.get("rawUserAgent") is not None:
+        event["user_agent_original"] = ua["rawUserAgent"]
+    if c.get("ipAddress") is not None:
+        event["client_ip"] = c["ipAddress"]
+        event["source_ip"] = c["ipAddress"]
+    dd = (j.get("debugContext") or {}).get("debugData")
+    P = "okta_debug_context_debug_data_"
+    if dd:
+        flat = dict(dd)
+        losd = flat.get("logOnlySecurityData")
+        if isinstance(losd, str):
+            try:
+                flat["logOnlySecurityData"] = _json.loads(losd)
+            except ValueError:
+                pass
+        b = _kvbrace(flat.get("behaviors"))
+        if b:
+            flat["behaviors"] = b
+        risk_str = flat.get("risk")
+        r = _kvbrace(risk_str)
+        if r is None and isinstance(risk_str, str) and \
+                risk_str.startswith("{"):
+            # the reference kv aborts when a value contains ", " (reasons
+            # lists); its grok fallback recovers level= and a reasons=
+            # capture running to the next ", key=" boundary
+            r = {}
+            m = _re.search(r"level=(\S+?)[,}]", risk_str)
+            if m:
+                r["level"] = m.group(1)
+            m = _re.search(r"reasons=(.*?), \S+=", risk_str) or \
+                _re.search(r"reasons=(.*?)}$", risk_str)
+            if m:
+                r["reasons"] = m.group(1)
+            r = r or None
+        if r:
+            flat["risk"] = r
+            flat["risk_object"] = risk_str
+        def emit(prefix, d):
+            for k, v in d.items():
+                if v is None or v == "":
+                    continue
+                if isinstance(v, dict):
+                    emit(prefix + k + "_", v)
+                else:
+                    event[prefix + k] = v
+        emit(P + "flattened_", flat)
+        for src, tgt in (("deviceFingerprint", "device_fingerprint"),
+                         ("requestId", "request_id"),
+                         ("requestUri", "request_uri"),
+                         ("threatSuspected", "threat_suspected"),
+                         ("url", "url")):
+            if dd.get(src) is not None:
+                event[P + tgt] = dd[src]
+        for src, tgt in (("Browser", "browser"), ("EventCity", "event_city"),
+                         ("EventCountry", "event_country"),
+                         ("EventId", "event_id"), ("EventIp", "event_ip"),
+                         ("EventLatitude", "event_latitude"),
+                         ("EventLongitude", "event_longitude"),
+                         ("EventState", "event_state"),
+                         ("EventTransactionId", "event_transaction_id"),
+                         ("EventType", "event_type"), ("Os", "os"),
+                         ("Timestamp", "timestamp")):
+            v = dd.get("suspiciousActivity" + src)
+            if v is not None:
+                event[P + "suspicious_activity_" + tgt] = v
+        losd_risk = (flat.get("logOnlySecurityData") or {}).get("risk") or {}
+        rl = losd_risk.get("level") or (flat.get("risk") or {}).get("level") \
+            if isinstance(flat.get("risk"), dict) else losd_risk.get("level")
+        if rl:
+            event[P + "risk_level"] = rl
+        if dd.get("factor"):
+            event[P + "factor"] = dd["factor"]
+        reasons = losd_risk.get("reasons") or (
+            (flat.get("risk") or {}).get("reasons")
+            if isinstance(flat.get("risk"), dict) else None)
+        if reasons:
+            event[P + "risk_reasons"] = _re.split(r",\\s*", reasons)
+        if isinstance(flat.get("behaviors"), dict):
+            pos = [k for k, v in flat["behaviors"].items() if v == "POSITIVE"]
+            if pos:
+                event[P + "risk_behaviors"] = pos
+    sc = j.get("securityContext") or {}
+    for src, tgt in (("asNumber", "as_number"),
+                     ("asOrg", "as_organization_name"),
+                     ("domain", "domain"), ("isProxy", "is_proxy"),
+                     ("isp", "isp")):
+        if sc.get(src) is not None:
+            event["okta_security_context_" + tgt] = sc[src]
+    if sc.get("asNumber") is not None:
+        event["client_as_number"] = sc["asNumber"]
+    if sc.get("asOrg") is not None:
+        event["client_as_organization_name"] = sc["asOrg"]
+    if sc.get("domain") is not None:
+        event["client_domain"] = sc["domain"]
+        event["source_domain"] = sc["domain"]
+    chain = (j.get("request") or {}).get("ipChain")
+    if chain:
+        fixed = []
+        for link in chain:
+            link = dict(link)
+            g = link.pop("geographicalContext", None)
+            if g is not None:
+                g = dict(g)
+                if "postalCode" in g:
+                    g["postal_code"] = g.pop("postalCode")
+                link["geographical_context"] = g
+            fixed.append(link)
+        event["okta_request_ip_chain"] = _drop(fixed)
+    t = j.get("transaction") or {}
+    if t.get("id") is not None:
+        event["okta_transaction_id"] = t["id"]
+    if t.get("type") is not None:
+        event["okta_transaction_type"] = t["type"]
+    if j.get("uuid") is not None:
+        event["okta_uuid"] = j["uuid"]
+        event["event_id"] = j["uuid"]
+    if j.get("displayMessage") is not None:
+        event["okta_display_message"] = j["displayMessage"]
+    o = j.get("outcome") or {}
+    if o.get("reason") is not None:
+        event["okta_outcome_reason"] = o["reason"]
+    if o.get("result") is not None:
+        event["okta_outcome_result"] = o["result"]
+    res = (o.get("result") or "").lower()
+    event["event_outcome"] = "success" if res in ("success", "allow") else \
+        "failure" if res in ("failure", "deny") else "unknown"
+    tgt_arr = j.get("target")
+    if tgt_arr:
+        arr = []
+        for el in tgt_arr:
+            el = dict(el)
+            el["alternate_id"] = el.pop("alternateId", None)
+            el["display_name"] = el.pop("displayName", None)
+            el.pop("detailEntry", None)
+            arr.append(el)
+        if et and "user." in et:
+            for el in arr:
+                if "user" in (el.get("type") or "").lower():
+                    if el.get("display_name") is not None:
+                        event["user_target_full_name"] = \
+                            el.pop("display_name")
+                    if el.get("id") is not None:
+                        event["user_target_id"] = el.pop("id")
+                    if el.get("login") is not None:
+                        event["user_target_email"] = el.pop("login")
+                    break
+        if et and "group." in et:
+            for el in arr:
+                if "group" in (el.get("type") or "").lower():
+                    if el.get("display_name") is not None:
+                        event["user_target_group_name"] = \
+                            el.pop("display_name")
+                    if el.get("id") is not None:
+                        event["user_target_group_id"] = el.pop("id")
+                    break
+        event["okta_target"] = _drop(arr)
+    if a.get("id") is not None:
+        event["client_user_id"] = a["id"]
+        event["source_user_id"] = a["id"]
+    if a.get("displayName") is not None:
+        event["client_user_full_name"] = a["displayName"]
+        event["source_user_full_name"] = a["displayName"]
+        event["user_full_name"] = a["displayName"]
+    rel_u = []
+    if a.get("displayName"):
+        rel_u.append(a["displayName"])
+    if event.get("user_target_full_name") and \
+            event["user_target_full_name"] not in rel_u:
+        rel_u.append(event["user_target_full_name"])
+    if rel_u:
+        event["related_user"] = rel_u
+    if event.get("source_ip"):
+        event["related_ip"] = [event["source_ip"]]
+    return event
+'''
+    spec = {"processors": [
+        {"rename": {"fields": [{"from": "message", "to": "event.original"}]}},
+        {"script": {"source": transform}},
+        {"script": {"source": (
+            "import json as _json\n"
+            "from datetime import datetime\n"
+            "def process(event, params):\n"
+            "    pub = _json.loads(event['event_original']).get('published')\n"
+            "    if pub:\n"
+            "        event['ts'] = datetime.strptime(\n"
+            "            pub, '%Y-%m-%dT%H:%M:%S.%fZ')\n"
+            "    return event\n")}},
+        {"uri_parts": {"field": "okta.debug_context.debug_data.url",
+                       "ignore_missing": True}},
+        {"user_agent": {"field": "user_agent.original",
+                        "ignore_missing": True}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "okta", "event.dataset": "okta.system",
+            "fileset.name": "system", "input.type": "log",
+            "service.type": "okta", "tags": ["forwarded"]}}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(OKTA_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    SKIP = ("source.geo", "source.as", "destination.geo", "destination.as",
+            "ecs.version")
+
+    def _n(v):
+        if isinstance(v, list):
+            return sorted((json.dumps(_n(x), sort_keys=True) for x in v))
+        if isinstance(v, dict):
+            return {k: _n(x) for k, x in sorted(v.items()) if x is not None}
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return float(v)
+        return v
+
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "event.created") or \
+                    key.startswith(SKIP):
+                continue
+            col = key.replace(".", "_")
+            if key == "@timestamp":
+                iso = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{got['ts'].microsecond // 1000:03d}Z"
+                assert iso == want, (iso, want)
+                continue
+            got_v = got.get(col)
+            if isinstance(want, list) and want and isinstance(want[0], dict):
+                assert got_v is not None, (key, want)
+                assert _n(got_v) == _n(want), (key, got_v, want)
+                continue
+            if isinstance(want, list):
+                if not isinstance(got_v, list):
+                    got_v = [got_v] if got_v not in (None, "") else []
+                assert sorted(map(str, got_v)) == sorted(map(str, want)), \
+                    (key, got_v, want)
+                continue
+            if isinstance(want, (int, float)) and \
+                    isinstance(got_v, (int, float)) and \
+                    not isinstance(want, bool):
+                assert float(got_v) == float(want), (key, got_v, want)
+                continue
+            assert str(got_v) == str(want), (key, got_v, want)
