@@ -135,6 +135,111 @@ def save_ivf_index(assigned, cent: np.ndarray, cache_dir: str) -> None:
     os.rename(tmp, cache_dir)          # atomic publish
 
 
+def _corpus_identity(paths: list[str]) -> dict[str, list[int]]:
+    return {os.path.basename(p): [os.stat(p).st_size, os.stat(p).st_mtime_ns]
+            for p in paths}
+
+
+def _write_manifest(cache_dir: str, paths: list[str], n_centroids: int,
+                    seed: int) -> None:
+    import json
+    with open(os.path.join(cache_dir, "manifest.json"), "w") as f:
+        json.dump({"files": _corpus_identity(paths),
+                   "params": {"n_centroids": n_centroids, "seed": seed}}, f)
+
+
+def sync_ivf_index(root: str, paths: list[str], read_fn,
+                   n_centroids: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding", sample_rows: int = 2048,
+                   seed: int = 42) -> str:
+    """Incremental index maintenance for appended shards — the 100-TB
+    growth path.  Finds a persisted index under ``root`` whose manifest is
+    a SUBSET of ``paths`` (same params, every indexed file unchanged),
+    assigns ONLY the new files' rows against the FROZEN coarse quantizer,
+    appends their lists to the existing cell directories, and republishes
+    under the full corpus key.  The already-indexed corpus is never re-read
+    — maintenance cost is O(new shard), not O(corpus).  Centroids are
+    intentionally frozen (standard IVF practice: the quantizer only drifts
+    when the distribution does; a re-train is an explicit full rebuild).
+
+    ``read_fn(paths) -> Dataset`` reads just the named parquet files.
+    Returns the cache_dir for the full corpus (build it fresh when no
+    prior index is reusable)."""
+    import json
+    import shutil
+
+    full_key = ivf_cache_dir(root, paths, n_centroids, seed)
+    if os.path.isdir(full_key):
+        return full_key                         # exact corpus already indexed
+    ident = _corpus_identity(paths)
+    base_of = {os.path.basename(p): p for p in paths}
+    prior = None
+    if os.path.isdir(root):
+        for d in sorted(os.listdir(root)):
+            mpath = os.path.join(root, d, "manifest.json")
+            if not os.path.exists(mpath):
+                continue
+            try:
+                m = json.load(open(mpath))
+            except ValueError:
+                continue
+            if m.get("params") != {"n_centroids": n_centroids, "seed": seed}:
+                continue
+            files = m.get("files", {})
+            if files and all(ident.get(b) == v for b, v in files.items()) \
+                    and len(files) < len(ident):
+                prior = (os.path.join(root, d), set(files))
+                break
+    if prior is None:
+        ds = read_fn(paths)
+        build_ivf_index(ds, n_centroids, id_col, vec_col, sample_rows,
+                        seed=seed, cache_dir=full_key)
+        _write_manifest(full_key, paths, n_centroids, seed)
+        return full_key
+
+    prior_dir, indexed = prior
+    new_paths = [base_of[b] for b in ident if b not in indexed]
+    cent = np.load(os.path.join(prior_dir, "centroids.npy"))
+    import ray
+    cent_ref = ray.put(cent)
+
+    class Assign:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = _unit(list_to_matrix(t[vec_col]))
+            assign = np.argmax(mat @ self.cent.T, axis=1).astype(np.int32)
+            return t.append_column("centroid", pa.array(assign, pa.int32()))
+
+    delta = read_fn(new_paths).map_batches(Assign, batch_format="pyarrow",
+                                           concurrency=(1, 4))
+    tmp = full_key + ".delta"
+    shutil.rmtree(tmp, ignore_errors=True)
+    delta.write_parquet(tmp, partition_cols=["centroid"])
+    # publish: move prior index to the full-corpus key, append delta cells
+    work = full_key + ".tmp"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(prior_dir, work)
+    apath = os.path.join(work, "assign")
+    epoch = f"a{len(indexed)}"
+    for d in sorted(os.listdir(tmp)):
+        if not d.startswith("centroid="):
+            continue
+        cell = os.path.join(apath, "cell_" + d.split("=", 1)[1])
+        os.makedirs(cell, exist_ok=True)
+        src = os.path.join(tmp, d)
+        for i, f in enumerate(sorted(os.listdir(src))):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(src, f),
+                          os.path.join(cell, f"{epoch}_{i}_{f}"))
+    shutil.rmtree(tmp, ignore_errors=True)
+    _write_manifest(work, paths, n_centroids, seed)
+    shutil.rmtree(full_key, ignore_errors=True)
+    os.rename(work, full_key)                   # atomic publish
+    return full_key
+
+
 def load_ivf_index(cache_dir: str, probe_cells: list[int] | None = None):
     """Load a persisted IVF index -> (assigned_dataset, centroids) or None.
 

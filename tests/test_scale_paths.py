@@ -1,6 +1,8 @@
 """Scale-path regression tests for the round-2 refactors: real IVF pruning,
 distributed embedding near-dup, vectorized simhash, distributed edge dedup."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -131,3 +133,74 @@ def test_cc_auto_matches_label_propagation(ray_session):
         .sort_values("node").reset_index(drop=True)
     assert auto["node"].tolist() == lp["node"].tolist()
     assert auto["root"].tolist() == lp["root"].tolist()
+
+
+def test_ivf_incremental_append(ray_session, tmp_path):
+    """sync_ivf_index appends a NEW shard to a persisted index without
+    re-reading the indexed corpus: prior cell files survive byte-identical,
+    the delta rows land in the argmax cell of the FROZEN centroids, the
+    republished index answers a full-probe query exactly, and a repeat
+    sync is a no-op cache hit."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from beats_ray.functions.similarity import (knn_brute, knn_ivf,
+                                                load_ivf_index,
+                                                sync_ivf_index)
+
+    full = _embeddings(96, seed=11)
+    shard_a, shard_b = full.slice(0, 64), full.slice(64)
+    pa_path, pb_path = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(shard_a, pa_path)
+    pq.write_table(shard_b, pb_path)
+    root = str(tmp_path / "ivf")
+    read_fn = lambda paths: rd.read_parquet(list(paths))
+
+    key_a = sync_ivf_index(root, [pa_path], read_fn, n_centroids=4,
+                           sample_rows=64)
+    cells_a = {}
+    for d in os.listdir(os.path.join(key_a, "assign")):
+        for f in os.listdir(os.path.join(key_a, "assign", d)):
+            p = os.path.join(key_a, "assign", d, f)
+            cells_a[(d, f)] = os.stat(p).st_size
+
+    key_ab = sync_ivf_index(root, [pa_path, pb_path], read_fn, n_centroids=4,
+                            sample_rows=64)
+    assert key_ab != key_a
+    # prior shard's files were MOVED, not rewritten: same names + sizes
+    cells_ab = {}
+    for d in os.listdir(os.path.join(key_ab, "assign")):
+        for f in os.listdir(os.path.join(key_ab, "assign", d)):
+            p = os.path.join(key_ab, "assign", d, f)
+            cells_ab[(d, f)] = os.stat(p).st_size
+    for k, size in cells_a.items():
+        assert cells_ab.get(k) == size, k
+    new_files = set(cells_ab) - set(cells_a)
+    assert new_files and all(f.startswith("a1_") for _, f in new_files)
+    # delta rows sit in the argmax cell of the FROZEN quantizer
+    cent = np.load(os.path.join(key_ab, "centroids.npy"))
+    assigned, _ = load_ivf_index(key_ab)
+    got = {r["vec_id"]: r["centroid"] for r in assigned.take_all()}
+    assert len(got) == 96
+    b_ids = shard_b["vec_id"].to_pylist()
+    b_mat = np.asarray(shard_b["embedding"].to_pylist(), dtype=np.float64)
+    b_unit = b_mat / np.linalg.norm(b_mat, axis=1)[:, None]
+    want = np.argmax(b_unit @ cent.T, axis=1)
+    for vid, w in zip(b_ids, want):
+        assert got[vid] == w, vid
+    # full-probe query through the synced index == brute force on a+b
+    ds_full = rd.read_parquet([pa_path, pb_path])
+    q = np.asarray(full["embedding"][0].as_py(), dtype=np.float64)
+    out_ivf = knn_ivf(ds_full, q, k=5, n_centroids=4, n_probe=4,
+                      cache_dir=key_ab)
+    out_brute = knn_brute(ds_full, q, k=5)
+    assert out_ivf.to_pylist() == out_brute.to_pylist()
+    # repeat sync: exact-corpus cache hit, nothing rewritten
+    before = {k: v for k, v in cells_ab.items()}
+    assert sync_ivf_index(root, [pa_path, pb_path], read_fn, n_centroids=4,
+                          sample_rows=64) == key_ab
+    after = {}
+    for d in os.listdir(os.path.join(key_ab, "assign")):
+        for f in os.listdir(os.path.join(key_ab, "assign", d)):
+            after[(d, f)] = os.stat(
+                os.path.join(key_ab, "assign", d, f)).st_size
+    assert after == before
