@@ -71,14 +71,21 @@ def community_id_v1(saddr: str, daddr: str, sport: int | None, dport: int | None
                                       int(icmp_code or 0))
         sp &= 0xFFFF
         dp &= 0xFFFF
-    else:
+    elif proto in (6, 17, 132):
         sp = int(sport or 0) & 0xFFFF
         dp = int(dport or 0) & 0xFFFF
+    else:
+        # flowhash/communityid.go:75-81: port bytes are written ONLY for
+        # TCP/UDP/SCTP/ICMP — other protocols hash ips + proto + pad alone
+        # (ports stay zero for the endpoint ordering)
+        sp = dp = 0
     # order the endpoints: smaller (ip, port) first (skipped for one-way flows)
     if not one_way and (sip.packed, sp) > (dip.packed, dp):
         sip, dip, sp, dp = dip, sip, dp, sp
     payload = struct.pack("!H", seed) + sip.packed + dip.packed + \
-        struct.pack("BB", proto & 0xFF, 0) + struct.pack("!HH", sp, dp)
+        struct.pack("BB", proto & 0xFF, 0)
+    if proto in (6, 17, 132, 1, 58):
+        payload += struct.pack("!HH", sp, dp)
     return "1:" + base64.b64encode(hashlib.sha1(payload).digest()).decode()
 
 

@@ -5304,3 +5304,580 @@ def process(event, params):
                 assert float(got_v) == float(want), (key, got_v, want)
                 continue
             assert str(got_v) == str(want), (key, got_v, want)
+
+
+FTNT_EVENT = ("/root/reference/x-pack/filebeat/module/fortinet/firewall/"
+              "test/event.log")
+
+
+@pytest.mark.skipif(not os.path.exists(FTNT_EVENT + "-expected.json"),
+                    reason="reference not present")
+def test_fortinet_event_module_golden():
+    """fortinet/firewall event (43rd module golden, all 28 events — vpn /
+    user / system / update / perf-stats subtypes): N/A-value drop, FSSO/
+    auth logon classification, negotiate_error outcome, locip/remip
+    fallback mapping, direction normalization (outgoing->outbound),
+    sess_duration, Dynamic-address addr->addrgrp rename —
+    x-pack/filebeat/module/fortinet/firewall/ingest/event.yml + the shared
+    pipeline tail."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(FTNT_EVENT).read().splitlines()
+             if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    kv_and_time = (
+        "from datetime import datetime, timedelta\n"
+        "def process(event, params):\n"
+        "    sd = event.get('syslog5424_sd')\n"
+        "    if not sd:\n"
+        "        return event\n"
+        "    def split_unquoted(s, sep):\n"
+        "        toks, start, inq = [], 0, False\n"
+        "        for i, ch in enumerate(s):\n"
+        "            if ch == '\"':\n"
+        "                inq = not inq\n"
+        "            elif ch == sep and not inq:\n"
+        "                t = s[start:i].strip()\n"
+        "                if t:\n"
+        "                    toks.append(t)\n"
+        "                start = i + 1\n"
+        "        last = s[start:]\n"
+        "        if last != sep and last != '':\n"
+        "            toks.append(last.strip())\n"
+        "        return toks\n"
+        "    for part in split_unquoted(sd, ' '):\n"
+        "        kv = split_unquoted(part, '=')\n"
+        "        if len(kv) != 2:\n"
+        "            continue\n"
+        "        v = kv[1]\n"
+        "        if v.startswith('\"'):\n"
+        "            v = v[1:]\n"
+        "        if v.endswith('\"'):\n"
+        "            v = v[:-1]\n"
+        "        if v in ('N/A', 'undefined'):\n"
+        "            continue\n"
+        "        event['fortinet_firewall_' + kv[0]] = v\n"
+        "    tz = event.get('fortinet_firewall_tz')\n"
+        "    etz = tz if tz else '-02:00'\n"
+        "    event['event_timezone'] = etz\n"
+        "    d = event.get('fortinet_firewall_date')\n"
+        "    t = event.get('fortinet_firewall_time')\n"
+        "    if d and t:\n"
+        "        naive = datetime.strptime(d + ' ' + t, '%Y-%m-%d %H:%M:%S')\n"
+        "        s = etz.replace(':', '')\n"
+        "        off = int(s[1:3]) * 60 + int(s[3:5])\n"
+        "        off = -off if s[0] == '-' else off\n"
+        "        event['ts'] = naive - timedelta(minutes=off)\n"
+        "    ev = event.get('fortinet_firewall_eventtime')\n"
+        "    if ev:\n"
+        "        if len(ev) > 18:\n"
+        "            ev = ev[:-6]\n"
+        "        n = int(ev)\n"
+        "        event['event_start'] = datetime.utcfromtimestamp(\n"
+        "            n / 1000.0 if len(ev) > 11 else n)\n"
+        "    dur = event.get('fortinet_firewall_sess_duration')\n"
+        "    if dur is not None:\n"
+        "        event['event_duration'] = int(dur)\n"
+        "        event['fortinet_firewall_sess_duration'] = None\n"
+        "    for f in ('fortinet_firewall_date', 'fortinet_firewall_time',\n"
+        "              'fortinet_firewall_tz',\n"
+        "              'fortinet_firewall_eventtime'):\n"
+        "        event[f] = None\n"
+        "    return event\n")
+    assemble = (
+        "import ipaddress\n"
+        "def _internal(ip):\n"
+        "    try:\n"
+        "        a = ipaddress.ip_address(ip)\n"
+        "    except (ValueError, TypeError):\n"
+        "        return None\n"
+        "    return any(a in n for n in (\n"
+        "        ipaddress.ip_network('10.0.0.0/8'),\n"
+        "        ipaddress.ip_network('172.16.0.0/12'),\n"
+        "        ipaddress.ip_network('192.168.0.0/16'),\n"
+        "        ipaddress.ip_network('fd00::/8')))\n"
+        "def process(event, params):\n"
+        "    g = event.get\n"
+        "    # per-event fallback mappings (remip/locip only apply when the\n"
+        "    # primary field did not populate the ECS slot)\n"
+        "    for src, tgt, conv in (\n"
+        "            ('fortinet_firewall_remip', 'destination_ip', str),\n"
+        "            ('fortinet_firewall_remport', 'destination_port', int),\n"
+        "            ('fortinet_firewall_locip', 'source_ip', str),\n"
+        "            ('fortinet_firewall_locport', 'source_port', int)):\n"
+        "        if g(tgt) is None and g(src) is not None:\n"
+        "            event[tgt] = conv(event[src])\n"
+        "            event[src] = None\n"
+        "        elif g(src) is not None:\n"
+        "            event[src] = None\n"
+        "    act = g('fortinet_firewall_action')\n"
+        "    sub = g('fortinet_firewall_subtype')\n"
+        "    if act:\n"
+        "        event['event_action'] = act\n"
+        "    if g('fortinet_firewall_result') == 'ERROR' or \\\n"
+        "            g('fortinet_firewall_status') == 'negotiate_error':\n"
+        "        event['event_outcome'] = 'failure'\n"
+        "    if g('fortinet_firewall_result') == 'OK' or act in \\\n"
+        "            ('FSSO-logon', 'auth-logon', 'FSSO-logoff',\n"
+        "             'auth-logout'):\n"
+        "        event['event_outcome'] = 'success'\n"
+        "    etype, ecat = [], []\n"
+        "    if act in ('FSSO-logon', 'auth-logon'):\n"
+        "        etype += ['user', 'start']\n"
+        "    if act in ('FSSO-logoff', 'auth-logout'):\n"
+        "        etype += ['user', 'end']\n"
+        "    if sub == 'vpn':\n"
+        "        etype.append('connection')\n"
+        "        ecat.append('network')\n"
+        "    if act == 'perf-stats':\n"
+        "        etype.append('info')\n"
+        "        ecat.append('host')\n"
+        "    if sub == 'update':\n"
+        "        if 'info' not in etype:\n"
+        "            etype.append('info')\n"
+        "        ecat += ['host', 'malware']\n"
+        "    if sub == 'user':\n"
+        "        ecat.append('authentication')\n"
+        "    if etype:\n"
+        "        event['event_type'] = etype\n"
+        "    if ecat:\n"
+        "        event['event_category'] = ecat\n"
+        "    # direction normalize (after dir/direction renames)\n"
+        "    d = event.get('network_direction')\n"
+        "    if d:\n"
+        "        d = d.lower()\n"
+        "        event['network_direction'] = \\\n"
+        "            {'outgoing': 'outbound', 'incoming': 'inbound'}\\\n"
+        "            .get(d, d)\n"
+        "    else:\n"
+        "        si, di = _internal(g('source_ip')), \\\n"
+        "            _internal(g('destination_ip'))\n"
+        "        if si is not None and di is not None:\n"
+        "            event['network_direction'] = \\\n"
+        "                'internal' if si and di else 'outbound' if si \\\n"
+        "                else 'inbound' if di else 'external'\n"
+        "    if g('rule_description') == 'Dynamic address updated' and \\\n"
+        "            g('fortinet_firewall_addr'):\n"
+        "        event['fortinet_firewall_addrgrp'] = \\\n"
+        "            event['fortinet_firewall_addr']\n"
+        "        event['fortinet_firewall_addr'] = None\n"
+        "    iana = g('network_iana_number')\n"
+        "    tmap = {'1': 'icmp', '2': 'igmp', '6': 'tcp', '17': 'udp',\n"
+        "            '58': 'ipv6-icmp'}\n"
+        "    if iana in tmap:\n"
+        "        event['network_transport'] = tmap[iana]\n"
+        "    proto = event.get('network_protocol')\n"
+        "    if proto:\n"
+        "        event['network_protocol'] = proto.lower()\n"
+        "    sip, dip = g('source_ip'), g('destination_ip')\n"
+        "    if (sip and '.' in sip) or (dip and '.' in dip):\n"
+        "        event['network_type'] = 'ipv4'\n"
+        "    if (sip and ':' in sip) or (dip and ':' in dip):\n"
+        "        event['network_type'] = 'ipv6'\n"
+        "    rel = []\n"
+        "    for f in ('source_ip', 'destination_ip', 'source_nat_ip',\n"
+        "              'destination_nat_ip', 'fortinet_firewall_ip',\n"
+        "              'fortinet_firewall_assignip',\n"
+        "              'fortinet_firewall_tunnelip'):\n"
+        "        v = g(f)\n"
+        "        if v and v not in rel:\n"
+        "            rel.append(v)\n"
+        "    if rel:\n"
+        "        event['related_ip'] = rel\n"
+        "    users = [event.get(f) for f in\n"
+        "             ('source_user_name', 'destination_user_name')]\n"
+        "    users = [u for u in users if u]\n"
+        "    if users:\n"
+        "        event['related_user'] = users\n"
+        "    return event\n")
+    renames = [
+        ("fortinet.firewall.devname", "observer.name"),
+        ("fortinet.firewall.devid", "observer.serial_number"),
+        ("fortinet.firewall.level", "log.level"),
+        ("fortinet.firewall.dstip", "destination.ip"),
+        ("fortinet.firewall.daddr", "destination.address"),
+        ("fortinet.firewall.srcip", "source.ip"),
+        ("fortinet.firewall.srcmac", "source.mac"),
+        ("fortinet.firewall.user", "source.user.name"),
+        ("fortinet.firewall.saddr", "source.address"),
+        ("fortinet.firewall.file", "file.name"),
+        ("fortinet.firewall.logid", "event.code"),
+        ("fortinet.firewall.policyid", "rule.id"),
+        ("fortinet.firewall.dir", "network.direction"),
+        ("fortinet.firewall.direction", "network.direction"),
+        ("fortinet.firewall.error_num", "error.code"),
+        ("fortinet.firewall.logdesc", "rule.description"),
+        ("fortinet.firewall.url", "url.path"),
+        ("fortinet.firewall.proto", "network.iana_number"),
+        ("fortinet.firewall.group", "source.user.group.name"),
+        ("fortinet.firewall.service", "network.protocol"),
+        ("fortinet.firewall.reason", "event.reason"),
+        ("fortinet.firewall.msg", "message"),
+    ]
+    longs = [("fortinet.firewall.dstport", "destination.port"),
+             ("fortinet.firewall.rcvdbyte", "destination.bytes"),
+             ("fortinet.firewall.sentbyte", "source.bytes"),
+             ("fortinet.firewall.srcport", "source.port"),
+             ("fortinet.firewall.filesize", "file.size")]
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [
+            r"%{SYSLOG5424PRI}%{GREEDYDATA:syslog5424_sd}$"],
+            "pattern_definitions": {
+                "SYSLOG5424PRI": r"<%{NONNEGINT:syslog5424_pri}>"}}},
+        {"script": {"source": kv_and_time}},
+        # the raw line is removed BEFORE the sub-pipeline (pipeline.yml) so
+        # the common tail's msg -> message rename lands on a free slot
+        {"drop_fields": {"fields": ["message"], "ignore_missing": True}},
+        {"rename": {"fields": [{"from": f, "to": t} for f, t in renames],
+                    "ignore_missing": True, "fail_on_error": False}},
+        {"convert": {"fields": [
+            {"from": f, "to": t, "type": "long"} for f, t in longs],
+            "mode": "rename",
+            "ignore_missing": True, "fail_on_error": False}},
+        {"convert": {"fields": [
+            {"from": "fortinet.firewall.mem", "type": "integer"}],
+            "ignore_missing": True, "fail_on_error": False}},
+        {"script": {"source": assemble}},
+        {"community_id": {}},
+        {"drop_fields": {"fields": ["syslog5424_sd", "syslog5424_pri"],
+                         "ignore_missing": True}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "fortinet",
+            "event.dataset": "fortinet.firewall",
+            "fileset.name": "firewall", "input.type": "log",
+            "service.type": "fortinet",
+            "observer.vendor": "Fortinet", "observer.product": "Fortigate",
+            "observer.type": "firewall",
+            "tags": ["fortinet-firewall", "forwarded"]}}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(FTNT_EVENT + "-expected.json"))
+    assert len(rows) == len(expected)
+    SKIP = ("source.geo", "destination.geo", "source.as", "destination.as",
+            "ecs.version")
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "event.created") or \
+                    key.startswith(SKIP):
+                continue
+            if key in ("@timestamp", "event.start"):
+                want_dt = datetime.fromisoformat(want).astimezone(_tz.utc)
+                ts = got["ts" if key == "@timestamp" else "event_start"]
+                got_dt = ts.replace(tzinfo=_tz.utc)
+                got_dt = got_dt.replace(
+                    microsecond=got_dt.microsecond // 1000 * 1000)
+                assert got_dt == want_dt, (key, got_dt, want_dt)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, list):
+                if not isinstance(got_v, list):
+                    got_v = [got_v] if got_v not in (None, "") else []
+                assert sorted(map(str, got_v)) == sorted(map(str, want)), \
+                    (key, got_v, want)
+                continue
+            assert str(got_v) == str(want), (key, got_v, want)
+
+
+FTNT_UTM = ("/root/reference/x-pack/filebeat/module/fortinet/firewall/"
+            "test/utm.log")
+
+
+@pytest.mark.skipif(not os.path.exists(FTNT_UTM + "-expected.json"),
+                    reason="reference not present")
+def test_fortinet_utm_module_golden():
+    """fortinet/firewall utm (44th module golden, all 28 events across 10
+    subtypes — ssl, app-ctrl, dns, webfilter, virus, ips, anomaly, dlp,
+    ssh, cifs): alert kinds for virus/ips/attack, dns question/resolved_ip
+    split, tls cert renames, infected/matched file fallbacks, catdesc
+    rule.category with dot->dash, uri_parts on the utm url + hostname
+    domain fallback, user_agent on agent — x-pack/filebeat/module/
+    fortinet/firewall/ingest/utm.yml + the shared pipeline tail."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(FTNT_UTM).read().splitlines() if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    kv_and_time = (
+        "from datetime import datetime, timedelta\n"
+        "def process(event, params):\n"
+        "    sd = event.get('syslog5424_sd')\n"
+        "    if not sd:\n"
+        "        return event\n"
+        "    def split_unquoted(s, sep):\n"
+        "        toks, start, inq = [], 0, False\n"
+        "        for i, ch in enumerate(s):\n"
+        "            if ch == '\"':\n"
+        "                inq = not inq\n"
+        "            elif ch == sep and not inq:\n"
+        "                t = s[start:i].strip()\n"
+        "                if t:\n"
+        "                    toks.append(t)\n"
+        "                start = i + 1\n"
+        "        last = s[start:]\n"
+        "        if last != sep and last != '':\n"
+        "            toks.append(last.strip())\n"
+        "        return toks\n"
+        "    for part in split_unquoted(sd, ' '):\n"
+        "        kv = split_unquoted(part, '=')\n"
+        "        if len(kv) != 2:\n"
+        "            continue\n"
+        "        v = kv[1]\n"
+        "        if v.startswith('\"'):\n"
+        "            v = v[1:]\n"
+        "        if v.endswith('\"'):\n"
+        "            v = v[:-1]\n"
+        "        if v in ('N/A', 'undefined'):\n"
+        "            continue\n"
+        "        event['ff_' + kv[0]] = v\n"
+        "    tz = event.get('ff_tz')\n"
+        "    etz = tz if tz else '-02:00'\n"
+        "    event['event_timezone'] = etz\n"
+        "    d, t = event.get('ff_date'), event.get('ff_time')\n"
+        "    if d and t:\n"
+        "        naive = datetime.strptime(d + ' ' + t, '%Y-%m-%d %H:%M:%S')\n"
+        "        s = etz.replace(':', '')\n"
+        "        off = int(s[1:3]) * 60 + int(s[3:5])\n"
+        "        off = -off if s[0] == '-' else off\n"
+        "        event['ts'] = naive - timedelta(minutes=off)\n"
+        "    ev = event.get('ff_eventtime')\n"
+        "    if ev:\n"
+        "        if len(ev) > 18:\n"
+        "            ev = ev[:-6]\n"
+        "        n = int(ev)\n"
+        "        event['event_start'] = datetime.utcfromtimestamp(\n"
+        "            n / 1000.0 if len(ev) > 11 else n)\n"
+        "    for f in ('ff_date', 'ff_time', 'ff_tz', 'ff_eventtime'):\n"
+        "        event[f] = None\n"
+        "    return event\n")
+    assemble = '''
+import ipaddress
+
+
+def _internal(ip):
+    try:
+        a = ipaddress.ip_address(ip)
+    except (ValueError, TypeError):
+        return None
+    return any(a in n for n in (
+        ipaddress.ip_network("10.0.0.0/8"),
+        ipaddress.ip_network("172.16.0.0/12"),
+        ipaddress.ip_network("192.168.0.0/16"),
+        ipaddress.ip_network("fd00::/8")))
+
+
+def process(event, params):
+    g = event.get
+
+    def take(src):
+        v = g("ff_" + src)
+        if v is not None:
+            event["ff_" + src] = None
+        return v
+
+    def put_first(tgt, *srcs, conv=None):
+        for s in srcs:
+            v = take(s)
+            if v is not None and event.get(tgt) is None:
+                event[tgt] = conv(v) if conv else v
+
+    sub = g("ff_subtype")
+    act = g("ff_action")
+    event["event_kind"] = "alert" if sub in ("virus", "ips") or \
+        g("ff_attack") else "event"
+    if act:
+        event["event_action"] = act
+        event["event_outcome"] = "success"
+    etype = []
+    if act in ("pass", "passthrough", "exempt"):
+        etype.append("allowed")
+    if act in ("block", "blocked", "deny", "close", "server-rst",
+               "dropped"):
+        etype.append("denied")
+    if sub == "dns":
+        etype.append("info")
+    if etype:
+        event["event_type"] = etype
+    ecat = ["network"]
+    if sub == "ips":
+        ecat.append("intrusion_detection")
+    event["event_category"] = ecat
+    put_first("destination_ip", "dstip", "remip")
+    put_first("destination_port", "dst_port", "remport", "dstport",
+              conv=int)
+    put_first("destination_bytes", "rcvdbyte", conv=int)
+    put_first("destination_user_email", "recipient")
+    put_first("source_ip", "locip", "srcip")
+    put_first("source_port", "locport", "src_port", "srcport", conv=int)
+    put_first("source_bytes", "sentbyte", conv=int)
+    put_first("source_domain", "srcdomain")
+    put_first("source_mac", "srcmac")
+    put_first("source_user_name", "unauthuser", "user")
+    sender = g("ff_sender")
+    put_first("source_user_email", "sender", "from")
+    put_first("network_application", "app")
+    put_first("rule_category", "appcat", "catdesc")
+    put_first("rule_ruleset", "applist", "profile")
+    rc = event.get("rule_category")
+    if rc:
+        event["rule_category"] = rc.replace(".", "-")
+    d = take("dir") or take("direction")
+    if d:
+        d = d.lower()
+        event["network_direction"] = \
+            {"outgoing": "outbound", "incoming": "inbound"}.get(d, d)
+    else:
+        si, di = _internal(g("source_ip")), _internal(g("destination_ip"))
+        if si is not None and di is not None:
+            event["network_direction"] = \
+                "internal" if si and di else "outbound" if si \
+                else "inbound" if di else "external"
+    put_first("event_message", "error")
+    put_first("event_code", "errorcode", "logid")
+    put_first("event_id", "event_id", "eventid")
+    put_first("file_name", "filename", "infectedfilename",
+              "matchedfilename")
+    put_first("file_size", "filesize", "infectedfilesize", conv=int)
+    put_first("file_extension", "filetype", "infectedfiletype",
+              "matchedfiletype")
+    ipaddr = take("ipaddr")
+    if ipaddr:
+        event["dns_resolved_ip"] = ipaddr.split(", ")
+    put_first("log_level", "level")
+    put_first("rule_id", "policy_id", "policyid")
+    put_first("dns_question_class", "qclass")
+    put_first("dns_question_name", "qname")
+    put_first("dns_question_type", "qtype")
+    put_first("dns_id", "xid")
+    put_first("tls_server_x509_subject_common_name", "scertcname")
+    put_first("tls_server_issuer", "scertissuer")
+    if event.get("tls_server_issuer"):
+        event["tls_server_x509_issuer_common_name"] = \
+            event["tls_server_issuer"]
+    put_first("tls_client_issuer", "ccertissuer")
+    if event.get("tls_client_issuer"):
+        event["tls_client_x509_issuer_common_name"] = \
+            event["tls_client_issuer"]
+    if sender is not None and event.get("tls_server_issuer") is None:
+        event["tls_server_issuer"] = sender
+    put_first("vulnerability_category", "dtype")
+    put_first("event_reference", "ref")
+    fh = take("filehash")
+    if fh:
+        event["fortinet_file_hash_crc32"] = fh
+        event["related_hash"] = [fh]
+    # common pipeline tail
+    put_first("observer_name", "devname")
+    put_first("observer_serial_number", "devid")
+    put_first("observer_egress_interface_name", "dstintf")
+    put_first("observer_ingress_interface_name", "srcintf")
+    put_first("event_reason", "reason")
+    put_first("message", "msg")
+    put_first("network_iana_number", "proto")
+    tmap = {"1": "icmp", "2": "igmp", "6": "tcp", "17": "udp",
+            "58": "ipv6-icmp"}
+    if g("network_iana_number") in tmap:
+        event["network_transport"] = tmap[event["network_iana_number"]]
+    put_first("source_user_group_name", "group")
+    put_first("network_protocol", "service")
+    if event.get("network_protocol"):
+        event["network_protocol"] = event["network_protocol"].lower()
+    hostname = take("hostname")
+    sip, dip = g("source_ip"), g("destination_ip")
+    if (sip and "." in sip) or (dip and "." in dip):
+        event["network_type"] = "ipv4"
+    if (sip and ":" in sip) or (dip and ":" in dip):
+        event["network_type"] = "ipv6"
+    event["__hostname"] = hostname
+    sb, db = g("source_bytes"), g("destination_bytes")
+    if sb is not None and db is not None:
+        event["network_bytes"] = sb + db
+    rel = list(event.get("dns_resolved_ip") or [])
+    for f in ("source_ip", "destination_ip", "ff_ip", "ff_assignip",
+              "ff_tunnelip"):
+        v = g(f)
+        if v and v not in rel:
+            rel.append(v)
+    if rel:
+        event["related_ip"] = rel
+    users = [u for u in (g("source_user_name"),
+                         g("destination_user_name")) if u]
+    if users:
+        event["related_user"] = users
+    hosts = [h for h in (g("destination_address"), g("source_address"),
+                         g("dns_question_name")) if h]
+    if hosts:
+        event["related_hosts"] = hosts
+    # remaining ff_* fields surface as fortinet.firewall.*
+    for k in list(event.keys()):
+        if k.startswith("ff_") and event[k] is not None:
+            event["fortinet_firewall_" + k[3:]] = event[k]
+            event[k] = None
+    return event
+'''
+    url_fixup = (
+        "def process(event, params):\n"
+        "    if event.get('url_domain') is None and \\\n"
+        "            event.get('__hostname'):\n"
+        "        event['url_domain'] = event['__hostname']\n"
+        "    event['__hostname'] = None\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [
+            r"%{SYSLOG5424PRI}%{GREEDYDATA:syslog5424_sd}$"],
+            "pattern_definitions": {
+                "SYSLOG5424PRI": r"<%{NONNEGINT:syslog5424_pri}>"}}},
+        {"script": {"source": kv_and_time}},
+        {"drop_fields": {"fields": ["message"], "ignore_missing": True}},
+        {"script": {"source": assemble}},
+        {"uri_parts": {"field": "fortinet.firewall.url",
+                       "ignore_missing": True}},
+        {"drop_fields": {"fields": ["fortinet.firewall.url"],
+                         "ignore_missing": True}},
+        {"script": {"source": url_fixup}},
+        {"user_agent": {"field": "fortinet.firewall.agent",
+                        "ignore_missing": True}},
+        {"drop_fields": {"fields": ["fortinet.firewall.agent",
+                                    "syslog5424_sd", "syslog5424_pri"],
+                         "ignore_missing": True}},
+        {"community_id": {}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "fortinet", "event.dataset": "fortinet.firewall",
+            "fileset.name": "firewall", "input.type": "log",
+            "service.type": "fortinet",
+            "observer.vendor": "Fortinet", "observer.product": "Fortigate",
+            "observer.type": "firewall",
+            "tags": ["fortinet-firewall", "forwarded"]}}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(FTNT_UTM + "-expected.json"))
+    assert len(rows) == len(expected)
+    SKIP = ("source.geo", "destination.geo", "source.as", "destination.as",
+            "ecs.version")
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "event.created") or \
+                    key.startswith(SKIP):
+                continue
+            if key in ("@timestamp", "event.start"):
+                want_dt = datetime.fromisoformat(want).astimezone(_tz.utc)
+                ts = got["ts" if key == "@timestamp" else "event_start"]
+                got_dt = ts.replace(tzinfo=_tz.utc)
+                got_dt = got_dt.replace(
+                    microsecond=got_dt.microsecond // 1000 * 1000)
+                assert got_dt == want_dt, (key, got_dt, want_dt)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, list):
+                if not isinstance(got_v, list):
+                    got_v = [got_v] if got_v not in (None, "") else []
+                assert sorted(map(str, got_v)) == sorted(map(str, want)), \
+                    (key, got_v, want)
+                continue
+            assert str(got_v) == str(want), (key, got_v, want)
