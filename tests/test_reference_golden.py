@@ -5881,3 +5881,248 @@ def process(event, params):
                     (key, got_v, want)
                 continue
             assert str(got_v) == str(want), (key, got_v, want)
+
+
+SNYK_AUDIT = ("/root/reference/x-pack/filebeat/module/snyk/audit/test/"
+              "snyk_audit.ndjson.log")
+
+
+@pytest.mark.skipif(not os.path.exists(SNYK_AUDIT + "-expected.json"),
+                    reason="reference not present")
+def test_snyk_audit_module_golden():
+    """snyk/audit (45th module golden): NDJSON -> recursive null drop ->
+    group/org/user/project renames (x-pack/filebeat/module/snyk/audit/
+    ingest/pipeline.yml, whole fixture)."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(SNYK_AUDIT).read().splitlines()
+             if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    transform = (
+        "import json as _json\n"
+        "def _drop(o):\n"
+        "    if isinstance(o, dict):\n"
+        "        return {k: _drop(v) for k, v in o.items() if v is not None}\n"
+        "    if isinstance(o, list):\n"
+        "        return [_drop(v) for v in o if v is not None]\n"
+        "    return o\n"
+        "def process(event, params):\n"
+        "    j = _drop(_json.loads(event['message']))\n"
+        "    event['message'] = None\n"
+        "    ren = {'groupId': ('user_group_id', None),\n"
+        "           'orgId': (None, 'org_id'),\n"
+        "           'projectId': (None, 'project_id'),\n"
+        "           'userId': ('user_id', None),\n"
+        "           'event': ('event_action', None)}\n"
+        "    for k, v in j.items():\n"
+        "        if k == 'created':\n"
+        "            continue\n"
+        "        if k in ren:\n"
+        "            ecs, local = ren[k]\n"
+        "            event[ecs if ecs else 'snyk_audit_' + local] = v\n"
+        "        elif isinstance(v, dict):\n"
+        "            for kk, vv in v.items():\n"
+        "                event[f'snyk_audit_{k}_{kk}'] = vv\n"
+        "        else:\n"
+        "            event['snyk_audit_' + k] = v\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"script": {"source": transform}},
+        {"drop_fields": {"fields": ["message"], "ignore_missing": True}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "snyk", "event.dataset": "snyk.audit",
+            "fileset.name": "audit", "input.type": "log",
+            "service.type": "snyk", "event.timezone": "-02:00",
+            "tags": ["forwarded", "snyk-audit"]}}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(SNYK_AUDIT + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset",):
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, list):
+                if not isinstance(got_v, list):
+                    got_v = [got_v] if got_v not in (None, "") else []
+                assert sorted(map(str, got_v)) == sorted(map(str, want)), \
+                    (key, got_v, want)
+                continue
+            assert str(got_v) == str(want), (key, got_v, want)
+
+
+MYSQLE_AUDIT = ("/root/reference/x-pack/filebeat/module/mysqlenterprise/"
+                "audit/test/mysql_audit_test.log")
+
+
+@pytest.mark.skipif(not os.path.exists(MYSQLE_AUDIT + "-expected.json"),
+                    reason="reference not present")
+def test_mysqlenterprise_audit_module_golden():
+    """mysqlenterprise/audit (46th module golden, all 34 events): JSON
+    array fragments with trailing-comma trim, recursive empty-string drop,
+    status-driven outcome, startup args -> process.* (join/count/
+    executable), CREATE/DROP USER query grok (the reference's Oniguruma
+    quote-backreference pattern restated), connection-attribute pid —
+    x-pack/filebeat/module/mysqlenterprise/audit/ingest/pipeline.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(MYSQLE_AUDIT).read().splitlines()
+             if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    transform = '''
+import json as _json
+import re as _re
+from datetime import datetime
+
+USER_RE = _re.compile(
+    r"(?i)(?:CREATE|DROP)\\s+USER(?:\\s+IF\\s+(?:NOT\\s+)?EXISTS)?\\s+"
+    r"(?:(['\\"`])(?P<qname>(?:(?!\\1).)*)\\1|(?P<uname>[^\\s@;]*))"
+    r"(?:@(?:(['\\"`])(?P<qdom>(?:(?!\\4).)*)\\4|(?P<udom>[^\\s@;]*)))?")
+
+
+def _strip_empty(o):
+    if isinstance(o, dict):
+        return {k: _strip_empty(v) for k, v in o.items()
+                if not (isinstance(v, str) and v == "")}
+    if isinstance(o, list):
+        return [_strip_empty(v) for v in o]
+    return o
+
+
+def process(event, params):
+    raw = event["message"]
+    event["event_original"] = raw
+    if raw.endswith(","):
+        raw = raw[:-1]
+    j = _strip_empty(_json.loads(raw))
+    event["message"] = None
+    event["event_kind"] = "event"
+    ecat = ["database"]
+    if j.get("event") == "connect":
+        ecat.append("network")
+    gd = j.get("general_data") or {}
+    cd = j.get("connection_data") or {}
+    if gd.get("sql_command") in ("create_user", "delete_user", "drop_user",
+                                 "grant", "flush_privileges"):
+        ecat.append("iam")
+    event["event_category"] = ecat
+    etype = []
+    if j.get("class") != "audit":
+        etype += ["access", "connection"]
+    if j.get("event") == "connect":
+        etype.append("start")
+    if j.get("event") == "disconnect":
+        etype.append("end")
+    st = cd.get("status") if cd.get("status") is not None \\
+        else gd.get("status")
+    event["event_outcome"] = "unknown" if st is None else \\
+        "success" if st == 0 else "failure"
+    if j.get("event") is not None:
+        event["event_action"] = "mysql-" + j["event"]
+    acct, login, sd = j.get("account") or {}, j.get("login") or {}, \\
+        j.get("startup_data") or {}
+    if acct.get("user") is not None:
+        event["server_user_name"] = acct.pop("user")
+    if acct.get("host") is not None:
+        event["client_domain"] = acct.pop("host")
+    if login.get("os") is not None:
+        event["client_user_name"] = login.pop("os")
+    if login.get("ip") is not None:
+        event["client_ip"] = login.pop("ip")
+    if sd.get("os_version") is not None:
+        event["host_os_full"] = sd.pop("os_version")
+    if sd.get("mysql_version") is not None:
+        event["service_version"] = sd.pop("mysql_version")
+    if sd.get("server_id") is not None:
+        event["service_id"] = sd.pop("server_id")
+    event["process_name"] = "mysqld"
+    if sd.get("args") is not None:
+        args = sd.pop("args")
+        event["process_args"] = args
+        event["process_command_line"] = " ".join(args)
+        event["process_args_count"] = len(args)
+        if args:
+            event["process_executable"] = args[0]
+    if gd.get("sql_command") in ("create_user", "delete_user", "drop_user"):
+        m = USER_RE.search(gd.get("query") or "")
+        if m:
+            name = m.group("qname") or m.group("uname")
+            dom = m.group("qdom") or m.group("udom")
+            if name:
+                event["user_target_name"] = name
+            if dom:
+                event["user_target_domain"] = dom
+            if event.get("server_user_name"):
+                event["user_name"] = event["server_user_name"]
+        if gd["sql_command"] == "create_user":
+            etype += ["user", "creation"]
+        else:
+            etype += ["user", "deletion"]
+    if etype:
+        event["event_type"] = etype
+    attrs = cd.get("connection_attributes") or {}
+    if attrs.get("_pid") is not None:
+        event["process_pid"] = int(attrs.pop("_pid"))
+    rel_u = []
+    for f in ("server_user_name", "client_user_name", "user_target_name"):
+        v = event.get(f)
+        if v and v not in rel_u:
+            rel_u.append(v)
+    if rel_u:
+        event["related_user"] = rel_u
+    if event.get("client_ip"):
+        event["related_ip"] = [event["client_ip"]]
+    if event.get("client_domain"):
+        event["related_hosts"] = [event["client_domain"]]
+    if j.get("timestamp") is not None:
+        event["ts"] = datetime.strptime(j.pop("timestamp"),
+                                        "%Y-%m-%d %H:%M:%S")
+    j.pop("event", None)
+
+    def emit(prefix, d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                emit(prefix + k + "_", v)
+            else:
+                event[prefix + k] = v
+
+    emit("mysqlenterprise_audit_", j)
+    return event
+'''
+    spec = {"processors": [
+        {"script": {"source": transform}},
+        {"drop_fields": {"fields": ["message"], "ignore_missing": True}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "mysqlenterprise",
+            "event.dataset": "mysqlenterprise.audit",
+            "fileset.name": "audit", "input.type": "log",
+            "service.type": "mysqlenterprise", "event.timezone": "-02:00",
+            "tags": ["mysqlenterprise-audit"]}}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(MYSQLE_AUDIT + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "event.created"):
+                continue
+            if key == "@timestamp":
+                iso = got["ts"].strftime("%Y-%m-%dT%H:%M:%S.") + \
+                    f"{got['ts'].microsecond // 1000:03d}Z"
+                assert iso == want, (iso, want)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, list):
+                if not isinstance(got_v, list):
+                    got_v = [got_v] if got_v not in (None, "") else []
+                assert sorted(map(str, got_v)) == sorted(map(str, want)), \
+                    (key, got_v, want)
+                continue
+            assert str(got_v) == str(want), (key, got_v, want)
