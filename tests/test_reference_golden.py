@@ -6126,3 +6126,143 @@ def process(event, params):
                     (key, got_v, want)
                 continue
             assert str(got_v) == str(want), (key, got_v, want)
+
+
+SNYK_VULNS = ("/root/reference/x-pack/filebeat/module/snyk/vulnerabilities/"
+              "test/snyk_vulns.ndjson.log")
+
+
+@pytest.mark.skipif(not os.path.exists(SNYK_VULNS + "-expected.json"),
+                    reason="reference not present")
+def test_snyk_vulnerabilities_module_golden():
+    """snyk/vulnerabilities (47th module golden): issue->vulnerabilities
+    camelCase renames, CVE/ALTERNATIVE enumeration precedence (an EMPTY
+    CVE list still selects CVE), vulnerability.* ECS mapping, projects
+    foreach name extraction, patches kept verbatim (the reference's
+    foreach rename is a value-templated no-op) — x-pack/filebeat/module/
+    snyk/vulnerabilities/ingest/pipeline.yml."""
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(SNYK_VULNS).read().splitlines()
+             if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    transform = '''
+import json as _json
+
+
+def _drop(o):
+    if isinstance(o, dict):
+        return {k: _drop(v) for k, v in o.items() if v is not None}
+    if isinstance(o, list):
+        return [_drop(v) for v in o if v is not None]
+    return o
+
+
+RENAMES = {"CVSSv3": "cvss3", "disclosureTime": "disclosure_time",
+           "exploitMaturity": "exploit_maturity",
+           "isIgnored": "is_ignored", "isPatchable": "is_patchable",
+           "isPatched": "is_patched", "isPinnable": "is_pinnable",
+           "isUpgradable": "is_upgradable",
+           "priorityScore": "priority_score",
+           "publicationTime": "publication_time",
+           "uniqueSeveritiesList": "unique_severities_list",
+           "packageManager": "package_manager",
+           "jiraIssueUrl": "jira_issue_url",
+           "originalSeverity": "original_severity"}
+
+
+def process(event, params):
+    j = _drop(_json.loads(event["message"]))
+    event["message"] = None
+    event["vulnerability_classification"] = "CVSS"
+    event["vulnerability_category"] = "Github"
+    event["vulnerability_scanner_vendor"] = "Snyk"
+    event["vulnerability_score_version"] = "3.0"
+    v = j.pop("issue", {}) or {}
+    idents = v.get("identifiers") or {}
+    if "CVE" in idents:
+        event["vulnerability_enumeration"] = "CVE"
+        event["vulnerability_id"] = idents.pop("CVE")
+    elif "ALTERNATIVE" in idents:
+        event["vulnerability_enumeration"] = "SNYK"
+        event["vulnerability_id"] = idents.pop("ALTERNATIVE")
+    if v.get("description") is not None:
+        event["vulnerability_description"] = v.pop("description")
+    if v.get("cvssScore") is not None:
+        event["vulnerability_score_base"] = v.pop("cvssScore")
+    if v.get("severity") is not None:
+        event["vulnerability_severity"] = v.pop("severity")
+    if v.get("url") is not None:
+        event["vulnerability_reference"] = v.pop("url")
+    if "ALTERNATIVE" in idents:
+        idents["alternative"] = idents.pop("ALTERNATIVE")
+    if "CWE" in idents:
+        idents["cwe"] = idents.pop("CWE")
+    for old, new in RENAMES.items():
+        if old in v:
+            v[new] = v.pop(old)
+    if j.get("isFixed") is not None:
+        v["is_fixed"] = j.pop("isFixed")
+    if j.get("introducedDate") is not None:
+        v["introduced_date"] = j.pop("introducedDate")
+    projects = j.get("projects")
+    if projects:
+        event["snyk_projects"] = projects
+        names = [p.get("name") for p in projects if p.get("name")]
+        if names:
+            event["snyk_related_projects"] = names
+
+    def emit(prefix, d):
+        for k, val in d.items():
+            if isinstance(val, dict):
+                emit(prefix + k + "_", val)
+            else:
+                event[prefix + k] = val
+
+    emit("snyk_vulnerabilities_", v)
+    return event
+'''
+    spec = {"processors": [
+        {"script": {"source": transform}},
+        {"drop_fields": {"fields": ["message"], "ignore_missing": True}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "snyk", "event.dataset": "snyk.vulnerabilities",
+            "fileset.name": "vulnerabilities", "input.type": "log",
+            "service.type": "snyk", "event.timezone": "-02:00",
+            "tags": ["forwarded", "snyk-vulnerabilities"]}}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(SNYK_VULNS + "-expected.json"))
+    assert len(rows) == len(expected)
+
+    def _n(v):
+        if isinstance(v, list):
+            return sorted((json.dumps(_n(x), sort_keys=True) for x in v))
+        if isinstance(v, dict):
+            return {k: _n(x) for k, x in sorted(v.items()) if x is not None}
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return float(v)
+        return v
+
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset",):
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, list) and want and isinstance(want[0], dict):
+                assert _n(got_v) == _n(want), (key, got_v, want)
+                continue
+            if isinstance(want, list):
+                if not isinstance(got_v, list):
+                    got_v = [got_v] if got_v not in (None, "") else []
+                assert sorted(map(str, got_v)) == sorted(map(str, want)), \
+                    (key, got_v, want)
+                continue
+            if isinstance(want, (int, float)) and \
+                    isinstance(got_v, (int, float)) and \
+                    not isinstance(want, bool):
+                assert float(got_v) == float(want), (key, got_v, want)
+                continue
+            assert str(got_v) == str(want), (key, got_v, want)
