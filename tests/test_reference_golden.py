@@ -6266,3 +6266,194 @@ def process(event, params):
                 assert float(got_v) == float(want), (key, got_v, want)
                 continue
             assert str(got_v) == str(want), (key, got_v, want)
+
+
+CS_AUDIT = ("/root/reference/x-pack/filebeat/module/crowdstrike/falcon/"
+            "test/falcon-audit-events.log")
+
+
+@pytest.mark.skipif(not os.path.exists(CS_AUDIT + "-expected.json"),
+                    reason="reference not present")
+def test_crowdstrike_falcon_audit_module_golden():
+    """crowdstrike/falcon audit events (48th module golden, all 14
+    multiline-JSON events — AuthActivityAudit, UserActivityAudit,
+    RemoteResponseSession start/end): digit-count UNIX vs UNIX_MS date
+    dispatch rendered in place, Success-driven outcome, camelCase->snake
+    OperationName actions, value-blacklist cleanup ('', '-', N/A, NA, 0),
+    per-type sub-pipelines, AuditKeyValues kept verbatim — x-pack/
+    filebeat/module/crowdstrike/falcon/ingest/*.yml."""
+    from beats_ray.pipeline import Pipeline
+    from beats_ray.stages.flow import multiline_join
+    import ray.data as rd
+
+    raw = _terminated_lines(CS_AUDIT)
+    src = pa.table({"conv_id": ["f"] * len(raw),
+                    "turn_idx": pa.array(range(len(raw)), pa.int32()),
+                    "text": raw})
+    joined = multiline_join(rd.from_arrow(src), pattern=r"^\{",
+                            negate=True, match="after",
+                            max_lines=5000).to_pandas() \
+        .sort_values("turn_idx")
+    lines = joined["text"].tolist()
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    transform = '''
+import json as _json
+import re as _re
+from datetime import datetime
+
+CAMEL = _re.compile(r"([a-z0-9])([A-Z])")
+TS_FIELDS = ("ProcessStartTime", "ProcessEndTime", "IncidentStartTime",
+             "IncidentEndTime", "StartTimestamp", "EndTimestamp",
+             "UTCTimestamp")
+
+
+def _render_ts(v):
+    if isinstance(v, str) or not v:
+        return v
+    secs = v / 1000.0 if len(str(int(v))) >= 12 else float(v)
+    dt = datetime.utcfromtimestamp(secs)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S.") + \\
+        f"{dt.microsecond // 1000:03d}Z"
+
+
+def process(event, params):
+    j = _json.loads(event["message"])
+    event["message"] = None
+    meta = j.get("metadata") or {}
+    ev = j.get("event") or {}
+    for f in TS_FIELDS:
+        if f in ev:
+            ev[f] = _render_ts(ev[f])
+    if "eventCreationTime" in meta:
+        meta["eventCreationTime"] = _render_ts(meta["eventCreationTime"])
+    suc = ev.get("Success")
+    event["event_outcome"] = "success" if suc is True else \\
+        "failure" if suc is False else "unknown"
+    if meta.get("eventCreationTime"):
+        event["ts_str"] = meta["eventCreationTime"]
+    name = ev.get("UserName") or ev.get("UserId")
+    if name not in (None, ""):
+        event["user_name"] = str(name)
+        if len(str(name).split("@")) == 2:
+            event["user_email"] = str(name)
+    cl = (ev.get("CommandLine") or "").strip()
+    if cl:
+        args = [a for a in cl.split(" ") if a]
+        event["process_command_line"] = cl
+        event["process_args"] = args
+        event["process_executable"] = args[0]
+    et = meta.get("eventType")
+    if et == "UserActivityAuditEvent":
+        event["event_kind"] = "event"
+        event["event_category"] = ["iam"]
+        event["event_type"] = ["change"]
+        event["event_dataset"] = "crowdstrike.falcon_audit"
+        event["event_action"] = "user_activity_audit_event"
+        if ev.get("OperationName") is not None:
+            event["message"] = str(ev["OperationName"])
+        if ev.get("UserIp") not in (None, ""):
+            event["source_ip"] = ev["UserIp"]
+    elif et == "AuthActivityAuditEvent":
+        event["event_kind"] = "event"
+        event["event_category"] = ["authentication"]
+        event["event_type"] = ["change"]
+        event["event_dataset"] = "crowdstrike.falcon_audit"
+        if ev.get("ServiceName") is not None:
+            event["message"] = str(ev["ServiceName"])
+        if ev.get("UserIp") not in (None, ""):
+            event["source_ip"] = ev["UserIp"]
+        op = ev.get("OperationName")
+        if op:
+            event["event_action"] = CAMEL.sub(r"\\1_\\2", op).lower()
+    elif et in ("RemoteResponseSessionStartEvent",
+                "RemoteResponseSessionEndEvent"):
+        start = et.endswith("StartEvent")
+        event["event_kind"] = "event"
+        event["event_category"] = ["network"]
+        event["event_action"] = ["remote_response_session_start_event"
+                                 if start else
+                                 "remote_response_session_end_event"]
+        event["event_type"] = ["start", "session"] if start \\
+            else ["end", "session"]
+        event["event_dataset"] = "crowdstrike.falcon_audit"
+        event["message"] = "Remote response session started." if start \\
+            else "Remote response session ended."
+        if ev.get("HostnameField") is not None:
+            event["host_name"] = str(ev["HostnameField"])
+    # value-blacklist cleanup
+    ev = {k: v for k, v in ev.items()
+          if v not in (None, "", "-", "N/A", "NA", 0) or v is True}
+    meta = {k: v for k, v in meta.items()
+            if v not in (None, "", "-", "N/A", "NA") or v in (0,)}
+    rel_u = []
+    if event.get("user_name"):
+        rel_u.append(event["user_name"])
+    if rel_u:
+        event["related_user"] = rel_u
+    rel_ip = []
+    for f in ("source_ip", "destination_ip"):
+        v = event.get(f)
+        if v and v not in rel_ip:
+            rel_ip.append(v)
+    if rel_ip:
+        event["related_ip"] = rel_ip
+    if event.get("host_name"):
+        event["related_hosts"] = [event["host_name"]]
+
+    def emit(prefix, d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                emit(prefix + k + "_", v)
+            else:
+                event[prefix + k] = v
+
+    emit("crowdstrike_event_", ev)
+    emit("crowdstrike_metadata_", meta)
+    return event
+'''
+    spec = {"processors": [
+        {"script": {"source": transform}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "crowdstrike", "fileset.name": "falcon",
+            "input.type": "log", "service.type": "crowdstrike",
+            "tags": ["forwarded"]}}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(CS_AUDIT + "-expected.json"))
+    assert len(rows) == len(expected)
+
+    def _n(v):
+        if isinstance(v, list):
+            return sorted((json.dumps(_n(x), sort_keys=True) for x in v))
+        if isinstance(v, dict):
+            return {k: _n(x) for k, x in sorted(v.items()) if x is not None}
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return float(v)
+        return v
+
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "log.flags", "event.original"):
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            # columnar lift: scalar rows of a mixed scalar/list column
+            if isinstance(got_v, list) and len(got_v) == 1 and \
+                    not isinstance(want, list):
+                got_v = got_v[0]
+            if isinstance(want, list) and want and isinstance(want[0], dict):
+                assert _n(got_v) == _n(want), (key, got_v, want)
+                continue
+            if isinstance(want, list):
+                if not isinstance(got_v, list):
+                    got_v = [got_v] if got_v not in (None, "") else []
+                assert sorted(map(str, got_v)) == sorted(map(str, want)), \
+                    (key, got_v, want)
+                continue
+            if isinstance(want, (int, float)) and \
+                    isinstance(got_v, (int, float)) and \
+                    not isinstance(want, bool):
+                assert float(got_v) == float(want), (key, got_v, want)
+                continue
+            assert str(got_v) == str(want), (key, got_v, want)
