@@ -6786,3 +6786,223 @@ def test_cyberarkpas_audit_module_golden():
     assert not failures, "\n".join(failures[:25]) + \
         f"\n... {len(failures)} total"
     assert total_rows >= 70
+
+
+ORACLE_DIR = "/root/reference/x-pack/filebeat/module/oracle/database_audit"
+ORACLE_LOGS = sorted(
+    f for f in (os.listdir(os.path.join(ORACLE_DIR, "test"))
+                if os.path.isdir(os.path.join(ORACLE_DIR, "test")) else [])
+    if f.endswith(".log"))
+
+_ORACLE_SCRIPT = r'''
+import re as _re
+from datetime import datetime
+
+TS_RE = _re.compile(
+    r"^[A-Za-z]{3}\s+[A-Za-z]{3}\s+\d{1,2}\s\d{2}:\d{2}:\d{2}\s\d{4}\s"
+    r"(?P<tz>[+-]\d{2}:\d{2})")
+KV_A = _re.compile(r":\[\d+\](?= ')")
+KV_B = _re.compile(r":\[\d+\](?= \")")
+
+
+def _keyfix(k):
+    return k.strip(" ").lower().replace(" ", "_").replace("$", "_")
+
+
+def process(event, params):
+    text = event["message"]
+    event["message"] = None
+    lines = text.split("\n")
+    header, rest = lines[0], lines[1:]
+    m = TS_RE.match(header)
+    if not m:
+        return None                      # preamble block, not an event
+    event["event_timezone"] = m.group("tz")
+    clock = header.rsplit(" ", 1)[0]
+    ts = datetime.strptime(clock, "%a %b %d %H:%M:%S %Y")
+    off = m.group("tz")
+    mins = int(off[1:3]) * 60 + int(off[4:6])
+    event["ts"] = ts + (1 if off[0] == "-" else -1) * \
+        __import__("datetime").timedelta(minutes=mins)
+    audit = {}
+    body = "\n".join(rest).rstrip()
+    if body.startswith("LENGTH : '"):
+        audit["length"] = body[len("LENGTH : '"):body.index("'", 10)]
+        payload = body[body.index("\n") + 1:] if "\n" in body else ""
+        for chunk in _re.split(r"\n(?=[A-Za-z])", payload):
+            parts = KV_A.split(chunk, maxsplit=1)
+            if len(parts) != 2:
+                continue
+            audit[_keyfix(parts[0])] = parts[1].rstrip().strip(" '")
+    elif body.startswith('LENGTH: "'):
+        audit["length"] = body[len('LENGTH: "'):body.index('"', 9)]
+        payload = body[body.index("\n") + 1:] if "\n" in body else ""
+        payload = _re.sub(r'"\s', '"|', payload)
+        for chunk in payload.split("|"):
+            parts = KV_B.split(chunk, maxsplit=1)
+            if len(parts) != 2:
+                continue
+            audit[_keyfix(parts[0])] = parts[1].rstrip().strip(' "')
+    audit = {k: v for k, v in audit.items() if v != ""}
+    event["event_kind"] = "event"
+    event["event_outcome"] = "success"
+    event["event_type"] = "access"
+    action = audit.get("action")
+    if action is not None:
+        audit["action"] = _re.sub(r"\s{2,}", " ",
+                                  action.replace("\n", ""))
+    eact, ecat = ["database_audit"], ["database"]
+    rc = audit.get("returncode")
+    if action == "100" and rc in ("0", "1017"):
+        ecat.append("authentication")
+    if action == "100" and rc == "1017":
+        eact.append("logon-failed")
+        event["event_outcome"] = "failure"
+    if action == "100" and rc == "0":
+        eact.append("logged-in")
+    if action in ("101", "102"):
+        eact.append("logout")
+        ecat.append("authentication")
+    event["event_action"] = eact[0] if len(eact) == 1 else eact
+    event["event_category"] = ecat[0] if len(ecat) == 1 else ecat
+    if audit.get("privilege") is not None:
+        event["user_roles"] = audit.pop("privilege")
+    if audit.get("client_user") is not None:
+        event["client_user_name"] = audit.pop("client_user")
+    if audit.get("client_address") is not None:
+        event["client_address"] = audit.pop("client_address")
+    if audit.get("userhost") is not None:
+        event["server_address"] = audit.pop("userhost")
+    if audit.get("database_user") is not None:
+        event["server_user_name"] = audit.pop("database_user")
+    if audit.get("length") is not None:
+        audit["length"] = int(audit["length"])
+    for old, new in (("sessionid", "session_id"),
+                     ("client_terminal", "client.terminal"),
+                     ("dbid", "database.id"),
+                     ("entry_id", "entry.id")):
+        if old in audit:
+            audit[new.replace(".", "_")] = audit.pop(old)
+    import ipaddress
+    for side in ("client", "server"):
+        addr = event.get(side + "_address")
+        if addr is None:
+            continue
+        try:
+            ipaddress.ip_address(addr)
+            event[side + "_ip"] = addr
+        except ValueError:
+            event[side + "_domain"] = addr
+    # process.pid from the audit FILENAME (log.file.path grok)
+    m = _re.search(r"(\d+)_\d+\.aud(\.log)?$", params["filename"])
+    if m:
+        event["process_pid"] = m.group(1)
+    rel_u = []
+    for f in ("client_user_name", "server_user_name"):
+        v = event.get(f)
+        if v and v != "/" and v not in rel_u:
+            rel_u.append(v)
+    if rel_u:
+        event["related_user"] = rel_u
+    rel_ip = [v for v in (event.get("client_ip"), event.get("server_ip"))
+              if v]
+    if rel_ip:
+        event["related_ip"] = rel_ip
+    hosts = []
+    for f in ("server_domain", "client_domain"):
+        v = event.get(f)
+        if v and v not in hosts:
+            hosts.append(v)
+    if hosts:
+        event["related_hosts"] = hosts
+    for k, v in audit.items():
+        event["oracle_database_audit_" + k] = v
+    return event
+'''
+
+
+@pytest.mark.skipif(not ORACLE_LOGS, reason="reference not present")
+def test_oracle_database_audit_module_golden(ray_session):
+    """oracle/database_audit (50th module golden): ONE generic pipeline
+    over ALL 20 reference fixtures (374 events) — timestamp-anchored
+    multiline with preamble drop, BOTH audit formats (single-quoted
+    block KV with lookahead value split + SQL continuation lines, and the
+    double-quoted one-line variant via the quote-space gsub), $/space key
+    normalization, action-number auth classification, filename-derived
+    process.pid — x-pack/filebeat/module/oracle/database_audit/ingest/
+    pipeline.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+    from beats_ray.stages.flow import multiline_join
+    import ray.data as rd
+
+    ml_pattern = (r"^[A-Za-z]{3}\s+[A-Za-z]{3}\s+[0-9]{1,2}\s[0-9]{2}:"
+                  r"[0-9]{2}:[0-9]{2}\s[0-9]{4}\s\S[0-9]{2}:[0-9]{2}")
+    total_rows, failures = 0, []
+    for logname in ORACLE_LOGS:
+        path = os.path.join(ORACLE_DIR, "test", logname)
+        if not os.path.exists(path + "-expected.json"):
+            continue
+        raw = [ln for ln in _terminated_lines(path)
+               if not ln.startswith("Audit file")]   # exclude_lines
+        src = pa.table({"conv_id": ["f"] * len(raw),
+                        "turn_idx": pa.array(range(len(raw)), pa.int32()),
+                        "text": raw})
+        joined = multiline_join(rd.from_arrow(src), pattern=ml_pattern,
+                                negate=True, match="after").to_pandas() \
+            .sort_values("turn_idx")
+        lines = joined["text"].tolist()
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)),
+                                              pa.int64())})
+        spec = {"processors": [
+            {"script": {"source": _ORACLE_SCRIPT,
+                        "params": {"filename": logname}}},
+            {"add_fields": {"target": "", "fields": {
+                "event.module": "oracle",
+                "event.dataset": "oracle.database_audit",
+                "fileset.name": "database_audit", "input.type": "log",
+                "service.type": "oracle",
+                "tags": ["oracle-database-audit"]}}},
+        ]}
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(path + "-expected.json"))
+        # the reference harness truncates goldens at 100 events
+        if len(rows) < len(expected):
+            failures.append(f"{logname}: rows {len(rows)} < "
+                            f"{len(expected)}")
+            continue
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "log.flags", "event.created") or \
+                        key.startswith(("source.geo", "client.geo",
+                                        "server.geo", "source.as",
+                                        "client.as", "server.as")):
+                    continue
+                try:
+                    if key == "@timestamp":
+                        want_dt = datetime.fromisoformat(
+                            want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                        got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                        assert got_dt == want_dt, (got_dt, want_dt)
+                        continue
+                    got_v = got.get(key.replace(".", "_"))
+                    if isinstance(got_v, list) and len(got_v) == 1 and \
+                            not isinstance(want, list):
+                        got_v = got_v[0]
+                    if isinstance(want, list):
+                        if not isinstance(got_v, list):
+                            got_v = [got_v] if got_v not in (None, "") \
+                                else []
+                        assert sorted(map(str, got_v)) == \
+                            sorted(map(str, want)), (got_v, want)
+                        continue
+                    assert str(got_v) == str(want), (got_v, want)
+                except AssertionError as e:
+                    failures.append(f"{logname}: {key}: {e}")
+            total_rows += 1
+    assert not failures, "\n".join(failures[:20]) + \
+        f"\n... {len(failures)} total"
+    assert total_rows >= 370
