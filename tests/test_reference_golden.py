@@ -7006,3 +7006,191 @@ def test_oracle_database_audit_module_golden(ray_session):
     assert not failures, "\n".join(failures[:20]) + \
         f"\n... {len(failures)} total"
     assert total_rows >= 370
+
+
+ZOOM_MEETING = ("/root/reference/x-pack/filebeat/module/zoom/webhook/test/"
+                "meeting.ndjson.log")
+
+
+@pytest.mark.skipif(not os.path.exists(ZOOM_MEETING + "-expected.json"),
+                    reason="reference not present")
+def test_zoom_meeting_module_golden():
+    """zoom/webhook meeting (51st module golden, all 15 events): payload
+    lift (zoom.payload -> zoom, object -> meeting, participant/settings/
+    registrant split), operator/participant/host user precedence,
+    per-action event.type map, join_url -> url.* via uri_parts,
+    minutes -> ns duration, per-action @timestamp/event.start overrides —
+    x-pack/filebeat/module/zoom/webhook/ingest/pipeline.yml +
+    ingest/meeting.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    lines = [ln for ln in open(ZOOM_MEETING).read().splitlines()
+             if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    transform = r'''
+import json as _json
+from datetime import datetime
+
+TYPE_MAP = [
+    ("info", lambda a: a != "meeting.alert"),
+    ("error", lambda a: a == "meeting.alert"),
+    ("allowed", lambda a: a == "meeting.registration_approved"),
+    ("creation", lambda a: a in ("meeting.registration_created",
+                                 "meeting.created")),
+    ("deletion", lambda a: a == "meeting.deleted"),
+    ("change", lambda a: a == "meeting.updated"),
+    ("start", lambda a: a in ("meeting.started",
+                              "meeting.sharing_started")),
+    ("end", lambda a: a in ("meeting.ended", "meeting.sharing_ended")),
+]
+
+
+def _iso(v):
+    return datetime.strptime(v.replace("Z", "+0000"),
+                             "%Y-%m-%dT%H:%M:%S%z").replace(tzinfo=None)
+
+
+def process(event, params):
+    j = _json.loads(event["message"])
+    event["message"] = None
+    event["event_kind"] = ["event"]
+    action = j.get("event")
+    event["event_action"] = action
+    zoom = j.get("payload") or {}
+    obj = zoom.pop("object", None) or {}
+    participant = obj.pop("participant", None)
+    settings = obj.pop("settings", None)
+    registrant = obj.pop("registrant", None)
+    old_values = zoom.pop("old_object", None)
+    if zoom.get("operator_id") is not None:
+        event["related_user"] = [zoom["operator_id"]]
+        event["user_id"] = zoom["operator_id"]
+        if zoom.get("operator"):
+            event["user_email"] = zoom["operator"]
+    for drop in ("occurrences", "recurrence", "managed_domains",
+                 "recording_files", "call_logs"):
+        obj.pop(drop, None)
+    # meeting.yml
+    event["event_type"] = [t for t, cond in TYPE_MAP if cond(action)]
+    meeting = obj
+    url = meeting.pop("join_url", None)
+    if url is None and registrant:
+        url = registrant.pop("join_url", None)
+    if url is not None:
+        event["url_original"] = url
+        event["url_full"] = url
+    if participant:
+        event["user_id"] = None
+        event["user_email"] = None
+        if participant.get("id"):
+            event["user_id"] = participant["id"]
+        if participant.get("user_name"):
+            event["user_full_name"] = participant["user_name"]
+    if not event.get("user_id") and meeting.get("host_id"):
+        event["user_id"] = meeting["host_id"]
+    rel = list(event.get("related_user") or [])
+    if participant and participant.get("id") and \
+            participant["id"] not in rel:
+        rel.append(participant["id"])
+    if meeting.get("host_id") and meeting["host_id"] not in rel:
+        rel.append(meeting["host_id"])
+    if rel:
+        event["related_user"] = rel
+    if action == "meeting.started" and meeting.get("start_time"):
+        event["event_start"] = _iso(meeting.pop("start_time"))
+    ts_src = None
+    if action == "meeting.sharing_started":
+        ts_src = (participant or {}).get("sharing_details", {}) \
+            .pop("date_time", None)
+    elif action in ("meeting.participant_put_in_waiting_room",
+                    "meeting.participant_joined_waiting_room",
+                    "meeting.participant_left_waiting_room"):
+        ts_src = (participant or {}).pop("date_time", None)
+    elif action == "meeting.participant_joined":
+        ts_src = (participant or {}).pop("join_time", None)
+    elif action == "meeting.participant_left":
+        ts_src = (participant or {}).pop("leave_time", None)
+    elif action == "meeting.updated":
+        ts_src = zoom.pop("time_stamp", None)
+    if ts_src:
+        try:
+            # ISO_INSTANT only; the reference's date ignore_failure skips
+            # epoch-ms time_stamps (field still removed above)
+            event["ts"] = _iso(ts_src)
+        except (TypeError, AttributeError, ValueError):
+            pass
+    if meeting.get("duration") is not None:
+        event["event_duration"] = \
+            meeting.pop("duration") * 60 * 1000000000
+
+    def emit(prefix, d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                emit(prefix + k + "_", v)
+            else:
+                event[prefix + k] = v
+
+    if meeting.get("id") is not None:
+        meeting["id"] = str(meeting["id"])   # int in some events, str in
+        # others — one Arrow column needs one type; goldens compare as str
+    emit("zoom_meeting_", meeting)
+    emit("zoom_", {k: v for k, v in zoom.items() if not isinstance(v, dict)
+                   or k})
+    if participant:
+        emit("zoom_participant_", participant)
+    if settings:
+        emit("zoom_settings_", settings)
+    if registrant:
+        emit("zoom_registrant_", registrant)
+    if old_values:
+        for drop in ("occurrences", "recurrence", "managed_domains",
+                     "recording_files", "call_logs"):
+            old_values.pop(drop, None)
+        emit("zoom_old_values_", old_values)
+    return event
+'''
+    spec = {"processors": [
+        {"script": {"source": transform}},
+        {"uri_parts": {"field": "url.original", "keep_original": False,
+                       "ignore_missing": True}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "zoom", "event.dataset": "zoom.webhook",
+            "fileset.name": "webhook", "input.type": "log",
+            "service.type": "zoom", "event.timezone": "-02:00",
+            "observer.vendor": "Zoom", "observer.product": "Webhook",
+            "tags": ["forwarded", "zoom-webhook"]}}},
+    ]}
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(ZOOM_MEETING + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "event.created"):
+                continue
+            if key in ("@timestamp", "event.start"):
+                want_dt = datetime.fromisoformat(
+                    want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                ts = got["ts" if key == "@timestamp" else "event_start"]
+                got_dt = ts.replace(tzinfo=_tz.utc)
+                assert got_dt == want_dt, (key, got_dt, want_dt)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(got_v, list) and len(got_v) == 1 and \
+                    not isinstance(want, list):
+                got_v = got_v[0]
+            if isinstance(want, list):
+                if not isinstance(got_v, list):
+                    got_v = [got_v] if got_v not in (None, "") else []
+                assert sorted(map(str, got_v)) == sorted(map(str, want)), \
+                    (key, got_v, want)
+                continue
+            if isinstance(want, (int, float)) and \
+                    isinstance(got_v, (int, float)) and \
+                    not isinstance(want, bool):
+                assert float(got_v) == float(want), (key, got_v, want)
+                continue
+            assert str(got_v) == str(want), (key, got_v, want)
