@@ -92,6 +92,19 @@ class TimestampStage(Stage):
         self.layouts = list(self.config.get("layouts", []))
         self.ignore_missing = bool(self.config.get("ignore_missing", False))
         self.ignore_failure = bool(self.config.get("ignore_failure", False))
+        # fixed-offset timezone for NAIVE layouts ("-02:00" / "+0530"):
+        # the reference timestamp/date processors interpret offset-less
+        # values in this zone (timestamp/config.go Timezone; ES date
+        # `timezone`).  Layouts with %z carry their own offset.
+        tz = str(self.config.get("timezone", "UTC") or "UTC")
+        self.tz_shift_us = 0
+        if tz not in ("UTC", "Etc/UTC", ""):
+            m = re.fullmatch(r"([+-])(\d{2}):?(\d{2})", tz)
+            if m:
+                mins = int(m.group(2)) * 60 + int(m.group(3))
+                off = mins if m.group(1) == "+" else -mins
+                # local -> UTC: subtract the offset
+                self.tz_shift_us = -off * 60 * 1_000_000
 
     def input_columns(self):
         return [field_to_column(self.field)]
@@ -176,6 +189,9 @@ class TimestampStage(Stage):
                     # %z layouts parse to tz-aware UTC; normalize to the
                     # engine's tz-naive-UTC convention (same instant)
                     parsed = pc.cast(parsed, pa.timestamp("us"))
+                elif self.tz_shift_us:
+                    parsed = pc.add(parsed, pa.scalar(
+                        self.tz_shift_us, pa.duration("us")))
                 if "%Y" not in layout and "%y" not in layout:
                     # zero-year rule: strptime defaults to 1900; shift to pinned year
                     shift = (self.PINNED_YEAR - 1900)

@@ -7194,3 +7194,301 @@ def process(event, params):
                 assert float(got_v) == float(want), (key, got_v, want)
                 continue
             assert str(got_v) == str(want), (key, got_v, want)
+
+
+ES_AUDIT_DIR = "/root/reference/filebeat/module/elasticsearch/audit/test"
+
+_ES_AUDIT_JSON_SCRIPT = r'''
+import json as _json
+from datetime import datetime, timedelta
+
+SUCCESS = ("authentication_success", "access_granted", "run_as_granted",
+           "connection_granted")
+
+
+def _expand(d):
+    out = {}
+    for k, v in d.items():
+        cur = out
+        parts = k.split(".")
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = _expand(v) if isinstance(v, dict) else v
+    return out
+
+
+def _parse_ts(v, assume_tz):
+    v = v.replace(",", ".")
+    fmt = "%Y-%m-%dT%H:%M:%S.%f%z" if ("+" in v[10:] or "-" in v[10:]) \
+        else "%Y-%m-%dT%H:%M:%S.%f"
+    dt = datetime.strptime(v, fmt)
+    if dt.tzinfo is None:
+        return dt + timedelta(hours=2) if assume_tz else dt
+    return dt.replace(tzinfo=None) - dt.utcoffset()
+
+
+def process(event, params):
+    audit = _expand(_json.loads(event["message"]))
+    typ = audit.pop("type", None)
+    if typ is not None and typ != "audit":
+        return None                     # drop processor
+    if typ is None and (audit.get("event") or {}).get("type") not in (
+            "rest", "transport", "ip_filter", "security_config_change"):
+        return None
+    tz_kept = True
+    if audit.get("@timestamp") is not None:
+        event["ts"] = _parse_ts(audit.pop("@timestamp"), True)
+    else:
+        tz_kept = False                 # remove event.timezone
+        if audit.get("timestamp") is not None:
+            event["ts"] = _parse_ts(audit.pop("timestamp"), False)
+    if tz_kept:
+        event["event_timezone"] = "-02:00"
+    ev = audit.pop("event", {}) or {}
+    action = ev.get("action")
+    if action is not None:
+        event["event_action"] = action
+    if ev.get("type") is not None:
+        audit["layer"] = ev["type"]
+    origin = audit.get("origin") or {}
+    addr = origin.pop("address", None)
+    if addr is not None:
+        event["source_address"] = addr
+        import re as _re
+        m = _re.match(r"^\[?([^\]]+?)\]?:(\d+)$", addr)
+        if m:
+            event["source_ip"] = m.group(1)
+            event["source_port"] = int(m.group(2))
+    url = audit.pop("url", None) or {}
+    if url.get("path") is not None:
+        event["url_original"] = url["path"] + \
+            ("?" + url["query"] if url.get("query") else "")
+    node = audit.pop("node", None) or {}
+    user = audit.get("user") or {}
+    for grp, tgt in (("disable", "user_name"), ("enable", "user_name")):
+        v = ((audit.get("change") or {}).get(grp) or {}) \
+            .get("user", {}).get("name")
+        if v is not None:
+            event[tgt] = v
+    for grp in ("delete", "put"):
+        u = (audit.get(grp) or {}).get("user") or {}
+        if u.get("name") is not None:
+            event["user_name"] = u["name"]
+        if grp == "put":
+            if u.get("full_name") is not None:
+                event["user_full_name"] = u["full_name"]
+            if u.get("email") is not None:
+                event["user_email"] = u["email"]
+    audit.pop("put", None)
+    inv = ((audit.get("invalidate") or {}).get("apikeys") or {}) \
+        .get("user") or {}
+    if inv.get("name") is not None:
+        event["user_name"] = inv["name"]
+        if inv.get("realm") is not None:
+            audit.setdefault("user", {})["realm"] = inv["realm"]
+        (audit["invalidate"]["apikeys"]).pop("user", None)
+    run_as = user.pop("run_as", None) or {}
+    if run_as.get("name") is not None:
+        event["user_effective_name"] = str(run_as["name"])
+        user["run_as"] = run_as
+    if user.get("name") is not None:
+        event["user_name"] = user.pop("name")
+    req = audit.get("request") or {}
+    if req.get("method") is not None:
+        event["http_request_method"] = req.pop("method")
+    if req.get("body") is not None:
+        event["http_request_body_content"] = req.pop("body")
+    if req.get("id") is not None:
+        event["http_request_id"] = req["id"]
+    cluster = audit.pop("cluster", None) or {}
+    if audit.get("level") is not None:
+        event["log_level"] = audit.pop("level")
+    trace = audit.pop("trace", None) or {}
+    if trace.get("id") is not None:
+        event["trace_id"] = trace["id"]
+    event["event_kind"] = "event"
+    event["event_category"] = "database"
+    if audit.get("event_type") is not None:
+        event["event_type"] = "access"
+    event["event_outcome"] = "success" if action in SUCCESS else "failure"
+    if node.get("id") is not None:
+        event["host_id"] = node["id"]
+    if node.get("name") is not None:
+        event["host_name"] = node["name"]
+    # the reference appends WITHOUT allow_duplicates — a run_as user equal
+    # to user.name appears twice
+    rel = [event[f] for f in ("user_name", "user_effective_name")
+           if event.get(f)]
+    if rel:
+        event["related_user"] = rel
+
+    def emit(prefix, d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                emit(prefix + k + "_", v)
+            else:
+                event[prefix + k] = v
+
+    emit("elasticsearch_audit_", audit)
+    emit("elasticsearch_node_", node)
+    emit("elasticsearch_cluster_", cluster)
+    return event
+'''
+
+
+@pytest.mark.skipif(not os.path.isdir(ES_AUDIT_DIR),
+                    reason="reference not present")
+def test_elasticsearch_audit_module_golden():
+    """elasticsearch/audit (52nd module golden): ALL 8 fixtures — 7 JSON
+    log-format generations (6.x @timestamp-comma-millis + harness
+    timezone, 7.x/8.x offset timestamps with event.timezone removal,
+    security_config_change put/delete/invalidate user renames, type-based
+    drop rules, run_as -> user.effective) plus the plaintext 6.2 format
+    through the module's optional-group grok with roles/indices splits —
+    filebeat/module/elasticsearch/audit/ingest/pipeline{,-json,
+    -plaintext}.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    plain_sub = (
+        "def process(event, params):\n"
+        "    for f in ('elasticsearch_audit_user_roles',\n"
+        "              'elasticsearch_audit_indices'):\n"
+        "        if event.get(f):\n"
+        "            event[f] = event[f].split(',')\n"
+        "    sub = event.get('elasticsearch_audit_sub_action')\n"
+        "    if sub:\n"
+        "        event['elasticsearch_audit_action'] += '[' + sub + ']'\n"
+        "    event['elasticsearch_audit_sub_action'] = None\n"
+        "    # the reference's outcome script re-checks ctx.event.action\n"
+        "    # (null on the plaintext path) and overrides -> always failure\n"
+        "    event['event_outcome'] = 'failure'\n"
+        "    event['event_kind'] = 'event'\n"
+        "    event['event_category'] = 'database'\n"
+        "    if event.get('elasticsearch_audit_event_type'):\n"
+        "        event['event_type'] = 'access'\n"
+        "    nm = event.get('elasticsearch_node_name')\n"
+        "    if nm:\n"
+        "        event['host_name'] = nm\n"
+        "    if event.get('user_name'):\n"
+        "        event['related_user'] = [event['user_name']]\n"
+        "    return event\n")
+    defs = {
+        "ES_TIMESTAMP":
+            r"\[%{TIMESTAMP_ISO8601:elasticsearch.audit.tstr}\]",
+        "ES_NODE_NAME": r"(\[%{DATA:elasticsearch.node.name}\])?",
+        "ES_AUDIT_LAYER": r"\[%{WORD:elasticsearch.audit.layer}\]",
+        "ES_AUDIT_EVENT_TYPE":
+            r"\[%{WORD:elasticsearch.audit.event_type}\]",
+        "ES_AUDIT_ORIGIN_TYPE":
+            r"(origin_type\=\[%{WORD:elasticsearch.audit.origin.type}\])?",
+        "ES_AUDIT_ORIGIN_ADDRESS":
+            r"(origin_address\=\[%{IPORHOST:source.ip}\])?",
+        "ES_AUDIT_PRINCIPAL": r"(principal\=\[%{DATA:user.name}\])?",
+        "ES_AUDIT_REALM":
+            r"(realm\=\[%{WORD:elasticsearch.audit.realm}\])?",
+        "ES_AUDIT_ROLES":
+            r"(roles\=\[%{DATA:elasticsearch.audit.user.roles}\])?",
+        "ES_AUDIT_ACTION":
+            r"(action\=\[%{DATA:elasticsearch.audit.action}"
+            r"(\[%{DATA:elasticsearch.audit.sub_action}\])?\])?",
+        "ES_AUDIT_URI": r"(uri=\[%{DATA:url.original}\])?",
+        "ES_AUDIT_URI_PARAMS":
+            r"(params=\[%{DATA:elasticsearch.audit.url.params}\])?",
+        "ES_AUDIT_INDICES":
+            r"(indices\=\[%{DATA:elasticsearch.audit.indices}\])?",
+        "ES_AUDIT_REQUEST":
+            r"(request\=\[%{WORD:elasticsearch.audit.request.name}\])?",
+        "ES_AUDIT_REQUEST_BODY":
+            r"(request_body\=\[%{DATA:http.request.body.content}\])?",
+    }
+    plain_spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [
+            r"%{ES_TIMESTAMP}\s*%{ES_NODE_NAME}\s*%{ES_AUDIT_LAYER}\s*"
+            r"%{ES_AUDIT_EVENT_TYPE}\s*%{ES_AUDIT_ORIGIN_TYPE},?\s*"
+            r"%{ES_AUDIT_ORIGIN_ADDRESS},?\s*%{ES_AUDIT_PRINCIPAL},?\s*"
+            r"%{ES_AUDIT_REALM},?\s*%{ES_AUDIT_ROLES},?\s*"
+            r"%{ES_AUDIT_ACTION},?\s*%{ES_AUDIT_INDICES},?\s*"
+            r"%{ES_AUDIT_URI},?\s*%{ES_AUDIT_URI_PARAMS},?\s*"
+            r"%{ES_AUDIT_REQUEST},?\s*%{ES_AUDIT_REQUEST_BODY}$"],
+            "pattern_definitions": defs}},
+        {"timestamp": {"field": "elasticsearch.audit.tstr",
+                       "layouts": ["%Y-%m-%dT%H:%M:%S,%f"],
+                       "timezone": "-02:00",
+                       "target_field": "@timestamp"}},
+        {"drop_fields": {"fields": ["elasticsearch.audit.tstr"],
+                         "ignore_missing": True}},
+        {"script": {"source": plain_sub}},
+        {"detect_mime_type": {"field": "http.request.body.content",
+                              "target": "http.request.mime_type"}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "elasticsearch",
+            "event.dataset": "elasticsearch.audit",
+            "fileset.name": "audit", "input.type": "log",
+            "service.type": "elasticsearch", "event.timezone": "-02:00"}}},
+    ]}
+    json_spec = {"processors": [
+        {"script": {"source": _ES_AUDIT_JSON_SCRIPT}},
+        {"detect_mime_type": {"field": "http.request.body.content",
+                              "target": "http.request.mime_type"}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "elasticsearch",
+            "event.dataset": "elasticsearch.audit",
+            "fileset.name": "audit", "input.type": "log",
+            "service.type": "elasticsearch"}}},
+    ]}
+    total, failures = 0, []
+    for logname in sorted(os.listdir(ES_AUDIT_DIR)):
+        if not logname.endswith(".log"):
+            continue
+        path = os.path.join(ES_AUDIT_DIR, logname)
+        if not os.path.exists(path + "-expected.json"):
+            continue
+        lines = [ln for ln in open(path).read().splitlines() if ln.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)),
+                                              pa.int64())})
+        spec = json_spec if lines[0].lstrip().startswith("{") \
+            else plain_spec
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(path + "-expected.json"))
+        if len(rows) != len(expected):
+            failures.append(f"{logname}: rows {len(rows)} != "
+                            f"{len(expected)}")
+            continue
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "event.created", "message"):
+                    continue
+                try:
+                    if key == "@timestamp":
+                        want_dt = datetime.fromisoformat(
+                            want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                        got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                        assert got_dt == want_dt, (got_dt, want_dt)
+                        continue
+                    got_v = got.get(key.replace(".", "_"))
+                    if isinstance(got_v, list) and len(got_v) == 1 and \
+                            not isinstance(want, list):
+                        got_v = got_v[0]
+                    if isinstance(want, list):
+                        if not isinstance(got_v, list):
+                            got_v = [got_v] if got_v not in (None, "") \
+                                else []
+                        assert sorted(map(str, got_v)) == \
+                            sorted(map(str, want)), (got_v, want)
+                        continue
+                    if isinstance(want, (int, float)) and \
+                            isinstance(got_v, (int, float)) and \
+                            not isinstance(want, bool):
+                        assert float(got_v) == float(want), (got_v, want)
+                        continue
+                    assert str(got_v) == str(want), (got_v, want)
+                except AssertionError as e:
+                    failures.append(f"{logname}: {key}: {e}")
+            total += 1
+    assert not failures, "\n".join(failures[:20]) + \
+        f"\n... {len(failures)} total"
+    assert total >= 40
