@@ -7492,3 +7492,333 @@ def test_elasticsearch_audit_module_golden():
     assert not failures, "\n".join(failures[:20]) + \
         f"\n... {len(failures)} total"
     assert total >= 40
+
+
+ES_SLOWLOG_DIR = "/root/reference/filebeat/module/elasticsearch/slowlog/test"
+
+_ES_SLOWLOG_SCRIPT = r'''
+import json as _json
+import re as _re
+from datetime import datetime, timedelta
+
+TAIL = (
+    r"(?:\[(?P<index_name>[a-zA-Z0-9_.-]*)\]\[(?P<shard_id>\d+)\])?\s*"
+    r"(?:\[(?P<index_name2>[a-zA-Z0-9_.-]*)/(?P<index_id>.*?)\])?\s*"
+    r"(?:took\[(?P<took>.*?)\],)?\s*"
+    r"(?:took_millis\[(?P<took_millis>[+-]?\d+(?:\.\d+)?)\],)?\s*"
+    r"(?:type\[(?P<type>.*?)\],)?\s*"
+    r"(?:id\[(?P<id>.*?)\],)?\s*"
+    r"(?:routing\[(?P<routing>.*?)\],)?\s*"
+    r"(?:total_hits\[(?P<total_hits>[+-]?\d+(?:\.\d+)?)\],)?\s*"
+    r"(?:types\[(?P<types>.*?)\],)?\s*"
+    r"(?:stats\[(?P<stats>.*?)\],)?\s*"
+    r"(?:search_type\[(?P<search_type>.*?)\],)?\s*"
+    r"(?:total_shards\[(?P<total_shards>[+-]?\d+(?:\.\d+)?)\],)?\s*"
+    r"(?:source\[(?P<source_query>(?:.|\n)*)\])?,?\s*"
+    r"(?:extra_source\[(?P<extra_source>.*?)\])?,?")
+PLAIN = _re.compile(
+    r"^\[(?P<ts>[^\]]+)\]\[(?P<level>\w+)\s*\]"
+    r"\[(?P<logger>.*?)\]\s*\[(?P<node_name>.*?)\]\s*" + TAIL)
+MSG = _re.compile("^" + TAIL)
+SHORT = _re.compile(r"^\[(?P<index_name>[a-zA-Z0-9_.-]*)\]"
+                    r"\[(?P<shard_id>\d+)\]")
+
+
+def _expand(d):
+    out = {}
+    for k, v in d.items():
+        cur = out
+        parts = k.split(".")
+        for p in parts[:-1]:
+            nxt = cur.setdefault(p, {})
+            if not isinstance(nxt, dict):
+                nxt = cur[p] = {}
+            cur = nxt
+        cur[parts[-1]] = _expand(v) if isinstance(v, dict) else v
+    return out
+
+
+def _ts(v, local):
+    v = v.replace(",", ".")
+    try:
+        if "+" in v[10:] or ("-" in v[10:]) or v.endswith("Z"):
+            dt = datetime.strptime(v.replace("Z", "+0000"),
+                                   "%Y-%m-%dT%H:%M:%S.%f%z")
+            return dt.replace(tzinfo=None) - dt.utcoffset()
+        dt = datetime.strptime(v, "%Y-%m-%dT%H:%M:%S.%f")
+        return dt + timedelta(hours=2) if local else dt
+    except ValueError:
+        return None
+
+
+def _groked(slow, m, event):
+    g = {k: v for k, v in m.groupdict().items() if v is not None}
+    if g.get("index_name") or g.get("index_name2"):
+        event["elasticsearch_index_name"] = \
+            g.get("index_name") or g.get("index_name2")
+    if g.get("shard_id") is not None:
+        event["elasticsearch_shard_id"] = g["shard_id"]
+    if g.get("index_id") is not None:
+        event["elasticsearch_index_id"] = g["index_id"]
+    for f in ("took", "type", "id", "routing", "types", "stats",
+              "search_type", "source_query", "extra_source"):
+        if g.get(f) is not None:
+            slow[f] = g[f]
+    if g.get("took_millis") is not None:
+        slow["duration"] = int(g["took_millis"])
+    if g.get("total_hits") is not None:
+        slow["total_hits"] = int(g["total_hits"])
+    if g.get("total_shards") is not None:
+        slow["total_shards"] = int(g["total_shards"])
+
+
+def process(event, params):
+    line = event["message"]
+    slow = {}
+    node = {}
+    event["event_dataset"] = "elasticsearch.slowlog"
+    if not line.startswith("{"):
+        m = PLAIN.match(line)
+        if not m:
+            return None
+        event["event_timezone"] = "-02:00"
+        event["log_level"] = m.group("level")
+        slow["logger"] = m.group("logger")
+        node["name"] = m.group("node_name")
+        _groked(slow, m, event)
+        if slow.get("stats") and slow["stats"] != "":
+            slow["stats"] = slow["stats"].split(",")
+        event["ts"] = _ts(m.group("ts"), True)
+    elif "ecs.version" in line:
+        # 8.x ECS JSON: add_to_root + dot_expander
+        j = _expand(_json.loads(line))
+        ds = (j.get("event") or {}).get("dataset")
+        if ds not in ("elasticsearch.slowlog",
+                      "elasticsearch.index_indexing_slowlog",
+                      "elasticsearch.index_search_slowlog"):
+            return None
+        event["event_dataset"] = ds
+        for path, col in (
+                (("ecs", "version"), "ecs_version"),
+                (("service", "name"), "service_name"),
+                (("log", "level"), "log_level"),
+                (("log", "logger"), "log_logger"),
+                (("process", "thread", "name"), "process_thread_name"),
+                (("elasticsearch", "cluster", "name"),
+                 "elasticsearch_cluster_name"),
+                (("elasticsearch", "cluster", "uuid"),
+                 "elasticsearch_cluster_uuid"),
+                (("elasticsearch", "node", "name"),
+                 "elasticsearch_node_name"),
+                (("elasticsearch", "node", "id"),
+                 "elasticsearch_node_id"),
+                (("trace", "id"), "trace_id")):
+            cur = j
+            for p in path:
+                cur = (cur or {}).get(p)
+            if cur is not None:
+                event[col] = cur
+        node = (j.get("elasticsearch") or {}).get("node") or {}
+        slow = (j.get("elasticsearch") or {}).get("slowlog") or {}
+        # pipeline-json.yml post-renames apply to 8.x docs too
+        if ((j.get("auth") or {}).get("type")) is not None:
+            event["elasticsearch_slowlog_auth_type"] = j["auth"]["type"]
+        u = j.get("user") or {}
+        if u.get("name") is not None:
+            event["user_name"] = u["name"]
+        if u.get("realm") is not None:
+            event["elasticsearch_slowlog_user_realm"] = u["realm"]
+        if (u.get("effective") or {}).get("realm") is not None:
+            event["elasticsearch_slowlog_user_effective_realm"] =                 u["effective"]["realm"]
+        ak = j.get("apikey") or {}
+        if ak.get("id") is not None:
+            event["elasticsearch_slowlog_user_apikey_id"] = ak["id"]
+        if ak.get("name") is not None:
+            event["elasticsearch_slowlog_user_apikey_name"] = ak["name"]
+        if slow.get("took_millis") is not None:
+            slow["duration"] = float(slow.pop("took_millis"))
+        msg = slow.pop("message", None)
+        if msg is not None:
+            m = MSG.match(msg) or SHORT.match(msg)
+            if m:
+                _groked(slow, m, event)
+            event["message"] = msg        # 8.x: message <- slowlog.message
+        ts = (j.get("@timestamp") or None)
+        if ts:
+            event["ts"] = _ts(ts, False)
+    else:
+        # 6.x/7.x JSON: target slowlog + explicit renames
+        j = _expand(_json.loads(line))
+        typ = j.pop("type", None)
+        if typ not in ("index_indexing_slowlog", "index_search_slowlog"):
+            return None
+        for src, col in (
+                (("service", "name"), "service_name"),
+                (("level",), "log_level"),
+                (("log", "level"), "log_level"),
+                (("log", "logger"), "log_logger"),
+                (("logger",), "log_logger"),
+                (("process", "thread", "name"), "process_thread_name"),
+                (("cluster", "name"), "elasticsearch_cluster_name"),
+                (("cluster", "uuid"), "elasticsearch_cluster_uuid"),
+                (("node", "name"), "elasticsearch_node_name"),
+                (("node", "id"), "elasticsearch_node_id"),
+                (("auth", "type"), "__auth_type"),
+                (("user", "realm"), "__user_realm"),
+                (("user", "effective", "realm"), "__user_eff_realm"),
+                (("apikey", "id"), "__apikey_id"),
+                (("apikey", "name"), "__apikey_name")):
+            cur = j
+            for p in src:
+                cur = (cur or {}).get(p)
+            if cur is not None:
+                event[col] = cur
+                c = j
+                for p in src[:-1]:
+                    c = c[p]
+                c.pop(src[-1], None)
+        if event.get("elasticsearch_node_name") is not None:
+            node["name"] = event["elasticsearch_node_name"]
+        if event.get("elasticsearch_node_id") is not None:
+            node["id"] = event["elasticsearch_node_id"]
+        for drop in ("service", "log", "process", "cluster", "node",
+                     "auth", "user", "apikey"):
+            v = j.get(drop)
+            if isinstance(v, dict) and not v:
+                j.pop(drop)
+        if j.get("component") is not None:
+            event["elasticsearch_component"] = j.pop("component")
+        slow = j
+        if "doc_type" in slow:
+            slow["types"] = slow.pop("doc_type")
+        if slow.get("took_millis") is not None:
+            slow["duration"] = float(slow.pop("took_millis"))
+        msg = slow.pop("message", None)
+        if msg is not None:
+            m = MSG.match(msg) or SHORT.match(msg)
+            if m:
+                _groked(slow, m, event)
+        ts = slow.pop("@timestamp", None) or slow.pop("timestamp", None)
+        if ts:
+            event["ts"] = _ts(ts, False)
+        # post renames (pipeline-json.yml)
+        for tmp, tgt in (("__auth_type", "auth_type"),
+                         ("__user_realm", "user_realm"),
+                         ("__user_eff_realm", "user_effective_realm"),
+                         ("__apikey_id", "user_apikey_id"),
+                         ("__apikey_name", "user_apikey_name")):
+            if event.get(tmp) is not None:
+                slow_key = tgt.replace("auth_type", "auth.type")
+                event["elasticsearch_slowlog_" +
+                      tgt.replace(".", "_")] = event[tmp]
+                event[tmp] = None
+    slow.pop("timestamp", None)
+    if slow.get("duration") is not None:
+        event["event_duration"] = round(slow.pop("duration") * 1000000)
+    event["event_kind"] = "event"
+    event["event_category"] = "database"
+    lv = event.get("log_level")
+    if lv:
+        event["event_type"] = "error" if lv in ("FATAL", "ERROR") \
+            else "info"
+    if node.get("name") is not None:
+        event["host_name"] = node["name"]
+        event["elasticsearch_node_name"] = node["name"]
+    if node.get("id") is not None:
+        event["host_id"] = node["id"]
+        event["elasticsearch_node_id"] = node["id"]
+
+    def emit(prefix, d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                emit(prefix + k + "_", v)
+            else:
+                event[prefix + k] = v
+
+    emit("elasticsearch_slowlog_", slow)
+    return event
+'''
+
+
+@pytest.mark.skipif(not os.path.isdir(ES_SLOWLOG_DIR),
+                    reason="reference not present")
+def test_elasticsearch_slowlog_module_golden():
+    """elasticsearch/slowlog (53rd module golden): ALL 12 fixtures — the
+    plaintext 6.x bracket format, 6/7.x JSON (type dispatch + auth/apikey
+    renames), and 8.x ECS JSON (add_to_root + dot_expander + dataset drop
+    rules) — all funnelled through the module's 15-group optional slowlog
+    tail grok; took_millis->event.duration x1e6 —
+    filebeat/module/elasticsearch/slowlog/ingest/*.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    from beats_ray.stages.flow import multiline_join
+    import ray.data as rd
+
+    spec = {"processors": [
+        {"script": {"source": _ES_SLOWLOG_SCRIPT}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "elasticsearch", "fileset.name": "slowlog",
+            "input.type": "log", "service.type": "elasticsearch"}}},
+    ]}
+    total, failures = 0, []
+    for logname in sorted(os.listdir(ES_SLOWLOG_DIR)):
+        if not logname.endswith(".log"):
+            continue
+        path = os.path.join(ES_SLOWLOG_DIR, logname)
+        if not os.path.exists(path + "-expected.json"):
+            continue
+        raw = _terminated_lines(path)
+        src = pa.table({"conv_id": ["f"] * len(raw),
+                        "turn_idx": pa.array(range(len(raw)), pa.int32()),
+                        "text": raw})
+        joined = multiline_join(
+            rd.from_arrow(src),
+            pattern=r"^(\[?[0-9]{4}-[0-9]{2}-[0-9]{2}|\{)",
+            negate=True, match="after").to_pandas().sort_values("turn_idx")
+        lines = [t for t in joined["text"].tolist() if t.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)),
+                                              pa.int64())})
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(path + "-expected.json"))
+        if len(rows) != len(expected):
+            failures.append(f"{logname}: rows {len(rows)} != "
+                            f"{len(expected)}")
+            continue
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "log.flags", "event.created"):
+                    continue
+                try:
+                    if key == "@timestamp":
+                        want_dt = datetime.fromisoformat(
+                            want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                        got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                        assert got_dt == want_dt, (got_dt, want_dt)
+                        continue
+                    got_v = got.get(key.replace(".", "_"))
+                    if isinstance(got_v, list) and len(got_v) == 1 and \
+                            not isinstance(want, list):
+                        got_v = got_v[0]
+                    if isinstance(want, list):
+                        if not isinstance(got_v, list):
+                            got_v = [got_v] if got_v not in (None, "") \
+                                else []
+                        assert sorted(map(str, got_v)) == \
+                            sorted(map(str, want)), (got_v, want)
+                        continue
+                    if isinstance(want, (int, float)) and \
+                            isinstance(got_v, (int, float)) and \
+                            not isinstance(want, bool):
+                        assert float(got_v) == float(want), (got_v, want)
+                        continue
+                    assert str(got_v) == str(want), (got_v, want)
+                except AssertionError as e:
+                    failures.append(f"{logname}: {key}: {e}")
+            total += 1
+    assert not failures, "\n".join(failures[:20]) + \
+        f"\n... {len(failures)} total"
+    assert total >= 45
