@@ -7822,3 +7822,208 @@ def test_elasticsearch_slowlog_module_golden():
     assert not failures, "\n".join(failures[:20]) + \
         f"\n... {len(failures)} total"
     assert total >= 45
+
+
+ES_DEP_DIR = "/root/reference/filebeat/module/elasticsearch/deprecation/test"
+
+_ES_DEP_SCRIPT = r'''
+import json as _json
+import re as _re
+from datetime import datetime, timedelta
+
+PLAIN = _re.compile(
+    r"^\[(?P<ts>[^\]]+)\]\[(?P<level>[A-Za-z]+)\s*\]"
+    # HOSTNAME must start alphanumeric: "[_all] ..." is message, not node
+    r"\[(?P<component>.*?)\s*\](?:\s*\[(?P<node_name>[0-9A-Za-z][\w.-]*)\])?\s*"
+    r"(?P<msg>(?:.|\n)*)$")
+
+
+def _expand(d):
+    out = {}
+    for k, v in d.items():
+        cur = out
+        parts = k.split(".")
+        for p in parts[:-1]:
+            nxt = cur.setdefault(p, {})
+            if not isinstance(nxt, dict):
+                nxt = cur[p] = {}
+            cur = nxt
+        cur[parts[-1]] = _expand(v) if isinstance(v, dict) else v
+    return out
+
+
+def _ts(v, local):
+    v = v.replace(",", ".")
+    if "+" in v[10:] or "-" in v[10:] or v.endswith("Z"):
+        dt = datetime.strptime(v.replace("Z", "+0000"),
+                               "%Y-%m-%dT%H:%M:%S.%f%z")
+        return dt.replace(tzinfo=None) - dt.utcoffset()
+    dt = datetime.strptime(v, "%Y-%m-%dT%H:%M:%S.%f")
+    return dt + timedelta(hours=2) if local else dt
+
+
+def _emit(event, prefix, d):
+    for k, v in d.items():
+        if isinstance(v, dict):
+            _emit(event, prefix + k + "_", v)
+        else:
+            event[prefix + k] = v
+
+
+def process(event, params):
+    line = event["message"]
+    node = {}
+    if not line.startswith("{"):
+        m = PLAIN.match(line)
+        if not m:
+            return None
+        event["event_timezone"] = "-02:00"
+        event["log_level"] = m.group("level")
+        event["elasticsearch_component"] = m.group("component")
+        if m.group("node_name"):
+            node["name"] = m.group("node_name")
+        event["message"] = m.group("msg")
+        event["ts"] = _ts(m.group("ts"), True)
+    elif "ecs.version" in line or "data_stream" in line:
+        j = _expand(_json.loads(line))
+        ds = (j.get("event") or {}).get("dataset")
+        if ds not in ("deprecation", "deprecation.elasticsearch"):
+            return None
+        j["event"]["dataset"] = "elasticsearch.deprecation"
+        ts = j.pop("@timestamp", None)
+        if ts:
+            event["ts"] = _ts(ts, False)
+        node = (j.get("elasticsearch") or {}).pop("node", None) or {}
+        event["message"] = j.pop("message", None)
+        _emit(event, "", {k.replace(".", "_"): v for k, v in
+                          ((path, val) for path, val in _flatten(j))})
+    else:
+        j = _expand(_json.loads(line))
+        typ = j.pop("type", None)
+        if typ not in ("deprecation", "deprecation.elasticsearch"):
+            return None
+        for src, col in (
+                (("service", "name"), "service_name"),
+                (("level",), "log_level"),
+                (("log", "level"), "log_level"),
+                (("log", "logger"), "log_logger"),
+                (("logger",), "log_logger"),
+                (("process", "thread", "name"), "process_thread_name"),
+                (("cluster", "name"), "elasticsearch_cluster_name"),
+                (("cluster", "uuid"), "elasticsearch_cluster_uuid"),
+                (("component",), "elasticsearch_component")):
+            cur = j
+            for p in src:
+                cur = (cur or {}).get(p)
+            if cur is not None:
+                event[col] = cur
+                c = j
+                for p in src[:-1]:
+                    c = c[p]
+                c.pop(src[-1], None)
+        node = j.pop("node", None) or {}
+        for drop in ("service", "log", "process", "cluster"):
+            v = j.get(drop)
+            if isinstance(v, dict) and not v:
+                j.pop(drop)
+        event["message"] = j.pop("message", None)
+        ts = j.pop("@timestamp", None) or j.pop("timestamp", None)
+        if ts:
+            event["ts"] = _ts(ts, False)
+        _emit(event, "elasticsearch_deprecation_", j)
+    event["event_kind"] = "event"
+    event["event_category"] = "database"
+    event["event_type"] = "info"
+    event["event_dataset"] = "elasticsearch.deprecation"
+    if node.get("name") is not None:
+        event["elasticsearch_node_name"] = node["name"]
+        event["host_name"] = node["name"]
+    if node.get("id") is not None:
+        event["elasticsearch_node_id"] = node["id"]
+        event["host_id"] = node["id"]
+    return event
+
+
+def _flatten(d, prefix=""):
+    for k, v in d.items():
+        if isinstance(v, dict):
+            yield from _flatten(v, prefix + k + ".")
+        else:
+            yield prefix + k, v
+'''
+
+
+@pytest.mark.skipif(not os.path.isdir(ES_DEP_DIR),
+                    reason="reference not present")
+def test_elasticsearch_deprecation_module_golden():
+    """elasticsearch/deprecation (54th module golden): ALL 5 fixtures (42
+    events) — plaintext DEP_LOGLEVEL grok, 6/7.x JSON type dispatch, 8.x
+    ECS add_to_root with dataset normalization and mixed-log drop —
+    filebeat/module/elasticsearch/deprecation/ingest/*.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+    from beats_ray.stages.flow import multiline_join
+    import ray.data as rd
+
+    spec = {"processors": [
+        {"script": {"source": _ES_DEP_SCRIPT}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "elasticsearch", "fileset.name": "deprecation",
+            "input.type": "log", "service.type": "elasticsearch"}}},
+    ]}
+    total, failures = 0, []
+    for logname in sorted(os.listdir(ES_DEP_DIR)):
+        if not logname.endswith(".log"):
+            continue
+        path = os.path.join(ES_DEP_DIR, logname)
+        if not os.path.exists(path + "-expected.json"):
+            continue
+        raw = _terminated_lines(path)
+        src = pa.table({"conv_id": ["f"] * len(raw),
+                        "turn_idx": pa.array(range(len(raw)), pa.int32()),
+                        "text": raw})
+        joined = multiline_join(
+            rd.from_arrow(src),
+            pattern=r"^(\[?[0-9]{4}-[0-9]{2}-[0-9]{2}|\{)",
+            negate=True, match="after").to_pandas().sort_values("turn_idx")
+        lines = [t for t in joined["text"].tolist() if t.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)),
+                                              pa.int64())})
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(path + "-expected.json"))
+        if len(rows) != len(expected):
+            failures.append(f"{logname}: rows {len(rows)} != "
+                            f"{len(expected)}")
+            continue
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "log.flags", "event.created"):
+                    continue
+                try:
+                    if key == "@timestamp":
+                        want_dt = datetime.fromisoformat(
+                            want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                        got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                        assert got_dt == want_dt, (got_dt, want_dt)
+                        continue
+                    got_v = got.get(key.replace(".", "_"))
+                    if isinstance(got_v, list) and len(got_v) == 1 and \
+                            not isinstance(want, list):
+                        got_v = got_v[0]
+                    if isinstance(want, list):
+                        if not isinstance(got_v, list):
+                            got_v = [got_v] if got_v not in (None, "") \
+                                else []
+                        assert sorted(map(str, got_v)) == \
+                            sorted(map(str, want)), (got_v, want)
+                        continue
+                    assert str(got_v) == str(want), (got_v, want)
+                except AssertionError as e:
+                    failures.append(f"{logname}: {key}: {e}")
+            total += 1
+    assert not failures, "\n".join(failures[:20]) + \
+        f"\n... {len(failures)} total"
+    assert total >= 40
