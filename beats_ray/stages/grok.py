@@ -196,6 +196,11 @@ class GrokStage(Stage):
         n = len(batch)
         remaining = pa.array([True] * n, pa.bool_())
         out_cols: dict[str, pa.Array] = {}
+        # rows actually produced per column (ok-mask union over the
+        # patterns that contain the group): a row matched by a pattern
+        # WITHOUT the group must keep any pre-existing column value, like
+        # ES grok, instead of being overwritten with null
+        col_masks: dict[str, pa.Array] = {}
         dup_caps: dict[str, list[pa.Array]] = {}
         matched_any = pa.array([False] * n, pa.bool_())
         for pattern, meta, rx in self.compiled:
@@ -271,6 +276,8 @@ class GrokStage(Stage):
                     out_cols[out_name] = pc.if_else(take_cur, cur, prev)
                 else:
                     out_cols[out_name] = vals
+                col_masks[out_name] = ok if out_name not in col_masks \
+                    else pc.or_(col_masks[out_name], ok)
             matched_any = pc.or_(matched_any, ok)
             remaining = pc.and_(remaining, pc.invert(ok))
         # ES grok APPENDS when several groups for the same field all
@@ -296,13 +303,18 @@ class GrokStage(Stage):
             out_cols[name] = pa.array(lists, pa.list_(pa.string()))
         for name, vals in out_cols.items():
             if name in batch.column_names:
-                # null-input rows are SKIPPED events (ignore_missing /
-                # processor no-op): their pre-existing values survive; a
-                # wholesale overwrite clobbered earlier stages' captures
+                # pre-existing values survive wherever this column did not
+                # participate: null-input rows (ignore_missing no-op) AND
+                # rows matched by a pattern lacking the group — ES grok
+                # writes only participating captures
                 old = batch.column(name)
                 if old.type != vals.type:
                     old = pc.cast(old, vals.type, safe=False)
-                vals = pc.if_else(input_null, old, vals)
+                produced = col_masks.get(name)
+                keep_old = pc.or_(input_null, pc.invert(
+                    pc.fill_null(produced, False))) if produced is not None \
+                    else pa.array([True] * n, pa.bool_())
+                vals = pc.if_else(keep_old, old, vals)
             batch = set_column(batch, name, vals)
         failed = pc.and_(pc.invert(matched_any), pc.invert(input_null))
         if (pc.sum(failed).as_py() or 0) > 0:

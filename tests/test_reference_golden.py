@@ -8027,3 +8027,161 @@ def test_elasticsearch_deprecation_module_golden():
     assert not failures, "\n".join(failures[:20]) + \
         f"\n... {len(failures)} total"
     assert total >= 40
+
+
+ES_GC_DIR = "/root/reference/filebeat/module/elasticsearch/gc/test"
+
+
+@pytest.mark.skipif(not os.path.isdir(ES_GC_DIR),
+                    reason="reference not present")
+def test_elasticsearch_gc_module_golden():
+    """elasticsearch/gc (55th module golden): ALL 3 fixtures (104 events)
+    through PURE registered stages — the module's 6-pattern JVM8/JVM9
+    first-match grok (CMS remark/initial-mark phase metrics, safepoint
+    timings, ParNew/Old transitions), exclude_lines banner/JSON drops,
+    comma-decimal catch-all fallback, tag splits —
+    filebeat/module/elasticsearch/gc/ingest/pipeline.yml."""
+    import re as _re
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+    from beats_ray.stages.flow import multiline_join
+    import ray.data as rd
+
+    defs = {
+        "GREEDYMULTILINE": r"(.|\n)*",
+        "JVM8HEADER": r"%{TIMESTAMP_ISO8601:timestamp}: "
+                      r"%{BASE10NUM:elasticsearch.gc.jvm_runtime_sec}:",
+        "JVM9HEADER": r"\[%{TIMESTAMP_ISO8601:timestamp}\]"
+                      r"\[%{POSINT:process.pid}\]"
+                      r"(\[%{DATA:log.level}%{SPACE}\])?"
+                      r"\[%{DATA:elasticsearch.gc.tags}%{SPACE}\]",
+        "PROCTIME": r"\[Times: "
+                    r"user=%{BASE10NUM:elasticsearch.gc.phase.cpu_time.user_sec} "
+                    r"sys=%{BASE10NUM:elasticsearch.gc.phase.cpu_time.sys_sec}, "
+                    r"real=%{BASE10NUM:elasticsearch.gc.phase.cpu_time.real_sec} "
+                    r"secs\]",
+    }
+    patterns = [
+        r"(?:%{JVM8HEADER}|%{JVM9HEADER}) Total time for which application "
+        r"threads were stopped: "
+        r"%{BASE10NUM:elasticsearch.gc.threads_total_stop_time_sec} "
+        r"seconds, Stopping threads took: "
+        r"%{BASE10NUM:elasticsearch.gc.stopping_threads_time_sec} seconds",
+        r"(?:%{JVM8HEADER}) \[GC \(%{DATA:elasticsearch.gc.phase.name}\) "
+        r"\[YG occupancy: %{BASE10NUM:elasticsearch.gc.young_gen.used_kb} "
+        r"K \(%{BASE10NUM:elasticsearch.gc.young_gen.size_kb} K\)\]"
+        r"%{BASE10NUM}: \[Rescan \(parallel\) , "
+        r"%{BASE10NUM:elasticsearch.gc.phase.parallel_rescan_time_sec} "
+        r"secs\]%{BASE10NUM}: \[weak refs processing, "
+        r"%{BASE10NUM:elasticsearch.gc.phase.weak_refs_processing_time_sec}"
+        r" secs\]%{BASE10NUM}: \[class unloading, "
+        r"%{BASE10NUM:elasticsearch.gc.phase.class_unload_time_sec} secs\]"
+        r"%{BASE10NUM}: \[scrub symbol table, "
+        r"%{BASE10NUM:elasticsearch.gc.phase.scrub_symbol_table_time_sec} "
+        r"secs\]%{BASE10NUM}: \[scrub string table, "
+        r"%{BASE10NUM:elasticsearch.gc.phase.scrub_string_table_time_sec} "
+        r"secs\]\[1 CMS-remark: "
+        r"%{BASE10NUM:elasticsearch.gc.old_gen.used_kb}K"
+        r"\(%{BASE10NUM:elasticsearch.gc.old_gen.size_kb}K\)\] "
+        r"%{BASE10NUM:elasticsearch.gc.heap.used_kb}K"
+        r"\(%{BASE10NUM:elasticsearch.gc.heap.size_kb}K\), "
+        r"%{BASE10NUM:elasticsearch.gc.phase.duration_sec} secs\] "
+        r"%{PROCTIME}",
+        r"(?:%{JVM8HEADER}) \[GC \(%{DATA:elasticsearch.gc.phase.name}\) "
+        r"\[%{BASE10NUM} CMS-initial-mark: "
+        r"%{BASE10NUM:elasticsearch.gc.old_gen.used_kb}K"
+        r"\(%{BASE10NUM:elasticsearch.gc.old_gen.size_kb}K\)\] "
+        r"%{BASE10NUM:elasticsearch.gc.heap.used_kb}K"
+        r"\(%{BASE10NUM:elasticsearch.gc.heap.size_kb}K\), "
+        r"%{BASE10NUM:elasticsearch.gc.phase.duration_sec} secs\] "
+        r"%{PROCTIME}",
+        r"%{JVM9HEADER} GC\(%{BASE10NUM}\) ParNew: %{BASE10NUM}K-\>"
+        r"%{BASE10NUM:elasticsearch.gc.young_gen.used_kb}K"
+        r"\(%{BASE10NUM:elasticsearch.gc.young_gen.size_kb}K\)",
+        r"%{JVM9HEADER} GC\(%{BASE10NUM}\) Old: %{BASE10NUM}K-\>"
+        r"%{BASE10NUM:elasticsearch.gc.old_gen.used_kb}K"
+        r"\(%{BASE10NUM:elasticsearch.gc.old_gen.size_kb}K\)",
+        r"(?:%{JVM8HEADER}|%{JVM9HEADER}) %{GREEDYMULTILINE:message}",
+    ]
+    tag_split = (
+        "def process(event, params):\n"
+        "    t = event.get('elasticsearch_gc_tags')\n"
+        "    if t:\n"
+        "        event['elasticsearch_gc_tags'] = t.split(',')\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": patterns,
+                  "pattern_definitions": defs}},
+        {"timestamp": {"field": "timestamp", "layouts": ["ISO8601"],
+                       "target_field": "@timestamp"}},
+        {"drop_fields": {"fields": ["timestamp"], "ignore_missing": True}},
+        {"script": {"source": tag_split}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "metric", "event.category": "database",
+            "event.type": "info", "event.module": "elasticsearch",
+            "event.dataset": "elasticsearch.gc", "fileset.name": "gc",
+            "input.type": "log", "service.type": "elasticsearch"}}},
+    ]}
+    excl = [_re.compile(p) for p in
+            (r"^(OpenJDK|Java HotSpot).* Server VM ", r"^CommandLine flags: ",
+             r"^Memory: ", r"^\{")]
+    total, failures = 0, []
+    for logname in sorted(os.listdir(ES_GC_DIR)):
+        if not logname.endswith(".log"):
+            continue
+        path = os.path.join(ES_GC_DIR, logname)
+        if not os.path.exists(path + "-expected.json"):
+            continue
+        raw = _terminated_lines(path)
+        src = pa.table({"conv_id": ["f"] * len(raw),
+                        "turn_idx": pa.array(range(len(raw)), pa.int32()),
+                        "text": raw})
+        joined = multiline_join(
+            rd.from_arrow(src),
+            pattern=r"^(\[?[0-9]{4}-[0-9]{2}-[0-9]{2}|\{)",
+            negate=True, match="after").to_pandas().sort_values("turn_idx")
+        # beats applies exclude_lines AFTER multiline aggregation: a
+        # pretty-printed JSON event groups under its "{" head line and is
+        # dropped whole
+        lines = [t for t in joined["text"].tolist()
+                 if t.strip() and not any(r.search(t) for r in excl)]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)),
+                                              pa.int64())})
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(path + "-expected.json"))
+        if len(rows) < len(expected):
+            failures.append(f"{logname}: rows {len(rows)} < "
+                            f"{len(expected)}")
+            continue
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "log.flags", "event.created"):
+                    continue
+                try:
+                    if key == "@timestamp":
+                        want_dt = datetime.fromisoformat(
+                            want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                        got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                        assert got_dt == want_dt, (got_dt, want_dt)
+                        continue
+                    got_v = got.get(key.replace(".", "_"))
+                    if isinstance(got_v, list) and len(got_v) == 1 and \
+                            not isinstance(want, list):
+                        got_v = got_v[0]
+                    if isinstance(want, list):
+                        if not isinstance(got_v, list):
+                            got_v = [got_v] if got_v not in (None, "") \
+                                else []
+                        assert sorted(map(str, got_v)) == \
+                            sorted(map(str, want)), (got_v, want)
+                        continue
+                    assert str(got_v) == str(want), (got_v, want)
+                except AssertionError as e:
+                    failures.append(f"{logname}: {key}: {e}")
+            total += 1
+    assert not failures, "\n".join(failures[:20]) + \
+        f"\n... {len(failures)} total"
+    assert total >= 100
