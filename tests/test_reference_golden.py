@@ -8185,3 +8185,219 @@ def test_elasticsearch_gc_module_golden():
     assert not failures, "\n".join(failures[:20]) + \
         f"\n... {len(failures)} total"
     assert total >= 100
+
+
+KIBANA_LOG_DIR = "/root/reference/filebeat/module/kibana/log/test"
+
+_KIBANA_LOG_SCRIPT = r'''
+import json as _json
+from datetime import datetime
+
+
+def _ts(v):
+    v = v.replace(",", ".").replace("Z", "+0000")
+    for fmt in ("%Y-%m-%dT%H:%M:%S.%f%z", "%Y-%m-%dT%H:%M:%S%z",
+                "%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S"):
+        try:
+            dt = datetime.strptime(v, fmt)
+            break
+        except ValueError:
+            continue
+    if dt.tzinfo is not None:
+        return dt.replace(tzinfo=None) - dt.utcoffset()
+    return dt
+
+
+def _emit(event, prefix, d):
+    for k, v in d.items():
+        k = k.replace(".", "_")
+        if isinstance(v, dict):
+            _emit(event, prefix + k + "_", v)
+        else:
+            event[prefix + k] = v
+
+
+def process(event, params):
+    j = _json.loads(event["message"])
+    event["message"] = None
+    if j.get("ecs"):
+        # pipeline-ecs: merge doc to root; headers -> kibana.log.meta
+        ts = j.pop("@timestamp", None)
+        if ts:
+            event["ts"] = _ts(ts)
+        http = j.get("http") or {}
+        req = http.get("request") or {}
+        res = http.get("response") or {}
+        meta = {}
+        if req.get("headers") is not None:
+            meta["req"] = {"headers": req.pop("headers")}
+        if res.get("headers") is not None:
+            meta["res"] = {"headers": res.pop("headers")}
+        sc = res.get("status_code")
+        if sc is not None:
+            event["event_outcome"] = "success" if sc < 400 else "failure"
+        event["message"] = j.pop("message", None)
+        _emit(event, "", {k.replace(".", "_"): v
+                          for k, v in _flat(j)})
+        if meta:
+            _emit(event, "kibana_log_meta_", meta)
+        return event
+    # pipeline-7 (6.x/7.x "type" format).  The meta.message/pid/tags
+    # renames have NO ignore_missing: a doc without them errors the
+    # pipeline and the goldens omit such events entirely
+    meta = j
+    if not all(k in meta for k in ("message", "pid", "tags",
+                                   "@timestamp")):
+        return None
+
+    # ES dot-expands field names at index time: a doc where the same path
+    # is both scalar and object (x-pack plugin.dependencies carries keys
+    # like "lodash" AND "lodash.mean") fails to index — such events are
+    # missing from the goldens
+    def _conflicts(d):
+        tree = {}
+        for k, v in _flat(d):
+            cur = tree
+            parts = k.split(".")
+            for pt in parts[:-1]:
+                nxt = cur.get(pt)
+                if nxt is None:
+                    nxt = cur[pt] = {}
+                elif not isinstance(nxt, dict):
+                    return True
+                cur = nxt
+            if isinstance(cur.get(parts[-1]), dict):
+                return True
+            if parts[-1] in cur:
+                pass
+            cur[parts[-1]] = v
+        return False
+
+    if _conflicts(meta):
+        return None
+    ts = meta.pop("@timestamp", None)
+    if ts:
+        event["ts"] = _ts(ts)
+    event["message"] = meta.pop("message", None)
+    if meta.get("state") is not None:
+        event["kibana_log_state"] = meta.pop("state")
+    if meta.get("pid") is not None:
+        event["process_pid"] = meta.pop("pid")
+    if meta.get("tags") is not None:
+        event["kibana_log_tags"] = meta.pop("tags")
+    res = meta.get("res") or {}
+    if res.get("statusCode") is not None:
+        event["http_response_status_code"] = res.pop("statusCode")
+    if res.get("responseTime") is not None:
+        event["event_duration"] = round(
+            res.pop("responseTime") * 1000000)
+    if res.get("contentLength") is not None:
+        event["http_response_body_bytes"] = res.pop("contentLength")
+    req = meta.get("req") or {}
+    if req.get("method") is not None:
+        event["http_request_method"] = req.pop("method")
+    headers = req.get("headers") or {}
+    if headers.get("referer") is not None:
+        event["http_request_referrer"] = headers.pop("referer")
+    if headers.get("user-agent") is not None:
+        event["user_agent_original"] = headers.pop("user-agent")
+    if req.get("remoteAddress") is not None:
+        event["source_address"] = req.pop("remoteAddress")
+        event["source_ip"] = event["source_address"]
+    if req.get("url") is not None:
+        event["url_original"] = req.pop("url")
+    req.pop("referer", None)
+    meta.pop("statusCode", None)
+    meta.pop("method", None)
+    event["service_name"] = ["kibana"]
+    event["event_kind"] = "event"
+    st = event.get("kibana_log_state")
+    if st is not None:
+        event["event_type"] = "error" if st == "red" else "info"
+    sc = event.get("http_response_status_code")
+    if sc is not None:
+        event["event_outcome"] = "success" if sc < 400 else "failure"
+    _emit(event, "kibana_log_meta_", meta)
+    return event
+
+
+def _flat(d, prefix=""):
+    for k, v in d.items():
+        if isinstance(v, dict):
+            yield from _flat(v, prefix + k + ".")
+        else:
+            yield prefix + k, v
+'''
+
+
+@pytest.mark.skipif(not os.path.isdir(KIBANA_LOG_DIR),
+                    reason="reference not present")
+def test_kibana_log_module_golden():
+    """kibana/log (56th module golden): ALL 4 fixtures (192 events) — the
+    6.x "type" JSON format (req/res renames, responseTime ms->ns, red
+    state error typing) and the 8.x ECS format (root merge with headers
+    demoted to kibana.log.meta) — filebeat/module/kibana/log/ingest/
+    pipeline{,-7,-ecs}.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    spec = {"processors": [
+        {"script": {"source": _KIBANA_LOG_SCRIPT}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "kibana", "event.dataset": "kibana.log",
+            "fileset.name": "log", "input.type": "log",
+            "service.type": "kibana"}}},
+    ]}
+    total, failures = 0, []
+    for logname in sorted(os.listdir(KIBANA_LOG_DIR)):
+        if not logname.endswith(".log"):
+            continue
+        path = os.path.join(KIBANA_LOG_DIR, logname)
+        if not os.path.exists(path + "-expected.json"):
+            continue
+        lines = [ln for ln in _terminated_lines(path) if ln.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)),
+                                              pa.int64())})
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(path + "-expected.json"))
+        if len(rows) < len(expected):
+            failures.append(f"{logname}: rows {len(rows)} < "
+                            f"{len(expected)}")
+            continue
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "log.flags", "event.created"):
+                    continue
+                try:
+                    if key == "@timestamp":
+                        want_dt = datetime.fromisoformat(
+                            want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                        got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                        assert got_dt == want_dt, (got_dt, want_dt)
+                        continue
+                    got_v = got.get(key.replace(".", "_"))
+                    if isinstance(got_v, list) and len(got_v) == 1 and \
+                            not isinstance(want, list):
+                        got_v = got_v[0]
+                    if isinstance(want, list):
+                        if not isinstance(got_v, list):
+                            got_v = [got_v] if got_v not in (None, "") \
+                                else []
+                        assert sorted(map(str, got_v)) == \
+                            sorted(map(str, want)), (got_v, want)
+                        continue
+                    if isinstance(want, (int, float)) and \
+                            isinstance(got_v, (int, float)) and \
+                            not isinstance(want, bool):
+                        assert float(got_v) == float(want), (got_v, want)
+                        continue
+                    assert str(got_v) == str(want), (got_v, want)
+                except AssertionError as e:
+                    failures.append(f"{logname}: {key}: {e}")
+            total += 1
+    assert not failures, "\n".join(failures[:15]) + \
+        f"\n... {len(failures)} total"
+    assert total >= 185
