@@ -8401,3 +8401,251 @@ def test_kibana_log_module_golden():
     assert not failures, "\n".join(failures[:15]) + \
         f"\n... {len(failures)} total"
     assert total >= 185
+
+
+LS_SLOWLOG_DIR = "/root/reference/filebeat/module/logstash/slowlog/test"
+
+
+@pytest.mark.skipif(not os.path.isdir(LS_SLOWLOG_DIR),
+                    reason="reference not present")
+def test_logstash_slowlog_module_golden():
+    """logstash/slowlog (57th module golden, both fixtures): plaintext
+    ruby-hash slowlog grok chain + JSON logEvent renames, plugin
+    type/name extraction, nanos duration —
+    filebeat/module/logstash/slowlog/ingest/*.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    script = r'''
+import json as _json
+import re as _re
+from datetime import datetime, timedelta
+
+PLAIN = _re.compile(
+    r"^\[(?P<ts>[^\]]+)\]\[(?P<level>INFO|ERROR|DEBUG|FATAL|WARN|TRACE)\s?\]"
+    r"\[(?P<module>[\w.]+)\s*\] (?P<msg>.*)$", _re.S)
+PARAMS = _re.compile(
+    r"\{:plugin_params=>(?P<pp>.*), :took_in_nanos=>(?P<nanos>\d+), "
+    r":took_in_millis=>(?P<millis>\d+), :event=>(?P<event>.*)\}$", _re.S)
+MODULE = _re.compile(r"slowlog\.logstash\.(?P<ptype>\w+)\.(?P<pname>\w+)")
+
+
+def process(event, params):
+    line = event["message"]
+    event["message"] = None
+    slow = {}
+    if line.startswith("{"):
+        j = _json.loads(line)
+        event["ts"] = datetime.utcfromtimestamp(j["timeMillis"] / 1000.0)
+        slow["module"] = j.get("loggerName")
+        le = j.get("logEvent") or {}
+        if le.get("took_in_millis") is not None:
+            slow["took_in_millis"] = le["took_in_millis"]
+        if le.get("took_in_nanos") is not None:
+            event["event_duration"] = le["took_in_nanos"]
+        if le.get("event") is not None:
+            slow["event"] = le["event"]
+        pp = le.get("plugin_params")
+        if pp is not None:
+            for k, v in pp.items():
+                event["logstash_slowlog_plugin_params_object_" + k] = v
+        if j.get("level") is not None:
+            event["log_level"] = j["level"]
+        if j.get("thread") is not None:
+            slow["thread"] = j["thread"]
+    else:
+        m = PLAIN.match(line)
+        if not m:
+            return None
+        event["event_timezone"] = "-02:00"
+        event["log_level"] = m.group("level")
+        slow["module"] = m.group("module")
+        ts = datetime.strptime(m.group("ts").replace(",", "."),
+                               "%Y-%m-%dT%H:%M:%S.%f")
+        event["ts"] = ts + timedelta(hours=2)
+        pm = PARAMS.search(m.group("msg"))
+        if pm:
+            slow["plugin_params"] = pm.group("pp")
+            event["event_duration"] = int(pm.group("nanos"))
+            slow["took_in_millis"] = int(pm.group("millis"))
+            slow["event"] = pm.group("event")
+    mm = MODULE.match(slow.get("module") or "")
+    if mm:
+        slow["plugin_type"] = mm.group("ptype")
+        slow["plugin_name"] = mm.group("pname")
+    event["event_kind"] = "event"
+    lv = event.get("log_level")
+    if lv:
+        event["event_type"] = "error" if lv in ("ERROR", "FATAL") \
+            else "info"
+    for k, v in slow.items():
+        event["logstash_slowlog_" + k] = v
+    return event
+'''
+    spec = {"processors": [
+        {"script": {"source": script}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "logstash", "event.dataset": "logstash.slowlog",
+            "fileset.name": "slowlog", "input.type": "log",
+            "service.type": "logstash"}}},
+    ]}
+    for logname in sorted(os.listdir(LS_SLOWLOG_DIR)):
+        if not logname.endswith(".log"):
+            continue
+        path = os.path.join(LS_SLOWLOG_DIR, logname)
+        lines = [ln for ln in _terminated_lines(path) if ln.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)),
+                                              pa.int64())})
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(path + "-expected.json"))
+        assert len(rows) == len(expected), logname
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "event.created"):
+                    continue
+                if key == "@timestamp":
+                    want_dt = datetime.fromisoformat(
+                        want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                    got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                    assert got_dt == want_dt, (logname, got_dt, want_dt)
+                    continue
+                got_v = got.get(key.replace(".", "_"))
+                assert str(got_v) == str(want), (logname, key, got_v, want)
+
+
+ICINGA_DIR = "/root/reference/filebeat/module/icinga"
+
+
+@pytest.mark.skipif(not os.path.isdir(ICINGA_DIR),
+                    reason="reference not present")
+def test_icinga_main_startup_module_goldens():
+    """icinga/main + icinga/startup (58th/59th module goldens): bracketed
+    offset timestamps ('yyyy-MM-dd HH:mm:ss Z'), facility split,
+    warning/critical -> error typing — filebeat/module/icinga/{main,
+    startup}/ingest/pipeline.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    cases = {
+        "main": {"processors": [
+            {"grok": {"field": "message", "patterns": [
+                r"\[%{ICTS:icinga.main.timestamp}\] "
+                r"%{WORD:log.level}/%{WORD:icinga.main.facility}: "
+                r"%{GREEDYMULTILINE:message}"],
+                "pattern_definitions": {
+                    "ICTS": r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY} "
+                            r"%{HOUR}:%{MINUTE}:%{SECOND} "
+                            r"%{ISO8601_TIMEZONE}",
+                    "GREEDYMULTILINE": r"(.|\n)*"},
+                "ignore_missing": True}},
+            {"timestamp": {"field": "icinga.main.timestamp",
+                           "layouts": ["%Y-%m-%d %H:%M:%S %z"],
+                           "target_field": "@timestamp",
+                           "ignore_failure": True}},
+            {"drop_fields": {"fields": ["icinga.main.timestamp"],
+                             "ignore_missing": True}},
+        ]},
+        "startup": {"processors": [
+            {"grok": {"field": "message", "patterns": [
+                r"%{WORD:log.level}/%{WORD:icinga.startup.facility}: "
+                r"%{GREEDYMULTILINE:message}"],
+                "pattern_definitions": {"GREEDYMULTILINE": r"(.|\n)*"},
+                "ignore_missing": True}},
+        ]},
+    }
+    etype = (
+        "def process(event, params):\n"
+        "    lv = event.get('log_level')\n"
+        "    if lv:\n"
+        "        event['event_type'] = 'error' if lv in\n"
+        "        ('warning', 'critical') else 'info'\n"
+        "    return event\n").replace("if lv in\n        (",
+                                      "if lv in (")
+    from beats_ray.stages.flow import multiline_join
+    import ray.data as rd
+
+    for fileset, spec in cases.items():
+        path = os.path.join(ICINGA_DIR, fileset, "test", "test.log")
+        if not os.path.exists(path + "-expected.json"):
+            continue
+        spec = {"processors": spec["processors"] + [
+            {"script": {"source": etype}},
+            {"add_fields": {"target": "", "fields": {
+                "event.kind": "event", "event.module": "icinga",
+                "event.dataset": f"icinga.{fileset}",
+                "fileset.name": fileset, "input.type": "log",
+                "service.type": "icinga"}}},
+        ]}
+        raw = _terminated_lines(path)
+        if fileset == "main":           # config: multiline on ^\[
+            src = pa.table({"conv_id": ["f"] * len(raw),
+                            "turn_idx": pa.array(range(len(raw)),
+                                                 pa.int32()),
+                            "text": raw})
+            joined = multiline_join(rd.from_arrow(src), pattern=r"^\[",
+                                    negate=True,
+                                    match="after").to_pandas() \
+                .sort_values("turn_idx")
+            raw = joined["text"].tolist()
+        lines = [ln for ln in raw if ln.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)),
+                                              pa.int64())})
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(path + "-expected.json"))
+        assert len(rows) >= len(expected), fileset
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "log.flags", "event.created",
+                           "@timestamp"):
+                    if key == "@timestamp" and got.get("ts") is not None:
+                        want_dt = datetime.fromisoformat(
+                            want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                        got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                        assert got_dt == want_dt, (fileset, got_dt, want_dt)
+                    continue
+                got_v = got.get(key.replace(".", "_"))
+                assert str(got_v) == str(want), (fileset, key, got_v, want)
+
+
+FARGATE_DIR = "/root/reference/x-pack/filebeat/module/awsfargate/log/test"
+
+
+@pytest.mark.skipif(not os.path.isdir(FARGATE_DIR),
+                    reason="reference not present")
+def test_awsfargate_log_module_golden():
+    """awsfargate/log (60th module golden): passthrough pipeline — the
+    module only stamps metadata (x-pack/filebeat/module/awsfargate/log/
+    ingest/pipeline.yml)."""
+    from beats_ray.pipeline import Pipeline
+
+    for logname in sorted(os.listdir(FARGATE_DIR)):
+        if not logname.endswith(".log"):
+            continue
+        path = os.path.join(FARGATE_DIR, logname)
+        lines = [ln for ln in _terminated_lines(path) if ln.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)),
+                                              pa.int64())})
+        spec = {"processors": [
+            {"add_fields": {"target": "", "fields": {
+                "event.module": "awsfargate",
+                "event.dataset": "awsfargate.log",
+                "fileset.name": "log", "input.type": "log",
+                "service.type": "awsfargate"}}},
+        ]}
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(path + "-expected.json"))
+        assert len(rows) == len(expected)
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "event.created"):
+                    continue
+                got_v = got.get(key.replace(".", "_"))
+                assert str(got_v) == str(want), (key, got_v, want)
