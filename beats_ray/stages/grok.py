@@ -314,6 +314,15 @@ class GrokStage(Stage):
                 keep_old = pc.or_(input_null, pc.invert(
                     pc.fill_null(produced, False))) if produced is not None \
                     else pa.array([True] * n, pa.bool_())
+                if pa.types.is_string(vals.type) or \
+                        pa.types.is_large_string(vals.type):
+                    # a non-participating optional group extracts as "" —
+                    # ES grok leaves the pre-existing value in place
+                    # (ibmmq: the Time() re-grok must not blank the
+                    # header date on rows without Time())
+                    empty_new = pc.equal(pc.fill_null(vals, ""), "")
+                    keep_old = pc.or_(keep_old,
+                                      pc.and_(empty_new, pc.is_valid(old)))
                 vals = pc.if_else(keep_old, old, vals)
             batch = set_column(batch, name, vals)
         failed = pc.and_(pc.invert(matched_any), pc.invert(input_null))

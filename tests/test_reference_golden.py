@@ -3352,8 +3352,10 @@ def test_zeek_dns_module_golden():
 def _terminated_lines(path):
     """Beats' line reader only emits terminated lines (libbeat/reader/
     readfile): an unterminated final line never becomes (part of) an event,
-    and several module fixtures end without a trailing newline."""
-    content = open(path).read()
+    and several module fixtures end without a trailing newline.  Invalid
+    UTF-8 bytes decode to U+FFFD like the reference's transcoding (the
+    ibmmq fixtures carry latin-1 umlauts)."""
+    content = open(path, encoding="utf-8", errors="replace").read()
     raw = content.splitlines()
     if raw and not content.endswith("\n"):
         raw = raw[:-1]
@@ -8649,3 +8651,132 @@ def test_awsfargate_log_module_golden():
                     continue
                 got_v = got.get(key.replace(".", "_"))
                 assert str(got_v) == str(want), (key, got_v, want)
+
+
+IBMMQ_DIR = "/root/reference/x-pack/filebeat/module/ibmmq/errorlog/test"
+
+
+@pytest.mark.skipif(not os.path.isdir(IBMMQ_DIR),
+                    reason="reference not present")
+def test_ibmmq_errorlog_module_golden():
+    """ibmmq/errorlog (61st module golden, all 3 fixtures): divider-framed
+    multiline blocks flattened by gsub, the module's lookahead/lookbehind
+    AMQ-code grok (runs on the engine's Python-re fallback), multi-format
+    timestamps with Time() override, template-append commentinsert/
+    arithinsert arrays (incl. ES's backslash-doubling mustache artifact) —
+    x-pack/filebeat/module/ibmmq/errorlog/ingest/pipeline.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+    from beats_ray.stages.flow import multiline_join
+    import ray.data as rd
+
+    pre = (
+        "import re as _re\n"
+        "def process(event, params):\n"
+        "    m = event['message']\n"
+        "    m = _re.sub(r'^[\\-]{5}[a-z0-9. :]*[\\-]{5,}', '', m)\n"
+        "    m = m.replace('\\n', ' ')\n"
+        "    m = _re.sub(r'[ ]{2,}', ' ', m).strip()\n"
+        "    event['message'] = m\n"
+        "    return event\n")
+    post = (
+        "def process(event, params):\n"
+        "    g = event.get\n"
+        "    # ES mustache rendering doubles backslashes in appends\n"
+        "    def t(f):\n"
+        "        v = g(f)\n"
+        "        return (v or '').replace('\\\\', '\\\\\\\\')\n"
+        "    event['ibmmq_errorlog_commentinsert'] = [\n"
+        "        t('ibmmq_errorlog_commentinsert1'),\n"
+        "        t('ibmmq_errorlog_commentinsert2'),\n"
+        "        t('ibmmq_errorlog_commentinsert3')]\n"
+        "    event['ibmmq_errorlog_arithinsert'] = [\n"
+        "        t('ibmmq_errorlog_arithinsert1'),\n"
+        "        t('ibmmq_errorlog_arithinsert2')]\n"
+        "    for f in ('ibmmq_errorlog_arithinsert1',\n"
+        "              'ibmmq_errorlog_arithinsert2',\n"
+        "              'ibmmq_errorlog_commentinsert1',\n"
+        "              'ibmmq_errorlog_commentinsert2',\n"
+        "              'ibmmq_errorlog_commentinsert3', 'message'):\n"
+        "        event[f] = None\n"
+        "    event['message'] = g('ibmmq_errorlog_errordescription')\n"
+        "    event['ibmmq_errorlog_errordescription'] = None\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"script": {"source": pre}},
+        {"grok": {"field": "message",
+                  "patterns": [r"^%{DATA:log_timestamp} -"],
+                  "ignore_failure": True}},
+        {"grok": {"field": "message", "patterns": [
+            r"Process\(%{DATA:process.pid}\) User\(%{WORD:user.name}\) "
+            r"Program\(%{DATA:process.title}\) "
+            r"Host\(%{DATA:host.hostname}\) "
+            r"Installation\(%{WORD:ibmmq.errorlog.installation}\) "
+            r"VRMF\(%{DATA:service.version}\)"
+            r"( QMgr\(%{DATA:ibmmq.errorlog.qmgr}\))?"
+            r"( Time\(%{TIMESTAMP_ISO8601:log_timestamp}\))?"
+            r"( RemoteHost\(%{DATA:destination.address}\))?"
+            r"( ArithInsert1\(%{DATA:ibmmq.errorlog.arithinsert1}\))?"
+            r"( ArithInsert2\(%{DATA:ibmmq.errorlog.arithinsert2}\))?"
+            r"( CommentInsert1\(%{DATA:ibmmq.errorlog.commentinsert1}\))?"
+            r"( CommentInsert2\(%{DATA:ibmmq.errorlog.commentinsert2}\))?"
+            r"( CommentInsert3\(%{DATA:ibmmq.errorlog.commentinsert3}\))? "
+            r"(?=AMQ[0-9]{4})%{DATA:ibmmq.errorlog.code}"
+            r"((?<=AMQ[0-9]{4}[A-Z])%{DATA:log.level})?: "
+            r"%{DATA:ibmmq.errorlog.errordescription} [^\ ]+:"
+            r"( %{DATA:ibmmq.errorlog.explanation})? [^\ ]+:"
+            r"( %{DATA:ibmmq.errorlog.action})?$"],
+            "anchor": False, "ignore_failure": True}},
+        {"timestamp": {"field": "log_timestamp", "layouts": [
+            "ISO8601", "%m/%d/%Y %I:%M:%S %p", "%d/%m/%Y %H:%M:%S",
+            "%d.%m.%Y %H:%M:%S"],
+            "target_field": "@timestamp", "ignore_failure": True}},
+        {"script": {"source": post}},
+        {"drop_fields": {"fields": ["log_timestamp"],
+                         "ignore_missing": True}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.module": "ibmmq",
+            "event.dataset": "ibmmq.errorlog", "fileset.name": "errorlog",
+            "input.type": "log", "service.type": "ibmmq"}}},
+    ]}
+    total = 0
+    for logname in sorted(os.listdir(IBMMQ_DIR)):
+        if not logname.endswith(".log"):
+            continue
+        path = os.path.join(IBMMQ_DIR, logname)
+        raw = _terminated_lines(path)
+        src = pa.table({"conv_id": ["f"] * len(raw),
+                        "turn_idx": pa.array(range(len(raw)), pa.int32()),
+                        "text": raw})
+        joined = multiline_join(
+            rd.from_arrow(src), pattern=r"^[\-]{5}.*[\-]{10,}$",
+            negate=True, match="after").to_pandas().sort_values("turn_idx")
+        lines = [t for t in joined["text"].tolist() if t.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)),
+                                              pa.int64())})
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(path + "-expected.json"))
+        assert len(rows) >= len(expected), logname
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "log.flags", "event.created"):
+                    continue
+                if key == "@timestamp":
+                    want_dt = datetime.fromisoformat(
+                        want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                    got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                    assert got_dt == want_dt, (logname, got_dt, want_dt)
+                    continue
+                got_v = got.get(key.replace(".", "_"))
+                if isinstance(want, list):
+                    if not isinstance(got_v, list):
+                        got_v = [got_v] if got_v not in (None, "") else []
+                    assert sorted(map(str, got_v)) == \
+                        sorted(map(str, want)), (logname, key, got_v, want)
+                    continue
+                assert str(got_v) == str(want), (logname, key, got_v, want)
+            total += 1
+    assert total >= 50
