@@ -8780,3 +8780,113 @@ def test_ibmmq_errorlog_module_golden():
                 assert str(got_v) == str(want), (logname, key, got_v, want)
             total += 1
     assert total >= 50
+
+
+MISP_LOG = ("/root/reference/x-pack/filebeat/module/misp/threat/test/"
+            "misp-test.json.log")
+MISP_JS = ("/root/reference/x-pack/filebeat/module/misp/threat/config/"
+           "pipeline.js")
+
+
+@pytest.mark.skipif(not os.path.exists(MISP_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_misp_threat_module_golden():
+    """misp/threat (62nd module golden): the module's REAL JavaScript
+    setAttackPattern function (17-type switch building STIX-ish attack
+    patterns + KQL) extracted from config/pipeline.js IN PLACE and run
+    through the mini-JS interpreter, around decode_json_fields + the
+    Convert rename chain and UNIX timestamps —
+    x-pack/filebeat/module/misp/threat/config/pipeline.js."""
+    import re as _re
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    src = open(MISP_JS).read()
+    m = _re.search(r"var setAttackPattern = function \(evt\) \{(.*?)\n"
+                   r"    \};", src, _re.S)
+    assert m, "setAttackPattern not found in pipeline.js"
+    js = "function process(evt) {" + m.group(1) + "\n}"
+    assemble = (
+        "def process(event, params):\n"
+        "    event['misp_threat_indicator_feed'] = 'misp'\n"
+        "    ev_uuid = event.get('json_uuid')\n"
+        "    if ev_uuid is not None:\n"
+        "        event['event_id'] = ev_uuid\n"
+        "        event['json_uuid'] = None\n"
+        "    # copyTags: AppendTo is scalar for a single value (the\n"
+        "    # decoder keeps list-of-object columns as JSON text)\n"
+        "    import json as _json\n"
+        "    raw = event.get('json_Tag')\n"
+        "    arr = _json.loads(raw) if isinstance(raw, str) else (raw or [])\n"
+        "    tags = [t.get('name') for t in arr if t.get('name')]\n"
+        "    if tags:\n"
+        "        event['tags'] = tags[0] if len(tags) == 1 else tags\n"
+        "    event['json_Tag'] = None\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"copy_fields": {"fields": [
+            {"from": "message", "to": "event.original"}],
+            "fail_on_error": False}},
+        {"decode_json_fields": {"fields": ["message"], "target": "json",
+                                "keep_arrays": True, "max_depth": 5}},
+        {"add_fields": {"target": "event", "fields": {
+            "kind": "event", "category": "threat-intel",
+            "type": "indicator"}}},
+        {"convert": {"mode": "rename", "ignore_missing": True,
+                     "fail_on_error": False, "fields": [
+                         {"from": "json.Event.id", "to": "rule.id"},
+                         {"from": "json.Event.info",
+                          "to": "misp.threat_indicator.description"},
+                         {"from": "json.Event.uuid",
+                          "to": "misp.threat_indicator.id"},
+                         {"from": "json.category", "to": "rule.category"}]}},
+        # rule.description/uuid duplicate the renamed sources (the JS
+        # Convert lists Event.info/uuid twice; rename consumes on first
+        # use, so the second from the ALREADY-renamed field)
+        {"copy_fields": {"fields": [
+            {"from": "misp.threat_indicator.description",
+             "to": "rule.description"},
+            {"from": "misp.threat_indicator.id", "to": "rule.uuid"}],
+            "fail_on_error": False, "ignore_missing": True}},
+        {"script": {"source": assemble}},
+        {"script": {"lang": "javascript", "source": js}},
+        {"timestamp": {"field": "json.timestamp", "layouts": ["UNIX"],
+                       "target_field": "@timestamp"}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "misp", "event.dataset": "misp.threat",
+            "fileset.name": "threat", "input.type": "log",
+            "service.type": "misp"}}},
+    ]}
+    lines = [ln for ln in _terminated_lines(MISP_LOG) if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(MISP_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    SKIP = ("source.geo", "destination.geo", "source.as", "destination.as")
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "event.created") or \
+                    key.startswith(SKIP):
+                continue
+            if key == "@timestamp":
+                want_dt = datetime.fromisoformat(
+                    want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                assert got_dt == want_dt, (got_dt, want_dt)
+                continue
+            if key == "message":
+                # the JS Put("message", value) replaces the raw line
+                assert str(got.get("message")) == str(want), \
+                    (got.get("message"), want)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, list):
+                if not isinstance(got_v, list):
+                    got_v = [got_v] if got_v not in (None, "") else []
+                assert sorted(map(str, got_v)) == sorted(map(str, want)), \
+                    (key, got_v, want)
+                continue
+            assert str(got_v) == str(want), (key, got_v, want)
