@@ -8890,3 +8890,171 @@ def test_misp_threat_module_golden():
                     (key, got_v, want)
                 continue
             assert str(got_v) == str(want), (key, got_v, want)
+
+
+GWS_LOGIN = ("/root/reference/x-pack/filebeat/module/google_workspace/"
+             "login/test/login-test.json.log")
+
+
+@pytest.mark.skipif(not os.path.exists(GWS_LOGIN + "-expected.json"),
+                    reason="reference not present")
+def test_google_workspace_login_module_golden():
+    """google_workspace/login (63rd module golden, all 14 events): the
+    module's common.js + login pipeline.js semantics — Convert rename
+    chain with typed ids, email split to user/source.user/domain, action
+    switch to category/type/outcome, login_ param prefix strip with
+    typed param extraction (timestamp micros -> event.start,
+    challenge_status outcome, bool params), affected-email target user
+    with DEDUPED related.user AppendTo — x-pack/filebeat/module/
+    google_workspace/{config/common.js,login/config/pipeline.js}."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    transform = r'''
+import json as _json
+from datetime import datetime
+
+CAT = {
+    "login_failure": (["authentication", "session"], ["start"], "failure"),
+    "login_success": (["authentication", "session"], ["start"], "success"),
+    "logout": (["authentication", "session"], ["end"], None),
+}
+USER_CHANGE = ("account_disabled_generic",
+               "account_disabled_spamming_through_relay",
+               "account_disabled_spamming", "account_disabled_hijacked",
+               "account_disabled_password_leak")
+INFO = ("gov_attack_warning", "login_challenge", "login_verification",
+        "suspicious_login", "suspicious_login_less_secure_app",
+        "suspicious_programmatic_login")
+
+
+def process(event, params):
+    j = _json.loads(event["message"])
+    event["event_original"] = event["message"]
+    event["message"] = None
+    jid = j.get("id") or {}
+    if jid.get("time"):
+        t = jid["time"].replace("Z", "+0000")
+        fmt = "%Y-%m-%dT%H:%M:%S.%f%z" if "." in t else "%Y-%m-%dT%H:%M:%S%z"
+        dt = datetime.strptime(t, fmt)
+        event["ts"] = dt.replace(tzinfo=None) - dt.utcoffset()
+    ev = j.get("events") or {}
+    actor = j.get("actor") or {}
+    action = ev.get("name")
+    if action is not None:
+        event["event_action"] = action
+    if jid.get("applicationName") is not None:
+        event["event_provider"] = jid["applicationName"]
+    if jid.get("uniqueQualifier") is not None:
+        event["event_id"] = str(jid["uniqueQualifier"])
+    if actor.get("email") is not None:
+        event["source_user_email"] = actor["email"]
+    if actor.get("profileId") is not None:
+        event["source_user_id"] = str(actor["profileId"])
+    if j.get("ipAddress") is not None:
+        event["source_ip"] = j["ipAddress"]
+    if j.get("kind") is not None:
+        event["google_workspace_kind"] = j["kind"]
+    if jid.get("customerId") is not None:
+        event["organization_id"] = str(jid["customerId"])
+    if actor.get("callerType") is not None:
+        event["google_workspace_actor_type"] = actor["callerType"]
+    if actor.get("key") is not None:
+        event["google_workspace_actor_key"] = actor["key"]
+    if j.get("ownerDomain") is not None:
+        event["google_workspace_organization_domain"] = j["ownerDomain"]
+    if ev.get("type") is not None:
+        event["google_workspace_event_type"] = ev["type"]
+    email = event.get("source_user_email")
+    if email and len(email.split("@")) == 2:
+        name, domain = email.split("@")
+        event["user_id"] = event.get("source_user_id")
+        event["user_name"] = name
+        event["source_user_name"] = name
+        event["user_domain"] = domain
+        event["source_user_domain"] = domain
+    rel_u = []
+    if event.get("source_ip"):
+        event["related_ip"] = [event["source_ip"]]
+    if event.get("source_user_name"):
+        rel_u.append(event["source_user_name"])
+    # login pipeline.js
+    event["event_category"] = ["authentication"]
+    if action in CAT:
+        cats, types, outcome = CAT[action]
+        event["event_category"] = list(cats)
+        event["event_type"] = types
+        if outcome:
+            event["event_outcome"] = outcome
+    elif action in USER_CHANGE:
+        event["event_type"] = ["user", "change"]
+    elif action in INFO:
+        event["event_type"] = ["info"]
+    for p in (ev.get("parameters") or []):
+        name = p.get("name", "")
+        if name.startswith("login_"):
+            name = name[len("login_"):]
+        if name == "timestamp":
+            event["event_start"] = datetime.utcfromtimestamp(
+                p["intValue"] / 1000000.0)
+        elif name == "challenge_status":
+            event["event_outcome"] = "success" \
+                if p.get("value") == "Challenge Passed" else "failure"
+        elif name in ("is_second_factor", "is_suspicious"):
+            event["google_workspace_login_" + name] = p.get("boolValue")
+        else:
+            event["google_workspace_login_" + name] = \
+                p.get("value") if p.get("value") is not None \
+                else p.get("multiValue")
+    ae = event.get("google_workspace_login_affected_email_address")
+    if ae:
+        event["user_target_email"] = ae
+        parts = ae.split("@")
+        if len(parts) == 2:
+            event["user_target_name"] = parts[0]
+            event["user_target_domain"] = parts[1]
+            if parts[0] not in rel_u:     # AppendTo dedups
+                rel_u.append(parts[0])
+    if rel_u:
+        event["related_user"] = rel_u
+    return event
+'''
+    spec = {"processors": [
+        {"script": {"source": transform}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "google_workspace",
+            "event.dataset": "google_workspace.login",
+            "fileset.name": "login", "input.type": "log",
+            "service.type": "google_workspace", "tags": ["forwarded"]}}},
+    ]}
+    lines = [ln for ln in _terminated_lines(GWS_LOGIN) if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(GWS_LOGIN + "-expected.json"))
+    assert len(rows) == len(expected)
+    SKIP = ("source.geo", "source.as")
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "event.created") or \
+                    key.startswith(SKIP):
+                continue
+            if key in ("@timestamp", "event.start"):
+                want_dt = datetime.fromisoformat(
+                    want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                ts = got["ts" if key == "@timestamp" else "event_start"]
+                got_dt = ts.replace(tzinfo=_tz.utc)
+                got_dt = got_dt.replace(
+                    microsecond=got_dt.microsecond // 1000 * 1000)
+                assert got_dt == want_dt, (key, got_dt, want_dt)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, list):
+                if not isinstance(got_v, list):
+                    got_v = [got_v] if got_v not in (None, "") else []
+                assert sorted(map(str, got_v)) == sorted(map(str, want)), \
+                    (key, got_v, want)
+                continue
+            assert str(got_v) == str(want), (key, got_v, want)
