@@ -9058,3 +9058,148 @@ def process(event, params):
                     (key, got_v, want)
                 continue
             assert str(got_v) == str(want), (key, got_v, want)
+
+
+_GWS_COMMON = r'''
+import json as _json
+from datetime import datetime
+
+
+def process(event, params):
+    j = _json.loads(event["message"])
+    event["event_original"] = event["message"]
+    event["message"] = None
+    jid = j.get("id") or {}
+    if jid.get("time"):
+        t = jid["time"].replace("Z", "+0000")
+        fmt = "%Y-%m-%dT%H:%M:%S.%f%z" if "." in t else "%Y-%m-%dT%H:%M:%S%z"
+        dt = datetime.strptime(t, fmt)
+        event["ts"] = dt.replace(tzinfo=None) - dt.utcoffset()
+    ev = j.get("events") or {}
+    actor = j.get("actor") or {}
+    action = ev.get("name")
+    if action is not None:
+        event["event_action"] = action
+    if jid.get("applicationName") is not None:
+        event["event_provider"] = jid["applicationName"]
+    if jid.get("uniqueQualifier") is not None:
+        event["event_id"] = str(jid["uniqueQualifier"])
+    if actor.get("email") is not None:
+        event["source_user_email"] = actor["email"]
+    if actor.get("profileId") is not None:
+        event["source_user_id"] = str(actor["profileId"])
+    if j.get("ipAddress") is not None:
+        event["source_ip"] = j["ipAddress"]
+    if j.get("kind") is not None:
+        event["google_workspace_kind"] = j["kind"]
+    if jid.get("customerId") is not None:
+        event["organization_id"] = str(jid["customerId"])
+    if actor.get("callerType") is not None:
+        event["google_workspace_actor_type"] = actor["callerType"]
+    if actor.get("key") is not None:
+        event["google_workspace_actor_key"] = actor["key"]
+    if j.get("ownerDomain") is not None:
+        event["google_workspace_organization_domain"] = j["ownerDomain"]
+    if ev.get("type") is not None:
+        event["google_workspace_event_type"] = ev["type"]
+    email = event.get("source_user_email")
+    if email and len(email.split("@")) == 2:
+        name, domain = email.split("@")
+        event["user_id"] = event.get("source_user_id")
+        event["user_name"] = name
+        event["source_user_name"] = name
+        event["user_domain"] = domain
+        event["source_user_domain"] = domain
+    if event.get("source_ip"):
+        event["related_ip"] = [event["source_ip"]]
+    if event.get("source_user_name"):
+        event["related_user"] = [event["source_user_name"]]
+    fileset = params["fileset"]
+    prefix = params.get("param_prefix")
+    if fileset == "saml":
+        event["event_type"] = ["start"]
+        event["event_category"] = ["authentication", "session"]
+        if action == "login_failure":
+            event["event_outcome"] = "failure"
+        elif action == "login_success":
+            event["event_outcome"] = "success"
+    elif fileset == "user_accounts":
+        event["event_type"] = ["change", "user"]
+        event["event_category"] = ["iam"]
+    for p in (ev.get("parameters") or []):
+        name = p.get("name", "")
+        if prefix and name.startswith(prefix):
+            name = name[len(prefix):]
+        val = p.get("value")
+        if val is None:
+            val = p.get("multiValue")
+        if val is None:
+            val = p.get("intValue")
+        event[f"google_workspace_{fileset}_{name}"] = val
+    return event
+'''
+
+
+def _gws_golden(fileset, prefix):
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    path = (f"/root/reference/x-pack/filebeat/module/google_workspace/"
+            f"{fileset}/test/{fileset}-test.json.log")
+    if not os.path.exists(path + "-expected.json"):
+        pytest.skip("reference not present")
+    spec = {"processors": [
+        {"script": {"source": _GWS_COMMON,
+                    "params": {"fileset": fileset,
+                               "param_prefix": prefix}}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "google_workspace",
+            "event.dataset": f"google_workspace.{fileset}",
+            "fileset.name": fileset, "input.type": "log",
+            "service.type": "google_workspace", "tags": ["forwarded"]}}},
+    ]}
+    lines = [ln for ln in _terminated_lines(path) if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(path + "-expected.json"))
+    assert len(rows) == len(expected)
+    SKIP = ("source.geo", "source.as")
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "event.created") or \
+                    key.startswith(SKIP):
+                continue
+            if key == "@timestamp":
+                want_dt = datetime.fromisoformat(
+                    want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                assert got_dt == want_dt, (got_dt, want_dt)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, list):
+                if not isinstance(got_v, list):
+                    got_v = [got_v] if got_v not in (None, "") else []
+                assert sorted(map(str, got_v)) == sorted(map(str, want)), \
+                    (key, got_v, want)
+                continue
+            if isinstance(want, (int, float)) and \
+                    isinstance(got_v, (int, float)) and \
+                    not isinstance(want, bool):
+                assert float(got_v) == float(want), (key, got_v, want)
+                continue
+            assert str(got_v) == str(want), (key, got_v, want)
+
+
+def test_google_workspace_saml_module_golden():
+    """google_workspace/saml (64th module golden): the shared admin-report
+    transform with saml_ param prefix + login outcome switch."""
+    _gws_golden("saml", "saml_")
+
+
+def test_google_workspace_user_accounts_module_golden():
+    """google_workspace/user_accounts (65th module golden): iam
+    categorization + typed param flattening."""
+    _gws_golden("user_accounts", None)
