@@ -9116,6 +9116,12 @@ def process(event, params):
         event["related_user"] = [event["source_user_name"]]
     fileset = params["fileset"]
     prefix = params.get("param_prefix")
+    rel = list(event.get("related_user") or [])
+
+    def append_user(name):
+        if name not in rel:          # AppendTo dedups
+            rel.append(name)
+
     if fileset == "saml":
         event["event_type"] = ["start"]
         event["event_category"] = ["authentication", "session"]
@@ -9126,6 +9132,69 @@ def process(event, params):
     elif fileset == "user_accounts":
         event["event_type"] = ["change", "user"]
         event["event_category"] = ["iam"]
+    elif fileset == "drive":
+        event["event_category"] = ["file"]
+        if action in ("add_to_folder", "edit", "add_lock", "move",
+                      "remove_from_folder", "rename", "remove_lock",
+                      "sheets_import_range"):
+            event["event_type"] = ["change"]
+        elif action in ("approval_canceled", "approval_comment_added",
+                        "approval_requested",
+                        "approval_reviewer_responded",
+                        "change_acl_editors",
+                        "change_document_access_scope",
+                        "change_document_visibility",
+                        "shared_drive_membership_change",
+                        "shared_drive_settings_change",
+                        "sheets_import_range_access_change",
+                        "change_user_access"):
+            event["event_category"] += ["iam", "configuration"]
+            event["event_type"] = ["change"]
+        elif action in ("create", "untrash", "upload"):
+            event["event_type"] = ["creation"]
+        elif action in ("delete", "trash"):
+            event["event_type"] = ["deletion"]
+        elif action in ("download", "preview", "print", "view"):
+            event["event_type"] = ["info"]
+    elif fileset == "groups":
+        event["event_category"] = ["iam"]
+        etype = ["group"]
+        if action in ("change_basic_setting", "change_identity_setting",
+                      "change_info_setting",
+                      "change_new_members_restrictions_setting",
+                      "change_post_replies_setting",
+                      "change_spam_moderation_setting",
+                      "change_topic_setting"):
+            event["event_category"].append("configuration")
+            etype.append("change")
+        elif action == "change_acl_permission":
+            etype.append("change")
+        elif action == "accept_invitation":
+            etype += ["info", "user"]
+        elif action in ("approve_join_request", "join"):
+            etype += ["user", "change"]
+        elif action in ("request_to_join", "ban_user_with_moderation",
+                        "revoke_invitation", "invite_user",
+                        "reject_join_request", "reinvite_user"):
+            etype += ["info", "user"]
+        elif action == "create_group":
+            etype.append("creation")
+        elif action == "add_info_setting":
+            event["event_category"].append("configuration")
+            etype.append("creation")
+        elif action == "delete_group":
+            etype.append("deletion")
+        elif action == "remove_info_setting":
+            event["event_category"].append("configuration")
+            etype.append("deletion")
+        elif action in ("moderate_message", "always_post_from_user"):
+            etype.append("info")
+        elif action == "add_user":
+            etype += ["creation", "user"]
+        elif action == "remove_user":
+            etype += ["deletion", "user"]
+        event["event_type"] = etype
+    vals = {}
     for p in (ev.get("parameters") or []):
         name = p.get("name", "")
         if prefix and name.startswith(prefix):
@@ -9133,9 +9202,82 @@ def process(event, params):
         val = p.get("value")
         if val is None:
             val = p.get("multiValue")
-        if val is None:
+        if val is None and fileset == "user_accounts":
             val = p.get("intValue")
+        if val is None and fileset == "drive":
+            val = p.get("boolValue")
+        vals[name] = val
         event[f"google_workspace_{fileset}_{name}"] = val
+    if fileset == "drive":
+        ren = {"doc_id": "file_id", "doc_title": None,
+               "doc_type": "file_type", "owner": "file_owner_email",
+               "owner_is_shared_drive": "file_owner_is_shared_drive",
+               "new_settings_state": "new_value",
+               "old_settings_state": "old_value", "target_user": "target"}
+        for src, tgt in ren.items():
+            if src in vals:
+                v = event.pop(f"google_workspace_drive_{src}")
+                if src == "doc_title":
+                    event["file_name"] = v
+                else:
+                    event[f"google_workspace_drive_{tgt}"] = v
+                vals[tgt or "file_name"] = v
+        ftype = vals.get("file_type")
+        if ftype:
+            event["file_type"] = "dir" if ftype in (
+                "folder", "shared_drive") else "file"
+            fn = event.get("file_name") or ""
+            if "." in fn:
+                event["file_extension"] = fn.rsplit(".", 1)[1]
+        owner = vals.get("file_owner_email")
+        if owner and len(owner.split("@")) == 2:
+            event["file_owner"] = owner.split("@")[0]
+            append_user(event["file_owner"])
+        tgt = vals.get("target")
+        if tgt and len(tgt.split("@")) == 2:
+            append_user(tgt.split("@")[0])
+    if fileset == "groups":
+        ren = {"group_email": "email", "new_value_repeated": "new_value",
+               "old_value_repeated": "old_value",
+               "user_email": "member_email", "basic_setting": "setting",
+               "identity_setting": "setting", "info_setting": "setting",
+               "new_members_restrictions_setting": "setting",
+               "post_replies_setting": "setting",
+               "spam_moderation_setting": "setting",
+               "topic_setting": "setting", "message_id": "message_id2",
+               "message_moderation_action": "message_moderation_action2",
+               "member_role": "member_role2"}
+        out = {"message_id2": "google_workspace_groups_message_id",
+               "message_moderation_action2":
+                   "google_workspace_groups_message_moderation_action",
+               "member_role2": "google_workspace_groups_member_role"}
+        for src, tgt in ren.items():
+            if src in vals:
+                v = event.pop(f"google_workspace_groups_{src}")
+                col = out.get(tgt, f"google_workspace_groups_{tgt}")
+                event[col] = v
+                vals[tgt] = v
+        st = vals.get("status")
+        if st == "failed":
+            event["event_outcome"] = "failure"
+        elif st == "succeeded":
+            event["event_outcome"] = "success"
+        gemail = vals.get("email")
+        if gemail and len(gemail.split("@")) == 2:
+            event["group_name"], event["group_domain"] = gemail.split("@")
+        memail = vals.get("member_email")
+        if memail and len(memail.split("@")) == 2:
+            nm, dom = memail.split("@")
+            append_user(nm)
+            event["user_target_name"] = nm
+            event["user_target_domain"] = dom
+            event["user_target_email"] = memail
+            if event.get("group_name"):
+                event["user_target_group_name"] = event["group_name"]
+            if event.get("group_domain"):
+                event["user_target_group_domain"] = event["group_domain"]
+    if rel:
+        event["related_user"] = rel
     return event
 '''
 
@@ -9179,6 +9321,9 @@ def _gws_golden(fileset, prefix):
                 assert got_dt == want_dt, (got_dt, want_dt)
                 continue
             got_v = got.get(key.replace(".", "_"))
+            if isinstance(got_v, list) and len(got_v) == 1 and \
+                    not isinstance(want, list):
+                got_v = got_v[0]
             if isinstance(want, list):
                 if not isinstance(got_v, list):
                     got_v = [got_v] if got_v not in (None, "") else []
@@ -9203,3 +9348,17 @@ def test_google_workspace_user_accounts_module_golden():
     """google_workspace/user_accounts (65th module golden): iam
     categorization + typed param flattening."""
     _gws_golden("user_accounts", None)
+
+
+def test_google_workspace_drive_module_golden():
+    """google_workspace/drive (66th module golden): file categorize
+    switch, doc_* renames, folder/shared_drive -> dir file.type,
+    path-extension extraction, owner/target related users."""
+    _gws_golden("drive", None)
+
+
+def test_google_workspace_groups_module_golden():
+    """google_workspace/groups (67th module golden): the 20-action iam
+    categorize switch, setting renames, status outcomes, group/member
+    email decomposition into group.* and user.target.*."""
+    _gws_golden("groups", None)
