@@ -9362,3 +9362,271 @@ def test_google_workspace_groups_module_golden():
     categorize switch, setting renames, status outcomes, group/member
     email decomposition into group.* and user.target.*."""
     _gws_golden("groups", None)
+
+
+GWS_ADMIN_DIR = ("/root/reference/x-pack/filebeat/module/google_workspace/"
+                 "admin/test")
+GWS_ADMIN_JS = ("/root/reference/x-pack/filebeat/module/google_workspace/"
+                "admin/config/pipeline.js")
+
+_GWS_ADMIN_SCRIPT = r'''
+import json as _json
+from datetime import datetime
+
+
+def _parse_dt(t):
+    t = t.replace("Z", "+0000").replace(" UTC", "+0000")
+    for fmt in ("%Y-%m-%dT%H:%M:%S.%f%z", "%Y-%m-%dT%H:%M:%S%z",
+                "%Y/%m/%d %H:%M:%S%z"):
+        try:
+            dt = datetime.strptime(t, fmt)
+            return dt.replace(tzinfo=None) - dt.utcoffset()
+        except ValueError:
+            continue
+    return None
+
+
+def process(event, params):
+    j = _json.loads(event["message"])
+    event["event_original"] = event["message"]
+    event["message"] = None
+    jid = j.get("id") or {}
+    if jid.get("time"):
+        event["ts"] = _parse_dt(jid["time"])
+    ev = j.get("events") or {}
+    actor = j.get("actor") or {}
+    action = ev.get("name")
+    if action is not None:
+        event["event_action"] = action
+    if jid.get("applicationName") is not None:
+        event["event_provider"] = jid["applicationName"]
+    if jid.get("uniqueQualifier") is not None:
+        event["event_id"] = str(jid["uniqueQualifier"])
+    if actor.get("email") is not None:
+        event["source_user_email"] = actor["email"]
+    if actor.get("profileId") is not None:
+        event["source_user_id"] = str(actor["profileId"])
+    if j.get("ipAddress") is not None:
+        event["source_ip"] = j["ipAddress"]
+    if j.get("kind") is not None:
+        event["google_workspace_kind"] = j["kind"]
+    if jid.get("customerId") is not None:
+        event["organization_id"] = str(jid["customerId"])
+    if actor.get("callerType") is not None:
+        event["google_workspace_actor_type"] = actor["callerType"]
+    if actor.get("key") is not None:
+        event["google_workspace_actor_key"] = actor["key"]
+    if j.get("ownerDomain") is not None:
+        event["google_workspace_organization_domain"] = j["ownerDomain"]
+    if ev.get("type") is not None:
+        event["google_workspace_event_type"] = ev["type"]
+    email = event.get("source_user_email")
+    if email and len(email.split("@")) == 2:
+        name, domain = email.split("@")
+        event["user_id"] = event.get("source_user_id")
+        event["user_name"] = name
+        event["source_user_name"] = name
+        event["user_domain"] = domain
+        event["source_user_domain"] = domain
+    rel = []
+    if event.get("source_ip"):
+        event["related_ip"] = [event["source_ip"]]
+    if event.get("source_user_name"):
+        rel.append(event["source_user_name"])
+    # categorize (switch table parsed from pipeline.js)
+    event["event_category"] = ["iam"]
+    for op, field, value in params["switch"].get(action, []):
+        col = field.replace(".", "_")
+        if op == "put":
+            event[col] = list(value) if isinstance(value, list) else value
+        else:
+            cur = event.get(col)
+            if cur is None:
+                event[col] = value
+            elif isinstance(cur, list):
+                if value not in cur:
+                    event[col] = cur + [value]
+            elif value != cur:
+                event[col] = [cur, value]
+    # flatten params
+    vals = {}
+    for p in (ev.get("parameters") or []):
+        v = p.get("value")
+        if v is None:
+            v = p.get("multiValue")
+        if v is None:
+            v = p.get("intValue")
+        vals[p.get("name")] = v
+    # Convert renames (table parsed from pipeline.js; rename consumes)
+    out = {}
+    for frm, to, typ in params["renames"]:
+        key = frm.split("google_workspace.admin.", 1)[-1]
+        if key in vals:
+            v = vals.pop(key)
+            if typ == "long":
+                v = int(v)
+            out[to] = v
+    for k, v in vals.items():
+        out["google_workspace.admin." + k] = v
+    # parseDate pairs
+    for frm, to in params["dates"]:
+        key = frm
+        if key in out and isinstance(out[key], str):
+            dt = _parse_dt(out.pop(key))
+            if dt is not None:
+                out[to] = dt
+    for k, v in out.items():
+        event[k.replace(".", "_").replace("@", "_")] = v
+    # tail enrichers
+    gemail = out.get("google_workspace.admin.group.email")
+    if gemail and len(gemail.split("@")) == 2:
+        event["group_name"], event["group_domain"] = gemail.split("@")
+    uemail = out.get("google_workspace.admin.user.email")
+    if uemail and len(uemail.split("@")) == 2:
+        nm, dom = uemail.split("@")
+        if nm not in rel:
+            rel.append(nm)
+        event["user_target_name"] = nm
+        event["user_target_domain"] = dom
+        event["user_target_email"] = uemail
+        if event.get("group_name"):
+            event["user_target_group_name"] = event["group_name"]
+        if event.get("group_domain"):
+            event["user_target_group_domain"] = event["group_domain"]
+    start, end = event.get("event_start"), event.get("event_end")
+    if start is not None and end is not None:
+        event["event_duration"] = int((end - start).total_seconds() * 1e9)
+    failed = out.get("google_workspace.admin.bulk_upload.failed")
+    if failed is not None:
+        event["event_outcome"] = "success" if failed == 0 else "failure"
+    wl = event.pop("google_workspace_admin_WHITELISTED_GROUPS", None)
+    if wl:
+        event["google_workspace_admin_group_allowed_list"] = wl.split(",")
+    if rel:
+        event["related_user"] = rel
+    return event
+'''
+
+
+def _gws_admin_tables():
+    import re as _re
+    src = open(GWS_ADMIN_JS).read()
+    sw = _re.search(r"switch \(evt\.Get\(\"event\.action\"\)\) \{(.*?)\n"
+                    r"        \}\n    \};", src, _re.S).group(1)
+    table = {}
+    labels = []
+    for line in sw.splitlines():
+        line = line.strip()
+        m = _re.match(r'case "([^"]+)":', line)
+        if m:
+            labels.append(m.group(1))
+            continue
+        m = _re.match(r'evt\.AppendTo\("(event\.\w+)", "([^"]+)"\);?', line)
+        if m:
+            for lb in labels:
+                table.setdefault(lb, []).append(
+                    ("append", m.group(1), m.group(2)))
+            continue
+        m = _re.match(r'evt\.Put\("(event\.\w+)", \[([^\]]*)\]\);?', line)
+        if m:
+            vals = [v.strip().strip('"') for v in m.group(2).split(",")]
+            for lb in labels:
+                table.setdefault(lb, []).append(
+                    ("put", m.group(1), vals))
+            continue
+        if line.startswith("break"):
+            labels = []
+    conv = _re.search(r"\.Convert\(\{\s*fields: \[(.*?)\n            \],",
+                      src, _re.S).group(1)
+    renames = []
+    for m in _re.finditer(
+            r'from: "([^"]+)",\s*to: "([^"]+)",(?:\s*type: "(\w+)",)?',
+            conv):
+        renames.append((m.group(1), m.group(2), m.group(3)))
+    dates = _re.findall(
+        r'\.Add\(parseDate\(\s*"([^"]+)",\s*"([^"]+)"\s*\)\)', src)
+    return {"switch": table, "renames": renames, "dates": dates}
+
+
+@pytest.mark.skipif(not os.path.isdir(GWS_ADMIN_DIR),
+                    reason="reference not present")
+def test_google_workspace_admin_module_golden():
+    """google_workspace/admin (68th module golden): ALL 16 fixtures (326
+    events) — the ~300-case categorize switch, 80-entry Convert rename
+    table and parseDate pairs are PARSED FROM THE MODULE'S OWN pipeline.js
+    at test time (never hand-copied), plus bulk-upload outcomes, group/
+    target-user decomposition, allowed-list splits and event duration —
+    x-pack/filebeat/module/google_workspace/admin/config/pipeline.js."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    tables = _gws_admin_tables()
+    assert len(tables["switch"]) > 100 and len(tables["renames"]) > 50
+    spec = {"processors": [
+        {"script": {"source": _GWS_ADMIN_SCRIPT, "params": tables}},
+        # module-level ingest/common.yml: uri_parts on url.full
+        {"uri_parts": {"field": "url.full", "ignore_missing": True}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "google_workspace",
+            "event.dataset": "google_workspace.admin",
+            "fileset.name": "admin", "input.type": "log",
+            "service.type": "google_workspace", "tags": ["forwarded"]}}},
+    ]}
+    total, failures = 0, []
+    for logname in sorted(os.listdir(GWS_ADMIN_DIR)):
+        if not logname.endswith(".log"):
+            continue
+        path = os.path.join(GWS_ADMIN_DIR, logname)
+        if not os.path.exists(path + "-expected.json"):
+            continue
+        lines = [ln for ln in _terminated_lines(path) if ln.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)),
+                                              pa.int64())})
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(path + "-expected.json"))
+        if len(rows) != len(expected):
+            failures.append(f"{logname}: rows {len(rows)} != "
+                            f"{len(expected)}")
+            continue
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "event.created") or \
+                        key.startswith(("source.geo", "source.as")):
+                    continue
+                try:
+                    if key in ("@timestamp", "event.start", "event.end") \
+                            or key.endswith(("birthdate", "start_date",
+                                             "end_date")):
+                        col = "ts" if key == "@timestamp" \
+                            else key.replace(".", "_")
+                        want_dt = datetime.fromisoformat(
+                            want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                        got_dt = got[col].replace(tzinfo=_tz.utc)
+                        assert got_dt == want_dt, (got_dt, want_dt)
+                        continue
+                    got_v = got.get(key.replace(".", "_"))
+                    if isinstance(got_v, list) and len(got_v) == 1 and \
+                            not isinstance(want, list):
+                        got_v = got_v[0]
+                    if isinstance(want, list):
+                        if not isinstance(got_v, list):
+                            got_v = [got_v] if got_v not in (None, "") \
+                                else []
+                        assert sorted(map(str, got_v)) == \
+                            sorted(map(str, want)), (got_v, want)
+                        continue
+                    if isinstance(want, (int, float)) and \
+                            isinstance(got_v, (int, float)) and \
+                            not isinstance(want, bool):
+                        assert float(got_v) == float(want), (got_v, want)
+                        continue
+                    assert str(got_v) == str(want), (got_v, want)
+                except AssertionError as e:
+                    failures.append(f"{logname}: {key}: {e}")
+            total += 1
+    assert not failures, "\n".join(failures[:20]) + \
+        f"\n... {len(failures)} total"
+    assert total >= 300
