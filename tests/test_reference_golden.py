@@ -9630,3 +9630,223 @@ def test_google_workspace_admin_module_golden():
     assert not failures, "\n".join(failures[:20]) + \
         f"\n... {len(failures)} total"
     assert total >= 300
+
+
+SF_LOGIN_DIR = "/root/reference/x-pack/filebeat/module/salesforce/login/test"
+
+_SF_LOGIN_SCRIPT = r'''
+import json as _json
+from datetime import datetime
+
+API_TYPE = {"D": "Apex Class", "E": "SOAP Enterprise",
+            "I": "SOAP Cross Instance", "M": "SOAP Metadata",
+            "O": "Old SOAP", "P": "SOAP Partner", "S": "SOAP Apex",
+            "T": "SOAP Tooling", "X": "XmlRPC", "f": "Feed",
+            "l": "Live Agent", "p": "SOAP ClientSync"}
+REQ_STATUS = {"S": "Success", "F": "Failure", "U": "Undefined",
+              "A": "Authorization Error", "R": "Redirect", "N": "Not Found"}
+
+
+def _iso(v):
+    v = str(v).replace("Z", "+0000")
+    for fmt in ("%Y-%m-%dT%H:%M:%S.%f%z", "%Y-%m-%dT%H:%M:%S%z"):
+        try:
+            dt = datetime.strptime(v, fmt)
+            return dt.replace(tzinfo=None) - dt.utcoffset()
+        except ValueError:
+            continue
+    return None
+
+
+def process(event, params):
+    j = _json.loads(event["message"])
+    event["message"] = None
+    event["event_provider"] = params["provider"]
+    P = "salesforce_login_"
+    if params["provider"] == "EventLogFile":
+        if j.get("TIMESTAMP_DERIVED"):
+            event["ts"] = _iso(j["TIMESTAMP_DERIVED"])
+        at = j.get("API_TYPE")
+        if at:
+            event[P + "api_type"] = API_TYPE.get(at, at)
+        if j.get("AUTHENTICATION_METHOD_REFERENCE"):
+            event[P + "auth_service_id"] = \
+                j["AUTHENTICATION_METHOD_REFERENCE"]
+        rs = j.get("REQUEST_STATUS")
+        if rs:
+            event[P + "request_status"] = REQ_STATUS.get(rs, rs)
+        for src, tgt in (("API_VERSION", "api_version"),
+                         ("USER_ID", "user_id"), ("LOGIN_KEY", "key"),
+                         ("EVENT_TYPE", "event_type"),
+                         ("REQUEST_ID", "request_id"),
+                         ("ORGANIZATION_ID", "organization_id"),
+                         ("CLIENT_IP", "client_ip"),
+                         ("URI_ID_DERIVED", "uri_derived_id")):
+            if j.get(src) not in (None, ""):
+                event[P + tgt] = j[src]
+        for src, tgt in (("RUN_TIME", "run_time"),
+                         ("CPU_TIME", "cpu_time"),
+                         ("DB_TOTAL_TIME", "db_time_total")):
+            if j.get(src) not in (None, ""):
+                event[P + tgt] = int(j[src])
+        if j.get("URI") not in (None, ""):
+            event["event_url"] = j["URI"]
+        ls = j.get("LOGIN_STATUS")
+        if ls is not None:
+            event["event_outcome"] = "success" \
+                if ls == "LOGIN_NO_ERROR" else "failure"
+        if j.get("USER_NAME") not in (None, ""):
+            event["user_email"] = j["USER_NAME"]
+        if j.get("USER_ID_DERIVED") not in (None, ""):
+            event["user_id"] = j["USER_ID_DERIVED"]
+        if j.get("USER_TYPE") not in (None, ""):
+            event["user_roles"] = [j["USER_TYPE"]]
+        sip = j.get("SOURCE_IP")
+        if sip not in (None, "", "Salesforce.com IP"):
+            event["source_ip"] = sip
+        if j.get("BROWSER_TYPE") not in (None, ""):
+            event["user_agent_name"] = j["BROWSER_TYPE"]
+        if j.get("CIPHER_SUITE") not in (None, ""):
+            event["tls_cipher"] = j["CIPHER_SUITE"]
+        tp = j.get("TLS_PROTOCOL")
+        if tp and "v" in tp:
+            proto, ver = tp.split("v", 1)
+            event["tls_version_protocol"] = proto
+            event["tls_version"] = ver
+    else:
+        if j.get("EventDate"):
+            event["ts"] = _iso(j["EventDate"])
+        ren = (("AuthServiceId", "auth_service_id"),
+               ("ClientVersion", "client_version"),
+               ("LoginGeoId", "geo_id"), ("LoginHistoryId", "history_id"),
+               ("ApiType", "api_type"),
+               ("AuthMethodReference", "auth_method_reference"),
+               ("LoginType", "type"), ("PolicyOutcome", "policy_outcome"),
+               ("ApiVersion", "api_version"),
+               ("RelatedEventIdentifier", "related_event_identifier"),
+               ("LoginKey", "key"), ("Application", "application"),
+               ("PolicyId", "policy_id"), ("SessionLevel", "session_level"),
+               ("SessionKey", "session_key"),
+               ("AdditionalInfo", "additional_info"))
+        for src, tgt in ren:
+            if j.get(src) not in (None, ""):
+                event[P + tgt] = j[src]
+        if j.get("EvaluationTime") is not None:
+            event[P + "evaluation_time"] = float(j["EvaluationTime"])
+        if j.get("EventIdentifier") not in (None, ""):
+            event["event_id"] = j["EventIdentifier"]
+        st = j.get("Status")
+        if st is not None:
+            event["event_outcome"] = "success" if st == "Success" \
+                else "failure"
+        if j.get("CreatedDate"):
+            event["event_created_sf"] = _iso(j["CreatedDate"])
+        if j.get("LoginUrl") not in (None, ""):
+            event["event_url"] = j["LoginUrl"]
+        if j.get("Username") not in (None, ""):
+            event["user_email"] = j["Username"]
+        if j.get("UserId") not in (None, ""):
+            event["user_id"] = j["UserId"]
+        if j.get("UserType") not in (None, ""):
+            event["user_roles"] = j["UserType"]
+        if j.get("SourceIp") not in (None, ""):
+            event["source_ip"] = j["SourceIp"]
+        for src, tgt in (("LoginLatitude", "source_geo_location_lat"),
+                         ("LoginLongitude", "source_geo_location_lon"),
+                         ("CountryIso", "source_geo_country_iso_code"),
+                         ("PostalCode", "source_geo_postal_code"),
+                         ("City", "source_geo_city_name"),
+                         ("Subdivision", "source_geo_region_name"),
+                         ("Country", "source_geo_country_name"),
+                         ("Browser", "user_agent_name"),
+                         ("Platform", "user_agent_os_platform"),
+                         ("HttpMethod", "http_request_method"),
+                         ("CipherSuite", "tls_cipher")):
+            if j.get(src) not in (None, ""):
+                event[tgt] = j[src]
+        tp = j.get("TlsProtocol")
+        if tp and " " in tp:
+            proto, ver = tp.split(" ", 1)
+            event["tls_version_protocol"] = proto
+            event["tls_version"] = ver
+    event["event_type"] = ["info"]
+    event["event_kind"] = "event"
+    event["event_action"] = "login-attempt"
+    event["event_category"] = ["authentication"]
+    rel = []
+    if event.get("source_ip"):
+        rel.append(event["source_ip"])
+    cip = event.get(P + "client_ip")
+    if cip and cip != "Salesforce.com IP" and cip not in rel:
+        rel.append(cip)
+    if rel:
+        event["related_ip"] = rel
+    return event
+'''
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_LOGIN_DIR),
+                    reason="reference not present")
+def test_salesforce_login_module_golden():
+    """salesforce/login (69th module golden, both providers): the
+    EventLogFile path (single-char api-type/request-status maps, TLSv1.2
+    dissect, Salesforce.com-IP filtering) and the Object path (typed
+    renames, doc-provided geo, TLS-space dissect) with the '<no value>'
+    mustache artifact — x-pack/filebeat/module/salesforce/login/ingest/
+    {default,eventlogfile,object}.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    for logname, provider in (("salesforce_login_elf.ndjson.log",
+                               "EventLogFile"),
+                              ("salesforce_login_object.ndjson.log",
+                               "Object")):
+        path = os.path.join(SF_LOGIN_DIR, logname)
+        if not os.path.exists(path + "-expected.json"):
+            continue
+        spec = {"processors": [
+            {"script": {"source": _SF_LOGIN_SCRIPT,
+                        "params": {"provider": provider}}},
+            {"add_fields": {"target": "", "fields": {
+                "event.module": "salesforce",
+                "event.dataset": "salesforce.login",
+                "fileset.name": "login", "input.type": "log",
+                "service.type": "salesforce", "event.timezone": "-02:00",
+                "salesforce.instance_url": "<no value>",
+                "tags": ["forwarded", "salesforce-login"]}}},
+        ]}
+        lines = [ln for ln in _terminated_lines(path) if ln.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)),
+                                              pa.int64())})
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(path + "-expected.json"))
+        assert len(rows) == len(expected), logname
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "event.created") or \
+                        (key.startswith(("source.geo",)) and
+                         provider == "EventLogFile"):
+                    continue
+                if key == "@timestamp":
+                    want_dt = datetime.fromisoformat(
+                        want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                    got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                    assert got_dt == want_dt, (logname, got_dt, want_dt)
+                    continue
+                got_v = got.get(key.replace(".", "_"))
+                if isinstance(want, list):
+                    if not isinstance(got_v, list):
+                        got_v = [got_v] if got_v not in (None, "") else []
+                    assert sorted(map(str, got_v)) == \
+                        sorted(map(str, want)), (logname, key, got_v, want)
+                    continue
+                if isinstance(want, (int, float)) and \
+                        isinstance(got_v, (int, float)) and \
+                        not isinstance(want, bool):
+                    assert float(got_v) == float(want), \
+                        (logname, key, got_v, want)
+                    continue
+                assert str(got_v) == str(want), (logname, key, got_v, want)
