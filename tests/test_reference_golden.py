@@ -9850,3 +9850,178 @@ def test_salesforce_login_module_golden():
                         (logname, key, got_v, want)
                     continue
                 assert str(got_v) == str(want), (logname, key, got_v, want)
+
+
+SF_LOGOUT_DIR = ("/root/reference/x-pack/filebeat/module/salesforce/"
+                 "logout/test")
+
+_SF_LOGOUT_SCRIPT = r'''
+import json as _json
+from datetime import datetime
+
+SESSION_TYPES = {"A": "API", "I": "APIOnlyUser", "N": "ChatterNetworks",
+                 "Z": "ChatterNetworksAPIOnly", "C": "Content",
+                 "P": "OauthApprovalUI", "O": "Oauth2", "T": "SiteStudio",
+                 "R": "SitePreview", "S": "SubstituteUser",
+                 "B": "TempContentExchange",
+                 "G": "TempOauthAccessTokenFrontdoor",
+                 "Y": "TempVisualforceExchange", "F": "TempUIFrontdoor",
+                 "U": "UI", "E": "UserSite", "V": "Visualforce",
+                 "W": "WDC_API"}
+SESSION_LEVELS = {"1": "Standard Session", "2": "High-Assurance Session"}
+PLATFORMS = {"1000": "Windows", "1008": "Windows 2003",
+             "1013": "Windows 8.1", "1015": "Windows 10",
+             "2003": "Macintosh/Apple OSX", "4000": "Linux",
+             "5005": "Android", "5006": "iPhone", "5007": "iPad",
+             "5200": "Android 10.0"}
+APP_TYPES = {"1000": "Application", "1007": "SFDC Application",
+             "1014": "Chat", "2501": "CTI", "2514": "OAuth",
+             "3475": "SFDC Partner Portal"}
+API_TYPES = {"D": "Apex Class", "E": "SOAP Enterprise",
+             "I": "SOAP Cross Instance", "M": "SOAP Metadata",
+             "O": "Old SOAP", "P": "SOAP Partner", "S": "SOAP Apex",
+             "T": "SOAP Tooling", "X": "XmlRPC", "f": "Feed",
+             "l": "Live Agent", "p": "SOAP ClientSync"}
+
+
+def _iso(v):
+    v = str(v).replace("Z", "+0000")
+    for fmt in ("%Y-%m-%dT%H:%M:%S.%f%z", "%Y-%m-%dT%H:%M:%S%z"):
+        try:
+            dt = datetime.strptime(v, fmt)
+            return dt.replace(tzinfo=None) - dt.utcoffset()
+        except ValueError:
+            continue
+    return None
+
+
+def _mapped(table, v):
+    # painless containsKey: string keys only match string values
+    return table[v] if isinstance(v, str) and v in table else v
+
+
+def process(event, params):
+    j = _json.loads(event["message"])
+    event["message"] = None
+    event["event_provider"] = params["provider"]
+    P = "salesforce_logout_"
+    if params["provider"] == "EventLogFile":
+        if j.get("TIMESTAMP_DERIVED"):
+            event["ts"] = _iso(j["TIMESTAMP_DERIVED"])
+        maps = {"SESSION_TYPE": ("session_type", SESSION_TYPES),
+                "SESSION_LEVEL": ("session_level", SESSION_LEVELS),
+                "PLATFORM_TYPE": ("platform_type", PLATFORMS),
+                "APP_TYPE": ("app_type", APP_TYPES),
+                "API_TYPE": ("api_type", API_TYPES)}
+        for src, (tgt, table) in maps.items():
+            if j.get(src) not in (None, ""):
+                event[P + tgt] = _mapped(table, j[src])
+        for src, tgt in (("EVENT_TYPE", "event_type"),
+                         ("BROWSER_TYPE", "browser_type"),
+                         ("RESOLUTION_TYPE", "resolution_type"),
+                         ("CLIENT_VERSION", "client_version"),
+                         ("API_VERSION", "api_version"),
+                         ("USER_INITIATED_LOGOUT",
+                          "user_initiated_logout"),
+                         ("LOGIN_KEY", "login_key"),
+                         ("USER_ID", "user_id"),
+                         ("ORGANIZATION_ID", "organization_id")):
+            if j.get(src) not in (None, ""):
+                event[P + tgt] = j[src]
+        if j.get("REQUEST_ID") not in (None, ""):
+            event["event_code"] = j["REQUEST_ID"]
+        if j.get("USER_TYPE") not in (None, ""):
+            event["user_roles"] = j["USER_TYPE"]
+        if j.get("USER_ID_DERIVED") not in (None, ""):
+            event["user_id"] = j["USER_ID_DERIVED"]
+        if j.get("CLIENT_IP") not in (None, ""):
+            event["source_ip"] = j["CLIENT_IP"]
+    else:
+        if j.get("EventDate"):
+            event["ts"] = _iso(j["EventDate"])
+        for src, tgt in (("RelatedEventIdentifier",
+                          "related_event_identifier"),
+                         ("LoginKey", "login_key"),
+                         ("SessionLevel", "session_level"),
+                         ("SessionKey", "session_key")):
+            if j.get(src) not in (None, ""):
+                event[P + tgt] = j[src]
+        if j.get("CreatedDate"):
+            event["event_created_sf"] = _iso(j["CreatedDate"])
+        if j.get("Username") not in (None, ""):
+            event["user_email"] = j["Username"]
+        if j.get("UserId") not in (None, ""):
+            event["user_id"] = j["UserId"]
+        if j.get("SourceIp") not in (None, ""):
+            event["source_ip"] = j["SourceIp"]
+    event["event_type"] = ["info"]
+    event["event_kind"] = "event"
+    event["event_action"] = "logout"
+    event["event_category"] = ["authentication"]
+    if event.get("source_ip"):
+        event["related_ip"] = [event["source_ip"]]
+    return event
+'''
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_LOGOUT_DIR),
+                    reason="reference not present")
+def test_salesforce_logout_module_golden():
+    """salesforce/logout (70th module golden, both providers): session/
+    platform/app/api code maps with painless string-key semantics (an
+    INTEGER app_type never matches the string-keyed map and stays raw) —
+    x-pack/filebeat/module/salesforce/logout/ingest/*.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    for logname, provider in (("salesforce_logout_elf.ndjson.log",
+                               "EventLogFile"),
+                              ("salesforce_logout_object.ndjson.log",
+                               "Object")):
+        path = os.path.join(SF_LOGOUT_DIR, logname)
+        if not os.path.exists(path + "-expected.json"):
+            continue
+        spec = {"processors": [
+            {"script": {"source": _SF_LOGOUT_SCRIPT,
+                        "params": {"provider": provider}}},
+            {"add_fields": {"target": "", "fields": {
+                "event.module": "salesforce",
+                "event.dataset": "salesforce.logout",
+                "fileset.name": "logout", "input.type": "log",
+                "service.type": "salesforce", "event.timezone": "-02:00",
+                "salesforce.instance_url": "<no value>",
+                "tags": ["forwarded", "salesforce-logout"]}}},
+        ]}
+        lines = [ln for ln in _terminated_lines(path) if ln.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)),
+                                              pa.int64())})
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(path + "-expected.json"))
+        assert len(rows) == len(expected), logname
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "event.created"):
+                    continue
+                if key == "@timestamp":
+                    want_dt = datetime.fromisoformat(
+                        want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                    got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                    assert got_dt == want_dt, (logname, got_dt, want_dt)
+                    continue
+                got_v = got.get(key.replace(".", "_"))
+                if isinstance(want, list):
+                    if not isinstance(got_v, list):
+                        got_v = [got_v] if got_v not in (None, "") else []
+                    assert sorted(map(str, got_v)) == \
+                        sorted(map(str, want)), (logname, key, got_v, want)
+                    continue
+                if isinstance(want, (int, float)) and \
+                        isinstance(got_v, (int, float)) and \
+                        not isinstance(want, bool):
+                    assert float(got_v) == float(want), \
+                        (logname, key, got_v, want)
+                    continue
+                assert str(got_v) == str(want), (logname, key, got_v, want)
