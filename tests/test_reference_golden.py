@@ -10025,3 +10025,92 @@ def test_salesforce_logout_module_golden():
                         (logname, key, got_v, want)
                     continue
                 assert str(got_v) == str(want), (logname, key, got_v, want)
+
+
+SF_SAT = ("/root/reference/x-pack/filebeat/module/salesforce/"
+          "setupaudittrail/test/salesforce_setupaudittrail.ndjson.log")
+
+
+@pytest.mark.skipif(not os.path.exists(SF_SAT + "-expected.json"),
+                    reason="reference not present")
+def test_salesforce_setupaudittrail_module_golden():
+    """salesforce/setupaudittrail (71st module golden): audit renames,
+    user.id copy + 'For user X,' dissect — x-pack/filebeat/module/
+    salesforce/setupaudittrail/ingest/pipeline.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    transform = r'''
+import json as _json
+from datetime import datetime
+
+
+def process(event, params):
+    j = _json.loads(event["message"])
+    event["message"] = None
+    if j.get("CreatedDate"):
+        t = str(j["CreatedDate"]).replace("Z", "+0000")
+        fmt = "%Y-%m-%dT%H:%M:%S.%f%z" if "." in t[10:] \
+            else "%Y-%m-%dT%H:%M:%S%z"
+        dt = datetime.strptime(t, fmt)
+        event["ts"] = dt.replace(tzinfo=None) - dt.utcoffset()
+    P = "salesforce_setup_audit_trail_"
+    for src, tgt in (("CreatedByContext", "created_by_context"),
+                     ("CreatedById", "created_by_id"),
+                     ("CreatedByIssuer", "created_by_issuer"),
+                     ("DelegateUser", "delegate_user"),
+                     ("Display", "display"),
+                     ("ResponsibleNamespacePrefix",
+                      "responsible_namespace_prefix"),
+                     ("Section", "section")):
+        if j.get(src) not in (None, ""):
+            event[P + tgt] = j[src]
+    if j.get("Id") not in (None, ""):
+        event["event_id"] = j["Id"]
+    if j.get("Action") not in (None, ""):
+        event["event_action"] = j["Action"]
+    event["event_type"] = ["admin"]
+    event["event_kind"] = "event"
+    if event.get(P + "created_by_id"):
+        event["user_id"] = event[P + "created_by_id"]
+    disp = event.get(P + "display") or ""
+    if disp.startswith("For user ") and ", " in disp:
+        event["user_name"] = disp[len("For user "):].split(", ", 1)[0]
+    return event
+'''
+    spec = {"processors": [
+        {"script": {"source": transform}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "salesforce",
+            "event.dataset": "salesforce.setupaudittrail",
+            "fileset.name": "setupaudittrail", "input.type": "log",
+            "service.type": "salesforce", "event.timezone": "-02:00",
+            "salesforce.instance_url": "<no value>",
+            "tags": ["forwarded", "salesforce-setupaudittrail"]}}},
+    ]}
+    lines = [ln for ln in _terminated_lines(SF_SAT) if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(SF_SAT + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "event.created"):
+                continue
+            if key == "@timestamp":
+                want_dt = datetime.fromisoformat(
+                    want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                assert got_dt == want_dt, (got_dt, want_dt)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, list):
+                if not isinstance(got_v, list):
+                    got_v = [got_v] if got_v not in (None, "") else []
+                assert sorted(map(str, got_v)) == sorted(map(str, want)), \
+                    (key, got_v, want)
+                continue
+            assert str(got_v) == str(want), (key, got_v, want)
