@@ -10114,3 +10114,182 @@ def process(event, params):
                     (key, got_v, want)
                 continue
             assert str(got_v) == str(want), (key, got_v, want)
+
+
+SF_APEX_DIR = "/root/reference/x-pack/filebeat/module/salesforce/apex/test"
+SF_APEX_YML = ("/root/reference/x-pack/filebeat/module/salesforce/apex/"
+               "ingest/pipeline.yml")
+
+_SF_APEX_SCRIPT = r'''
+import json as _json
+from datetime import datetime
+
+
+def process(event, params):
+    j = _json.loads(event["message"])
+    event["message"] = None
+    if j.get("TIMESTAMP_DERIVED"):
+        t = str(j["TIMESTAMP_DERIVED"]).replace("Z", "+0000")
+        fmt = "%Y-%m-%dT%H:%M:%S.%f%z" if "." in t[10:] \
+            else "%Y-%m-%dT%H:%M:%S%z"
+        dt = datetime.strptime(t, fmt)
+        event["ts"] = dt.replace(tzinfo=None) - dt.utcoffset()
+    # rename/convert table parsed from the module's own pipeline.yml;
+    # ES type:float is float32 and golden values carry Java's
+    # shortest-decimal float32 rendering
+    def f32(v):
+        return float(repr(np.float32(float(v))))
+
+    for src, tgt, typ in params["moves"]:
+        if tgt == "event.duration" or src in ("URL", "CLIENT_IP") or \
+                tgt == "event.url":
+            continue                      # conditional, handled below
+        if j.get(src) in (None, ""):
+            continue
+        v = j.pop(src)
+        if typ == "long":
+            v = int(v)
+        elif typ == "double":
+            v = float(v)
+        elif typ == "float":
+            v = f32(v)
+        col = tgt.replace(".", "_")
+        event[col] = v
+    ua = event.get("salesforce_apex_user_agent")
+    uam = params["user_agent_map"]
+    if ua is not None and str(ua)[:3] in uam:
+        event["salesforce_apex_user_agent"] = uam[str(ua)[:3]]
+    et = event.get("salesforce_apex_event_type")
+    # conditional duration / url / source.ip moves
+    if et == "ApexCallout":
+        if j.get("TIME") not in (None, ""):
+            event["event_duration"] = f32(j["TIME"])
+        if j.get("URL") not in (None, ""):
+            event["event_url"] = j["URL"]
+    elif et in ("ApexTrigger", "ApexExecution"):
+        if j.get("EXEC_TIME") not in (None, ""):
+            event["event_duration"] = f32(j["EXEC_TIME"])
+    elif et in ("ApexRestApi", "ApexSoap"):
+        if event.get("salesforce_apex_run_time") is not None:
+            event["event_duration"] = f32(
+                event["salesforce_apex_run_time"])
+    elif et == "ExternalCustomApexCallout":
+        if j.get("TOTAL_MS") not in (None, ""):
+            event["event_duration"] = f32(j["TOTAL_MS"])
+    if et not in ("ApexCallout", "ExternalCustomApexCallout") and \
+            event.get("salesforce_apex_uri") is not None:
+        event["event_url"] = event.pop("salesforce_apex_uri")
+    cip = j.get("CLIENT_IP")
+    if cip not in (None, "", "Salesforce.com IP"):
+        event["source_ip"] = cip
+    event["event_kind"] = "event"
+    if et != "ApexExecution":
+        event["event_type"] = "connection"
+    eam = params["event_action_map"]
+    if et and et.lower() in eam:
+        event["event_action"] = eam[et.lower()]
+    suc, st = j.get("SUCCESS"), j.get("STATUS")
+    if suc is not None or st is not None:
+        event["event_outcome"] = "success" if (suc == "1" or st == "1") \
+            else "failure"
+    if et not in ("ApexTrigger", "ApexExecution"):
+        event["event_category"] = ["network"]
+    if j.get("USER_TYPE") not in (None, ""):
+        event["user_roles"] = [j["USER_TYPE"]]
+    if event.get("source_ip"):
+        event["related_ip"] = [event["source_ip"]]
+    return event
+'''
+
+
+def _sf_apex_tables():
+    import yaml
+    p = yaml.safe_load(open(SF_APEX_YML))
+    moves, uam, eam = [], {}, {}
+    for proc in p["processors"]:
+        for name, cfg in proc.items():
+            if name in ("rename", "convert") and \
+                    str(cfg.get("field", "")).startswith("json."):
+                moves.append((cfg["field"][len("json."):],
+                              cfg.get("target_field", cfg["field"]),
+                              cfg.get("type")))
+            elif name == "script" and "params" in cfg:
+                uam.update(cfg["params"].get("user_agent_map", {}))
+                eam.update(cfg["params"].get("event_action_map", {}))
+    return {"moves": moves, "user_agent_map": uam, "event_action_map": eam}
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_APEX_DIR),
+                    reason="reference not present")
+def test_salesforce_apex_module_golden():
+    """salesforce/apex (72nd module golden, all 6 fixtures): the 58-entry
+    rename/convert table PARSED FROM THE MODULE'S OWN pipeline.yml, the
+    numeric user-agent prefix map, event-type action mapping,
+    SUCCESS/STATUS outcomes and non-trigger network categorization —
+    x-pack/filebeat/module/salesforce/apex/ingest/pipeline.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    tables = _sf_apex_tables()
+    assert len(tables["moves"]) > 40
+    spec = {"processors": [
+        {"script": {"source": _SF_APEX_SCRIPT, "params": tables}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "salesforce", "event.dataset":
+                "salesforce.apex", "fileset.name": "apex",
+            "input.type": "log", "service.type": "salesforce",
+            "event.timezone": "-02:00",
+            "salesforce.instance_url": "<no value>",
+            "tags": ["forwarded", "salesforce-apex"]}}},
+    ]}
+    total, failures = 0, []
+    for logname in sorted(os.listdir(SF_APEX_DIR)):
+        if not logname.endswith(".log"):
+            continue
+        path = os.path.join(SF_APEX_DIR, logname)
+        if not os.path.exists(path + "-expected.json"):
+            continue
+        lines = [ln for ln in _terminated_lines(path) if ln.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)),
+                                              pa.int64())})
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(path + "-expected.json"))
+        assert len(rows) == len(expected), logname
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "event.created") or \
+                        key.startswith("source.geo"):
+                    continue
+                try:
+                    if key == "@timestamp":
+                        want_dt = datetime.fromisoformat(
+                            want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                        got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                        assert got_dt == want_dt, (got_dt, want_dt)
+                        continue
+                    got_v = got.get(key.replace(".", "_"))
+                    if isinstance(got_v, list) and len(got_v) == 1 and \
+                            not isinstance(want, list):
+                        got_v = got_v[0]
+                    if isinstance(want, list):
+                        if not isinstance(got_v, list):
+                            got_v = [got_v] if got_v not in (None, "") \
+                                else []
+                        assert sorted(map(str, got_v)) == \
+                            sorted(map(str, want)), (got_v, want)
+                        continue
+                    if isinstance(want, (int, float)) and \
+                            isinstance(got_v, (int, float)) and \
+                            not isinstance(want, bool):
+                        assert float(got_v) == float(want), (got_v, want)
+                        continue
+                    assert str(got_v) == str(want), (got_v, want)
+                except AssertionError as e:
+                    failures.append(f"{logname}: {key}: {e}")
+            total += 1
+    assert not failures, "\n".join(failures[:20]) + \
+        f"\n... {len(failures)} total"
+    assert total == 6
