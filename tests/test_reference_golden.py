@@ -10293,3 +10293,97 @@ def test_salesforce_apex_module_golden():
     assert not failures, "\n".join(failures[:20]) + \
         f"\n... {len(failures)} total"
     assert total == 6
+
+
+CEF_LOG = "/root/reference/x-pack/filebeat/module/cef/log/test/cef.log"
+
+
+@pytest.mark.skipif(not os.path.exists(CEF_LOG + "-expected.json"),
+                    reason="reference not present")
+def test_cef_log_module_golden():
+    """cef/log (73rd module golden, base fixture): the module chain over
+    PURE registered stages — decode_cef (full extension typing + ECS
+    mapping) -> community_id -> related.* assembly — x-pack/filebeat/
+    module/cef/log/config/input.yml + ingest/pipeline.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    related = (
+        "def process(event, params):\n"
+        "    rel = []\n"
+        "    for f in ('destination_ip', 'destination_nat_ip',\n"
+        "              'source_ip', 'source_nat_ip'):\n"
+        "        v = event.get(f)\n"
+        "        if v and v not in rel:\n"
+        "            rel.append(v)\n"
+        "    if rel:\n"
+        "        event['related_ip'] = rel\n"
+        "    users = []\n"
+        "    for f in ('destination_user_name', 'source_user_name'):\n"
+        "        v = event.get(f)\n"
+        "        if v and v not in users:\n"
+        "            users.append(v)\n"
+        "    if users:\n"
+        "        event['related_user'] = users\n"
+        "    if event.get('observer_hostname'):\n"
+        "        event['related_hosts'] = [event['observer_hostname']]\n"
+        "    hashes = []\n"
+        "    for f in ('cef_extensions_fileHash',\n"
+        "              'cef_extensions_oldFileHash'):\n"
+        "        v = event.get(f)\n"
+        "        if v and v not in hashes:\n"
+        "            hashes.append(v)\n"
+        "    if hashes:\n"
+        "        event['related_hash'] = hashes\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"rename": {"fields": [{"from": "message", "to": "event.original"}]}},
+        {"decode_cef": {"field": "event.original"}},
+        {"community_id": {}},
+        {"script": {"source": related}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "cef", "event.dataset": "cef.log",
+            "fileset.name": "log", "input.type": "log",
+            "service.type": "cef", "event.timezone": "-02:00",
+            "observer.vendor": "Elastic", "observer.product": "Vaporware",
+            "observer.version": "1.0.0-alpha",
+            "tags": ["cef", "forwarded"]}}},
+    ]}
+    lines = [ln for ln in _terminated_lines(CEF_LOG) if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(CEF_LOG + "-expected.json"))
+    assert len(rows) == len(expected)
+    SKIP = ("source.geo", "destination.geo", "source.as", "destination.as")
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "event.created") or \
+                    key.startswith(SKIP):
+                continue
+            if key == "@timestamp":
+                want_dt = datetime.fromisoformat(
+                    want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                got_dt = got_dt.replace(
+                    microsecond=got_dt.microsecond // 1000 * 1000)
+                assert got_dt == want_dt, (got_dt, want_dt)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(got_v, list) and len(got_v) == 1 and \
+                    not isinstance(want, list):
+                got_v = got_v[0]
+            if isinstance(want, list):
+                if not isinstance(got_v, list):
+                    got_v = [got_v] if got_v not in (None, "") else []
+                assert sorted(map(str, got_v)) == sorted(map(str, want)), \
+                    (key, got_v, want)
+                continue
+            if isinstance(want, (int, float)) and \
+                    isinstance(got_v, (int, float)) and \
+                    not isinstance(want, bool):
+                assert float(got_v) == float(want), (key, got_v, want)
+                continue
+            assert str(got_v) == str(want), (key, got_v, want)
