@@ -10387,3 +10387,120 @@ def test_cef_log_module_golden():
                 assert float(got_v) == float(want), (key, got_v, want)
                 continue
             assert str(got_v) == str(want), (key, got_v, want)
+
+
+AWS_VPCFLOW_DIR = "/root/reference/x-pack/filebeat/module/aws/vpcflow/test"
+AWS_VPCFLOW_FORMATS = [
+    "version account-id interface-id srcaddr dstaddr srcport dstport "
+    "protocol packets bytes start end action log-status",
+    "instance-id interface-id srcaddr dstaddr pkt-srcaddr pkt-dstaddr",
+    "version interface-id account-id vpc-id subnet-id instance-id srcaddr "
+    "dstaddr srcport dstport protocol tcp-flags type pkt-srcaddr "
+    "pkt-dstaddr action log-status",
+    "version vpc-id subnet-id instance-id interface-id account-id type "
+    "srcaddr dstaddr srcport dstport pkt-srcaddr pkt-dstaddr protocol "
+    "bytes packets start end action tcp-flags log-status",
+]
+
+
+@pytest.mark.skipif(not os.path.isdir(AWS_VPCFLOW_DIR),
+                    reason="reference not present")
+def test_aws_vpcflow_module_golden():
+    """aws/vpcflow (74th module golden, ALL 8 fixtures): the registered
+    parse_aws_vpc_flow_log stage with the module manifest's four default
+    formats (token-count dispatch), header-line drops, community_id,
+    account-id copyback and uppercased action — x-pack/filebeat/module/
+    aws/vpcflow/{config/input.yml,ingest/pipeline.yml}."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    post = (
+        "def process(event, params):\n"
+        "    if event.get('cloud_account_id'):\n"
+        "        event['aws_vpcflow_account_id'] = event['cloud_account_id']\n"
+        "    if event.get('cloud_instance_id'):\n"
+        "        event['aws_vpcflow_instance_id'] = \\\n"
+        "            event['cloud_instance_id']\n"
+        "    if event.get('event_action'):\n"
+        "        event['aws_vpcflow_action'] = \\\n"
+        "            event['event_action'].upper()\n"
+        "    event['event_original'] = event.get('message')\n"
+        "    event['message'] = None\n"
+        "    return event\n")
+    drop_hdr = (
+        "def process(event, params):\n"
+        "    if (event.get('message') or '').startswith(\n"
+        "            ('version', 'instance-id')):\n"
+        "        return None                    # header-line drop\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"script": {"source": drop_hdr}},
+        {"parse_aws_vpc_flow_log": {"format": AWS_VPCFLOW_FORMATS,
+                                    "ignore_failure": True}},
+        {"community_id": {}},
+        {"script": {"source": post}},
+        {"add_fields": {"target": "", "fields": {
+            "event.kind": "event", "event.category": ["network"],
+            "event.module": "aws", "event.dataset": "aws.vpcflow",
+            "fileset.name": "vpcflow", "input.type": "log",
+            "service.type": "aws", "cloud.provider": "aws",
+            "ecs.version": "8.0.0",
+            "tags": ["forwarded", "preserve_original_event"]}}},
+    ]}
+    total, failures = 0, []
+    for logname in sorted(os.listdir(AWS_VPCFLOW_DIR)):
+        if not logname.endswith(".log"):
+            continue
+        path = os.path.join(AWS_VPCFLOW_DIR, logname)
+        if not os.path.exists(path + "-expected.json"):
+            continue
+        lines = [ln for ln in _terminated_lines(path) if ln.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)),
+                                              pa.int64())})
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(path + "-expected.json"))
+        if len(rows) != len(expected):
+            failures.append(f"{logname}: rows {len(rows)} != "
+                            f"{len(expected)}")
+            continue
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "event.created") or \
+                        key.startswith(("source.geo", "destination.geo",
+                                        "source.as", "destination.as")):
+                    continue
+                try:
+                    if key in ("@timestamp", "event.start", "event.end"):
+                        col = "ts" if key == "@timestamp" \
+                            else key.replace(".", "_")
+                        want_dt = datetime.fromisoformat(
+                            want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                        got_dt = got[col].replace(tzinfo=_tz.utc)
+                        assert got_dt == want_dt, (got_dt, want_dt)
+                        continue
+                    got_v = got.get(key.replace(".", "_"))
+                    if isinstance(got_v, list) and len(got_v) == 1 and \
+                            not isinstance(want, list):
+                        got_v = got_v[0]
+                    if isinstance(want, list):
+                        if not isinstance(got_v, list):
+                            got_v = [got_v] if got_v not in (None, "") \
+                                else []
+                        assert sorted(map(str, got_v)) == \
+                            sorted(map(str, want)), (got_v, want)
+                        continue
+                    if isinstance(want, (int, float)) and \
+                            isinstance(got_v, (int, float)) and \
+                            not isinstance(want, bool):
+                        assert float(got_v) == float(want), (got_v, want)
+                        continue
+                    assert str(got_v) == str(want), (got_v, want)
+                except AssertionError as e:
+                    failures.append(f"{logname}: {key}: {e}")
+            total += 1
+    assert not failures, "\n".join(failures[:20]) + \
+        f"\n... {len(failures)} total"
+    assert total >= 15
