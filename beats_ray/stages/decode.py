@@ -541,7 +541,18 @@ class UserAgent(Stage):
         (r"iPod|iPhone|iPad", "Mobile Safari UI/WKWebView", ""),
         # generic product/version (curl/7.59.0, wget/1.20, Go-http-client/1.1)
         # -- uap-core never reports the Mozilla/5.0 prefix as a family
-        (r"^(?!Mozilla)([A-Za-z0-9._!-]+)/v?(\d[\w.-]*)", None, None),
+        # digit-bearing product names (S3Console/0.4) only match uap's
+        # generic with a full x.y.z version — keep the 2-part form for
+        # plain tool names (curl, wget, Microsoft-CryptoAPI)
+        (r"^(?!Mozilla)([A-Za-z][A-Za-z._!-]*)/v?(\d[\w.-]*)", None, None),
+        (r"^(?!Mozilla)([A-Za-z0-9._!-]+)/v?(\d+\.\d+\.[\w.-]+)",
+         None, None),
+        # uap-core mid-string product/x.y.z (aws-sdk-java/1.11.590 inside
+        # a compound UA); requires a 3-part version so short tool tags
+        # (S3Console/0.4) stay "Other" like uap; engine tokens never match
+        (r"\b(?!Mozilla|AppleWebKit|Safari|Gecko|KHTML|Version)"
+         r"([A-Za-z][A-Za-z0-9._!-]{1,49})/v?(\d+\.\d+\.[\w.-]+)",
+         None, None),
     ]
     _OSES = [
         (r"Windows NT (\d+\.\d+)", "Windows",
@@ -552,6 +563,8 @@ class UserAgent(Stage):
         (r"\biOS/(\d+[._\d]*)", "iOS", None),
         (r"Mac OS X (\d+[_.\d]*)", "Mac OS X", None),
         (r"Android (\d+[\w.]*)", "Android", None),
+        # uap-core: Linux/x.y.z kernel token carries a version
+        (r"Linux/(\d+\.\d+(?:\.\d+)?)", "Linux", None),
         (r"(Linux)", "Linux", None),
     ]
 
@@ -591,7 +604,7 @@ class UserAgent(Stage):
             if m:
                 os_name = fam
                 raw = m.group(1).replace("_", ".")
-                if fam == "Linux":
+                if fam == "Linux" and not raw[:1].isdigit():
                     os_full = fam
                     break
                 os_ver = vmap.get(raw, raw) if vmap else raw

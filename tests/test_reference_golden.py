@@ -10504,3 +10504,168 @@ def test_aws_vpcflow_module_golden():
     assert not failures, "\n".join(failures[:20]) + \
         f"\n... {len(failures)} total"
     assert total >= 15
+
+
+S3ACCESS_DIR = "/root/reference/x-pack/filebeat/module/aws/s3access/test"
+
+
+@pytest.mark.skipif(not os.path.isdir(S3ACCESS_DIR),
+                    reason="reference not present")
+def test_aws_s3access_module_golden():
+    """aws/s3access (75th module golden, both fixtures): the module's
+    23-field alternation grok with custom S3* classes, request-uri split,
+    host-header region grok, uri_parts + user_agent, ms->ns duration,
+    TLSv split, error-code outcomes — x-pack/filebeat/module/aws/
+    s3access/ingest/pipeline.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    assemble = (
+        "def process(event, params):\n"
+        "    g = event.get\n"
+        "    if g('aws_s3access_bucket_owner'):\n"
+        "        event['related_user'] = [event['aws_s3access_bucket_owner']]\n"
+        "    ip = g('aws_s3access_remote_ip')\n"
+        "    if ip:\n"
+        "        event['client_ip'] = ip\n"
+        "        event['client_address'] = ip\n"
+        "        event['related_ip'] = [ip]\n"
+        "    if g('aws_s3access_requester'):\n"
+        "        event['client_user_id'] = event['aws_s3access_requester']\n"
+        "    if g('aws_s3access_request_id'):\n"
+        "        event['event_id'] = event['aws_s3access_request_id']\n"
+        "    if g('aws_s3access_operation'):\n"
+        "        event['event_action'] = event['aws_s3access_operation']\n"
+        "    if g('aws_s3access_http_status') is not None:\n"
+        "        event['http_response_status_code'] = \\\n"
+        "            event['aws_s3access_http_status']\n"
+        "    if g('aws_s3access_error_code'):\n"
+        "        event['event_outcome'] = 'failure'\n"
+        "        event['event_code'] = event['aws_s3access_error_code']\n"
+        "    else:\n"
+        "        event['event_outcome'] = 'success'\n"
+        "    if g('aws_s3access_bytes_sent') is not None:\n"
+        "        event['http_response_body_bytes'] = \\\n"
+        "            event['aws_s3access_bytes_sent']\n"
+        "    if g('aws_s3access_total_time') is not None:\n"
+        "        event['event_duration'] = \\\n"
+        "            event['aws_s3access_total_time'] * 1000000\n"
+        "    if g('aws_s3access_referrer'):\n"
+        "        event['http_request_referrer'] = \\\n"
+        "            event['aws_s3access_referrer']\n"
+        "    if g('aws_s3access_cipher_suite'):\n"
+        "        event['tls_cipher'] = event['aws_s3access_cipher_suite']\n"
+        "    tv = g('aws_s3access_tls_version')\n"
+        "    if tv:\n"
+        "        parts = tv.lower().split('v')\n"
+        "        if len(parts) == 2:\n"
+        "            event['tls_version'] = parts[1]\n"
+        "            event['tls_version_protocol'] = parts[0]\n"
+        "    return event\n")
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": [
+            r"%{BASE16NUM:aws.s3access.bucket_owner} "
+            r"%{HOSTNAME:aws.s3access.bucket} "
+            r"\[%{HTTPDATE:_temp_.s3access_time}\] "
+            r"(?:-|%{IP:aws.s3access.remote_ip}) "
+            r"(?:-|%{S3REQUESTER:aws.s3access.requester}) "
+            r"%{S3REQUESTID:aws.s3access.request_id} "
+            r"%{S3OPERATION:aws.s3access.operation} "
+            r"(?:-|%{S3KEY:aws.s3access.key}) "
+            r"(?:-|\"%{DATA:aws.s3access.request_uri}\") "
+            r"%{NUMBER:aws.s3access.http_status:long} "
+            r"(?:-|%{WORD:aws.s3access.error_code}) "
+            r"(?:-|%{NUMBER:aws.s3access.bytes_sent:long}) "
+            r"(?:-|%{NUMBER:aws.s3access.object_size:long}) "
+            r"(?:-|%{NUMBER:aws.s3access.total_time:long}) "
+            r"(?:-|%{NUMBER:aws.s3access.turn_around_time:long}) "
+            r"(?:-|\"-\"|\"%{DATA:aws.s3access.referrer}\") "
+            r"(?:-|\"(-|%{DATA:aws.s3access.user_agent})\") "
+            r"(?:-|%{S3KEY:aws.s3access.version_id}) "
+            r"(?:-|%{S3ID:aws.s3access.host_id}) "
+            r"(?:-|%{S3VERSION:aws.s3access.signature_version}) "
+            r"(?:-|%{S3KEY:aws.s3access.cipher_suite}) "
+            r"(?:-|%{WORD:aws.s3access.authentication_type}) "
+            r"(?:-|%{S3ID:aws.s3access.host_header}) "
+            r"(?:-|%{S3VERSION:aws.s3access.tls_version})"],
+            "pattern_definitions": {
+                "S3REQUESTER": r"[a-zA-Z0-9\/_\.\-%:@]+",
+                "S3REQUESTID": "[a-zA-Z0-9]+",
+                "S3OPERATION": r"%{WORD}.%{WORD}.%{WORD}",
+                "S3KEY": r"[a-zA-Z0-9\/_\.\-%+]+",
+                "S3ID": r"[a-zA-Z0-9\/_\.\-%+=]+",
+                "S3VERSION": "[a-zA-Z0-9.]+"}}},
+        {"grok": {"field": "aws.s3access.request_uri", "patterns": [
+            r"%{NOTSPACE:http.request.method} %{NOTSPACE:_temp_.uri_orig} "
+            r"[hH][tT][tT][pP]/%{NOTSPACE:http.version}"],
+            "ignore_missing": True, "ignore_failure": True}},
+        {"grok": {"field": "aws.s3access.host_header", "patterns": [
+            r"(s3[a-z-]*).%{NOTSPACE:cloud.region}.%{WORD}.%{WORD}"],
+            "anchor": False,
+            "ignore_missing": True, "ignore_failure": True}},
+        {"uri_parts": {"field": "_temp_.uri_orig",
+                       "ignore_missing": True}},
+        {"timestamp": {"field": "_temp_.s3access_time",
+                       "layouts": ["%d/%b/%Y:%H:%M:%S %z"],
+                       "target_field": "@timestamp"}},
+        {"script": {"source": assemble}},
+        {"user_agent": {"field": "aws.s3access.user_agent",
+                        "ignore_missing": True}},
+        {"rename": {"fields": [{"from": "message", "to": "event.original"}],
+                    "fail_on_error": False}},
+        {"drop_fields": {"fields": ["_temp_.s3access_time",
+                                    "_temp_.uri_orig"],
+                         "ignore_missing": True}},
+        {"add_fields": {"target": "", "fields": {
+            "event.category": "web", "event.type": "access",
+            "event.kind": "event", "cloud.provider": "aws",
+            "event.module": "aws", "event.dataset": "aws.s3access",
+            "fileset.name": "s3access", "input.type": "log",
+            "service.type": "aws", "tags": ["forwarded"]}}},
+    ]}
+    total = 0
+    for logname in sorted(os.listdir(S3ACCESS_DIR)):
+        if not logname.endswith(".log"):
+            continue
+        path = os.path.join(S3ACCESS_DIR, logname)
+        if not os.path.exists(path + "-expected.json"):
+            continue
+        lines = [ln for ln in _terminated_lines(path) if ln.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)),
+                                              pa.int64())})
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(path + "-expected.json"))
+        assert len(rows) == len(expected), logname
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "event.created") or \
+                        key.startswith(("geo.", "source.geo")):
+                    continue
+                if key == "@timestamp":
+                    want_dt = datetime.fromisoformat(
+                        want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                    got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                    assert got_dt == want_dt, (logname, got_dt, want_dt)
+                    continue
+                got_v = got.get(key.replace(".", "_"))
+                if isinstance(got_v, list) and len(got_v) == 1 and \
+                        not isinstance(want, list):
+                    got_v = got_v[0]
+                if isinstance(want, list):
+                    if not isinstance(got_v, list):
+                        got_v = [got_v] if got_v not in (None, "") else []
+                    assert sorted(map(str, got_v)) == \
+                        sorted(map(str, want)), (logname, key, got_v, want)
+                    continue
+                if isinstance(want, (int, float)) and \
+                        isinstance(got_v, (int, float)) and \
+                        not isinstance(want, bool):
+                    assert float(got_v) == float(want), \
+                        (logname, key, got_v, want)
+                    continue
+                assert str(got_v) == str(want), (logname, key, got_v, want)
+            total += 1
+    assert total >= 12
