@@ -10859,3 +10859,72 @@ def test_aws_elb_module_golden():
     assert not failures, "\n".join(failures[:20]) + \
         f"\n... {len(failures)} total"
     assert total >= 40
+
+
+AWS_CW_CASES = [
+    ("cloudwatch", "cloudwatch_ec2.log", [
+        r"%{TIMESTAMP_ISO8601:_tmp.timestamp} "
+        r"%{SYSLOGTIMESTAMP:_tmp.syslog_timestamp} "
+        r"%{GREEDYDATA:aws.cloudwatch.message}",
+        r"%{TIMESTAMP_ISO8601:_tmp.timestamp} "
+        r"%{GREEDYDATA:aws.cloudwatch.message}"]),
+    ("ec2", "ec2.log", [
+        r"%{TIMESTAMP_ISO8601:_tmp.timestamp} "
+        r"%{SYSLOGTIMESTAMP:_tmp.syslog_timestamp} "
+        r"%{IPORHOST:aws.ec2.ip_address} %{DATA:process.name}"
+        r"(?:\[%{POSINT:process.pid}\])?: %{GREEDYDATA:message}"]),
+]
+
+
+@pytest.mark.parametrize("fileset,logname,patterns", AWS_CW_CASES,
+                         ids=[c[0] for c in AWS_CW_CASES])
+def test_aws_cloudwatch_ec2_module_goldens(fileset, logname, patterns):
+    """aws/cloudwatch + aws/ec2 (77th/78th module goldens): CloudWatch
+    timestamp-prefixed syslog groks with message rewrite —
+    x-pack/filebeat/module/aws/{cloudwatch,ec2}/ingest/pipeline.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    path = (f"/root/reference/x-pack/filebeat/module/aws/{fileset}/test/"
+            f"{logname}")
+    if not os.path.exists(path + "-expected.json"):
+        pytest.skip("reference not present")
+    spec = {"processors": [
+        {"grok": {"field": "message", "patterns": patterns}},
+        {"timestamp": {"field": "_tmp.timestamp", "layouts": ["ISO8601"],
+                       "target_field": "@timestamp",
+                       "ignore_failure": True}},
+        {"drop_fields": {"fields": ["_tmp.timestamp",
+                                    "_tmp.syslog_timestamp"],
+                         "ignore_missing": True}},
+        {"add_fields": {"target": "", "fields": {
+            "event.module": "aws", "event.dataset": f"aws.{fileset}",
+            "fileset.name": fileset, "input.type": "log",
+            "service.type": "aws", "tags": ["forwarded"]}}},
+    ]}
+    lines = [ln for ln in _terminated_lines(path) if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(path + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "event.created"):
+                continue
+            if key == "@timestamp":
+                want_dt = datetime.fromisoformat(
+                    want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                assert got_dt == want_dt, (got_dt, want_dt)
+                continue
+            got_v = got.get(key.replace(".", "_"))
+            if isinstance(want, list):
+                if not isinstance(got_v, list):
+                    got_v = [got_v] if got_v not in (None, "") else []
+                assert sorted(map(str, got_v)) == sorted(map(str, want)), \
+                    (key, got_v, want)
+                continue
+            assert str(got_v) == str(want), (key, got_v, want)
