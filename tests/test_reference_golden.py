@@ -10928,3 +10928,168 @@ def test_aws_cloudwatch_ec2_module_goldens(fileset, logname, patterns):
                     (key, got_v, want)
                 continue
             assert str(got_v) == str(want), (key, got_v, want)
+
+
+AZ_AUDIT = ("/root/reference/x-pack/filebeat/module/azure/auditlogs/test/"
+            "auditlogs.log")
+
+
+@pytest.mark.skipif(not os.path.exists(AZ_AUDIT + "-expected.json"),
+                    reason="reference not present")
+def test_azure_auditlogs_module_golden():
+    """azure/auditlogs (79th module golden): AuditLogs JSON with
+    camelCase property renames (nulls preserved), indexed targetResources/
+    modifiedProperties maps, ms->ns duration, the azure-shared resource-id
+    provider grok — x-pack/filebeat/module/azure/auditlogs/ingest/
+    pipeline.yml + azure-shared-pipeline.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    transform = r'''
+import json as _json
+import re as _re
+from datetime import datetime
+
+
+def process(event, params):
+    j = _json.loads(event["message"])
+    if j.get("category") != "AuditLogs":
+        return None
+    event["event_original"] = event["message"]
+    event["message"] = None
+    t = j.pop("time")
+    t2 = t.replace("Z", "+0000")
+    frac = _re.search(r"\.(\d+)", t2)
+    if frac:                            # trim to micros for strptime
+        t2 = t2.replace("." + frac.group(1), "." + frac.group(1)[:6])
+    dt = datetime.strptime(t2, "%Y-%m-%dT%H:%M:%S.%f%z" if frac
+                           else "%Y-%m-%dT%H:%M:%S%z")
+    event["ts"] = dt.replace(tzinfo=None) - dt.utcoffset()
+    rid = j.pop("resourceId", None)
+    if rid is not None:
+        event["azure_resource_id"] = rid
+    if j.get("durationMs") is not None:
+        event["event_duration"] = j.pop("durationMs") * 1000000
+    props = j.pop("properties", {}) or {}
+    res = props.get("result")
+    if isinstance(res, str) and res.lower() in ("success", "failure"):
+        event["event_outcome"] = props.pop("result")
+    if j.get("level") is not None:
+        event["log_level"] = j.pop("level")
+    op = j.pop("operationName", None)
+    if op is not None:
+        event["event_action"] = str(op)
+        event["azure_auditlogs_operation_name"] = op
+    for src, tgt in (("resultSignature", "result_signature"),
+                     ("operationVersion", "operation_version")):
+        if src in j:
+            j[tgt] = j.pop(src)
+    if "tenantId" in j:
+        event["azure_tenant_id"] = j.pop("tenantId")
+    if "correlationId" in j:
+        event["azure_correlation_id"] = j.pop("correlationId")
+    for src, tgt in (("activityDisplayName", "activity_display_name"),
+                     ("activityDateTime", "activity_datetime"),
+                     ("additionalDetails", "additional_details"),
+                     ("resultReason", "result_reason"),
+                     ("correlationId", "correlation_id"),
+                     ("loggedByService", "logged_by_service"),
+                     ("operationType", "operation_type"),
+                     ("initiatedBy", "initiated_by")):
+        if src in props:
+            props[tgt] = props.pop(src)
+    ip_raw = j.pop("callerIpAddress", None)
+    if ip_raw:
+        m = _re.match(r"^\[?([^\]]+?)\]?(?::(\d+))?$", ip_raw)
+        if m:
+            event["source_ip"] = m.group(1)
+            if m.group(2):
+                event["source_port"] = int(m.group(2))
+            event["client_ip"] = m.group(1)
+            event["related_ip"] = [m.group(1)]
+    trs = props.pop("targetResources", None)
+    if trs is not None:
+        out = {}
+        for i, tr in enumerate(trs):
+            d = {}
+            if tr.get("displayName") is not None:
+                d["display_name"] = tr["displayName"]
+            d["id"] = tr.get("id")
+            d["type"] = tr.get("type")
+            if tr.get("ipAddress") is not None:
+                d["ip_address"] = tr["ipAddress"]
+            if tr.get("userPrincipalName") is not None:
+                d["user_principal_name"] = tr["userPrincipalName"]
+            mods = {}
+            for n, mp in enumerate(tr.get("modifiedProperties") or []):
+                mods[str(n)] = {"display_name": mp.get("displayName"),
+                                "new_value": mp.get("newValue"),
+                                "old_value": mp.get("oldValue")}
+            d["modified_properties"] = mods
+            out[str(i)] = d
+        props["target_resources"] = out
+    j["properties"] = props
+    event["event_kind"] = "event"
+    # azure-shared: resource id decomposition (provider-only form here)
+    if event.get("azure_resource_id"):
+        rid = event.pop("azure_resource_id")
+        m = _re.search(r"/providers/(.+)", rid, _re.I)
+        if m:
+            event["azure_resource_provider"] = m.group(1)
+        event["azure_resource_id2"] = rid
+
+    def emit(prefix, d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                emit(prefix + k + "_", v)
+            else:
+                event[prefix + k] = v
+
+    emit("azure_auditlogs_", j)
+    return event
+'''
+    spec = {"processors": [
+        {"script": {"source": transform}},
+        {"add_fields": {"target": "", "fields": {
+            "cloud.provider": "azure", "event.module": "azure",
+            "event.dataset": "azure.auditlogs", "fileset.name": "auditlogs",
+            "input.type": "log", "service.type": "azure",
+            "event.kind": "event", "tags": ["forwarded"]}}},
+    ]}
+    lines = [ln for ln in _terminated_lines(AZ_AUDIT) if ln.strip()]
+    batch = pa.table({"message": lines,
+                      "line_no": pa.array(range(len(lines)), pa.int64())})
+    out = Pipeline(spec).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(AZ_AUDIT + "-expected.json"))
+    assert len(rows) == len(expected)
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key in ("log.offset", "event.created") or \
+                    key.startswith(("source.geo", "source.as")):
+                continue
+            if key == "@timestamp":
+                want_dt = datetime.fromisoformat(
+                    want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                got_dt = got_dt.replace(
+                    microsecond=got_dt.microsecond // 1000 * 1000)
+                assert got_dt == want_dt, (got_dt, want_dt)
+                continue
+            col = key.replace(".", "_")
+            if key == "azure.resource.id":
+                col = "azure_resource_id2"
+            got_v = got.get(col)
+            if isinstance(want, list):
+                if not isinstance(got_v, list):
+                    got_v = [got_v] if got_v not in (None, "") else []
+                assert sorted(map(str, got_v)) == sorted(map(str, want)), \
+                    (key, got_v, want)
+                continue
+            if isinstance(want, (int, float)) and \
+                    isinstance(got_v, (int, float)) and \
+                    not isinstance(want, bool):
+                assert float(got_v) == float(want), (key, got_v, want)
+                continue
+            assert str(got_v) == str(want), (key, got_v, want)
