@@ -11093,3 +11093,214 @@ def process(event, params):
                 assert float(got_v) == float(want), (key, got_v, want)
                 continue
             assert str(got_v) == str(want), (key, got_v, want)
+
+
+AZ_SIGNIN_DIR = ("/root/reference/x-pack/filebeat/module/azure/"
+                 "signinlogs/test")
+
+_AZ_SIGNIN_SCRIPT = r'''
+import json as _json
+import re as _re
+from datetime import datetime
+
+BOUND = _re.compile(r"([a-z])([A-Z]+)")
+
+
+def snake(k):
+    return BOUND.sub(r"\1_\2", k).lower()
+
+
+def snake_keys(o):
+    if isinstance(o, dict):
+        return {snake(k): snake_keys(v) for k, v in o.items()}
+    if isinstance(o, list):
+        return [snake_keys(v) for v in o]
+    return o
+
+
+def process(event, params):
+    j = snake_keys(_json.loads(event["message"]))
+    if not str(j.get("category", "")).endswith("SignInLogs"):
+        return None
+    event["event_original"] = event["message"]
+    event["message"] = None
+    t = j.pop("time").replace("Z", "+0000")
+    m = _re.search(r"\.(\d+)", t)
+    if m:
+        t = t.replace("." + m.group(1), "." + m.group(1)[:6])
+    dt = datetime.strptime(t, "%Y-%m-%dT%H:%M:%S.%f%z" if m
+                           else "%Y-%m-%dT%H:%M:%S%z")
+    event["ts"] = dt.replace(tzinfo=None) - dt.utcoffset()
+    props = j.pop("properties", {}) or {}
+    rid = j.pop("resource_id", None)
+    addr = props.pop("ipaddress", None) or props.pop("ip_address", None) \
+        or j.pop("caller_ip_address", None)
+    if addr:
+        event["source_address"] = addr
+        event["source_ip"] = addr
+        event["related_ip"] = [addr]
+        event["client_ip"] = addr
+    if j.get("level") is not None:
+        event["log_level"] = str(j.pop("level"))
+    if j.get("duration_ms") is not None:
+        event["event_duration"] = j.pop("duration_ms") * 1000000
+    if j.get("location") is not None:
+        event["geo_country_iso_code"] = j.pop("location")
+    if j.get("operation_name") is not None:
+        event["event_action"] = str(j["operation_name"])   # convert copies
+    if "tenant_id" in j:
+        event["azure_tenant_id"] = j.pop("tenant_id")
+    if "correlation_id" in j:
+        event["azure_correlation_id"] = j.pop("correlation_id")
+    for src, tgt in (("created_date_time", "created_at"),
+                     ("processing_time_in_milliseconds",
+                      "processing_time_ms"),
+                     ("risk_level_during_sign_in",
+                      "risk_level_during_signin")):
+        if src in props:
+            props[tgt] = props.pop(src)
+    status = props.get("status") or {}
+    if status.get("failure_reason") is not None:
+        event["message"] = status.pop("failure_reason")
+    elif status.get("additional_details") is not None:
+        event["message"] = status.pop("additional_details")
+    loc = props.pop("location", None) or {}
+    if loc.get("city") is not None:
+        event["geo_city_name"] = loc["city"]
+    if loc.get("state") is not None:
+        event["geo_country_name"] = loc["state"]
+    gc = loc.get("geo_coordinates") or {}
+    if gc.get("latitude") is not None:
+        event["geo_location_lat"] = gc["latitude"]
+    if gc.get("longitude") is not None:
+        event["geo_location_lon"] = gc["longitude"]
+    apd = props.get("authentication_processing_details")
+    if isinstance(apd, list):
+        props["authentication_processing_details"] = \
+            {i["key"]: i.get("value") for i in apd}
+    event["event_kind"] = "event"
+    event["event_category"] = ["authentication"]
+    event["event_type"] = ["info"]
+    ec = status.get("error_code")
+    event["event_outcome"] = "success" if ec in (None, 0) else "failure"
+    if props.get("id"):
+        event["event_id"] = props["id"]
+    upn = props.get("user_principal_name")
+    if upn:
+        m2 = _re.match(r"^([a-zA-Z0-9._-]+)@([\w.-]+)$", upn)
+        if m2:
+            event["user_name"] = m2.group(1)
+            event["user_domain"] = m2.group(2)
+        else:
+            event["user_name"] = upn
+    if props.get("user_display_name") is not None:
+        event["user_full_name"] = str(props["user_display_name"])
+    if props.get("user_id") in (None,):
+        props.pop("user_id", None)
+    elif props.get("user_id") is not None:
+        event["user_id"] = str(props["user_id"])
+    ua = props.pop("user_agent", None)
+    if ua is not None:
+        event["user_agent_original"] = ua
+    j["properties"] = props
+    # azure-shared
+    if rid:
+        m3 = _re.search(r"/providers/(.+)", rid, _re.I)
+        if m3:
+            event["azure_resource_provider"] = m3.group(1)
+        event["azure_resource_id2"] = rid
+
+    def emit(prefix, d):
+        for k, v in d.items():
+            k = k.replace(".", "_")      # dotted leaf keys (TLS labels)
+            if isinstance(v, dict):
+                emit(prefix + k + "_", v)
+            else:
+                event[prefix + k] = v
+
+    emit("azure_signinlogs_", j)
+    return event
+'''
+
+
+@pytest.mark.skipif(not os.path.isdir(AZ_SIGNIN_DIR),
+                    reason="reference not present")
+def test_azure_signinlogs_module_golden():
+    """azure/signinlogs (80th module golden, ALL 6 fixtures / 9 events):
+    the module's regex snake-casing (caps runs collapse), interactive/
+    non-interactive/service-principal/managed-identity variants,
+    authentication_processing_details KV fold, status-driven outcomes,
+    UPN split, user_agent — x-pack/filebeat/module/azure/signinlogs/
+    ingest/pipeline.yml + azure-shared-pipeline.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    spec = {"processors": [
+        {"script": {"source": _AZ_SIGNIN_SCRIPT}},
+        {"user_agent": {"field": "user_agent.original",
+                        "ignore_missing": True}},
+        {"add_fields": {"target": "", "fields": {
+            "cloud.provider": "azure", "event.module": "azure",
+            "event.dataset": "azure.signinlogs",
+            "fileset.name": "signinlogs", "input.type": "log",
+            "service.type": "azure", "tags": ["forwarded"]}}},
+    ]}
+    total, failures = 0, []
+    for logname in sorted(os.listdir(AZ_SIGNIN_DIR)):
+        if not logname.endswith(".log"):
+            continue
+        path = os.path.join(AZ_SIGNIN_DIR, logname)
+        if not os.path.exists(path + "-expected.json"):
+            continue
+        lines = [ln for ln in _terminated_lines(path) if ln.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)),
+                                              pa.int64())})
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(path + "-expected.json"))
+        if len(rows) != len(expected):
+            failures.append(f"{logname}: rows {len(rows)} != "
+                            f"{len(expected)}")
+            continue
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "event.created") or \
+                        key.startswith(("source.geo", "source.as")):
+                    continue
+                try:
+                    if key == "@timestamp":
+                        want_dt = datetime.fromisoformat(
+                            want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                        got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                        got_dt = got_dt.replace(
+                            microsecond=got_dt.microsecond // 1000 * 1000)
+                        assert got_dt == want_dt, (got_dt, want_dt)
+                        continue
+                    col = key.replace(".", "_")
+                    if key == "azure.resource.id":
+                        col = "azure_resource_id2"
+                    got_v = got.get(col)
+                    if isinstance(got_v, list) and len(got_v) == 1 and \
+                            not isinstance(want, list):
+                        got_v = got_v[0]
+                    if isinstance(want, list):
+                        if not isinstance(got_v, list):
+                            got_v = [got_v] if got_v not in (None, "") \
+                                else []
+                        assert sorted(map(str, got_v)) == \
+                            sorted(map(str, want)), (got_v, want)
+                        continue
+                    if isinstance(want, (int, float)) and \
+                            isinstance(got_v, (int, float)) and \
+                            not isinstance(want, bool):
+                        assert float(got_v) == float(want), (got_v, want)
+                        continue
+                    assert str(got_v) == str(want), (got_v, want)
+                except AssertionError as e:
+                    failures.append(f"{logname}: {key}: {e}")
+            total += 1
+    assert not failures, "\n".join(failures[:20]) + \
+        f"\n... {len(failures)} total"
+    assert total >= 9
