@@ -11304,3 +11304,218 @@ def test_azure_signinlogs_module_golden():
     assert not failures, "\n".join(failures[:20]) + \
         f"\n... {len(failures)} total"
     assert total >= 9
+
+
+AZ_PLATFORM_DIR = ("/root/reference/x-pack/filebeat/module/azure/"
+                   "platformlogs/test")
+
+_AZ_PLATFORM_SCRIPT = r'''
+import json as _json
+import re as _re
+from datetime import datetime
+
+
+def _iso(v):
+    v = str(v).replace("Z", "+0000")
+    m = _re.search(r"\.(\d+)", v[10:])
+    if m and len(m.group(1)) > 6:
+        v = v.replace("." + m.group(1), "." + m.group(1)[:6])
+    for fmt in ("%Y-%m-%dT%H:%M:%S.%f%z", "%Y-%m-%dT%H:%M:%S%z",
+                "%m/%d/%Y %I:%M:%S %p %z"):
+        try:
+            dt = datetime.strptime(v, fmt)
+            return dt.replace(tzinfo=None) - dt.utcoffset()
+        except ValueError:
+            continue
+    return None
+
+
+def process(event, params):
+    raw = event["message"].replace('"":"",', "")
+    j = _json.loads(raw)
+    event["event_original"] = event["message"]
+    event["message"] = None
+    if isinstance(j.get("identity"), str):
+        j["identity_name"] = j.pop("identity")
+    ts = j.pop("time", None) or j.get("EventTimeString")
+    if ts:
+        event["ts"] = _iso(ts)
+    rid = j.pop("resourceId", None)
+    if "Region" in j:
+        event["cloud_region"] = j.pop("Region")
+    props = j.pop("properties", None)
+    ep = j.pop("EventProperties", None)
+    if props is None and isinstance(ep, str):
+        props = _json.loads(ep)
+    elif props is None:
+        props = ep
+    props = props or {}
+    if isinstance(props.get("log"), str):
+        try:
+            props["log"] = _json.loads(props["log"])
+        except ValueError:
+            event["message"] = props.pop("log")
+    if "EventName" in j:
+        event["event_action"] = j.pop("EventName")
+    cip = j.pop("callerIpAddress", None)
+    if cip:
+        m = _re.match(r"^\[?([^\]]+?)\]?(?::(\d+))?$", cip)
+        if m:
+            event["source_ip"] = m.group(1)
+            if m.group(2):
+                event["source_port"] = int(m.group(2))
+            event["client_ip"] = m.group(1)
+            event["related_ip"] = [m.group(1)]
+    if "level" in j:
+        event["log_level"] = j.pop("level")
+    if j.get("durationMs") is not None:
+        event["event_duration"] = j.pop("durationMs") * 1000000
+    if "location" in j:
+        event["geo_name"] = j.pop("location")
+    if props.get("eventCategory") is not None:
+        j["event_category"] = props["eventCategory"]
+    elif props.get("policies") is not None:
+        j["event_category"] = "Policy"
+    else:
+        j["event_category"] = "Administrative"
+    if "resultType" in j:
+        j["result_type"] = j.pop("resultType")
+    rt = j.get("result_type")
+    if isinstance(rt, str) and rt.lower() in ("success", "failure"):
+        event["event_outcome"] = rt
+    elif isinstance(props.get("result"), str) and \
+            props["result"] in ("success", "failure", "unknown"):
+        event["event_outcome"] = props["result"]
+    elif isinstance(j.get("Status"), str) and j["Status"] in \
+            ("success", "failure", "unknown", "Succeeded", "Failed"):
+        event["event_outcome"] = j["Status"]
+    if event.get("event_outcome"):
+        event["event_outcome"] = event["event_outcome"].lower()
+    if "operationName" in j:
+        j["operation_name"] = j.pop("operationName")
+        event["event_action"] = str(j["operation_name"])
+    for src, tgt in (("resultSignature", "result_signature"),):
+        if src in j:
+            j[tgt] = j.pop(src)
+    if "correlationId" in j:
+        event["azure_correlation_id"] = j.pop("correlationId")
+    if "statusCode" in props:
+        props["status_code"] = props.pop("statusCode")
+    if "Status" in j:
+        j["status"] = j.pop("Status")
+    cat = j.get("category")
+    tmap = {"write": ["change"], "read": ["access"],
+            "delete": ["deletion"], "action": ["change"]}
+    if cat and cat.lower() in tmap:
+        event["event_type"] = tmap[cat.lower()]
+    event["event_kind"] = "event"
+    # azure-shared resource decomposition
+    if rid:
+        event["azure_resource_id2"] = rid
+        m = _re.search(
+            r"/SUBSCRIPTIONS/([^/]+)/RESOURCEGROUPS/(.+?)/PROVIDERS/"
+            r"([^/]+/[^/]+)/(.+)$", rid, _re.I)
+        if m:
+            event["azure_subscription_id"] = m.group(1)
+            event["azure_resource_group"] = m.group(2)
+            event["azure_resource_provider"] = m.group(3)
+            event["azure_resource_name"] = m.group(4)
+        else:
+            m = _re.search(r"/providers/(.+)$", rid, _re.I)
+            if m:
+                event["azure_resource_provider"] = m.group(1)
+    j["properties"] = props
+
+    def emit(prefix, d):
+        for k, v in d.items():
+            k = k.replace(".", "_")
+            if isinstance(v, dict):
+                emit(prefix + k + "_", v)
+            elif v is not None:
+                event[prefix + k] = v
+
+    emit("azure_platformlogs_", j)
+    return event
+'''
+
+
+@pytest.mark.skipif(not os.path.isdir(AZ_PLATFORM_DIR),
+                    reason="reference not present")
+def test_azure_platformlogs_module_golden():
+    """azure/platformlogs (81st module golden, all 3 fixtures):
+    empty-field scrub, EventProperties/embedded-log JSON decode, dual
+    time sources (ISO + 'M/d/yyyy h:mm:ss a XXX'), category event-type
+    map, status-precedence outcomes, the azure-shared subscription/
+    resource-group/provider decomposition — x-pack/filebeat/module/
+    azure/platformlogs/ingest/pipeline.yml + azure-shared-pipeline.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    spec = {"processors": [
+        {"script": {"source": _AZ_PLATFORM_SCRIPT}},
+        {"add_fields": {"target": "", "fields": {
+            "cloud.provider": "azure", "event.module": "azure",
+            "event.dataset": "azure.platformlogs",
+            "fileset.name": "platformlogs", "input.type": "log",
+            "service.type": "azure", "tags": ["forwarded"]}}},
+    ]}
+    total, failures = 0, []
+    for logname in sorted(os.listdir(AZ_PLATFORM_DIR)):
+        if not logname.endswith(".log"):
+            continue
+        path = os.path.join(AZ_PLATFORM_DIR, logname)
+        if not os.path.exists(path + "-expected.json"):
+            continue
+        lines = [ln for ln in _terminated_lines(path) if ln.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)),
+                                              pa.int64())})
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(path + "-expected.json"))
+        if len(rows) != len(expected):
+            failures.append(f"{logname}: rows {len(rows)} != "
+                            f"{len(expected)}")
+            continue
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "event.created") or \
+                        key.startswith(("geo.", "source.as",
+                                        "source.geo")):
+                    continue
+                try:
+                    if key == "@timestamp":
+                        want_dt = datetime.fromisoformat(
+                            want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                        got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                        got_dt = got_dt.replace(
+                            microsecond=got_dt.microsecond // 1000 * 1000)
+                        assert got_dt == want_dt, (got_dt, want_dt)
+                        continue
+                    col = key.replace(".", "_")
+                    if key == "azure.resource.id":
+                        col = "azure_resource_id2"
+                    got_v = got.get(col)
+                    if isinstance(got_v, list) and len(got_v) == 1 and \
+                            not isinstance(want, list):
+                        got_v = got_v[0]
+                    if isinstance(want, list):
+                        if not isinstance(got_v, list):
+                            got_v = [got_v] if got_v not in (None, "") \
+                                else []
+                        assert sorted(map(str, got_v)) == \
+                            sorted(map(str, want)), (got_v, want)
+                        continue
+                    if isinstance(want, (int, float)) and \
+                            isinstance(got_v, (int, float)) and \
+                            not isinstance(want, bool):
+                        assert float(got_v) == float(want), (got_v, want)
+                        continue
+                    assert str(got_v) == str(want), (got_v, want)
+                except AssertionError as e:
+                    failures.append(f"{logname}: {key}: {e}")
+            total += 1
+    assert not failures, "\n".join(failures[:20]) + \
+        f"\n... {len(failures)} total"
+    assert total == 3
