@@ -11519,3 +11519,281 @@ def test_azure_platformlogs_module_golden():
     assert not failures, "\n".join(failures[:20]) + \
         f"\n... {len(failures)} total"
     assert total == 3
+
+
+AZ_ACT_DIR = ("/root/reference/x-pack/filebeat/module/azure/"
+              "activitylogs/test")
+
+_AZ_ACT_SCRIPT = r'''
+import json as _json
+import re as _re
+from datetime import datetime
+
+CLAIMS = "http://schemas.xmlsoap.org/ws/2005/05/identity/claims"
+
+
+def process(event, params):
+    raw = event["message"].replace('"":"",', "").replace("\x1b", "")
+    j = _json.loads(raw)
+    event["event_original"] = event["message"]
+    event["message"] = None
+    t = j.pop("time").replace("Z", "+0000")
+    m = _re.search(r"\.(\d+)", t[10:])
+    if m and len(m.group(1)) > 6:
+        t = t.replace("." + m.group(1), "." + m.group(1)[:6])
+    dt = datetime.strptime(t, "%Y-%m-%dT%H:%M:%S.%f%z"
+                           if "." in t[10:] else "%Y-%m-%dT%H:%M:%S%z")
+    event["ts"] = dt.replace(tzinfo=None) - dt.utcoffset()
+    rid = j.pop("resourceId", None)
+    cip = j.pop("callerIpAddress", None)
+    if cip:
+        m2 = _re.match(r"^\[?([^\]]+?)\]?(?::(\d+))?$", cip)
+        if m2:
+            event["source_ip"] = m2.group(1)
+            if m2.group(2):
+                event["source_port"] = int(m2.group(2))
+            event["client_ip"] = m2.group(1)
+            event["related_ip"] = [m2.group(1)]
+        else:
+            j["callerIpAddress"] = cip
+    if "level" in j:
+        event["log_level"] = j.pop("level")
+    if j.get("durationMs") is not None:
+        # the reference's painless multiply overflows 32-bit ints and the
+        # goldens keep the wrapped value
+        v = j.pop("durationMs") * 1000000
+        event["event_duration"] = ((v + 2**31) % 2**32) - 2**31
+    if "location" in j:
+        event["geo_name"] = j.pop("location")
+    ident = j.get("identity")
+    if isinstance(ident, str):
+        j["identity_name"] = j.pop("identity")
+        ident = None
+    props = j.get("properties")
+    if isinstance(props, str):
+        props = _json.loads(props)
+    props = props if isinstance(props, dict) else {}
+    j["properties"] = props
+    if props.get("eventCategory") is not None:
+        j["event_category"] = props.pop("eventCategory")
+    elif props.get("policies") is not None:
+        j["event_category"] = "Policy"
+    else:
+        j["event_category"] = "Administrative"
+    if "resultType" in j:
+        j["result_type"] = j.pop("resultType")
+    rt = j.get("result_type")
+    if isinstance(rt, str) and rt.lower() in ("success", "failure"):
+        event["event_outcome"] = rt.lower()
+    elif isinstance(props.get("result"), str) and \
+            props["result"] in ("success", "failure", "unknown"):
+        event["event_outcome"] = props["result"]
+    if "operationName" in j:
+        j["operation_name"] = j.pop("operationName")
+        event["event_action"] = str(j["operation_name"])
+    for src, tgt in (("operationVersion", "operation_version"),
+                     ("tenantId", "tenant_id"),
+                     ("Level", "level"),
+                     ("resultSignature", "result_signature")):
+        if src in j:
+            j[tgt] = j.pop(src)
+    if "correlationId" in j:
+        event["azure_correlation_id"] = j.pop("correlationId")
+    for src, tgt in (("serviceRequestId", "service_request_id"),
+                     ("statusCode", "status_code")):
+        if src in props:
+            props[tgt] = props.pop(src)
+    if "statusMessage" in props:
+        event["message"] = props.pop("statusMessage")
+    if isinstance(ident, dict):
+        ev = (ident.get("authorization") or {}).get("evidence")
+        if isinstance(ev, dict):
+            for src, tgt in (("roleAssignmentScope",
+                              "role_assignment_scope"),
+                             ("roleDefinitionId", "role_definition_id"),
+                             ("roleAssignmentId", "role_assignment_id"),
+                             ("principalId", "principal_id"),
+                             ("principalType", "principal_type")):
+                if src in ev:
+                    ev[tgt] = ev.pop(src)
+        claims = ident.get("claims")
+        if isinstance(claims, dict):
+            ibu = {}
+            if claims.get("name") is not None:
+                ibu["fullname"] = claims.pop("name")
+            if claims.get(CLAIMS + "/surname") is not None:
+                ibu["surname"] = claims[CLAIMS + "/surname"]
+            if claims.get(CLAIMS + "/name") is not None:
+                ibu["name"] = claims[CLAIMS + "/name"]
+            if claims.get(CLAIMS + "/givenname") is not None:
+                ibu["givenname"] = claims[CLAIMS + "/givenname"]
+            if ibu.get("name") is not None:
+                ibu["schema"] = CLAIMS
+            ident["claims_initiated_by_user"] = ibu
+            ident["claims"] = {k.replace(".", "_"): v
+                               for k, v in claims.items()}
+            nm = ibu.get("name")
+            if nm:
+                m3 = _re.search(r"([a-zA-Z0-9._-]+)@([\w.-]+)$", nm)
+                if m3:
+                    event["user_name"] = m3.group(1)
+                    event["user_domain"] = m3.group(2)
+                    event["user_email"] = nm
+                else:
+                    event["user_name"] = nm
+                event["related_user"] = [event["user_name"]]
+            if ibu.get("fullname") is not None:
+                event["user_full_name"] = str(ibu["fullname"])
+    cat = j.get("category")
+    tmap = {"write": ["change"], "read": ["access"],
+            "delete": ["deletion"], "action": ["change"]}
+    if cat and cat.lower() in tmap:
+        event["event_type"] = tmap[cat.lower()]
+    event["event_kind"] = "event"
+    if rid:
+        event["azure_resource_id2"] = rid
+        GUID = r"[0-9a-fA-F]{8}(?:-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12}"
+        m4 = _re.search(
+            r"/SUBSCRIPTIONS/(" + GUID + r")/RESOURCEGROUPS/(.+?)"
+            r"/PROVIDERS/(.+?)/NAMESPACES/(.+?)/AUTHORIZATIONRULES/(.+)$",
+            rid, _re.I)
+        if m4:
+            event["azure_subscription_id"] = m4.group(1)
+            event["azure_resource_group"] = m4.group(2)
+            event["azure_resource_provider"] = m4.group(3)
+            event["azure_resource_namespace"] = m4.group(4)
+            event["azure_resource_authorization_rule"] = m4.group(5)
+        if "azure_subscription_id" not in event:
+            m4 = _re.search(
+                r"/SUBSCRIPTIONS/(" + GUID + r")/RESOURCEGROUPS/(.+?)"
+                r"/PROVIDERS/([^/]+/[^/]+)/(.+)$", rid, _re.I)
+            if m4:
+                event["azure_subscription_id"] = m4.group(1)
+                event["azure_resource_group"] = m4.group(2)
+                event["azure_resource_provider"] = m4.group(3)
+                event["azure_resource_name"] = m4.group(4)
+        if "azure_subscription_id" not in event:
+            m4 = _re.search(r"/SUBSCRIPTIONS/(" + GUID +
+                            r")/PROVIDERS/(.+)$", rid, _re.I)
+            if m4:
+                event["azure_subscription_id"] = m4.group(1)
+                event["azure_resource_provider"] = m4.group(2)
+        if "azure_resource_provider" not in event:
+            m4 = _re.search(r"/providers/(.+)$", rid, _re.I)
+            if m4:
+                event["azure_resource_provider"] = m4.group(1)
+        if "azure_subscription_id" not in event and \
+                "azure_resource_group" not in event:
+            m4 = _re.search(r"/SUBSCRIPTIONS/(" + GUID +
+                            r")/RESOURCEGROUPS/([^/]+)$", rid, _re.I)
+            if m4:
+                event["azure_subscription_id"] = m4.group(1)
+                event["azure_resource_group"] = m4.group(2)
+
+    def emit(prefix, d):
+        for k, v in d.items():
+            k = k.replace(".", "_").replace("/", "_")
+            if isinstance(v, dict):
+                emit(prefix + k + "_", v)
+            elif v is not None:
+                event[prefix + k] = v
+
+    emit("azure_activitylogs_", j)
+    return event
+'''
+
+
+@pytest.mark.skipif(not os.path.isdir(AZ_ACT_DIR),
+                    reason="reference not present")
+def test_azure_activitylogs_module_golden():
+    """azure/activitylogs (82nd module golden, all 4 fixtures):
+    escape-scrubbed JSON, string-or-object identity/properties, xmlsoap
+    claims extraction into claims_initiated_by_user with schema stamp and
+    dotted-claim-key sanitizing, category event-type map, shared resource
+    decomposition — x-pack/filebeat/module/azure/activitylogs/ingest/
+    pipeline.yml + azure-shared-pipeline.yml."""
+    from datetime import datetime, timezone as _tz
+
+    from beats_ray.pipeline import Pipeline
+
+    spec = {"processors": [
+        {"script": {"source": _AZ_ACT_SCRIPT}},
+        {"add_fields": {"target": "", "fields": {
+            "cloud.provider": "azure", "event.module": "azure",
+            "event.dataset": "azure.activitylogs",
+            "fileset.name": "activitylogs", "input.type": "log",
+            "service.type": "azure", "tags": ["forwarded"]}}},
+    ]}
+    total, failures = 0, []
+    for logname in sorted(os.listdir(AZ_ACT_DIR)):
+        if not logname.endswith(".log"):
+            continue
+        path = os.path.join(AZ_ACT_DIR, logname)
+        if not os.path.exists(path + "-expected.json"):
+            continue
+        lines = [ln for ln in _terminated_lines(path) if ln.strip()]
+        batch = pa.table({"message": lines,
+                          "line_no": pa.array(range(len(lines)),
+                                              pa.int64())})
+        out = Pipeline(spec).run_local(batch)
+        rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+        expected = json.load(open(path + "-expected.json"))
+        if len(rows) != len(expected):
+            failures.append(f"{logname}: rows {len(rows)} != "
+                            f"{len(expected)}")
+            continue
+        for got, exp in zip(rows, expected):
+            for key, want in exp.items():
+                if key in ("log.offset", "event.created") or \
+                        key.startswith(("geo.", "source.as",
+                                        "source.geo")):
+                    continue
+                try:
+                    if key == "@timestamp":
+                        want_dt = datetime.fromisoformat(
+                            want.replace("Z", "+00:00")).astimezone(_tz.utc)
+                        got_dt = got["ts"].replace(tzinfo=_tz.utc)
+                        got_dt = got_dt.replace(
+                            microsecond=got_dt.microsecond // 1000 * 1000)
+                        assert got_dt == want_dt, (got_dt, want_dt)
+                        continue
+                    col = key.replace(".", "_").replace("/", "_")
+                    if key == "azure.resource.id":
+                        col = "azure_resource_id2"
+                    got_v = got.get(col)
+                    if isinstance(got_v, list) and len(got_v) == 1 and \
+                            not isinstance(want, list):
+                        got_v = got_v[0]
+                    if isinstance(want, list) and want and \
+                            isinstance(want[0], dict):
+                        def _n(v):
+                            if isinstance(v, list):
+                                return sorted(json.dumps(_n(x),
+                                                         sort_keys=True)
+                                              for x in v)
+                            if isinstance(v, dict):
+                                return {k2: _n(x) for k2, x in
+                                        sorted(v.items())
+                                        if x is not None}
+                            return v
+                        assert _n(got_v) == _n(want), (got_v, want)
+                        continue
+                    if isinstance(want, list):
+                        if not isinstance(got_v, list):
+                            got_v = [got_v] if got_v not in (None, "") \
+                                else []
+                        assert sorted(map(str, got_v)) == \
+                            sorted(map(str, want)), (got_v, want)
+                        continue
+                    if isinstance(want, (int, float)) and \
+                            isinstance(got_v, (int, float)) and \
+                            not isinstance(want, bool):
+                        assert float(got_v) == float(want), (got_v, want)
+                        continue
+                    assert str(got_v) == str(want), (got_v, want)
+                except AssertionError as e:
+                    failures.append(f"{logname}: {key}: {e}")
+            total += 1
+    assert not failures, "\n".join(failures[:20]) + \
+        f"\n... {len(failures)} total"
+    assert total == 4
