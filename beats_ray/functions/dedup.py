@@ -203,17 +203,32 @@ def simhash64(tokens: list[str], memo: dict | None = None) -> int:
 
 # ----------------------------------------------------------------- pipelines
 
+def sha1_key128(texts: list) -> tuple[pa.Array, pa.Array]:
+    """First 16 SHA-1 digest bytes as two int64 arrays — a 128-bit
+    exact-content key that shuffles as fixed-width Arrow ints (16 B/row)
+    instead of a 40-byte hex string.  128 bits keeps the birthday-collision
+    probability ~1e-15 at 10^12 rows (64 bits would all but guarantee
+    collisions there).  None texts key to (0, 0); a real text colliding
+    with that is a 2^-128 event."""
+    buf = bytearray(16 * len(texts))
+    for i, x in enumerate(texts):
+        if x is not None:
+            buf[16 * i:16 * i + 16] = hashlib.sha1(x.encode()).digest()[:16]
+    hv = np.frombuffer(bytes(buf), dtype=np.int64).reshape(-1, 2)
+    return pa.array(hv[:, 0]), pa.array(hv[:, 1])
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Survivors after exact-content dedup: min(id) per sha1(text)."""
+    """Survivors after exact-content dedup: min(id) per sha1-128(text)."""
     from ray.data.aggregate import Min
 
     def hash_stage(t: pa.Table) -> pa.Table:
-        h = [hashlib.sha1(x.encode()).hexdigest() if x is not None else None
-             for x in t[text_col].to_pylist()]
-        return pa.table({id_col: t[id_col], "h": pa.array(h, pa.string())})
+        h1, h2 = sha1_key128(t[text_col].to_pylist())
+        return pa.table({id_col: t[id_col], "h1": h1, "h2": h2})
 
     hashed = ds.map_batches(hash_stage, batch_format="pyarrow")
-    return hashed.groupby("h").aggregate(Min(id_col, alias_name=id_col)) \
+    return hashed.groupby(["h1", "h2"]) \
+                 .aggregate(Min(id_col, alias_name=id_col)) \
                  .select_columns([id_col])
 
 

@@ -377,13 +377,13 @@ def q_docs_dedup_exact(sf_dir: str):
                             columns=["doc_id", "text"])
 
     def hash_text(t: pa.Table) -> pa.Table:
-        import hashlib
-        h = [hashlib.sha1(x.encode()).hexdigest() if x is not None else None
-             for x in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"], "h": pa.array(h, pa.string())})
+        from ..functions.dedup import sha1_key128
+        h1, h2 = sha1_key128(t["text"].to_pylist())
+        return pa.table({"doc_id": t["doc_id"], "h1": h1, "h2": h2})
 
     hashed = ds.map_batches(hash_text, batch_format="pyarrow")
-    kept = hashed.groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
+    kept = hashed.groupby(["h1", "h2"]) \
+                 .aggregate(Min("doc_id", alias_name="doc_id"))
     return kept.select_columns(["doc_id"])
 
 
@@ -1081,13 +1081,13 @@ def q_transcripts_dedup_exact(sf_dir: str):
     ds = _read(_tpath(sf_dir), columns=["role", "text"])
 
     def hash_stage(t: pa.Table) -> pa.Table:
-        import hashlib
-        h = [hashlib.sha1(x.encode()).hexdigest() if x is not None else None
-             for x in t["text"].to_pylist()]
-        return pa.table({"role": t["role"], "h": pa.array(h, pa.string())})
+        from ..functions.dedup import sha1_key128
+        h1, h2 = sha1_key128(t["text"].to_pylist())
+        return pa.table({"role": t["role"], "h1": h1, "h2": h2})
 
     hashed = ds.map_batches(hash_stage, batch_format="pyarrow")
-    per_role_text = hashed.groupby(["role", "h"]).aggregate(Count(alias_name="_n"))
+    per_role_text = hashed.groupby(["role", "h1", "h2"]) \
+                          .aggregate(Count(alias_name="_n"))
     return counts_by(per_role_text, ["role"], "n_distinct_texts")
 
 

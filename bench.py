@@ -21,8 +21,45 @@ import sys
 import time
 
 
+def _cpu_ticks() -> dict:
+    """Aggregate /proc/stat cpu ticks — steal is the hypervisor
+    neighbor-contention signal on this host (VERDICT r3 §wrong#1: a
+    contended driver run looked like a 7x code regression)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        names = ["user", "nice", "system", "idle", "iowait", "irq",
+                 "softirq", "steal"]
+        return dict(zip(names, (int(x) for x in parts[1:9])))
+    except Exception:  # pragma: no cover — non-Linux
+        return {}
+
+
+def host_snapshot() -> dict:
+    return {"ticks": _cpu_ticks(), "load1": os.getloadavg()[0]}
+
+
+def host_report(before: dict, after: dict) -> dict:
+    """Steal-tick delta + pre-run load: self-identifying contention so a
+    slow BENCH artifact is never again mistaken for a code regression."""
+    b, a = before.get("ticks", {}), after.get("ticks", {})
+    if not b or not a:
+        return {"contended": False}
+    total = sum(a.values()) - sum(b.values())
+    steal = a.get("steal", 0) - b.get("steal", 0)
+    steal_pct = round(100.0 * steal / total, 2) if total else 0.0
+    load1 = round(before["load1"], 2)
+    return {
+        "steal_pct": steal_pct,
+        "load1_start": load1,
+        # >=1% steal, or heavy pre-existing load before we spawned Ray
+        "contended": bool(steal_pct >= 1.0 or load1 > 8.0),
+    }
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
+    _host_before = host_snapshot()
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     import logging
@@ -90,6 +127,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / headline, 1),
+        "host": host_report(_host_before, host_snapshot()),
     }
 
 
@@ -127,6 +165,7 @@ def main():
             "cpus_lo": lo, "cpus_hi": hi,
             "scaling_efficiency": round(eff, 3),
             "sf": r_lo["sf"], "n_turns": r_lo["n_turns"],
+            "host_lo": r_lo.get("host"), "host_hi": r_hi.get("host"),
         }))
         return
     print(json.dumps(run_bench(sf_dir, ncpu)))

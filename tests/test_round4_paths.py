@@ -1,0 +1,87 @@
+"""Round-4 regression tests: small_groupby cardinality guard, binary
+(int64-pair) exact-dedup keys, steal-aware bench host report."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _events(n=4000, seed=3):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "hour": pa.array(rng.integers(0, 24, n), pa.int64()),
+        "event_type": pa.array(
+            np.array(["click", "view", "buy"])[rng.integers(0, 3, n)]),
+        "v": pa.array(rng.integers(0, 100, n), pa.int64()),
+    })
+
+
+def test_small_groupby_guard_shuffle_path(ray_session, monkeypatch):
+    """On shuffled input with the partial-row limit forced to 1, the guard
+    must take the distributed-groupby path and still produce the same rows
+    as the driver-pandas path (VERDICT r3 §wrong#3)."""
+    import ray.data as rd
+
+    import beats_ray.aggregate as agg
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["hour", "event_type"]).aggregate([("v", "sum")]) \
+                .rename_columns(["hour", "event_type", "v_part"])
+
+    tbl = _events()
+    # shuffled, many blocks -> partials ~ keys x blocks (the flood shape)
+    ds = rd.from_arrow(tbl).random_shuffle(seed=1).repartition(16)
+
+    baseline = agg.small_groupby(
+        rd.from_arrow(tbl), ["hour", "event_type"], _partial,
+        {"v_part": "sum"}, {"v_part": "v_sum"}).to_pandas()
+
+    monkeypatch.setattr(agg, "DRIVER_PARTIAL_ROW_LIMIT", 1)
+    guarded = agg.small_groupby(
+        ds, ["hour", "event_type"], _partial,
+        {"v_part": "sum"}, {"v_part": "v_sum"}).to_pandas()
+
+    key = ["hour", "event_type"]
+    b = baseline.sort_values(key).reset_index(drop=True)
+    g = guarded.sort_values(key).reset_index(drop=True)[b.columns]
+    assert b.equals(g)
+
+
+def test_sha1_key128_matches_hexdigest_grouping():
+    """The int64-pair key must induce exactly the same equivalence classes
+    as the old 40-char hexdigest key, and None keys to (0, 0)."""
+    import hashlib
+
+    from beats_ray.functions.dedup import sha1_key128
+    texts = ["a", "b", "a", "", None, "b", "longer text éÿ"]
+    h1, h2 = sha1_key128(texts)
+    pairs = list(zip(h1.to_pylist(), h2.to_pylist()))
+    # same-text -> same pair, distinct-text -> distinct pair
+    assert pairs[0] == pairs[2] and pairs[1] == pairs[5]
+    assert len({pairs[i] for i in (0, 1, 3, 4, 6)}) == 5
+    assert pairs[4] == (0, 0)
+    # pair is byte-identical to the first 16 sha1 digest bytes
+    want = hashlib.sha1(b"a").digest()[:16]
+    got = np.array([pairs[0]], dtype=np.int64).tobytes()
+    assert got == want
+
+
+def test_exact_dedup_survivors(ray_session):
+    import ray.data as rd
+
+    from beats_ray.functions.dedup import exact_dedup
+    tbl = pa.table({
+        "doc_id": pa.array([5, 1, 2, 3, 4], pa.int64()),
+        "text": ["x", "x", "y", None, None],
+    })
+    out = exact_dedup(rd.from_arrow(tbl)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]
+
+
+def test_bench_host_report():
+    import bench
+    before = bench.host_snapshot()
+    # burn a little cpu so the tick delta is nonzero
+    sum(i * i for i in range(200000))
+    rep = bench.host_report(before, bench.host_snapshot())
+    assert "contended" in rep and isinstance(rep["contended"], bool)
+    assert rep.get("steal_pct", 0.0) >= 0.0
