@@ -93,6 +93,35 @@ class Regexp(Condition):
 
 
 _RANGE_OPS = {"gt": pc.greater, "gte": pc.greater_equal, "lt": pc.less, "lte": pc.less_equal}
+_LEN_OPS = {"eq": pc.equal, "neq": pc.not_equal, **_RANGE_OPS}
+
+
+@dataclass
+class Length(Condition):
+    """List/string element-count comparison — the painless ``.length``
+    idiom in module ingest conditions (e.g. zeek/ssl
+    ``cert_chain_fuids?.length == 0``); no Beats-native analogue.
+    Missing field / null value -> no match."""
+
+    field: str
+    bounds: dict  # {"eq": 0} / {"gt": 2} ...
+
+    def mask(self, batch):
+        col = _col(batch, self.field)
+        if col is None:
+            return _false(len(batch))
+        t = col.type
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            n = pc.list_value_length(col)
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            n = pc.utf8_length(col)
+        else:
+            return _false(len(batch))
+        acc = None
+        for op, v in self.bounds.items():
+            m = _LEN_OPS[op](n, v)
+            acc = m if acc is None else pc.and_kleene(acc, m)
+        return _nn(acc) if acc is not None else _false(len(batch))
 
 
 @dataclass
@@ -238,6 +267,9 @@ def compile_condition(cfg) -> Condition:
                     base, op = f.rsplit(".", 1)
                     byfield.setdefault(base, {})[op] = v
             parts += [Range(f, b) for f, b in byfield.items()]
+        elif key == "length":
+            for f, v in val.items():
+                parts.append(Length(f, v if isinstance(v, dict) else {"eq": v}))
         elif key == "has_fields":
             parts.append(HasFields(list(val) if isinstance(val, (list, tuple)) else [val]))
         elif key == "network":

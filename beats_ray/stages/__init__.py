@@ -9,6 +9,7 @@ from . import cef  # noqa: F401
 from . import decode  # noqa: F401
 from . import dissect  # noqa: F401
 from . import enrich  # noqa: F401
+from . import es_compat  # noqa: F401
 from . import fingerprint  # noqa: F401
 from . import grok  # noqa: F401
 from . import flow  # noqa: F401

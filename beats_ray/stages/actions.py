@@ -141,6 +141,17 @@ class RenameFields(Stage):
         for src, dst in self.pairs:
             s, d = field_to_column(src), field_to_column(dst)
             if s not in batch.column_names:
+                # Beats rename moves whole subtrees (mapstr map values);
+                # flat columns: rename every `s_...` prefix match.
+                pref = s + "_"
+                subtree = [c for c in batch.column_names
+                           if c.startswith(pref)]
+                if subtree:
+                    for c in subtree:
+                        idx = batch.column_names.index(c)
+                        batch = batch.set_column(
+                            idx, d + "_" + c[len(pref):], batch.column(c))
+                    continue
                 if self.ignore_missing:
                     continue
                 if self.fail_on_error:
