@@ -21,6 +21,11 @@ _TOKEN = re.compile(r"%\{\[([^]}]+)](?::([^}]*))?\}")
 
 
 class FormatString:
+    #: when True, substituted field VALUES are JSON-escaped (backslash,
+    #: quote) like ES ingest's mustache JsonEscapeEncoder — literal text
+    #: is never escaped (zeek smb_files file.path golden)
+    json_escape = False
+
     def __init__(self, fmt: str):
         self.raw = fmt
         self.parts: list[tuple[str, str | None, str | None]] = []  # (literal, field, default)
@@ -45,10 +50,20 @@ class FormatString:
             col_name = field_to_column(field)
             if col_name in batch.column_names:
                 col = batch.column(col_name)
-                if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+                if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                    # ES mustache renders a Java List via ArrayMap.toString:
+                    # "{0=a, 1=b}" (zeek dhcp event.id golden)
+                    col = pa.array(
+                        [None if v is None else
+                         "{" + ", ".join(f"{i}={x}" for i, x in enumerate(v)) + "}"
+                         for v in col.to_pylist()], pa.string())
+                elif not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
                     col = pc.cast(col, pa.string())
                 elif pa.types.is_large_string(col.type):
                     col = pc.cast(col, pa.string())
+                if self.json_escape:
+                    col = pc.replace_substring(col, "\\", "\\\\")
+                    col = pc.replace_substring(col, '"', '\\"')
                 if default is not None:
                     col = pc.fill_null(col, default)
             else:

@@ -1,0 +1,592 @@
+"""ES ingest pipeline (pipeline.yml) -> engine Pipeline spec compiler.
+
+The reference ships an Elasticsearch ingest pipeline per module fileset
+(x-pack/filebeat/module/<mod>/<fs>/ingest/pipeline.yml) and registers it
+server-side (filebeat/fileset/pipelines.go); the Beats process itself only
+runs the lighter ``config/<fs>.yml`` processor chain.  This engine executes
+BOTH stages itself: ``compile_ingest`` maps each ES processor onto the
+registered stage set (stages/es_compat.py for the ES-only ones), compiles
+the painless ``if:`` condition subset to Arrow-mask conditions, and
+translates Java time formats to the timestamp stage's strptime layouts.
+
+Escape hatches (both consumed in declaration order):
+- ``scripts``: list of replacement specs for ``script:`` (painless)
+  processors — painless is not executed; each golden supplies the
+  equivalent python/mini-JS stage spec (or None to skip a no-op script).
+- ``overrides``: dict {processor_index: spec-list | None} replacing any
+  processor the compiler can't express (foreach variants, fail, ...).
+
+Cluster-owned processors (geoip / user_agent ECS extras the goldens skip)
+and harness-owned fields (event.ingested / event.created) are dropped.
+"""
+
+from __future__ import annotations
+
+import re
+
+import yaml
+
+__all__ = [
+    "PainlessUnsupported", "painless_condition", "java_date_layouts",
+    "compile_ingest", "load_pipeline_yml", "render_module_config",
+    "config_processors", "load_fileset_config", "manifest_vars",
+]
+
+
+class PainlessUnsupported(ValueError):
+    """An ``if:`` expression / processor outside the supported subset."""
+
+
+# ---------------------------------------------------------------------------
+# painless `if:` conditions -> conditions.py config dicts
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"""
+    \s*(?:
+      (?P<str>'[^']*'|"[^"]*")
+    | (?P<num>-?\d+(?:\.\d+)?)
+    | (?P<op>==|!=|<=|>=|&&|\|\||[!<>().\[\]?])
+    | (?P<word>[A-Za-z_$][A-Za-z0-9_$]*)
+    )""", re.X)
+
+
+def _tokenize(src: str):
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if m is None:
+            if src[pos:].strip() == "":
+                break
+            raise PainlessUnsupported(f"painless token at {src[pos:]!r}")
+        pos = m.end()
+        if m.group("str") is not None:
+            out.append(("str", m.group("str")[1:-1]))
+        elif m.group("num") is not None:
+            n = m.group("num")
+            out.append(("num", float(n) if "." in n else int(n)))
+        elif m.group("op") is not None:
+            out.append(("op", m.group("op")))
+        else:
+            out.append(("word", m.group("word")))
+    return out
+
+
+class _P:
+    """Recursive-descent parser over the tokenized painless condition."""
+
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, k=0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else (None, None)
+
+    def take(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, val):
+        t = self.take()
+        if t[1] != val:
+            raise PainlessUnsupported(f"expected {val!r}, got {t[1]!r}")
+
+    # expr := and ('||' and)*
+    def expr(self):
+        parts = [self.and_()]
+        while self.peek() == ("op", "||"):
+            self.take()
+            parts.append(self.and_())
+        return parts[0] if len(parts) == 1 else {"or": parts}
+
+    def and_(self):
+        parts = [self.unary()]
+        while self.peek() == ("op", "&&"):
+            self.take()
+            parts.append(self.unary())
+        return parts[0] if len(parts) == 1 else {"and": parts}
+
+    def unary(self):
+        if self.peek() == ("op", "!"):
+            self.take()
+            return {"not": self.unary()}
+        if self.peek() == ("op", "("):
+            # lookahead: parenthesized boolean expr, not a method call
+            self.take()
+            e = self.expr()
+            self.expect(")")
+            return e
+        return self.comparison()
+
+    def _path(self):
+        """ctx.a?.b['c'] ... -> (dotted path, trailing method or None)."""
+        t = self.take()
+        if t != ("word", "ctx"):
+            raise PainlessUnsupported(f"path must start with ctx, got {t}")
+        segs, method, arg = [], None, None
+        while True:
+            nxt = self.peek()
+            if nxt == ("op", "?"):
+                # '?.' / '?[': strip the null-safe marker, fall through
+                self.take()
+                nxt = self.peek()
+                if nxt not in (("op", "."), ("op", "[")):
+                    raise PainlessUnsupported("dangling ?")
+            if nxt == ("op", "."):
+                self.take()
+                w = self.take()
+                if w[0] != "word":
+                    raise PainlessUnsupported(f"bad segment {w}")
+                if self.peek() == ("op", "("):
+                    self.take()
+                    if self.peek()[0] in ("str", "num"):
+                        arg = self.take()[1]
+                    self.expect(")")
+                    method = w[1]
+                    break
+                segs.append(w[1])
+                continue
+            if nxt == ("op", "["):
+                self.take()
+                k = self.take()
+                if k[0] == "str":
+                    segs.append(k[1])
+                elif k[0] == "num":
+                    segs.append(str(k[1]))
+                else:
+                    raise PainlessUnsupported(f"bad subscript {k}")
+                self.expect("]")
+                continue
+            break
+        if method is None and segs and segs[-1] == "length":
+            # .length property (painless arrays/strings)
+            method, segs = "length", segs[:-1]
+        if not segs:
+            raise PainlessUnsupported("bare ctx")
+        return ".".join(segs), method, arg
+
+    def comparison(self):
+        path, method, arg = self._path()
+        # method-call predicates
+        if method in ("isEmpty",):
+            return {"length": {path: {"eq": 0}}}
+        if method in ("contains",):
+            return {"contains": {path: arg}}
+        if method in ("startsWith",):
+            return {"regexp": {path: "^" + re.escape(str(arg))}}
+        if method in ("endsWith",):
+            return {"regexp": {path: re.escape(str(arg)) + "$"}}
+        if method in ("equalsIgnoreCase",):
+            return {"regexp": {path: "(?i)^" + re.escape(str(arg)) + "$"}}
+        if method in ("toLowerCase", "toUpperCase"):
+            nxt = self.peek()
+            if nxt[0] == "op" and nxt[1] in ("==", "!="):
+                op = self.take()[1]
+                rhs = self.take()
+                if rhs[0] != "str":
+                    raise PainlessUnsupported(f".{method}() vs {rhs}")
+                eq = {"regexp": {path: "(?i)^" + re.escape(rhs[1]) + "$"}}
+                return eq if op == "==" else {"not": eq}
+            raise PainlessUnsupported(f"bare .{method}()")
+        nxt = self.peek()
+        if method in ("length", "size"):
+            if nxt[0] == "op" and nxt[1] in ("==", "!=", "<", ">", "<=", ">="):
+                op = self.take()[1]
+                rhs = self.take()
+                if rhs[0] != "num":
+                    raise PainlessUnsupported(".length vs non-number")
+                key = {"==": "eq", "!=": "neq", "<": "lt", ">": "gt",
+                       "<=": "lte", ">=": "gte"}[op]
+                return {"length": {path: {key: rhs[1]}}}
+            return {"length": {path: {"gt": 0}}}
+        if method is not None:
+            raise PainlessUnsupported(f"method .{method}()")
+        if nxt[0] == "op" and nxt[1] in ("==", "!=", "<", ">", "<=", ">="):
+            op = self.take()[1]
+            rhs = self.take()
+            if rhs == ("word", "null"):
+                has = {"has_fields": [path]}
+                return {"not": has} if op == "==" else has
+            if rhs[0] == "word" and rhs[1] in ("true", "false"):
+                eq = {"equals": {path: rhs[1] == "true"}}
+                return eq if op == "==" else {"not": eq}
+            if rhs[0] in ("str", "num"):
+                if op == "==":
+                    return {"equals": {path: rhs[1]}}
+                if op == "!=":
+                    return {"not": {"equals": {path: rhs[1]}}}
+                key = {"<": "lt", ">": "gt", "<=": "lte", ">=": "gte"}[op]
+                return {"range": {f"{path}.{key}": rhs[1]}}
+            raise PainlessUnsupported(f"rhs {rhs}")
+        # bare path: painless boolean field test
+        return {"equals": {path: True}}
+
+
+def painless_condition(src: str) -> dict:
+    """Compile a painless ``if:`` expression to a conditions.py config."""
+    p = _P(_tokenize(src))
+    cond = p.expr()
+    if p.i != len(p.toks):
+        raise PainlessUnsupported(f"trailing tokens {p.toks[p.i:]}")
+    return cond
+
+
+# ---------------------------------------------------------------------------
+# Java time format -> timestamp-stage layout
+# ---------------------------------------------------------------------------
+
+_JAVA_TOKENS = [
+    ("yyyy", "%Y"), ("yy", "%y"), ("MMMM", "%B"), ("MMM", "%b"),
+    ("MM", "%m"), ("M", "%m"), ("dd", "%d"), ("d", "%d"),
+    ("EEEE", "%A"), ("EEE", "%a"), ("HH", "%H"), ("H", "%H"),
+    ("hh", "%I"), ("h", "%I"), ("mm", "%M"), ("m", "%M"),
+    ("ss", "%S"), ("s", "%S"), ("SSSSSSSSS", "%f"), ("SSSSSS", "%f"),
+    ("SSS", "%f"), ("S", "%f"), ("a", "%p"), ("XXX", "%z"), ("XX", "%z"),
+    ("X", "%z"), ("ZZZ", "%z"), ("ZZ", "%z"), ("Z", "%z"), ("zzz", "%Z"),
+    ("z", "%Z"), ("VV", "%Z"),
+]
+_PASSTHROUGH = {"ISO8601", "UNIX", "UNIX_MS", "TAI64N"}
+
+
+def java_date_layouts(formats) -> list[str]:
+    """ES date-processor formats -> timestamp-stage layouts."""
+    out = []
+    for f in formats:
+        if f in _PASSTHROUGH:
+            out.append(f)
+            continue
+        buf, i = [], 0
+        while i < len(f):
+            if f[i] == "'":
+                j = f.find("'", i + 1)
+                if j < 0:
+                    raise PainlessUnsupported(f"bad quote in {f!r}")
+                lit = f[i + 1:j] or "'"
+                buf.append(lit.replace("%", "%%"))
+                i = j + 1
+                continue
+            for tok, rep in _JAVA_TOKENS:
+                if f.startswith(tok, i):
+                    buf.append(rep)
+                    i += len(tok)
+                    break
+            else:
+                if f[i].isalpha():
+                    raise PainlessUnsupported(f"java date token {f[i:]!r}")
+                buf.append(f[i])
+                i += 1
+        out.append("".join(buf))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ES processor -> stage-spec mapping
+# ---------------------------------------------------------------------------
+
+_PURE_TMPL = re.compile(r"^\{\{\{?\s*([^}\s]+?)\s*\}?\}\}$")
+
+# processors the cluster (not the pipeline) owns in golden comparisons:
+# geoip writes .geo/.as (skipped), event.ingested/created are harness-owned
+_SKIP_SET_FIELDS = {"event.ingested", "event.created"}
+
+
+def _fields_list(cfg):
+    v = cfg.get("field", cfg.get("fields"))
+    return v if isinstance(v, list) else [v]
+
+
+def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
+    """One ES processor -> list of spec entries (without the if-wrap)."""
+    if kind == "geoip":
+        return []
+    if kind == "set":
+        if cfg["field"] in _SKIP_SET_FIELDS:
+            return []
+        out = {"field": cfg["field"]}
+        v = cfg.get("value")
+        if cfg.get("copy_from"):
+            out["copy_from"] = cfg["copy_from"]
+        elif isinstance(v, str) and "{{" in v:
+            m = _PURE_TMPL.match(v)
+            tmpl = ("%{[" + m.group(1) + "]}") if m else re.sub(
+                r"\{\{\{?\s*([^}\s]+?)\s*\}?\}\}", lambda g: "%{[" + g.group(1) + "]}", v)
+            if m and m.group(1) in ("_ingest.timestamp", "_ingest.on_failure_message"):
+                return []
+            out["template"] = tmpl
+            if "{{{" in v:
+                out["template_escape"] = False
+        else:
+            out["value"] = v
+        for k in ("override", "ignore_empty_value"):
+            if k in cfg:
+                out[k] = cfg[k]
+        return [{"set": out}]
+    if kind == "append":
+        out = {"field": cfg["field"], "value": cfg.get("value")}
+        if "allow_duplicates" in cfg:
+            out["allow_duplicates"] = cfg["allow_duplicates"]
+        return [{"append": out}]
+    if kind == "date":
+        out = {"field": cfg["field"],
+               "target_field": cfg.get("target_field", "@timestamp"),
+               "layouts": java_date_layouts(cfg.get("formats", ["ISO8601"]))}
+        tz = cfg.get("timezone")
+        if tz:
+            if "{{" in str(tz):
+                raise PainlessUnsupported(f"templated timezone {tz!r}")
+            out["timezone"] = tz
+        return [{"timestamp": out}]
+    if kind == "remove":
+        return [{"drop_fields": {"fields": _fields_list(cfg),
+                                 "ignore_missing": True}}]
+    if kind == "rename":
+        return [{"rename": {
+            "fields": [{"from": cfg["field"], "to": cfg["target_field"]}],
+            "ignore_missing": bool(cfg.get("ignore_missing", False)),
+            "fail_on_error": False}}]
+    if kind == "convert":
+        f = {"from": cfg["field"]}
+        if cfg.get("target_field") and cfg["target_field"] != cfg["field"]:
+            f["to"] = cfg["target_field"]
+        if cfg.get("type") and cfg["type"] != "auto":
+            f["type"] = {"integer": "long"}.get(cfg["type"], cfg["type"])
+        return [{"convert": {"fields": [f], "mode": "copy",
+                             "ignore_missing": True, "fail_on_error": False}}]
+    if kind == "gsub":
+        return [{"replace": {"fields": [{
+            "field": cfg["field"], "pattern": cfg["pattern"],
+            "replacement": cfg.get("replacement", "")}],
+            "ignore_missing": True, "fail_on_error": False}}]
+    if kind == "kv":
+        out = {k: v for k, v in cfg.items() if k not in ("if", "description",
+                                                         "on_failure", "tag")}
+        return [{"kv": out}]
+    if kind == "grok":
+        out = {"field": cfg["field"], "patterns": cfg["patterns"],
+               "ignore_missing": True,
+               "ignore_failure": bool(cfg.get("ignore_failure", False))}
+        if cfg.get("pattern_definitions"):
+            out["pattern_definitions"] = cfg["pattern_definitions"]
+        return [{"grok": out}]
+    if kind == "dissect":
+        return [{"dissect": {"field": cfg["field"],
+                             "tokenizer": cfg["pattern"],
+                             "target_prefix": ""}}]
+    if kind == "json":
+        out = {"fields": [cfg["field"]], "keep_arrays": True}
+        if cfg.get("target_field"):
+            out["target"] = cfg["target_field"]
+        elif not cfg.get("add_to_root"):
+            out["target"] = cfg["field"]
+        else:
+            out["target"] = ""
+        return [{"decode_json_fields": out}]
+    if kind == "csv":
+        out = {k: v for k, v in cfg.items() if k in (
+            "field", "target_fields", "separator", "quote", "trim",
+            "empty_value")}
+        return [{"es_csv": out}]
+    if kind in ("lowercase", "uppercase"):
+        specs = []
+        src = cfg["field"]
+        tgt = cfg.get("target_field")
+        if tgt and tgt != src:
+            specs.append({"copy_fields": {
+                "fields": [{"from": src, "to": tgt}],
+                "ignore_missing": True, "fail_on_error": False}})
+            src = tgt
+        specs.append({kind: {"values": [src], "ignore_missing": True,
+                             "fail_on_error": False}})
+        return specs
+    if kind == "split":
+        out = {k: v for k, v in cfg.items() if k in (
+            "field", "separator", "target_field", "preserve_trailing")}
+        return [{"es_split": out}]
+    if kind == "join":
+        out = {k: v for k, v in cfg.items() if k in (
+            "field", "separator", "target_field")}
+        return [{"es_join": out}]
+    if kind == "trim":
+        out = {"fields": _fields_list(cfg)}
+        if cfg.get("target_field"):
+            out["target_field"] = cfg["target_field"]
+        return [{"es_trim": out}]
+    if kind == "uri_parts":
+        out = {"field": cfg["field"]}
+        for k in ("target_field", "keep_original", "remove_if_successful"):
+            if k in cfg:
+                out[k] = cfg[k]
+        return [{"uri_parts": out}]
+    if kind == "urldecode":
+        return [{"urldecode": {"fields": [{
+            "from": cfg["field"],
+            "to": cfg.get("target_field", cfg["field"])}],
+            "ignore_missing": True, "fail_on_error": False}}]
+    if kind == "user_agent":
+        out = {"field": cfg["field"]}
+        if "target_field" in cfg:
+            out["target_field"] = cfg["target_field"]
+        return [{"user_agent": out}]
+    if kind == "community_id":
+        out = {}
+        for k in ("source_ip", "source_port", "destination_ip",
+                  "destination_port", "transport", "target_field"):
+            if k in cfg:
+                out[{"target_field": "target"}.get(k, k)] = cfg[k]
+        return [{"community_id": out}]
+    if kind == "registered_domain":
+        out = {"field": cfg["field"], "ignore_missing": True}
+        if cfg.get("target_field"):
+            out["target_field"] = cfg["target_field"]
+        return [{"registered_domain": out}]
+    if kind == "dot_expander":
+        return []
+    if kind == "fingerprint":
+        out = {k: v for k, v in cfg.items() if k in (
+            "fields", "target_field", "method")}
+        return [{"fingerprint": out}]
+    if kind == "drop":
+        return [{"drop_event": {}}]
+    if kind == "script":
+        if ctx.scripts is None or not ctx.scripts:
+            raise PainlessUnsupported(
+                f"painless script needs a hand impl (processor {ctx.index}):"
+                f" {str(cfg.get('source'))[:120]!r}")
+        impl = ctx.scripts.pop(0)
+        if impl is None:
+            return []
+        return impl if isinstance(impl, list) else [impl]
+    if kind == "pipeline":
+        if ctx.pipeline_loader is None:
+            raise PainlessUnsupported("pipeline processor needs a loader")
+        return ctx.pipeline_loader(cfg["name"])
+    if kind == "foreach":
+        inner = cfg.get("processor", {})
+        if "append" in inner:
+            a = inner["append"]
+            m = _PURE_TMPL.match(str(a.get("value")))
+            if m and m.group(1) == "_ingest._value":
+                out = {"field": a["field"], "each_from": cfg["field"]}
+                if "allow_duplicates" in a:
+                    out["allow_duplicates"] = a["allow_duplicates"]
+                return [{"append": out}]
+        raise PainlessUnsupported(f"foreach variant {inner}")
+    raise PainlessUnsupported(f"ES processor {kind!r}")
+
+
+class _Ctx:
+    def __init__(self, scripts, overrides, pipeline_loader):
+        self.scripts = list(scripts) if scripts is not None else None
+        self.overrides = overrides or {}
+        self.pipeline_loader = pipeline_loader
+        self.index = 0
+
+
+def compile_ingest(doc, scripts=None, overrides=None, pipeline_loader=None,
+                   _ctx=None) -> list:
+    """ES pipeline doc (dict with 'processors', or bare list) -> spec list.
+
+    scripts: ordered replacement specs for painless script processors.
+    overrides: {index: spec | [spec,...] | None} for processors outside the
+    supported subset (index = position in the ES processors list).
+    pipeline_loader: name -> compiled spec list (for `pipeline:` calls).
+    """
+    procs = doc.get("processors", doc) if isinstance(doc, dict) else doc
+    ctx = _ctx or _Ctx(scripts, overrides, pipeline_loader)
+    out = []
+    for i, entry in enumerate(procs):
+        ctx.index = i
+        (kind, cfg), = entry.items()
+        cfg = cfg or {}
+        if i in ctx.overrides:
+            o = ctx.overrides[i]
+            if kind == "script" and ctx.scripts:
+                ctx.scripts.pop(0)  # keep positional script list aligned
+            if o is None:
+                continue
+            specs = o if isinstance(o, list) else [o]
+        else:
+            specs = _compile_one(kind, cfg, ctx)
+        cond_src = cfg.get("if")
+        if cond_src and specs:
+            cond = painless_condition(cond_src)
+            specs = [{**s, "when": cond} if "if" not in s else s
+                     for s in specs]
+        out.extend(specs)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# module fileset loading (config template + ingest yml)
+# ---------------------------------------------------------------------------
+
+def load_pipeline_yml(path: str) -> dict:
+    """Parse an ingest/pipeline.yml; tolerates the `{< IngestPipeline >}`
+    Go-template pipeline-name values by quoting them."""
+    text = open(path).read()
+    text = re.sub(r"\{<\s*IngestPipeline\s+\"([^\"]+)\"\s*>\}", r"\1", text)
+    return yaml.safe_load(text)
+
+
+def render_module_config(text: str, vars: dict) -> str:
+    """Tiny Go-template subset used by module config/*.yml files:
+    {{ if .x }}...{{ end }}, {{ .x }}, {{ .x | tojson }}, {{ range }} drop.
+    Enough to extract the processors section deterministically."""
+    import json as _json
+
+    def _val(name):
+        return vars.get(name.strip().lstrip("."), "")
+
+    # drop range blocks (paths) entirely
+    text = re.sub(r"\{\{\s*range[^}]*\}\}.*?\{\{\s*end\s*\}\}", "", text,
+                  flags=re.S)
+
+    # if/else/end blocks (non-nested)
+    def _if(m):
+        cond, body = m.group(1), m.group(2)
+        parts = re.split(r"\{\{\s*else\s*\}\}", body, maxsplit=1)
+        neg = cond.strip().startswith("not ")
+        name = cond.strip()[4:] if neg else cond.strip()
+        name = name.split()[0]
+        truthy = bool(_val(name))
+        if neg:
+            truthy = not truthy
+        if truthy:
+            return parts[0]
+        return parts[1] if len(parts) > 1 else ""
+
+    prev = None
+    while prev != text:
+        prev = text
+        text = re.sub(r"\{\{\s*if\s+([^}]*?)\s*\}\}((?:(?!\{\{\s*if).)*?)"
+                      r"\{\{\s*end\s*\}\}", _if, text, flags=re.S)
+    text = re.sub(r"\{\{\s*([.\w]+)\s*\|\s*tojson\s*\}\}",
+                  lambda m: _json.dumps(_val(m.group(1))), text)
+    text = re.sub(r"\{\{\s*inList\s[^}]*\}\}", "false", text)
+    text = re.sub(r"\{\{\s*(\.[\w.]+)\s*\}\}",
+                  lambda m: str(_val(m.group(1))), text)
+    return text
+
+
+def load_fileset_config(path: str, vars: dict | None = None) -> dict:
+    """Full rendered module config/*.yml document."""
+    doc = yaml.safe_load(render_module_config(open(path).read(), vars or {}))
+    return doc or {}
+
+
+def config_processors(path: str, vars: dict | None = None) -> list:
+    """Processors list from a module config/*.yml (Go-templated); an
+    input-level ``fields:`` section (added before processors run,
+    beats input semantics) is folded in as a leading add_fields."""
+    doc = load_fileset_config(path, vars)
+    procs = list(doc.get("processors", []))
+    if doc.get("fields"):
+        procs.insert(0, {"add_fields": {"target": "", "fields": doc["fields"]}})
+    return procs
+
+
+def manifest_vars(path: str) -> dict:
+    """{var name: default} from a fileset manifest.yml."""
+    doc = yaml.safe_load(open(path)) or {}
+    return {v["name"]: v.get("default") for v in doc.get("var", [])}

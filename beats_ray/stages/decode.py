@@ -544,7 +544,10 @@ class UserAgent(Stage):
         # digit-bearing product names (S3Console/0.4) only match uap's
         # generic with a full x.y.z version — keep the 2-part form for
         # plain tool names (curl, wget, Microsoft-CryptoAPI)
-        (r"^(?!Mozilla)([A-Za-z][A-Za-z._!-]*)/v?(\d[\w.-]*)", None, None),
+        # plain (dot-free) tool names take any version shape; DOTTED
+        # reverse-dns products (com.apple.trustd/2.0) need the 3-part
+        # version of the next rule to match uap, else fall to "Other"
+        (r"^(?!Mozilla)([A-Za-z][A-Za-z_!-]*)/v?(\d[\w.-]*)", None, None),
         (r"^(?!Mozilla)([A-Za-z0-9._!-]+)/v?(\d+\.\d+\.[\w.-]+)",
          None, None),
         # uap-core mid-string product/x.y.z (aws-sdk-java/1.11.590 inside

@@ -21,16 +21,35 @@ Semantics mirror the ES processors:
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..event import field_to_column, get_column, set_column
+from ..fmtstr import FormatString
 from .base import Stage, register
+
+_MUSTACHE = re.compile(r"\{\{\{?\s*([^}\s]+?)\s*\}?\}\}")
+
+
+def mustache_to_fmtstr(tmpl: str) -> FormatString:
+    """ES mustache ``{{a.b}}`` / ``{{{a.b}}}`` -> the engine's
+    ``%{[a.b]}`` format string (missing field -> null row).  Double-brace
+    templates JSON-escape substituted values like ES's mustache encoder;
+    triple-brace disables escaping."""
+    fs = FormatString(_MUSTACHE.sub(lambda m: "%{[" + m.group(1) + "]}", tmpl))
+    fs.json_escape = "{{{" not in tmpl
+    return fs
 
 
 @register("set")
 class SetField(Stage):
-    """config: field, value | copy_from, override=True, ignore_empty_value."""
+    """config: field, value | copy_from | template, override=True,
+    ignore_empty_value.  ``template`` is an ES mustache string rendered
+    per row (string result); rows whose render misses a field (null) or is
+    empty are SKIPPED when ignore_empty_value (the guarded module idiom),
+    else set to null."""
 
     name = "set"
 
@@ -40,16 +59,30 @@ class SetField(Stage):
         self.field = c["field"]
         self.value = c.get("value")
         self.copy_from = c.get("copy_from")
+        self.template = (FormatString(c["template"])
+                         if c.get("template") is not None else None)
+        if self.template is not None:
+            # ES mustache JSON-escapes {{..}} values; {{{..}}} opts out
+            self.template.json_escape = bool(c.get("template_escape", True))
         self.override = bool(c.get("override", True))
         self.ignore_empty = bool(c.get("ignore_empty_value", False))
 
     def process(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
+        keep_cur = None  # row mask: keep the pre-existing value
         if self.copy_from is not None:
             src = get_column(batch, self.copy_from)
             if src is None:
                 return batch
             new = src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
+        elif self.template is not None:
+            new = self.template.render(batch)
+            if self.ignore_empty:
+                empty = pc.or_kleene(pc.is_null(new), pc.equal(new, ""))
+                keep_cur = pc.fill_null(empty, True)
+                if pc.all(keep_cur).as_py() and \
+                        field_to_column(self.field) not in batch.column_names:
+                    return batch
         else:
             if self.ignore_empty and self.value in (None, ""):
                 return batch
@@ -63,6 +96,15 @@ class SetField(Stage):
                 vals = [c if c is not None else v
                         for c, v in zip(cur.to_pylist(), new.to_pylist())]
                 new = pa.array(vals)
+        elif keep_cur is not None:
+            if cur is not None:
+                cur = cur.combine_chunks() if isinstance(cur, pa.ChunkedArray) else cur
+                if not (pa.types.is_string(cur.type)
+                        or pa.types.is_large_string(cur.type)):
+                    cur = pc.cast(cur, pa.string())
+                new = pc.if_else(keep_cur, cur, new)
+            else:
+                new = pc.if_else(keep_cur, pa.nulls(n, pa.string()), new)
         return set_column(batch, self.field, new)
 
 
@@ -85,6 +127,13 @@ class AppendField(Stage):
         self.value = c.get("value")
         self.value_from = c.get("value_from")
         self.each_from = c.get("each_from")
+        self.templates = None
+        if self.value_from is None and self.each_from is None:
+            vals = self.value if isinstance(self.value, list) else [self.value]
+            if any(isinstance(v, str) and "{{" in v for v in vals):
+                self.templates = [mustache_to_fmtstr(v)
+                                  if isinstance(v, str) else None
+                                  for v in vals]
         self.allow_dup = bool(c.get("allow_duplicates", True))
 
     def process(self, batch: pa.Table) -> pa.Table:
@@ -102,6 +151,12 @@ class AppendField(Stage):
             if src is None:
                 return batch
             adds = [[] if v is None else [v] for v in src.to_pylist()]
+        elif self.templates is not None:
+            # per-row template renders; null render (missing field) -> skip
+            vals = self.value if isinstance(self.value, list) else [self.value]
+            cols = [t.render(batch).to_pylist() if t is not None else [v] * n
+                    for t, v in zip(self.templates, vals)]
+            adds = [[c[i] for c in cols if c[i] is not None] for i in range(n)]
         else:
             vals = self.value if isinstance(self.value, list) else [self.value]
             adds = [vals] * n
@@ -113,6 +168,154 @@ class AppendField(Stage):
                     lst.append(v)
             out.append(lst if lst or isinstance(b, list) else None)
         return set_column(batch, self.field, pa.array(out))
+
+
+@register("es_split")
+class SplitField(Stage):
+    """ES SplitProcessor: string field -> list<string> by regex separator.
+    config: field, separator (regex), target_field=field, ignore_missing,
+    preserve_trailing=False."""
+
+    name = "es_split"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        c = self.config
+        self.field = c["field"]
+        self.sep = re.compile(c.get("separator", " "))
+        self.target = c.get("target_field", self.field)
+        self.preserve = bool(c.get("preserve_trailing", False))
+
+    def process(self, batch: pa.Table) -> pa.Table:
+        col = get_column(batch, self.field)
+        if col is None:
+            return batch
+        out = []
+        for v in col.to_pylist():
+            if v is None:
+                out.append(None)
+                continue
+            parts = self.sep.split(v)
+            if not self.preserve:
+                while parts and parts[-1] == "":
+                    parts.pop()
+            out.append(parts)
+        return set_column(batch, self.target,
+                          pa.array(out, pa.list_(pa.string())))
+
+
+@register("es_join")
+class JoinField(Stage):
+    """ES JoinProcessor: list field -> one string with separator.
+    config: field, separator, target_field=field."""
+
+    name = "es_join"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        c = self.config
+        self.field = c["field"]
+        self.sep = c.get("separator", "")
+        self.target = c.get("target_field", self.field)
+
+    def process(self, batch: pa.Table) -> pa.Table:
+        col = get_column(batch, self.field)
+        if col is None:
+            return batch
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            try:
+                joined = pc.binary_join(pc.cast(col, pa.list_(pa.string())),
+                                        self.sep)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                joined = pa.array(
+                    [None if v is None else self.sep.join(map(str, v))
+                     for v in col.to_pylist()], pa.string())
+            return set_column(batch, self.target, joined)
+        return batch
+
+
+@register("es_trim")
+class TrimField(Stage):
+    """ES TrimProcessor: whitespace-trim a string field — or every element
+    of a list<string> field.  config: field | fields, target_field=field,
+    ignore_missing."""
+
+    name = "es_trim"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        c = self.config
+        self.fields = c.get("fields") or [c["field"]]
+        self.target = c.get("target_field")
+
+    def process(self, batch: pa.Table) -> pa.Table:
+        for f in self.fields:
+            col = get_column(batch, f)
+            if col is None:
+                continue
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            t = col.type
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                out = pc.utf8_trim_whitespace(col)
+            elif (pa.types.is_list(t) or pa.types.is_large_list(t)) and \
+                    pa.types.is_string(t.value_type):
+                flat = pc.utf8_trim_whitespace(col.values)
+                out = pa.ListArray.from_arrays(col.offsets, flat)
+                if col.null_count:
+                    # from_arrays drops validity; reapply
+                    out = pc.if_else(pc.is_valid(col), out,
+                                     pa.nulls(len(col), out.type))
+            else:
+                continue
+            batch = set_column(batch, self.target or f, out)
+        return batch
+
+
+@register("es_csv")
+class CsvProcessor(Stage):
+    """ES CsvProcessor: one CSV line -> N named target fields.
+    config: field, target_fields[], separator=',', quote='"',
+    trim=False, ignore_missing, empty_value (ES leaves the target UNSET for
+    empty cells unless empty_value given)."""
+
+    name = "es_csv"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        c = self.config
+        self.field = c["field"]
+        self.targets = list(c.get("target_fields", []))
+        self.sep = c.get("separator", ",")
+        self.quote = c.get("quote", '"')
+        self.trim = bool(c.get("trim", False))
+        self.empty = c.get("empty_value")
+
+    def process(self, batch: pa.Table) -> pa.Table:
+        import csv as _csv
+        import io as _io
+        col = get_column(batch, self.field)
+        if col is None:
+            return batch
+        rows = []
+        for v in col.to_pylist():
+            if v is None:
+                rows.append([])
+                continue
+            try:
+                rows.append(next(_csv.reader(
+                    _io.StringIO(v), delimiter=self.sep,
+                    quotechar=self.quote, skipinitialspace=self.trim)))
+            except (_csv.Error, StopIteration):
+                rows.append([])
+        for i, tgt in enumerate(self.targets):
+            vals = [r[i].strip() if self.trim and i < len(r) and r[i] != ""
+                    else (r[i] if i < len(r) and r[i] != "" else self.empty)
+                    for r in rows]
+            if all(v is None for v in vals):
+                continue
+            batch = set_column(batch, tgt, pa.array(vals, pa.string()))
+        return batch
 
 
 @register("dot_expander")

@@ -1,0 +1,182 @@
+"""zeek module goldens — every fileset's config/*.yml + ingest/pipeline.yml
+compiled by beats_ray.ingest and run against the module's own test fixture
+(x-pack/filebeat/module/zeek/<fs>/test/<fs>-json.log-expected.json).
+
+Unlike the hand-built specs in test_reference_golden.py, these run the
+reference's ACTUAL pipeline files through the generic ES-ingest compiler;
+only the painless ``script:`` bodies are hand-ported (listed per fileset in
+SCRIPTS below, positional), mirroring how the compiler is meant to be used.
+"""
+import datetime as _dt
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from beats_ray.ingest import (compile_ingest, config_processors,
+                              load_fileset_config, load_pipeline_yml,
+                              manifest_vars)
+from beats_ray.pipeline import Pipeline
+
+ZEEK = "/root/reference/x-pack/filebeat/module/zeek"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(ZEEK),
+                                reason="reference not present")
+
+# golden keys the engine does not own: cluster-side geoip/asn lookups,
+# harness-added bookkeeping, ecs tag
+SKIP_PREFIXES = (
+    "log.offset", "log.flags", "log.file", "event.ingested", "event.created",
+    "ecs.version", "host.", "agent.",
+    "source.geo", "destination.geo", "client.geo", "server.geo",
+    "source.as", "destination.as", "client.as", "server.as",
+)
+
+
+def _terminated_lines(path):
+    content = open(path, encoding="utf-8", errors="replace").read()
+    raw = content.splitlines()
+    if raw and not content.endswith("\n"):
+        raw = raw[:-1]
+    return [ln for ln in raw if ln.strip()]
+
+
+def _norm(v):
+    """normalize a value tree for comparison: integral floats -> int,
+    datetimes -> ES ISO-millis, lists sorted by repr."""
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.") + \
+            f"{v.microsecond // 1000:03d}Z"
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float) and abs(v - round(v)) < 1e-9 and abs(v) < 2**53:
+        return int(round(v))
+    if isinstance(v, list):
+        return sorted((_norm(x) for x in v), key=repr)
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in sorted(v.items())}
+    return v
+
+
+_SPACE_TS = __import__("re").compile(
+    r"^(\d{4}-\d{2}-\d{2}) (\d{2}:\d{2}:\d{2})\.(\d{3})\d*$")
+
+
+def _same(got, want):
+    got, want = _norm(got), _norm(want)
+    if isinstance(got, list) and len(got) == 1 and not isinstance(want, list):
+        got = got[0]  # columnar lift: 1-element list where ES kept a scalar
+    if isinstance(want, str) and isinstance(got, str) and want.endswith("Z"):
+        m = _SPACE_TS.match(got)  # engine's strftime form vs ES ISO-millis
+        if m:
+            got = f"{m.group(1)}T{m.group(2)}.{m.group(3)}Z"
+    if isinstance(want, str) and isinstance(got, str) and want.endswith("Z") \
+            and got.endswith("Z") and ":" in want:
+        # timestamp strings: ES may omit/extend fractional digits
+        return got.rstrip("Z").rstrip("0").rstrip(".") == \
+            want.rstrip("Z").rstrip("0").rstrip(".")
+    if isinstance(got, float) or isinstance(want, float):
+        try:
+            return abs(float(got) - float(want)) <= 1e-6 * max(
+                1.0, abs(float(want)))
+        except (TypeError, ValueError):
+            return False
+    return str(got) == str(want)
+
+
+def check_golden(rows, expected, skip=()):
+    __tracebackhide__ = True
+    assert len(rows) == len(expected), (len(rows), len(expected))
+    for got, exp in zip(rows, expected):
+        for key, want in exp.items():
+            if key.startswith(SKIP_PREFIXES) or key in skip:
+                continue
+            col = "ts" if key == "@timestamp" else key.replace(".", "_")
+            got_v = got.get(col)
+            if key == "@timestamp":
+                got_v = _norm(got_v)
+            assert _same(got_v, want), (key, got_v, want)
+
+
+def run_fileset(module_dir, module, fs, scripts=None, overrides=None,
+                log=None, extra_spec=None):
+    vars = manifest_vars(f"{module_dir}/{fs}/manifest.yml")
+    cfg = load_fileset_config(f"{module_dir}/{fs}/config/{fs}.yml", vars)
+    spec = []
+    json_cfg = {**(cfg.get("json") or {}),
+                **{k.split(".", 1)[1]: v for k, v in cfg.items()
+                   if k.startswith("json.")}}
+    if json_cfg:  # input-level ndjson parse (older zeek config shape)
+        under_root = json_cfg.get("keys_under_root", False)
+        spec += [
+            {"decode_json_fields": {"fields": ["message"],
+                                    "target": "" if under_root else "json",
+                                    "keep_arrays": True}},
+            {"drop_fields": {"fields": ["message"], "ignore_missing": True}},
+        ]
+    if cfg.get("fields"):
+        spec.append({"add_fields": {"target": "", "fields": cfg["fields"]}})
+    for p in cfg.get("processors", []):
+        if "decode_json_fields" in p:  # native arrays for golden parity
+            p = {"decode_json_fields": {**p["decode_json_fields"],
+                                        "keep_arrays": True}}
+        spec.append(p)
+    spec += compile_ingest(
+        load_pipeline_yml(f"{module_dir}/{fs}/ingest/pipeline.yml"),
+        scripts=scripts, overrides=overrides)
+    spec.append({"add_fields": {"target": "", "fields": {
+        "event.module": module, "event.dataset": f"{module}.{fs}",
+        "fileset.name": fs, "input.type": "log",
+        "service.type": module}}})
+    if extra_spec:
+        spec += extra_spec
+    logp = log or f"{module_dir}/{fs}/test/{fs}-json.log"
+    if not os.path.exists(logp):
+        import glob as _glob
+        cands = sorted(p[:-len("-expected.json")] for p in
+                       _glob.glob(f"{module_dir}/{fs}/test/*-expected.json"))
+        logp = cands[0]
+    lines = _terminated_lines(logp)
+    batch = pa.table({
+        "message": lines,
+        "line_no": pa.array(range(len(lines)), pa.int64()),
+        "tags": pa.array([vars.get("tags") or []] * len(lines),
+                         pa.list_(pa.string())),
+    })
+    out = Pipeline({"processors": spec}).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(logp + "-expected.json"))
+    return rows, expected
+
+
+# filesets whose pipelines contain no painless script: fully generic
+PLAIN_FILESETS = [
+    "capture_loss", "dce_rpc", "dhcp", "dnp3", "dpd", "ftp", "http",
+    "intel", "irc", "modbus", "mysql", "ntlm", "ntp", "pe", "radius",
+    "rdp", "rfb", "smb_cmd", "smb_files", "smb_mapping", "smtp", "snmp",
+    "socks", "ssh", "stats", "traceroute", "tunnel", "weird",
+]
+
+
+@pytest.mark.parametrize("fs", PLAIN_FILESETS)
+def test_zeek_plain_fileset_golden(fs):
+    rows, expected = run_fileset(ZEEK, "zeek", fs)
+    check_golden(rows, expected)
+
+
+def test_zeek_x509_golden():
+    """zeek/x509 — the painless script is a pure params-table lookup; the
+    impl reads the table from the module's own pipeline.yml."""
+    doc = load_pipeline_yml(f"{ZEEK}/x509/ingest/pipeline.yml")
+    params = next(p["script"]["params"] for p in doc["processors"]
+                  if "script" in p)
+    src = ("def process(event, params):\n"
+           f"    table = {params!r}\n"
+           "    algo = table.get(event.get('file_x509_signature_algorithm'))\n"
+           "    if algo is not None:\n"
+           "        event['file_x509_signature_algorithm'] = algo\n"
+           "    return event\n")
+    rows, expected = run_fileset(ZEEK, "zeek", "x509",
+                                 scripts=[{"script": {"source": src}}])
+    check_golden(rows, expected)
