@@ -251,6 +251,12 @@ def compile_condition(cfg) -> Condition:
         return AlwaysTrue()
     parts = []
     for key, val in cfg.items():
+        if "." in key and key.split(".", 1)[0] in (
+                "equals", "contains", "regexp", "range", "length",
+                "network", "has_fields", "not", "and", "or"):
+            # Beats YAML dotted flattening: equals.network.transport: icmp
+            k0, rest = key.split(".", 1)
+            key, val = k0, {rest: val}
         if key == "equals":
             parts += [Equals(f, v) for f, v in val.items()]
         elif key == "contains":

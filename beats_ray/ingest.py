@@ -341,9 +341,13 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
         return [{"drop_fields": {"fields": _fields_list(cfg),
                                  "ignore_missing": True}}]
     if kind == "rename":
+        # ES rename moves whole objects; the flat model's prefix move is
+        # the analogue (safe here: ingest docs at this point carry
+        # pipeline-authored paths, not raw dotted-literal source keys)
         return [{"rename": {
             "fields": [{"from": cfg["field"], "to": cfg["target_field"]}],
             "ignore_missing": bool(cfg.get("ignore_missing", False)),
+            "move_subtrees": True,
             "fail_on_error": False}}]
     if kind == "convert":
         f = {"from": cfg["field"]}

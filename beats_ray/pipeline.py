@@ -73,10 +73,19 @@ class IfThenElse(Stage):
 
 def compile_processor_entry(entry: dict) -> Stage:
     """One YAML list entry -> Stage (processor.go:100-148: detect ``if:``
-    compound, else exactly one registered action key)."""
+    compound, else exactly one registered action key).  A bare string entry
+    (``- community_id``, zeek connection config) is a no-config action."""
+    if isinstance(entry, str):
+        return stage_factory(entry)({})
     if "if" in entry:
-        then = [compile_processor_entry(e) for e in entry.get("then", [])]
-        els = [compile_processor_entry(e) for e in entry.get("else", [])]
+        # then/else: list of processors OR a single processor map
+        # (conditionals.go plugin config; zeek connection's community_id)
+        tl = entry.get("then", [])
+        el = entry.get("else", [])
+        tl = [tl] if isinstance(tl, dict) else tl
+        el = [el] if isinstance(el, dict) else el
+        then = [compile_processor_entry(e) for e in tl]
+        els = [compile_processor_entry(e) for e in el]
         return IfThenElse(entry["if"], then, els)
     keys = [k for k in entry if k not in _RESERVED_KEYS]
     if len(keys) != 1:

@@ -135,23 +135,29 @@ class RenameFields(Stage):
         self.pairs = [(p["from"], p["to"]) for p in self.config.get("fields", [])]
         self.fail_on_error = bool(self.config.get("fail_on_error", True))
         self.ignore_missing = bool(self.config.get("ignore_missing", False))
+        self.move_subtrees = bool(self.config.get("move_subtrees", False))
 
     def process(self, batch):
         orig = batch
         for src, dst in self.pairs:
             s, d = field_to_column(src), field_to_column(dst)
             if s not in batch.column_names:
-                # Beats rename moves whole subtrees (mapstr map values);
-                # flat columns: rename every `s_...` prefix match.
-                pref = s + "_"
-                subtree = [c for c in batch.column_names
-                           if c.startswith(pref)]
-                if subtree:
-                    for c in subtree:
-                        idx = batch.column_names.index(c)
-                        batch = batch.set_column(
-                            idx, d + "_" + c[len(pref):], batch.column(c))
-                    continue
+                # Beats rename moves whole subtrees (mapstr map values).
+                # In the flat column model `a_b` is ambiguous between the
+                # literal key "a_b" and the nested path a.b (zeek kerberos
+                # "cert.client_subject" vs "cert.client.subject"), so the
+                # prefix move is opt-in: only froms the caller KNOWS are
+                # map containers (e.g. the json decode target).
+                if self.move_subtrees:
+                    pref = s + "_"
+                    subtree = [c for c in batch.column_names
+                               if c.startswith(pref)]
+                    if subtree:
+                        for c in subtree:
+                            idx = batch.column_names.index(c)
+                            batch = batch.set_column(
+                                idx, d + "_" + c[len(pref):], batch.column(c))
+                        continue
                 if self.ignore_missing:
                     continue
                 if self.fail_on_error:

@@ -77,7 +77,14 @@ class Stage:
 
     def __init__(self, config: dict | None = None):
         self.config = dict(config or {})
-        self.when: Condition = compile_condition(self.config.pop("when", None))
+        when = self.config.pop("when", None)
+        # Beats YAML dotted flattening: `when.equals.network.transport: icmp`
+        # arrives as a flat config key (zeek connection config)
+        for k in [k for k in self.config if k.startswith("when.")]:
+            v = self.config.pop(k)
+            when = {k[len("when."):]: v} if when is None \
+                else {"and": [when, {k[len("when."):]: v}]}
+        self.when: Condition = compile_condition(when)
 
     def setup(self):
         """Per-worker initialisation (actor ``__init__`` time for stateful

@@ -124,17 +124,21 @@ class TimestampStage(Stage):
             need = pc.is_null(out)
             if (pc.sum(need).as_py() or 0) == 0:
                 break
-            if layout == "UNIX":
-                f = pc.cast(pc.cast(col, pa.string()), pa.float64(), safe=False) \
-                    if not pa.types.is_floating(col.type) and not pa.types.is_integer(col.type) \
-                    else pc.cast(col, pa.float64())
-                parsed = pc.cast(pc.cast(pc.multiply(f, 1_000_000.0), pa.int64(), safe=False),
-                                 pa.timestamp("us"), safe=False)
-            elif layout == "UNIX_MS":
-                f = pc.cast(pc.cast(col, pa.string()), pa.float64(), safe=False) \
-                    if not pa.types.is_floating(col.type) and not pa.types.is_integer(col.type) \
-                    else pc.cast(col, pa.float64())
-                parsed = pc.cast(pc.cast(pc.multiply(f, 1000.0), pa.int64(), safe=False),
+            if layout in ("UNIX", "UNIX_MS"):
+                if pa.types.is_floating(col.type) or pa.types.is_integer(col.type):
+                    f = pc.cast(col, pa.float64())
+                else:
+                    # mixed columns (zeek connection: UNIX floats + ISO
+                    # strings in one fixture): non-numeric rows -> null so
+                    # the next layout in the cascade gets them
+                    s = pc.cast(col, pa.string())
+                    numeric = pc.match_substring_regex(
+                        s, r"^\s*-?\d+(\.\d+)?([eE][+-]?\d+)?\s*$")
+                    s = pc.if_else(pc.fill_null(numeric, False), s,
+                                   pa.nulls(n, pa.string()))
+                    f = pc.cast(s, pa.float64(), safe=False)
+                scale = 1_000_000.0 if layout == "UNIX" else 1000.0
+                parsed = pc.cast(pc.cast(pc.multiply(f, scale), pa.int64(), safe=False),
                                  pa.timestamp("us"), safe=False)
             elif layout == "ISO8601":
                 # arrow strptime has no %f: strip the fraction, parse the

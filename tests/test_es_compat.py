@@ -72,6 +72,7 @@ def test_length_condition_list_and_string():
 def test_rename_moves_subtree():
     t = pa.table({"a_x": [1], "a_y": [2], "b": [3]})
     out = run([{"rename": {"fields": [{"from": "a", "to": "c"}],
+                           "move_subtrees": True,
                            "ignore_missing": True}}], t)
     assert sorted(out.column_names) == ["b", "c_x", "c_y"]
     assert out.column("c_x").to_pylist() == [1]

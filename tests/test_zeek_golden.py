@@ -121,6 +121,23 @@ def run_fileset(module_dir, module, fs, scripts=None, overrides=None,
         if "decode_json_fields" in p:  # native arrays for golden parity
             p = {"decode_json_fields": {**p["decode_json_fields"],
                                         "keep_arrays": True}}
+        if isinstance(p, dict) and "rename" in p:
+            # dot-free froms ("json", "seen") are real map containers in
+            # Beats (PutValue nests); multi-segment froms may be literal
+            # dotted source keys the flat model can't tell apart (kerberos
+            # "cert.client_subject") -> subtree move only for the former,
+            # split into order-preserving runs
+            runs = []
+            for q in p["rename"].get("fields", []):
+                tree = "." not in q.get("from", ".")
+                if runs and runs[-1][0] == tree:
+                    runs[-1][1].append(q)
+                else:
+                    runs.append((tree, [q]))
+            for tree, pairs in runs:
+                spec.append({"rename": {**p["rename"], "fields": pairs,
+                                        "move_subtrees": tree}})
+            continue
         spec.append(p)
     spec += compile_ingest(
         load_pipeline_yml(f"{module_dir}/{fs}/ingest/pipeline.yml"),
@@ -153,15 +170,120 @@ def run_fileset(module_dir, module, fs, scripts=None, overrides=None,
 # filesets whose pipelines contain no painless script: fully generic
 PLAIN_FILESETS = [
     "capture_loss", "dce_rpc", "dhcp", "dnp3", "dpd", "ftp", "http",
-    "intel", "irc", "modbus", "mysql", "ntlm", "ntp", "pe", "radius",
-    "rdp", "rfb", "smb_cmd", "smb_files", "smb_mapping", "smtp", "snmp",
-    "socks", "ssh", "stats", "traceroute", "tunnel", "weird",
+    "intel", "irc", "modbus", "mysql", "notice", "ntlm", "ntp", "pe",
+    "radius", "rdp", "rfb", "signature", "smb_cmd", "smb_files",
+    "smb_mapping", "smtp", "snmp", "socks", "ssh", "stats", "traceroute",
+    "tunnel", "weird",
 ]
 
 
 @pytest.mark.parametrize("fs", PLAIN_FILESETS)
 def test_zeek_plain_fileset_golden(fs):
     rows, expected = run_fileset(ZEEK, "zeek", fs)
+    check_golden(rows, expected)
+
+
+def _py(src):
+    return {"script": {"source": "def process(event, params):\n" + "".join(
+        "    " + ln + "\n" for ln in src.splitlines()) + "    return event\n"}}
+
+
+def test_zeek_ssl_golden():
+    """zeek/ssl (both fixtures) — the painless version-split script
+    (ingest/pipeline.yml: splitOnToken('v') -> tls.version[_protocol])."""
+    scripts = [_py(
+        "v = event.get('zeek_ssl_version')\n"
+        "parts = v.split('v') if v else []\n"
+        "if len(parts) == 2:\n"
+        "    if parts[0] == 'SSL':\n"
+        "        event['tls_version'] = parts[1] + '.0'\n"
+        "    else:\n"
+        "        event['tls_version'] = parts[1][:1] + '.' + parts[1][1:]\n"
+        "    event['tls_version_protocol'] = parts[0].lower()")]
+    for log in ("ssl-json.log", "ssl-with-ja3-and-custom-fields-json.log"):
+        rows, expected = run_fileset(ZEEK, "zeek", "ssl",
+                                     scripts=list(scripts),
+                                     log=f"{ZEEK}/ssl/test/{log}")
+        check_golden(rows, expected)
+
+
+def test_zeek_kerberos_golden():
+    """zeek/kerberos — valid.days = round((until-from)/86400) painless."""
+    scripts = [_py(
+        "f, u = event.get('zeek_kerberos_valid_from'), "
+        "event.get('zeek_kerberos_valid_until')\n"
+        "if f is not None and u is not None:\n"
+        "    event['zeek_kerberos_valid_days'] = int(round((u - f) / 86400))")]
+    rows, expected = run_fileset(ZEEK, "zeek", "kerberos", scripts=scripts)
+    check_golden(rows, expected)
+
+
+def test_zeek_sip_golden():
+    """zeek/sip — the only painless script strips null map values, a no-op
+    in the columnar model (absent == null)."""
+    rows, expected = run_fileset(ZEEK, "zeek", "sip", scripts=[None])
+    check_golden(rows, expected)
+
+
+def test_zeek_files_golden():
+    """zeek/files — 3 one-line painless scripts (first-element extracts +
+    remove) hand-ported; foreach+append handled by the compiler."""
+    scripts = [
+        _py("ids = event.get('zeek_files_session_ids')\n"
+            "if ids:\n"
+            "    event['zeek_session_id'] = ids[0]"),
+        _py("tx = event.get('zeek_files_tx_hosts')\n"
+            "if tx:\n"
+            "    event['zeek_files_tx_host'] = tx[0]\n"
+            "event['zeek_files_tx_hosts'] = None"),
+        _py("rx = event.get('zeek_files_rx_hosts')\n"
+            "if rx:\n"
+            "    event['zeek_files_rx_host'] = rx[0]\n"
+            "event['zeek_files_rx_hosts'] = None"),
+    ]
+    rows, expected = run_fileset(ZEEK, "zeek", "files", scripts=scripts)
+    check_golden(rows, expected)
+
+
+def test_zeek_connection_golden():
+    """zeek/connection — all 7 painless scripts hand-ported (duration
+    scale, local_orig/resp tags, packet/byte sums, direction matrix,
+    state->message/type table read from the module's own params)."""
+    doc = load_pipeline_yml(f"{ZEEK}/connection/ingest/pipeline.yml")
+    state_params = [p["script"]["params"] for p in doc["processors"]
+                    if "script" in p and p["script"].get("params")
+                    and "S0" in p["script"]["params"]][0]
+    scripts = [
+        _py("d = event.get('temp_duration')\n"
+            "if d is not None:\n"
+            "    event['event_duration'] = int(round(d * 1000000000))"),
+        _py("if event.get('zeek_connection_local_orig'):\n"
+            "    event['tags'] = (event.get('tags') or []) + ['local_orig']"),
+        _py("if event.get('zeek_connection_local_resp'):\n"
+            "    event['tags'] = (event.get('tags') or []) + ['local_resp']"),
+        _py("sp, dp = event.get('source_packets'), "
+            "event.get('destination_packets')\n"
+            "if sp is not None and dp is not None:\n"
+            "    event['network_packets'] = sp + dp"),
+        _py("sb, db = event.get('source_bytes'), "
+            "event.get('destination_bytes')\n"
+            "if sb is not None and db is not None:\n"
+            "    event['network_bytes'] = sb + db"),
+        _py("lo = event.get('zeek_connection_local_orig')\n"
+            "lr = event.get('zeek_connection_local_resp')\n"
+            "if lo is not None and lr is not None:\n"
+            "    event['network_direction'] = (\n"
+            "        'internal' if lo and lr else\n"
+            "        'outbound' if lo else\n"
+            "        'inbound' if lr else 'external')"),
+        _py("st = event.get('zeek_connection_state')\n"
+            f"table = {state_params!r}\n"
+            "if st is not None and st in table:\n"
+            "    event['zeek_connection_state_message'] = "
+            "table[st]['conn_str']\n"
+            "    event['event_type'] = table[st]['types']"),
+    ]
+    rows, expected = run_fileset(ZEEK, "zeek", "connection", scripts=scripts)
     check_golden(rows, expected)
 
 
