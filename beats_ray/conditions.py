@@ -62,6 +62,10 @@ class Equals(Condition):
             if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
                 return _nn(pc.equal(col, str(self.value)))
             if pa.types.is_boolean(col.type):
+                if isinstance(self.value, str):
+                    # painless strict typing: boolean vs string literal
+                    # never matches (misp Orgc.local golden)
+                    return _false(len(batch))
                 return _nn(pc.equal(col, bool(self.value)))
             return _nn(pc.equal(col, self.value))
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
@@ -75,7 +79,20 @@ class Contains(Condition):
 
     def mask(self, batch):
         col = _col(batch, self.field)
-        if col is None or not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+        if col is None:
+            return _false(len(batch))
+        t = col.type
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            # painless List.contains(x): exact element membership
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            flat_hit = pc.equal(col.values, self.value)
+            offs = col.offsets.to_pylist()
+            hits = pc.fill_null(flat_hit, False).to_pylist()
+            valid = pc.is_valid(col).to_pylist()
+            out = [bool(valid[i]) and any(hits[offs[i]:offs[i + 1]])
+                   for i in range(len(col))]
+            return pa.array(out, pa.bool_())
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
             return _false(len(batch))
         return _nn(pc.match_substring(col, self.value))
 
@@ -151,9 +168,19 @@ class HasFields(Condition):
         acc = pa.array([True] * n, pa.bool_())
         for f in self.fields:
             col = _col(batch, f)
-            if col is None:
+            # flattened-map children: a container path is present on rows
+            # where any `f_*` child is non-null, even when an exact column
+            # also exists for OTHER rows' list/scalar values (misp Object
+            # arrives as [] on some rows and {...} on others)
+            from .event import field_to_column
+            pref = field_to_column(f) + "_"
+            kids = [c for c in batch.column_names if c.startswith(pref)]
+            if col is None and not kids:
                 return _false(n)
-            acc = pc.and_(acc, pc.is_valid(col))
+            present = _false(n) if col is None else pc.is_valid(col)
+            for c in kids:
+                present = pc.or_(present, pc.is_valid(batch.column(c)))
+            acc = pc.and_(acc, present)
         return acc
 
 

@@ -45,7 +45,7 @@ _TOKEN_RE = re.compile(r"""
     \s*(?:
       (?P<str>'[^']*'|"[^"]*")
     | (?P<num>-?\d+(?:\.\d+)?)
-    | (?P<op>==|!=|<=|>=|&&|\|\||[!<>().\[\]?])
+    | (?P<op>==|!=|<=|>=|&&|\|\||[!<>().\[\]?,])
     | (?P<word>[A-Za-z_$][A-Za-z0-9_$]*)
     )""", re.X)
 
@@ -166,19 +166,55 @@ class _P:
             raise PainlessUnsupported("bare ctx")
         return ".".join(segs), method, arg
 
+    def _bool_suffix(self, cond):
+        """optional `== true` / `!= false` after a boolean method call."""
+        nxt = self.peek()
+        if nxt[0] == "op" and nxt[1] in ("==", "!="):
+            op = self.take()[1]
+            rhs = self.take()
+            if rhs[0] != "word" or rhs[1] not in ("true", "false"):
+                raise PainlessUnsupported(f"boolean suffix vs {rhs}")
+            if ((rhs[1] == "true") == (op == "==")):
+                return cond
+            return {"not": cond}
+        return cond
+
     def comparison(self):
+        if self.peek() == ("op", "["):
+            # list literal: ['ipv4-addr', 'ipv6-addr'].contains(ctx.x)
+            self.take()
+            vals = []
+            while self.peek() != ("op", "]"):
+                t = self.take()
+                if t[0] in ("str", "num"):
+                    vals.append(t[1])
+                elif t != ("op", ","):
+                    raise PainlessUnsupported(f"list literal element {t}")
+            self.expect("]")
+            self.expect(".")
+            if self.take() != ("word", "contains"):
+                raise PainlessUnsupported("list literal method")
+            self.expect("(")
+            path, method, _ = self._path()
+            self.expect(")")
+            if method is not None:
+                raise PainlessUnsupported("method inside contains()")
+            return {"or": [{"equals": {path: v}} for v in vals]}
         path, method, arg = self._path()
-        # method-call predicates
+        # method-call predicates (optionally followed by `== true/false`)
         if method in ("isEmpty",):
-            return {"length": {path: {"eq": 0}}}
+            return self._bool_suffix({"length": {path: {"eq": 0}}})
         if method in ("contains",):
-            return {"contains": {path: arg}}
+            return self._bool_suffix({"contains": {path: arg}})
         if method in ("startsWith",):
-            return {"regexp": {path: "^" + re.escape(str(arg))}}
+            return self._bool_suffix(
+                {"regexp": {path: "^" + re.escape(str(arg))}})
         if method in ("endsWith",):
-            return {"regexp": {path: re.escape(str(arg)) + "$"}}
+            return self._bool_suffix(
+                {"regexp": {path: re.escape(str(arg)) + "$"}})
         if method in ("equalsIgnoreCase",):
-            return {"regexp": {path: "(?i)^" + re.escape(str(arg)) + "$"}}
+            return self._bool_suffix(
+                {"regexp": {path: "(?i)^" + re.escape(str(arg)) + "$"}})
         if method in ("toLowerCase", "toUpperCase"):
             nxt = self.peek()
             if nxt[0] == "op" and nxt[1] in ("==", "!="):
@@ -202,6 +238,13 @@ class _P:
             return {"length": {path: {"gt": 0}}}
         if method is not None:
             raise PainlessUnsupported(f"method .{method}()")
+        if nxt == ("word", "instanceof"):
+            # type guard: reduce to existence — the hand-ported script impl
+            # (the only consumer of these conditions) re-checks the type
+            self.take()
+            if self.take()[0] != "word":
+                raise PainlessUnsupported("instanceof operand")
+            return {"has_fields": [path]}
         if nxt[0] == "op" and nxt[1] in ("==", "!=", "<", ">", "<=", ">="):
             op = self.take()[1]
             rhs = self.take()
@@ -277,7 +320,23 @@ def java_date_layouts(formats) -> list[str]:
                 buf.append(f[i])
                 i += 1
         out.append("".join(buf))
-    return out
+    # Java rejects fractional input on a fraction-less format and falls
+    # through to the .S sibling; Arrow's %Z leniently swallows ".431Z", so
+    # a fraction-less layout would steal those rows.  Within each group of
+    # layouts identical up to the ".%f", try the %f variants first (the %f
+    # path degrades gracefully on fraction-less input).
+    def _skel(lay):
+        return lay.replace(".%f", "").replace("%f", "")
+    groups: dict[str, list[str]] = {}
+    order = []
+    for lay in out:
+        k = _skel(lay)
+        if k not in groups:
+            groups[k] = []
+            order.append(k)
+        groups[k].append(lay)
+    return [lay for k in order
+            for lay in sorted(groups[k], key=lambda x: "%f" not in x)]
 
 
 # ---------------------------------------------------------------------------
@@ -303,6 +362,16 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
     if kind == "set":
         if cfg["field"] in _SKIP_SET_FIELDS:
             return []
+        if "{{" in cfg["field"]:  # templated field NAME -> per-row target
+            out = {"field_template": cfg["field"]}
+            v = cfg.get("value")
+            if cfg.get("copy_from"):
+                out["copy_from"] = cfg["copy_from"]
+            elif isinstance(v, str) and "{{" in v:
+                out["template"] = v
+            else:
+                out["value"] = v
+            return [{"set_dynamic": out}]
         out = {"field": cfg["field"]}
         v = cfg.get("value")
         if cfg.get("copy_from"):
@@ -341,6 +410,9 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
         return [{"drop_fields": {"fields": _fields_list(cfg),
                                  "ignore_missing": True}}]
     if kind == "rename":
+        if "{{" in cfg.get("target_field", ""):
+            return [{"set_dynamic": {"field_template": cfg["target_field"],
+                                     "rename_from": cfg["field"]}}]
         # ES rename moves whole objects; the flat model's prefix move is
         # the analogue (safe here: ingest docs at this point carry
         # pipeline-authored paths, not raw dotted-literal source keys)
@@ -378,7 +450,9 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
                              "tokenizer": cfg["pattern"],
                              "target_prefix": ""}}]
     if kind == "json":
-        out = {"fields": [cfg["field"]], "keep_arrays": True}
+        # ES JsonProcessor expands the whole tree (no depth cap)
+        out = {"fields": [cfg["field"]], "keep_arrays": True,
+               "max_depth": 99}
         if cfg.get("target_field"):
             out["target"] = cfg["target_field"]
         elif not cfg.get("add_to_root"):
@@ -447,6 +521,8 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
     if kind == "dot_expander":
         return []
     if kind == "fingerprint":
+        if cfg.get("target_field", "") .startswith("_"):
+            return []  # metadata targets (_id) are harness-owned
         out = {k: v for k, v in cfg.items() if k in (
             "fields", "target_field", "method")}
         return [{"fingerprint": out}]
@@ -470,8 +546,11 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
         if "append" in inner:
             a = inner["append"]
             m = _PURE_TMPL.match(str(a.get("value")))
-            if m and m.group(1) == "_ingest._value":
+            if m and m.group(1).startswith("_ingest._value"):
                 out = {"field": a["field"], "each_from": cfg["field"]}
+                rest = m.group(1)[len("_ingest._value"):]
+                if rest.startswith("."):
+                    out["each_key"] = rest[1:].replace(".", "_")
                 if "allow_duplicates" in a:
                     out["allow_duplicates"] = a["allow_duplicates"]
                 return [{"append": out}]

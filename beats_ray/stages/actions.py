@@ -141,30 +141,58 @@ class RenameFields(Stage):
         orig = batch
         for src, dst in self.pairs:
             s, d = field_to_column(src), field_to_column(dst)
-            if s not in batch.column_names:
-                # Beats rename moves whole subtrees (mapstr map values).
-                # In the flat column model `a_b` is ambiguous between the
-                # literal key "a_b" and the nested path a.b (zeek kerberos
-                # "cert.client_subject" vs "cert.client.subject"), so the
-                # prefix move is opt-in: only froms the caller KNOWS are
-                # map containers (e.g. the json decode target).
-                if self.move_subtrees:
-                    pref = s + "_"
-                    subtree = [c for c in batch.column_names
-                               if c.startswith(pref)]
-                    if subtree:
-                        for c in subtree:
-                            idx = batch.column_names.index(c)
+            moved_subtree = False
+            # Beats rename moves whole subtrees (mapstr map values).
+            # In the flat column model `a_b` is ambiguous between the
+            # literal key "a_b" and the nested path a.b (zeek kerberos
+            # "cert.client_subject" vs "cert.client.subject"), so the
+            # prefix move is opt-in: only froms the caller KNOWS are
+            # map containers (e.g. the json decode target).  The prefix
+            # move runs even when an exact column also exists — mixed
+            # batches carry the map rows in `s_*` columns and list/scalar
+            # rows in `s` itself (threatintel misp Attribute: [] vs {...}).
+            # ... but a SCALAR exact column marks the path as a leaf value
+            # (anomalithreatstream json.source string vs the separate
+            # literal key source_feed_id) — no subtree there.
+            exact_t = batch.column(s).type if s in batch.column_names else None
+            leaf_scalar = exact_t is not None and not (
+                pa.types.is_list(exact_t) or pa.types.is_large_list(exact_t)
+                or pa.types.is_null(exact_t))
+            if self.move_subtrees and not leaf_scalar:
+                pref = s + "_"
+                for c in [c for c in batch.column_names
+                          if c.startswith(pref)]:
+                    moved_subtree = True
+                    nn = d + "_" + c[len(pref):]
+                    if nn in batch.column_names:
+                        # flat-name collision (misp Org.id vs org_id):
+                        # fill only a null scaffold, else keep existing
+                        if batch.column(nn).null_count == len(batch):
                             batch = batch.set_column(
-                                idx, d + "_" + c[len(pref):], batch.column(c))
+                                batch.column_names.index(nn), nn,
+                                batch.column(c))
+                        batch = batch.drop_columns([c])
                         continue
-                if self.ignore_missing:
+                    idx = batch.column_names.index(c)
+                    batch = batch.set_column(idx, nn, batch.column(c))
+            if s not in batch.column_names:
+                if moved_subtree or self.ignore_missing:
                     continue
                 if self.fail_on_error:
                     return set_error(orig, pa.array([True] * len(orig)),
                                      f"could not fetch value for key: {src}")
                 continue
             if d in batch.column_names:
+                dc = batch.column(d)
+                if dc.null_count == len(batch):
+                    # target column exists only as a null scaffold from an
+                    # earlier masked stage: per-row the field is ABSENT, so
+                    # the move proceeds (ES/beats target-exists is per doc)
+                    sc = batch.column(s)
+                    batch = batch.set_column(
+                        batch.column_names.index(d), d, sc)
+                    batch = batch.drop_columns([s])
+                    continue
                 if self.fail_on_error:
                     return set_error(orig, pa.array([True] * len(orig)),
                                      f"target field {dst} already exists, drop or rename this field first")

@@ -64,7 +64,10 @@ class DecodeJSONFields(Stage):
         else:
             key = prefix[:-1]
             if isinstance(obj, list) and self.keep_arrays and \
-                    not any(isinstance(x, (dict, list)) for x in obj):
+                    not any(isinstance(x, list) for x in obj):
+                # scalar lists AND list<struct> stay native (threatintel
+                # malwarebazaar code_sign); pa.array unifies struct keys,
+                # the assembly's ArrowInvalid fallback stringifies the rest
                 out[key] = obj
             elif isinstance(obj, (dict, list)):
                 out[key] = json.dumps(obj, separators=(",", ":"))
@@ -445,6 +448,10 @@ class UriParts(Stage):
         self.target = self.config.get("target_field", "url")
         self.keep_original = bool(self.config.get("keep_original", True))
         self.ignore_failure = bool(self.config.get("ignore_failure", True))
+        # ES: drop the source field after a successful parse (unless it is
+        # the target's own .original)
+        self.remove_if_successful = bool(
+            self.config.get("remove_if_successful", False))
 
     def input_columns(self):
         return [field_to_column(self.field)]
@@ -476,8 +483,9 @@ class UriParts(Stage):
                 parts["port"].append(u.port)
             except ValueError:
                 parts["port"].append(None)
-            # ES uri_parts percent-decodes path and query
-            parts["path"].append(unquote(u.path) if u.path else None)
+            # ES uri_parts percent-decodes path and query; path is ALWAYS
+            # emitted, "" for path-less URLs (threatintel/otx golden)
+            parts["path"].append(unquote(u.path))
             parts["query"].append(unquote(u.query) if u.query else None)
             parts["fragment"].append(u.fragment or None)
             parts["username"].append(u.username or None)
@@ -495,6 +503,8 @@ class UriParts(Stage):
             if orig_col != col:
                 batch = set_column(batch, orig_col,
                                    pc.cast(batch.column(col), pa.string()))
+        if self.remove_if_successful and col != prefix + "original":
+            batch = batch.drop_columns([col])
         return batch
 
 

@@ -146,6 +146,14 @@ class AppendField(Stage):
                 return batch
             adds = [v if isinstance(v, list) else ([] if v is None else [v])
                     for v in src.to_pylist()]
+            # mustache renders null elements as "" (anomalithreatstream
+            # tags golden)
+            adds = [["" if e is None else e for e in a] for a in adds]
+            key = self.config.get("each_key")
+            if key:  # foreach over list<struct>: one member per element,
+                # mustache semantics — missing/null renders "" (appended)
+                adds = [["" if not isinstance(e, dict) or e.get(key) is None
+                         else e[key] for e in a] for a in adds]
         elif self.value_from is not None:
             src = get_column(batch, self.value_from)
             if src is None:
@@ -194,6 +202,11 @@ class SplitField(Stage):
         for v in col.to_pylist():
             if v is None:
                 out.append(None)
+                continue
+            # Java String.split: no match -> [original] (even for "");
+            # else trailing empties removed unless preserve_trailing
+            if self.sep.search(v) is None:
+                out.append([v])
                 continue
             parts = self.sep.split(v)
             if not self.preserve:
@@ -315,6 +328,70 @@ class CsvProcessor(Stage):
             if all(v is None for v in vals):
                 continue
             batch = set_column(batch, tgt, pa.array(vals, pa.string()))
+        return batch
+
+
+@register("set_dynamic")
+class SetDynamic(Stage):
+    """ES set/rename with a TEMPLATED FIELD NAME
+    (``threat.indicator.file.hash.{{misp.attribute.type}}``): the target
+    column differs per row.  config: field_template, value | template |
+    copy_from, rename_from (move semantics: clears the source on affected
+    rows).  Renders the name per row, then scatters values into each
+    distinct target column (one if_else per distinct name per batch)."""
+
+    name = "set_dynamic"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        c = self.config
+        self.name_fs = mustache_to_fmtstr(c["field_template"])
+        self.name_fs.json_escape = False
+        self.value = c.get("value")
+        self.value_fs = (mustache_to_fmtstr(c["template"])
+                         if c.get("template") is not None else None)
+        self.copy_from = c.get("copy_from") or c.get("rename_from")
+        self.rename = "rename_from" in c
+
+    def process(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        names = self.name_fs.render(batch).to_pylist()
+        if self.copy_from is not None:
+            src = get_column(batch, self.copy_from)
+            if src is None:
+                return batch
+            vals = src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
+        elif self.value_fs is not None:
+            vals = self.value_fs.render(batch)
+        else:
+            vals = pa.array([self.value] * n)
+        for nm in sorted({x for x in names if x}):
+            mask = pa.array([x == nm for x in names], pa.bool_())
+            col = field_to_column(nm)
+            if col in batch.column_names:
+                cur = batch.column(col)
+                cur = cur.combine_chunks() if isinstance(cur, pa.ChunkedArray) else cur
+                try:
+                    merged = pc.if_else(mask, vals, cur)
+                except (pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    merged = pa.array([v if m else c for m, v, c in zip(
+                        mask.to_pylist(), vals.to_pylist(), cur.to_pylist())])
+                batch = set_column(batch, nm, merged)
+            else:
+                try:
+                    merged = pc.if_else(mask, vals,
+                                        pa.nulls(n, vals.type))
+                except (pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    merged = pa.array([v if m else None for m, v in zip(
+                        mask.to_pylist(), vals.to_pylist())])
+                batch = set_column(batch, nm, merged)
+        if self.rename and self.copy_from is not None:
+            moved = pa.array([bool(x) for x in names], pa.bool_())
+            src_col = field_to_column(self.copy_from)
+            cleared = pc.if_else(moved, pa.nulls(n, vals.type), vals)
+            batch = set_column(batch, self.copy_from, cleared)
+            if pc.all(pc.is_null(batch.column(src_col))).as_py():
+                batch = batch.drop_columns([src_col])
         return batch
 
 

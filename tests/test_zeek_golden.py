@@ -55,7 +55,9 @@ def _norm(v):
     if isinstance(v, list):
         return sorted((_norm(x) for x in v), key=repr)
     if isinstance(v, dict):
-        return {k: _norm(x) for k, x in sorted(v.items())}
+        # null members are dropped (ES modules sweep null map values; the
+        # columnar struct keeps the slot)
+        return {k: _norm(x) for k, x in sorted(v.items()) if x is not None}
     return v
 
 
