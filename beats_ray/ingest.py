@@ -427,8 +427,28 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
             f["to"] = cfg["target_field"]
         if cfg.get("type") and cfg["type"] != "auto":
             f["type"] = {"integer": "long"}.get(cfg["type"], cfg["type"])
-        return [{"convert": {"fields": [f], "mode": "copy",
-                             "ignore_missing": True, "fail_on_error": False}}]
+        specs = [{"convert": {"fields": [f], "mode": "copy",
+                              "ignore_missing": True,
+                              "fail_on_error": False}}]
+        # per-processor on_failure (umbrella address->ip with domain
+        # fallback): run the handlers on rows where the cast failed —
+        # source present but target still unset; for in-place ip converts,
+        # rows whose value is not IP-shaped.
+        for h in cfg.get("on_failure") or []:
+            if "to" in f:
+                failed = {"and": [{"has_fields": [f["from"]]},
+                                  {"not": {"has_fields": [f["to"]]}}]}
+            elif cfg.get("type") == "ip":
+                failed = {"and": [
+                    {"has_fields": [f["from"]]},
+                    {"not": {"regexp": {
+                        f["from"]: r"^(\d{1,3}\.){3}\d{1,3}$|:"}}}]}
+            else:
+                raise PainlessUnsupported("convert on_failure variant")
+            for s in compile_ingest([h], _ctx=ctx):
+                w = {"and": [failed, s["when"]]} if "when" in s else failed
+                specs.append({**s, "when": w})
+        return specs
     if kind == "gsub":
         return [{"replace": {"fields": [{
             "field": cfg["field"], "pattern": cfg["pattern"],

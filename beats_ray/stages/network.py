@@ -121,6 +121,11 @@ class CommunityID(Stage):
             proto = None
             if trans[i]:
                 proto = _PROTO_NUM.get(str(trans[i]).lower())
+                if proto is None:
+                    try:  # numeric transport strings (umbrella cloudfw "1")
+                        proto = int(trans[i])
+                    except (TypeError, ValueError):
+                        proto = None
             if proto is None and iana[i] is not None:
                 try:
                     proto = int(iana[i])
