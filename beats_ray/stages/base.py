@@ -152,6 +152,15 @@ class Stage:
                 if name in cols and _same_data(out.column(name), sub.column(name)):
                     continue  # pass-through input column, untouched by stage
                 new = out.column(name).combine_chunks()
+                if pa.types.is_nested(new.type):
+                    # replace_with_mask on list/struct arrays can abort in
+                    # Arrow C++ (DCHECK), not raise — take the filter+concat
+                    # fallback for nested outputs
+                    return None
+                if pa.types.is_null(new.type):
+                    # all-null output column: nothing to scatter
+                    result = set_column(result, name, pa.nulls(n))
+                    continue
                 if name in result.column_names:
                     orig = result.column(name).combine_chunks()
                     if orig.type != new.type:
