@@ -268,6 +268,9 @@ class _P:
 
 def painless_condition(src: str) -> dict:
     """Compile a painless ``if:`` expression to a conditions.py config."""
+    # parens around a bare ctx path — `(ctx.json?.description).length()` —
+    # are grouping noise for this grammar
+    src = re.sub(r"\(\s*(ctx[\w.?$]*)\s*\)", r"\1", src)
     p = _P(_tokenize(src))
     cond = p.expr()
     if p.i != len(p.toks):
