@@ -270,7 +270,7 @@ def painless_condition(src: str) -> dict:
     """Compile a painless ``if:`` expression to a conditions.py config."""
     # parens around a bare ctx path — `(ctx.json?.description).length()` —
     # are grouping noise for this grammar
-    src = re.sub(r"\(\s*(ctx[\w.?$]*)\s*\)", r"\1", src)
+    src = re.sub(r"(?<![\w)])\(\s*(ctx[\w.?$]*)\s*\)", r"\1", src)
     p = _P(_tokenize(src))
     cond = p.expr()
     if p.i != len(p.toks):
@@ -617,8 +617,15 @@ def compile_ingest(doc, scripts=None, overrides=None, pipeline_loader=None,
         cond_src = cfg.get("if")
         if cond_src and specs:
             cond = painless_condition(cond_src)
-            specs = [{**s, "when": cond} if "if" not in s else s
-                     for s in specs]
+            wrapped = []
+            for s in specs:
+                if "if" in s:
+                    wrapped.append(s)
+                elif "when" in s:  # spliced sub-pipeline spec keeps its own
+                    wrapped.append({**s, "when": {"and": [cond, s["when"]]}})
+                else:
+                    wrapped.append({**s, "when": cond})
+            specs = wrapped
         out.extend(specs)
     return out
 

@@ -183,19 +183,37 @@ class RenameFields(Stage):
                                      f"could not fetch value for key: {src}")
                 continue
             if d in batch.column_names:
-                dc = batch.column(d)
-                if dc.null_count == len(batch):
-                    # target column exists only as a null scaffold from an
-                    # earlier masked stage: per-row the field is ABSENT, so
-                    # the move proceeds (ES/beats target-exists is per doc)
-                    sc = batch.column(s)
-                    batch = batch.set_column(
-                        batch.column_names.index(d), d, sc)
-                    batch = batch.drop_columns([s])
-                    continue
-                if self.fail_on_error:
+                dc = batch.column(d).combine_chunks()
+                if self.fail_on_error and dc.null_count < len(batch):
                     return set_error(orig, pa.array([True] * len(orig)),
                                      f"target field {dst} already exists, drop or rename this field first")
+                # target-exists is per EVENT in beats; columnar per-row:
+                # move where the target cell is null (utm source_zone vs
+                # source_zone_name both renaming to observer.ingress.zone),
+                # keep existing values elsewhere
+                sc = batch.column(s).combine_chunks()
+                if dc.null_count == len(batch):
+                    merged, s_rest = sc, None
+                else:
+                    try:
+                        if sc.type != dc.type:
+                            sc2 = pc.cast(sc, dc.type)
+                        else:
+                            sc2 = sc
+                        moved = pc.and_(pc.is_null(dc), pc.is_valid(sc2))
+                        merged = pc.if_else(pc.is_valid(dc), dc, sc2)
+                        s_rest = pc.if_else(moved,
+                                            pa.nulls(len(batch), sc.type), sc)
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                            pa.ArrowTypeError):
+                        continue
+                batch = batch.set_column(
+                    batch.column_names.index(d), d, merged)
+                if s_rest is None or s_rest.null_count == len(batch):
+                    batch = batch.drop_columns([s])
+                else:
+                    batch = batch.set_column(
+                        batch.column_names.index(s), s, s_rest)
                 continue
             idx = batch.column_names.index(s)
             batch = batch.set_column(idx, d, batch.column(s))
@@ -329,6 +347,9 @@ class DropFields(Stage):
                 names.append(c)
             elif not self.ignore_missing:
                 raise KeyError(f"drop_fields: {f} missing")
+        # duplicate entries (juniper srx lists a field twice) shift arrow's
+        # column indices and delete a NEIGHBOUR column — dedupe first
+        names = list(dict.fromkeys(names))
         return batch.drop_columns(names) if names else batch
 
 

@@ -68,6 +68,12 @@ CORE_PATTERNS: dict[str, str] = {
     "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
     "URIPATHPARAM": r"(?:/[\w_%!$@:.,+~-]*)+(?:\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*)?",
     "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+    # trailing (\.?|\b) of the ES HOSTNAME matches EMPTY, so a label may
+    # end with '-' ("Route1- " in the juniper flow fixture)
+    "SYSLOGHOST": r"(?:(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+                  r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+                  r"|\b[0-9A-Za-z][0-9A-Za-z-]{0,62}"
+                  r"(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?)",
     "COMMONMAC": r"(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
     "CISCOMAC": r"(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4}",
     "WINDOWSMAC": r"(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}",

@@ -152,6 +152,12 @@ class TimestampStage(Stage):
                     p2 = pc.strptime(nofrac, format=fmt, unit="us", error_is_null=True)
                     if getattr(p2.type, "tz", None):
                         p2 = pc.cast(p2, pa.timestamp("us"))
+                    elif fmt[-2:] != "SZ" and self.tz_shift_us:
+                        # offset-less ISO inputs are interpreted in the
+                        # configured timezone (ES date `timezone`;
+                        # juniper srx naive timestamps)
+                        p2 = pc.add(p2, pa.scalar(self.tz_shift_us,
+                                                  pa.duration("us")))
                     parsed = p2 if parsed is None else pc.if_else(pc.is_null(parsed), p2, parsed)
                 fr = pc.extract_regex(s, r"[.,](?P<f>\d{1,6})")
                 digits = pc.utf8_rpad(pc.struct_field(fr, "f"), 6, padding="0")

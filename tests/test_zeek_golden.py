@@ -65,6 +65,20 @@ _SPACE_TS = __import__("re").compile(
     r"^(\d{4}-\d{2}-\d{2}) (\d{2}:\d{2}:\d{2})\.(\d{3})\d*$")
 _ISO_TS = __import__("re").compile(
     r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})(?:\.(\d+))?Z$")
+_ISO_ANY = __import__("re").compile(
+    r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})(?:\.(\d+))?(Z|[+-]\d{2}:\d{2})$")
+
+
+def _instant(s):
+    """(utc datetime, fraction-digit count) for an ISO string, else None."""
+    m = _ISO_ANY.match(s)
+    if not m:
+        return None
+    frac = (m.group(2) or "")
+    tz = "+00:00" if m.group(3) == "Z" else m.group(3)
+    d = _dt.datetime.fromisoformat(
+        m.group(1) + "." + (frac[:6].ljust(6, "0")) + tz)
+    return d.astimezone(_dt.timezone.utc).replace(tzinfo=None), len(frac)
 
 
 def _same(got, want):
@@ -75,6 +89,16 @@ def _same(got, want):
         m = _SPACE_TS.match(got)  # engine's strftime form vs ES ISO-millis
         if m:
             got = f"{m.group(1)}T{m.group(2)}.{m.group(3)}Z"
+    if isinstance(want, str) and isinstance(got, str) and ":" in want:
+        gi, wi = _instant(got), _instant(want)
+        if gi is not None and wi is not None:
+            # ISO timestamps in different zone renderings: same instant,
+            # fraction compared at the shorter precision
+            k = min(gi[1], wi[1], 6)
+            q = 10 ** (6 - k) if k < 6 else 1
+            g = gi[0].replace(microsecond=(gi[0].microsecond // q) * q)
+            w = wi[0].replace(microsecond=(wi[0].microsecond // q) * q)
+            return g == w
     if isinstance(want, str) and isinstance(got, str) and want.endswith("Z") \
             and got.endswith("Z") and ":" in want:
         # timestamp strings: beats keeps ns, the engine µs, ES renders ms —
@@ -108,7 +132,21 @@ def check_golden(rows, expected, skip=()):
                 continue
             col = "ts" if key == "@timestamp" else key.replace(".", "_")
             got_v = got.get(col)
-            if key == "@timestamp":
+            if key == "@timestamp" and isinstance(got_v, _dt.datetime):
+                # golden @timestamp may render in the module timezone
+                # (juniper -02:00) — compare instants, µs-truncated
+                m = __import__("re").match(
+                    r"^(.*?)(?:\.(\d+))?(Z|[+-]\d{2}:\d{2})$", str(want))
+                if m:
+                    frac = (m.group(2) or "")[:6].ljust(6, "0")
+                    w = _dt.datetime.fromisoformat(
+                        m.group(1) + "." + frac +
+                        ("+00:00" if m.group(3) == "Z" else m.group(3)))
+                    w = w.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                    g = got_v.replace(tzinfo=None)
+                    assert abs((g - w).total_seconds()) < 0.001, \
+                        (key, got_v, want)
+                    continue
                 got_v = _norm(got_v)
             assert _same(got_v, want), (key, got_v, want)
 
