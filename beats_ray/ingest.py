@@ -434,29 +434,47 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
                               "ignore_missing": True,
                               "fail_on_error": False}}]
         # per-processor on_failure (umbrella address->ip with domain
-        # fallback): run the handlers on rows where the cast failed —
-        # source present but target still unset; for in-place ip converts,
-        # rows whose value is not IP-shaped.
+        # fallback): run the handlers on rows where the cast will fail.
+        # For in-place converts the check must see the PRE-convert string
+        # (post-convert the column is numeric and a regexp never matches),
+        # so those handlers run BEFORE the convert — equivalent outcome.
+        pre = []
         for h in cfg.get("on_failure") or []:
             if "to" in f:
                 failed = {"and": [{"has_fields": [f["from"]]},
                                   {"not": {"has_fields": [f["to"]]}}]}
+                bucket = specs
             elif cfg.get("type") == "ip":
                 failed = {"and": [
                     {"has_fields": [f["from"]]},
                     {"not": {"regexp": {
                         f["from"]: r"^(\d{1,3}\.){3}\d{1,3}$|:"}}}]}
+                bucket = pre
+            elif cfg.get("type") in ("float", "double", "long", "integer"):
+                failed = {"and": [
+                    {"has_fields": [f["from"]]},
+                    {"not": {"regexp": {
+                        f["from"]:
+                        r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"}}}]}
+                bucket = pre
             else:
                 raise PainlessUnsupported("convert on_failure variant")
             for s in compile_ingest([h], _ctx=ctx):
                 w = {"and": [failed, s["when"]]} if "when" in s else failed
-                specs.append({**s, "when": w})
-        return specs
+                bucket.append({**s, "when": w})
+        return pre + specs
     if kind == "gsub":
-        return [{"replace": {"fields": [{
-            "field": cfg["field"], "pattern": cfg["pattern"],
+        tgt = cfg.get("target_field", cfg["field"])
+        specs = []
+        if tgt != cfg["field"]:  # gsub writes elsewhere: copy, then edit
+            specs.append({"copy_fields": {
+                "fields": [{"from": cfg["field"], "to": tgt}],
+                "ignore_missing": True, "fail_on_error": False}})
+        specs.append({"replace": {"fields": [{
+            "field": tgt, "pattern": cfg["pattern"],
             "replacement": cfg.get("replacement", "")}],
-            "ignore_missing": True, "fail_on_error": False}}]
+            "ignore_missing": True, "fail_on_error": False}})
+        return specs
     if kind == "kv":
         out = {k: v for k, v in cfg.items() if k not in ("if", "description",
                                                          "on_failure", "tag")}

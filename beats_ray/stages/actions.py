@@ -244,7 +244,21 @@ class Replace(Stage):
                     return set_error(batch, pa.array([True] * len(batch)),
                                      f"could not fetch value for key: {f}")
                 continue
-            vals = pc.replace_substring_regex(batch.column(col), pat, replacement=rep)
+            c = batch.column(col)
+            if pa.types.is_null(c.type):
+                continue
+            import re as _re
+            pc_rep = _re.sub(r"\$(\d+)", r"\\\1", rep)  # Java $N -> \N
+            try:
+                vals = pc.replace_substring_regex(c, pat, replacement=pc_rep)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                # RE2 lacks lookarounds (sophos MAC gsub '(..)(?!$)') —
+                # python-re fallback
+                rx = _re.compile(pat)
+                vals = pa.array(
+                    [None if v is None else rx.sub(pc_rep, v)
+                     for v in pc.cast(c, pa.string()).to_pylist()],
+                    pa.string())
             batch = set_column(batch, col, vals)
         return batch
 

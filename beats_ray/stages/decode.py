@@ -582,6 +582,7 @@ class UserAgent(Stage):
         (r"Linux/(\d+\.\d+(?:\.\d+)?)", "Linux", None),
         # case-insensitive: Go-client UAs carry "(linux/amd64)" (gcp audit)
         (r"(?i)(linux)", "Linux", None),
+        (r"\((Windows)[;)]", "Windows", None),
     ]
 
     _SPIDER = re.compile(r"(?i)bot\b|spider|crawler|slurp")
@@ -620,7 +621,9 @@ class UserAgent(Stage):
             if m:
                 os_name = fam
                 raw = m.group(1).replace("_", ".")
-                if fam == "Linux" and not raw[:1].isdigit():
+                if not raw[:1].isdigit():
+                    # version-less match (bare Linux / "(Windows; U;" —
+                    # sophos cfilter golden): name only
                     os_full = fam
                     break
                 os_ver = vmap.get(raw, raw) if vmap else raw
