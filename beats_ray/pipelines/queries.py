@@ -304,18 +304,23 @@ def q_orders_join(sf_dir: str):
     from ray.data.aggregate import Sum
     cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
                            columns=["c_custkey", "c_mktsegment"])
-    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    # broadcast the dim as an Arrow key/value pair: lookups stay in Arrow
+    # via pc.index_in + take (no object-dtype pandas map per batch)
+    seg_ref = ray.put((pa.array(cust["c_custkey"], pa.int64()),
+                       pa.array(cust["c_mktsegment"], pa.string())))
     ds = _read(os.path.join(sf_dir, "orders.parquet"),
                             columns=["o_custkey", "o_totalprice"])
 
     class SegmentJoin:
         def __init__(self):
-            self.seg = ray.get(seg_ref)
+            self.keys, self.vals = ray.get(seg_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            seg = pd.Series(t["o_custkey"].to_pandas()).map(self.seg)
+            idx = pc.index_in(t["o_custkey"], value_set=self.keys)
+            seg = pc.take(self.vals, idx)
             cents = _cents(t["o_totalprice"])
-            t2 = pa.table({"mktsegment": pa.Array.from_pandas(seg, type=pa.string()),
+            t2 = pa.table({"mktsegment": seg.combine_chunks()
+                           if isinstance(seg, pa.ChunkedArray) else seg,
                            "cents": cents})
             return t2.group_by("mktsegment") \
                      .aggregate([("cents", "sum"), ([], "count_all")]) \

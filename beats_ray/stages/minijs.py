@@ -76,9 +76,55 @@ class JSUnsupported(ValueError):
     pass
 
 
+def _regex_position(out) -> bool:
+    """A '/' starts a REGEX LITERAL (not division) when the previous token
+    cannot end an expression — goja/ES lexer rule."""
+    if not out:
+        return True
+    kind, val = out[-1]
+    if kind in ("num", "str", "regex"):
+        return False
+    if kind == "ident":
+        return val in ("return", "typeof", "in", "of", "case", "new",
+                       "delete", "void", "instanceof")
+    return val not in (")", "]", "++", "--")
+
+
+def _scan_regex(src: str, i: int):
+    """Scan ``/pattern/flags`` starting at src[i] == '/'; returns
+    (token_text, end_index) or None if unterminated."""
+    j, in_class = i + 1, False
+    while j < len(src):
+        ch = src[j]
+        if ch == "\\":
+            j += 2
+            continue
+        if ch == "\n":
+            return None
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "/":
+            k = j + 1
+            while k < len(src) and src[k].isalpha():
+                k += 1
+            return src[i:k], k
+        j += 1
+    return None
+
+
 def _tokenize(src: str):
     out, i = [], 0
     while i < len(src):
+        if src[i] == "/" and src[i:i + 2] not in ("//", "/*") \
+                and _regex_position(out):
+            scanned = _scan_regex(src, i)
+            if scanned is not None:
+                out.append(("regex", scanned[0]))
+                i = scanned[1]
+                continue
         m = _TOKEN_RE.match(src, i)
         if not m:
             raise JSUnsupported(f"cannot tokenize at: {src[i:i+20]!r}")
@@ -88,6 +134,35 @@ def _tokenize(src: str):
         out.append((m.lastgroup, m.group()))
     out.append(("eof", ""))
     return out
+
+
+class _JSRegExp:
+    """Runtime object for a JS regex literal — python ``re`` backed (the
+    common subset is syntax-compatible); the ``g`` flag switches
+    String.replace/match to global semantics like goja."""
+
+    def __init__(self, pattern: str, flags: str):
+        f = 0
+        if "i" in flags:
+            f |= re.I
+        if "m" in flags:
+            f |= re.M
+        if "s" in flags:
+            f |= re.S
+        self.source = pattern
+        self.global_ = "g" in flags
+        self.rx = re.compile(pattern, f)
+
+    def test(self, s) -> bool:
+        return s is not None and self.rx.search(str(s)) is not None
+
+    def exec(self, s):
+        if s is None:
+            return None
+        m = self.rx.search(str(s))
+        if m is None:
+            return None
+        return [m.group(0)] + [g for g in m.groups()]
 
 
 class _Parser:
@@ -149,6 +224,10 @@ class _Parser:
 
     def parse_stmt(self):
         kind, val = self.peek()
+        if val == "function":
+            # nested function DECLARATION: a binding in the enclosing env
+            name, params, body = self.parse_function()
+            return ("var", name, ("funclit", params, body))
         if val in ("var", "let", "const"):
             self.next()
             name = self.next()[1]
@@ -389,6 +468,26 @@ class _Parser:
 
     def parse_primary(self):
         kind, val = self.next()
+        if kind == "regex":
+            body, _, flags = val[1:].rpartition("/")
+            try:
+                return ("lit", _JSRegExp(body, flags))
+            except re.error as e:
+                raise JSUnsupported(f"regex literal {val!r}: {e}")
+        if val == "function":
+            # function EXPRESSION (optionally named): closures over the
+            # defining env — gcp/o365-style `var f = function(evt){...}`
+            if self.peek()[0] == "ident":
+                self.next()
+            self.expect("(")
+            params = []
+            while self.peek()[1] != ")":
+                params.append(self.next()[1])
+                if self.peek()[1] == ",":
+                    self.next()
+            self.expect(")")
+            body = self.parse_block()
+            return ("funclit", params, body)
         if kind == "str":
             return ("lit", _unescape_js(val[1:-1]))
         if kind == "num":
@@ -731,6 +830,30 @@ class _Interp:
         op = node[0]
         if op == "lit":
             return node[1]
+        if op == "funclit":
+            # closure: captures the defining env by reference (module JS
+            # reads config constants through it; writes stay local)
+            params, body, cap = node[1], node[2], env
+
+            def _fn(*args, _p=params, _b=body, _cap=cap):
+                if self._depth >= _MAX_CALL_DEPTH:
+                    raise JSUnsupported("script call depth exceeded")
+                fenv = dict(self.globals)
+                fenv.update(_cap)
+                for p, a in zip(_p, args):
+                    fenv[p] = a
+                for p in _p[len(args):]:
+                    fenv[p] = None
+                self._depth += 1
+                try:
+                    for st in _b:
+                        self.exec_stmt(st, fenv)
+                except _Returned as r:
+                    return r.value
+                finally:
+                    self._depth -= 1
+                return None
+            return _fn
         if op == "array":
             return [self.eval(x, env) for x in node[1]]
         if op == "object":
@@ -746,13 +869,43 @@ class _Interp:
                 if name == "fields":
                     return obj.row_view()
                 return getattr(obj, name)
+            if isinstance(obj, _JSRegExp):
+                if name == "test":
+                    return obj.test
+                if name == "exec":
+                    return obj.exec
+                if name == "source":
+                    return obj.source
+                if name == "global":
+                    return obj.global_
+                raise JSUnsupported(f"RegExp.{name}")
             if isinstance(obj, str):
                 if name == "length":
                     return len(obj)
                 if name in _STRING_METHODS:
                     return lambda o=obj, f=_STRING_METHODS[name]: f(o)
                 if name == "split":
-                    return lambda sep, o=obj: o.split(sep)
+                    return lambda sep, o=obj: (
+                        sep.rx.split(o) if isinstance(sep, _JSRegExp)
+                        else o.split(sep))
+                if name == "match":
+                    def _match(rx, o=obj):
+                        if not isinstance(rx, _JSRegExp):
+                            rx = _JSRegExp(re.escape(str(rx)), "")
+                        if rx.global_:
+                            hits = rx.rx.findall(o)
+                            return [h if isinstance(h, str) else h[0]
+                                    for h in hits] or None
+                        return rx.exec(o)
+                    return _match
+                if name == "search":
+                    def _search(rx, o=obj):
+                        m = rx.rx.search(o) if isinstance(rx, _JSRegExp) \
+                            else None
+                        return m.start() if m else (
+                            o.find(str(rx)) if not isinstance(rx, _JSRegExp)
+                            else -1)
+                    return _search
                 if name == "indexOf":
                     return lambda sub, o=obj: o.find(sub)
                 if name == "substring":
@@ -767,7 +920,14 @@ class _Interp:
                 if name == "endsWith":
                     return lambda p, o=obj: o.endswith(p)
                 if name == "replace":
-                    return lambda a, b, o=obj: o.replace(a, b, 1)
+                    def _replace(a, b, o=obj):
+                        if isinstance(a, _JSRegExp):
+                            # JS $N backrefs -> python \N
+                            rep = re.sub(r"\$(\d+)", r"\\\1", str(b))
+                            return a.rx.sub(rep, o,
+                                            count=0 if a.global_ else 1)
+                        return o.replace(a, b, 1)
+                    return _replace
             if isinstance(obj, (list, tuple)):
                 if name == "length":
                     return len(obj)

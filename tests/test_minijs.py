@@ -222,3 +222,57 @@ def test_truncated_source_raises_js_unsupported():
                 "function process(e) { if (", "function process(e) { var "]:
         with pytest.raises(JSUnsupported):
             compile_js(src)
+
+
+def test_regex_literals_and_nested_functions():
+    """Round-4 goja-parity additions: regex literals (/re/flags with
+    test/exec, String match/replace/split with regex args, g + i flags,
+    $N backrefs) and nested function declarations/expressions with
+    closure capture — the two idioms the round-3 verdict flagged."""
+    import pyarrow as pa
+    from beats_ray.pipeline import Pipeline
+
+    src = r'''
+var SUFFIX = "!";
+function process(evt) {
+    var re = /ab+c/i;
+    var helper = function(s) { return s.replace(/b+/g, "B"); };
+    function inner(x) { return x + SUFFIX; }
+    var m = evt.Get("msg");
+    if (re.test(m)) { evt.Put("hit", true); }
+    evt.Put("rep", helper(m));
+    evt.Put("bang", inner(m));
+    evt.Put("nparts", "a1b2c".split(/\d/).length);
+    var mm = m.match(/(B+)/i);
+    if (mm) { evt.Put("grp", mm[1]); }
+    evt.Put("swapped", "x=1,y=2".replace(/(\w)=(\d)/g, "$2:$1"));
+}
+'''
+    t = pa.table({"msg": ["xxABbbC yy", "none"]})
+    out = Pipeline({"processors": [
+        {"script": {"lang": "javascript", "source": src}}]}).run_local(t)
+    rows = out.to_pylist()
+    assert rows[0]["hit"] is True and rows[1]["hit"] is None
+    assert rows[0]["rep"] == "xxABBC yy"
+    assert rows[0]["bang"] == "xxABbbC yy!"
+    assert rows[0]["nparts"] == 3
+    assert rows[0]["grp"] == "Bbb"
+    assert rows[0]["swapped"] == "1:x,2:y"
+
+
+def test_regex_vs_division_disambiguation():
+    import pyarrow as pa
+    from beats_ray.pipeline import Pipeline
+
+    src = (
+        "function process(evt) {\n"
+        "    var a = evt.Get('n') / 2;\n"          # division
+        "    var b = (a > 1) ? /x\\//.test('x/') : false;\n"  # regex w/ escape
+        "    evt.Put('half', a);\n"
+        "    evt.Put('slash', b);\n"
+        "}\n")
+    t = pa.table({"n": [10]})
+    r = Pipeline({"processors": [
+        {"script": {"lang": "javascript", "source": src}}]}).run_local(t) \
+        .to_pylist()[0]
+    assert r["half"] == 5 and r["slash"] is True

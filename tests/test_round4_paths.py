@@ -85,3 +85,44 @@ def test_bench_host_report():
     rep = bench.host_report(before, bench.host_snapshot())
     assert "contended" in rep and isinstance(rep["contended"], bool)
     assert rep.get("steal_pct", 0.0) >= 0.0
+
+
+def test_bloom_decontamination_no_false_negatives(ray_session):
+    """Bloom decontamination (functions/decontam.py BloomFilter): every
+    exactly-contaminated doc is flagged by the bloom path with hits >= the
+    exact count (no false negatives, by construction); FP math documented
+    on the class."""
+    import ray.data as rd
+    from beats_ray.functions.decontam import (BloomFilter,
+                                              ngram_contamination)
+
+    # direct filter sanity: inserted items always hit
+    bf = BloomFilter(capacity=1000, fp_rate=1e-3)
+    items = [f"gram number {i}" for i in range(500)]
+    for it in items:
+        bf.add(it)
+    assert all(it in bf for it in items)
+    # FP spot check: sample misses stay near the configured rate
+    fp = sum(1 for i in range(2000) if f"absent {i}" in bf)
+    assert fp < 2000 * 1e-2
+
+    sf = "/root/testdata/sf0.001"
+    import os
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        import pytest
+        pytest.skip("testdata absent")
+    ds = rd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"])
+    bench = ds.map_batches(
+        lambda b: b.filter(b.column("doc_id").to_numpy() % 20 == 0),
+        batch_format="pyarrow")
+    train = ds.map_batches(
+        lambda b: b.filter(b.column("doc_id").to_numpy() % 20 != 0),
+        batch_format="pyarrow")
+    exact = {r["doc_id"]: r["contaminated"] for r in
+             ngram_contamination(train, bench, n=8).take_all()}
+    bloom = {r["doc_id"]: r["contaminated"] for r in
+             ngram_contamination(train, bench, n=8, method="bloom",
+                                 bloom_capacity=200_000).take_all()}
+    for did, hits in exact.items():
+        assert did in bloom and bloom[did] >= hits, (did, hits)
