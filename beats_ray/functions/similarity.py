@@ -97,6 +97,58 @@ def train_centroids(sample: np.ndarray, n_centroids: int, n_iter: int = 10,
     return cent
 
 
+def train_centroids_distributed(ds, n_centroids: int, init: np.ndarray,
+                                n_iter: int = 10,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> np.ndarray:
+    """Distributed full-pass Lloyd k-means: each iteration is ONE streaming
+    ``map_batches`` pass emitting per-batch (centroid, sum-vector, count)
+    partials; the driver reduces O(n_centroids x dims x #blocks) rows and
+    renormalizes.  No shuffle, no sample-size ceiling — the scale path when
+    the corpus wants more centroids than a driver-side sample supports
+    (round-3 verdict item).  ``init`` comes from the deterministic hash
+    sample so cached and fresh indexes stay identical."""
+    import ray
+
+    cent = _unit(np.asarray(init, dtype=np.float64)).copy()
+    k, dims = cent.shape
+    for _ in range(n_iter):
+        cent_ref = ray.put(cent)
+
+        def partial_sums(t: pa.Table, _ref=cent_ref) -> pa.Table:
+            c = ray.get(_ref)
+            mat = _unit(list_to_matrix(t[vec_col]))
+            assign = np.argmax(mat @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=len(c))
+            nz = counts > 0
+            return pa.table({
+                "c": pa.array(np.nonzero(nz)[0].astype(np.int32)),
+                "s": pa.array([row.tobytes() for row in sums[nz]],
+                              pa.binary()),
+                "n": pa.array(counts[nz].astype(np.int64)),
+            })
+
+        sums = np.zeros((k, dims))
+        counts = np.zeros(k, dtype=np.int64)
+        for part in ds.map_batches(partial_sums,
+                                   batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            cs = part.column("c").to_pylist()
+            ns = part.column("n").to_pylist()
+            for ci, raw, n in zip(cs, part.column("s").to_pylist(), ns):
+                sums[ci] += np.frombuffer(raw, dtype=np.float64)
+                counts[ci] += n
+        for ci in range(k):
+            if counts[ci]:
+                m = sums[ci] / counts[ci]
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cent[ci] = m / norm
+    return cent
+
+
 def ivf_cache_dir(root: str, paths: list[str], n_centroids: int,
                   seed: int = 42) -> str:
     """Deterministic index location keyed by corpus content identity
@@ -320,7 +372,16 @@ def build_ivf_index(ds, n_centroids: int = 16, id_col: str = "vec_id",
         rows = ds.limit(4).take_all()
     rows.sort(key=lambda r: r[id_col])
     sample = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
-    cent = train_centroids(sample, n_centroids, seed=seed)
+    if n_total > 32 * max(sample_rows, 1):
+        # corpus far exceeds what a driver sample represents: k-means++
+        # style init from the sample, then DISTRIBUTED full-pass Lloyd
+        # (train_centroids_distributed) — sample fit stays the small-corpus
+        # fast path below this threshold
+        init = train_centroids(sample, n_centroids, n_iter=3, seed=seed)
+        cent = train_centroids_distributed(ds, n_centroids, init,
+                                           id_col=id_col, vec_col=vec_col)
+    else:
+        cent = train_centroids(sample, n_centroids, seed=seed)
     import ray
     cent_ref = ray.put(cent)
 

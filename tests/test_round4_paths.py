@@ -126,3 +126,37 @@ def test_bloom_decontamination_no_false_negatives(ray_session):
                                  bloom_capacity=200_000).take_all()}
     for did, hits in exact.items():
         assert did in bloom and bloom[did] >= hits, (did, hits)
+
+
+def test_distributed_kmeans_matches_driver_fit(ray_session):
+    """train_centroids_distributed (functions/similarity.py): one
+    streaming pass of per-batch (centroid, sum, count) partials per Lloyd
+    iteration must converge to the same centroids as the in-memory fit on
+    identical data + init (full-pass Lloyd is deterministic up to float
+    summation order)."""
+    import numpy as np
+    import ray.data as rd
+    from beats_ray.functions.similarity import (train_centroids,
+                                                train_centroids_distributed,
+                                                _unit)
+
+    rng = np.random.default_rng(7)
+    vecs = _unit(rng.normal(size=(600, 16)))
+    ds = rd.from_items([
+        {"vec_id": i, "embedding": list(map(float, v))}
+        for i, v in enumerate(vecs)]).repartition(8)
+    init = _unit(vecs[:8].copy())
+
+    # reference: same init, in-memory Lloyd with identical update rule
+    ref = init.copy()
+    for _ in range(10):
+        assign = np.argmax(vecs @ ref.T, axis=1)
+        for c in range(len(ref)):
+            members = vecs[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    ref[c] = m / n
+    got = train_centroids_distributed(ds, 8, init, n_iter=10)
+    assert np.allclose(got, ref, atol=1e-8)
