@@ -142,6 +142,27 @@ class Length(Condition):
 
 
 @dataclass
+class ElementString(Condition):
+    """True where the field is a NON-EMPTY list **of strings** — the
+    painless ``x[0] instanceof String`` idiom (cisco amp mitre lists);
+    list<struct> columns never match."""
+
+    field: str
+
+    def mask(self, batch):
+        col = _col(batch, self.field)
+        if col is None:
+            return _false(len(batch))
+        t = col.type
+        if not (pa.types.is_list(t) or pa.types.is_large_list(t)):
+            return _false(len(batch))
+        if not (pa.types.is_string(t.value_type)
+                or pa.types.is_large_string(t.value_type)):
+            return _false(len(batch))
+        return _nn(pc.greater(pc.list_value_length(col), 0))
+
+
+@dataclass
 class Range(Condition):
     field: str
     bounds: dict  # {"gt": x, "lte": y, ...}
@@ -303,6 +324,8 @@ def compile_condition(cfg) -> Condition:
         elif key == "length":
             for f, v in val.items():
                 parts.append(Length(f, v if isinstance(v, dict) else {"eq": v}))
+        elif key == "element_string":
+            parts.append(ElementString(val))
         elif key == "has_fields":
             parts.append(HasFields(list(val) if isinstance(val, (list, tuple)) else [val]))
         elif key == "network":

@@ -244,6 +244,11 @@ class _P:
             self.take()
             if self.take()[0] != "word":
                 raise PainlessUnsupported("instanceof operand")
+            if path.endswith(".0"):
+                # `x[0] instanceof String` (cisco amp mitre lists):
+                # non-empty list WITH string elements; struct lists never
+                # match (ElementString condition)
+                return {"element_string": path[:-2]}
             return {"has_fields": [path]}
         if nxt[0] == "op" and nxt[1] in ("==", "!=", "<", ">", "<=", ">="):
             op = self.take()[1]

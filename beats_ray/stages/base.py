@@ -164,10 +164,20 @@ class Stage:
                 if name in result.column_names:
                     orig = result.column(name).combine_chunks()
                     if orig.type != new.type:
-                        try:
-                            new = pc.cast(new, orig.type)
-                        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                            orig = pc.cast(orig, new.type)
+                        # when every row OUTSIDE the mask is null, the
+                        # stage's output type is the column's real type
+                        # (in-place date over a conditioned int column —
+                        # cisco amp incident_end_time); otherwise keep the
+                        # original type so untouched values survive
+                        outside = orig.filter(pc.invert(mask))
+                        if len(outside) == outside.null_count:
+                            orig = pa.nulls(n, new.type)
+                        else:
+                            try:
+                                new = pc.cast(new, orig.type)
+                            except (pa.ArrowInvalid,
+                                    pa.ArrowNotImplementedError):
+                                orig = pc.cast(orig, new.type)
                     merged = pc.replace_with_mask(orig, mask, new)
                 else:
                     merged = pc.replace_with_mask(pa.nulls(n, new.type), mask, new)

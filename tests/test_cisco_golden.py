@@ -193,3 +193,59 @@ def test_cisco_ios_golden():
                   key=lambda r: str(r.get("event_original")))
     expected = sorted(expected, key=lambda e: str(e.get("event.original")))
     check_golden(rows[:len(expected)], expected)
+
+
+AMP = f"{CISCO}/amp"
+
+
+@pytest.mark.skipif(not os.path.isdir(AMP), reason="reference not present")
+@pytest.mark.parametrize("log", [f"cisco_amp{i}.ndjson.log"
+                                 for i in range(1, 8)])
+def test_cisco_amp_golden(log):
+    """cisco/amp (all 7 fixtures) — httpjson NDJSON under the json prefix;
+    the two network_addresses fold scripts hand-ported, the vulnerability
+    CVE foreach and null sweep handled by the compiler."""
+    from beats_ray.ingest import load_pipeline_yml
+    folds = _py(
+        "addrs = event.get('cisco_amp_computer_network_addresses')\n"
+        "if isinstance(addrs, list):\n"
+        "    rel_ip = list(event.get('related_ip') or [])\n"
+        "    rel_mac = list(event.get('cisco_amp_related_mac') or [])\n"
+        "    for a in addrs:\n"
+        "        if not isinstance(a, dict):\n"
+        "            continue\n"
+        "        if a.get('ip') and a['ip'] not in rel_ip:\n"
+        "            rel_ip.append(a['ip'])\n"
+        "        if a.get('mac') and a['mac'] not in rel_mac:\n"
+        "            rel_mac.append(a['mac'])\n"
+        "    if rel_ip:\n"
+        "        event['related_ip'] = rel_ip\n"
+        "    if rel_mac:\n"
+        "        event['cisco_amp_related_mac'] = rel_mac")
+    scripts = [folds, None, None]  # 2nd fold folded into the 1st; sweep no-op
+    spec = [
+        {"add_fields": {"target": "", "fields": {
+            "event.timezone": "-02:00", "ecs.version": "1.12.0"}}},
+        {"decode_json_fields": {"fields": ["message"], "target": "json",
+                                "keep_arrays": True, "max_depth": 99}},
+    ]
+    spec += compile_ingest(
+        load_pipeline_yml(f"{AMP}/ingest/pipeline.yml"), scripts=scripts)
+    spec.append({"add_fields": {"target": "", "fields": {
+        "event.module": "cisco", "event.dataset": "cisco.amp",
+        "fileset.name": "amp", "input.type": "log",
+        "service.type": "cisco"}}})
+    logp = f"{AMP}/test/{log}"
+    # the input uses the event id as the ES document _id — duplicate lines
+    # collapse on indexing, so the golden omits them
+    lines = list(dict.fromkeys(_terminated_lines(logp)))
+    batch = pa.table({
+        "message": lines,
+        "line_no": pa.array(range(len(lines)), pa.int64()),
+        "tags": pa.array([["cisco-amp", "forwarded"]] * len(lines),
+                         pa.list_(pa.string())),
+    })
+    out = Pipeline({"processors": spec}).run_local(batch)
+    expected = json.load(open(logp + "-expected.json"))
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    check_golden(rows[:len(expected)], expected)
