@@ -407,6 +407,8 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
     if kind == "date":
         out = {"field": cfg["field"],
                "target_field": cfg.get("target_field", "@timestamp"),
+               "ignore_missing": True,
+               "ignore_failure": bool(cfg.get("ignore_failure", False)),
                "layouts": java_date_layouts(cfg.get("formats", ["ISO8601"]))}
         tz = cfg.get("timezone")
         if tz:

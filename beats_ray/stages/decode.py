@@ -568,6 +568,8 @@ class UserAgent(Stage):
         # inside a compound UA) — a GENERIC mid-string product/x.y.z match
         # would wrongly claim "gcloud/290.0.1" (gcp audit golden: Other)
         (r"\b(aws-sdk-[a-z]+)/(\d+\.\d+\.[\w.-]+)", None, None),
+        # aws-cli (optionally bracket-wrapped in cloudtrail UAs)
+        (r"(?:^|\[)(aws-cli)/(\d[\w.-]*)", None, None),
     ]
     _OSES = [
         (r"Windows NT (\d+\.\d+)", "Windows",
@@ -583,9 +585,13 @@ class UserAgent(Stage):
         # case-insensitive: Go-client UAs carry "(linux/amd64)" (gcp audit)
         (r"(?i)(linux)", "Linux", None),
         (r"\((Windows)[;)]", "Windows", None),
+        # "Windows/7" product token (aws-cli UAs): name only, like uap
+        (r"\b(Windows)/", "Windows", None),
     ]
 
-    _SPIDER = re.compile(r"(?i)bot\b|spider|crawler|slurp")
+    # uap device spider pattern matches [Bb]ot UNanchored — "botocore"
+    # classifies aws-cli UAs as Spider (cloudtrail goldens)
+    _SPIDER = re.compile(r"(?i)bot|spider|crawler|slurp")
 
     def __init__(self, config=None):
         super().__init__(config)
