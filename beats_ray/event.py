@@ -168,8 +168,16 @@ def unify_concat(parts: list[pa.Table]) -> pa.Table:
         for f in t.schema:
             if f.name not in fields:
                 fields[f.name] = f.type
-            elif fields[f.name] != f.type and pa.types.is_null(fields[f.name]):
-                fields[f.name] = f.type
+            elif fields[f.name] != f.type:
+                if pa.types.is_null(fields[f.name]):
+                    fields[f.name] = f.type
+                elif (pa.types.is_list(f.type)
+                      or pa.types.is_large_list(f.type)) and \
+                        not pa.types.is_nested(fields[f.name]):
+                    # scalar-vs-array split across branches (a masked
+                    # stage appended into a list on some rows): the union
+                    # type is the list, scalars wrap below
+                    fields[f.name] = f.type
     aligned = []
     for t in parts:
         cols = []
@@ -177,7 +185,14 @@ def unify_concat(parts: list[pa.Table]) -> pa.Table:
             if name in t.column_names:
                 col = t.column(name)
                 if col.type != typ and not pa.types.is_null(typ):
-                    col = pc.cast(col, typ)
+                    if (pa.types.is_list(typ)
+                            or pa.types.is_large_list(typ)) and \
+                            not pa.types.is_nested(col.type):
+                        col = pa.array(
+                            [None if v is None else [v] for v in
+                             pc.cast(col, typ.value_type).to_pylist()], typ)
+                    else:
+                        col = pc.cast(col, typ)
                 cols.append(col)
             else:
                 cols.append(pa.nulls(len(t), typ))

@@ -196,7 +196,16 @@ class RenameFields(Stage):
                     merged, s_rest = sc, None
                 else:
                     try:
-                        if sc.type != dc.type:
+                        if sc.type != dc.type and (
+                                pa.types.is_list(dc.type)
+                                or pa.types.is_large_list(dc.type)):
+                            # target rows hold arrays (categorization
+                            # lists): scalars wrap to 1-element lists like
+                            # ES's schemaless per-doc values
+                            sc2 = pa.array(
+                                [None if v is None else [str(v)]
+                                 for v in sc.to_pylist()], dc.type)
+                        elif sc.type != dc.type:
                             sc2 = pc.cast(sc, dc.type)
                         else:
                             sc2 = sc
@@ -326,6 +335,19 @@ class Lowercase(Stage):
             col = field_to_column(f)
             if col in batch.column_names and _is_str(batch.column(col).type):
                 batch = set_column(batch, col, type(self)._pcfn(batch.column(col)))
+            elif col in batch.column_names and (
+                    pa.types.is_list(batch.column(col).type)
+                    or pa.types.is_large_list(batch.column(col).type)):
+                # schemaless per-doc arrays (auditd event.action holds a
+                # categorization list on some rows): fold the elements
+                c = batch.column(col).combine_chunks()
+                if _is_str(c.type.value_type):
+                    flat = type(self)._pcfn(c.values)
+                    out = pa.ListArray.from_arrays(c.offsets, flat)
+                    if c.null_count:
+                        out = pc.if_else(pc.is_valid(c), out,
+                                         pa.nulls(len(c), out.type))
+                    batch = set_column(batch, col, out)
             elif col not in batch.column_names and not self.ignore_missing and self.fail_on_error:
                 return set_error(batch, pa.array([True] * len(batch)),
                                  f"could not fetch value for key: {f}")

@@ -775,7 +775,34 @@ class KeyValue(Stage):
                 arr = pa.array(vals, pa.list_(pa.string()))
             else:
                 arr = pa.array(vals, pa.string())
-            batch = set_column(batch, tgt_prefix + field_to_column(k), arr)
+            name = tgt_prefix + field_to_column(k)
+            if name in batch.column_names:
+                # ES kv APPENDS into existing fields per doc (ingest
+                # appendFieldValue): rows with values from BOTH kv passes
+                # become arrays; rows this kv contributes nothing to keep
+                # the earlier value (auditd runs two kv passes into the
+                # same target)
+                cur = batch.column(name).to_pylist()
+                new = arr.to_pylist()
+                merged, any_list = [], False
+                for c, v in zip(cur, new):
+                    if v is None:
+                        merged.append(c)
+                    elif c is None:
+                        merged.append(v)
+                    else:
+                        c = c if isinstance(c, list) else [c]
+                        v = v if isinstance(v, list) else [v]
+                        merged.append(c + v)
+                    if isinstance(merged[-1], list):
+                        any_list = True
+                if any_list:
+                    merged = [m if m is None or isinstance(m, list) else [m]
+                              for m in merged]
+                    arr = pa.array(merged, pa.list_(pa.string()))
+                else:
+                    arr = pa.array(merged, pa.string())
+            batch = set_column(batch, name, arr)
         if any(failed) and not self.ignore_failure:
             batch = set_error(batch, pa.array(failed),
                               "unable to split key-value pair")

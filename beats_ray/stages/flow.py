@@ -180,7 +180,23 @@ class ScriptStage(Stage):
                 for r in norm:
                     if r[k] is not None and not isinstance(r[k], list):
                         r[k] = [r[k]]
-        return pa.Table.from_pylist(norm)
+        try:
+            return pa.Table.from_pylist(norm)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            # mixed scalar types in one column (int rows + str rows after
+            # per-row scripting, auditd module): build per column, falling
+            # back to strings only where inference genuinely conflicts
+            cols, names = [], []
+            for k in keys:
+                vals = [r[k] for r in norm]
+                try:
+                    cols.append(pa.array(vals))
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    cols.append(pa.array(
+                        [None if v is None else str(v) for v in vals],
+                        pa.string()))
+                names.append(k)
+            return pa.table(cols, names=names)
 
 
 @register("dns")
