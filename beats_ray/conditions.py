@@ -142,6 +142,61 @@ class Length(Condition):
 
 
 @dataclass
+class FieldEquals(Condition):
+    """Column-vs-column equality (painless ``ctx.a == ctx.b``): true where
+    both values are equal OR both are null/absent (painless null == null)."""
+
+    left: str
+    right: str
+
+    def mask(self, batch):
+        n = len(batch)
+        a, b = _col(batch, self.left), _col(batch, self.right)
+        a_null = pc.is_null(a) if a is not None else pa.array([True] * n)
+        b_null = pc.is_null(b) if b is not None else pa.array([True] * n)
+        both_null = pc.and_(a_null, b_null)
+        if a is None or b is None:
+            return _nn(both_null)
+        try:
+            if a.type != b.type:
+                a = pc.cast(a, pa.string())
+                b = pc.cast(b, pa.string())
+            eq = pc.fill_null(pc.equal(a, b), False)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                pa.ArrowTypeError):
+            eq = _false(n)
+        return _nn(pc.or_(eq, both_null))
+
+
+@dataclass
+class FieldContains(Condition):
+    """Per-row membership: the list/string in ``field`` contains the value
+    of ``value_field`` (painless ``a.contains(ctx.b)``, ftd zones)."""
+
+    field: str
+    value_field: str
+
+    def mask(self, batch):
+        n = len(batch)
+        col, vcol = _col(batch, self.field), _col(batch, self.value_field)
+        if col is None or vcol is None:
+            return _false(n)
+        vals = vcol.to_pylist()
+        rows = col.to_pylist()
+        out = []
+        for r, v in zip(rows, vals):
+            if r is None or v is None:
+                out.append(False)
+            elif isinstance(r, list):
+                out.append(v in r)
+            elif isinstance(r, str):
+                out.append(str(v) in r)
+            else:
+                out.append(False)
+        return pa.array(out, pa.bool_())
+
+
+@dataclass
 class ElementString(Condition):
     """True where the field is a NON-EMPTY list **of strings** — the
     painless ``x[0] instanceof String`` idiom (cisco amp mitre lists);
@@ -326,6 +381,10 @@ def compile_condition(cfg) -> Condition:
                 parts.append(Length(f, v if isinstance(v, dict) else {"eq": v}))
         elif key == "element_string":
             parts.append(ElementString(val))
+        elif key == "field_equals":
+            parts.append(FieldEquals(val[0], val[1]))
+        elif key == "field_contains":
+            parts.append(FieldContains(val[0], val[1]))
         elif key == "has_fields":
             parts.append(HasFields(list(val) if isinstance(val, (list, tuple)) else [val]))
         elif key == "network":

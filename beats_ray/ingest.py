@@ -142,6 +142,11 @@ class _P:
                     self.take()
                     if self.peek()[0] in ("str", "num"):
                         arg = self.take()[1]
+                    elif self.peek() == ("word", "ctx"):
+                        rpath, rmethod, _ = self._path()
+                        if rmethod is not None:
+                            raise PainlessUnsupported("method in call arg")
+                        arg = ("path", rpath)
                     self.expect(")")
                     method = w[1]
                     break
@@ -205,6 +210,10 @@ class _P:
         if method in ("isEmpty",):
             return self._bool_suffix({"length": {path: {"eq": 0}}})
         if method in ("contains",):
+            if isinstance(arg, tuple) and arg[0] == "path":
+                # list field contains ANOTHER FIELD's per-row value
+                # (ftd zone-direction conditions)
+                return self._bool_suffix({"field_contains": [path, arg[1]]})
             return self._bool_suffix({"contains": {path: arg}})
         if method in ("startsWith",):
             return self._bool_suffix(
@@ -252,6 +261,13 @@ class _P:
             return {"has_fields": [path]}
         if nxt[0] == "op" and nxt[1] in ("==", "!=", "<", ">", "<=", ">="):
             op = self.take()[1]
+            if self.peek() == ("word", "ctx") and op in ("==", "!="):
+                # column-vs-column comparison (ftd NAT mapped ip/port)
+                rpath, rmethod, _ = self._path()
+                if rmethod is not None:
+                    raise PainlessUnsupported("method on rhs path")
+                eq = {"field_equals": [path, rpath]}
+                return eq if op == "==" else {"not": eq}
             rhs = self.take()
             if rhs == ("word", "null"):
                 has = {"has_fields": [path]}
@@ -488,7 +504,7 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
         return [{"kv": out}]
     if kind == "grok":
         out = {"field": cfg["field"], "patterns": cfg["patterns"],
-               "ignore_missing": True,
+               "ignore_missing": True, "empty_to_null": True,
                "ignore_failure": bool(cfg.get("ignore_failure", False))}
         if cfg.get("pattern_definitions"):
             out["pattern_definitions"] = cfg["pattern_definitions"]

@@ -118,6 +118,22 @@ def compile_grok(expression: str, pattern_definitions: dict | None = None,
         return f"(?P<{group}>{body})"
 
     pattern = _GROK_TOKEN.sub(sub, expression)
+    # Oniguruma inline named groups may carry DOTTED field names
+    # ((?<destination.address>...), cisco asa-ftd) — sanitize like %{}
+    # fields; don't touch lookbehinds (?<= / (?<!
+
+    def sub_inline(m: re.Match) -> str:
+        field = m.group(1)
+        group = re.sub(r"\W", "_", field)
+        if group in fields and fields[group] != field:
+            counter[0] += 1
+            group = f"{group}_{counter[0]}"
+        fields[group] = field
+        return f"(?P<{group}>"
+
+    # only bare Oniguruma groups — (?P<...> groups were emitted by the
+    # %{} sub above and are already registered
+    pattern = re.sub(r"\(\?<([A-Za-z_][\w.\[\]@]*)>", sub_inline, pattern)
     # Oniguruma (ES grok) permits bare unnamed capture groups; RE2's
     # extract_regex rejects them.  Rewrite "(" -> "(?:" unless escaped or
     # already a (?...) construct — capture-by-name is the only extraction
@@ -164,6 +180,9 @@ class GrokStage(Stage):
         prefix = c.get("target_prefix", "")
         self.prefix = prefix + "_" if prefix else ""
         self.ignore_failure = bool(c.get("ignore_failure", False))
+        # ES-grok parity: non-participating optional groups leave the field
+        # UNSET; RE2 extracts them as "" — the ingest compiler sets this
+        self.empty_to_null = bool(c.get("empty_to_null", False))
         self.ignore_missing = bool(c.get("ignore_missing", False))
 
     def input_columns(self):
@@ -238,6 +257,10 @@ class GrokStage(Stage):
                 out_name = self.prefix + field_to_column(field_name)
                 vals = pc.if_else(ok, pc.struct_field(structs, group),
                                   pa.nulls(n, pa.string()))
+                if self.empty_to_null:
+                    vals = pc.if_else(
+                        pc.equal(pc.fill_null(vals, ""), ""),
+                        pa.nulls(n, pa.string()), vals)
                 typ = meta["types"].get(group)
                 if typ in ("int", "long", "float", "double"):
                     # optional non-participating groups extract as "" -> null
