@@ -139,7 +139,7 @@ class ScriptStage(Stage):
             # through the mini-JS interpreter (supported subset documented
             # in stages/minijs.py; unsupported constructs fail at compile)
             from .minijs import compile_js
-            js_fn = compile_js(self.source)
+            js_fn = compile_js(self.source, params=self.params)
             self._row_fn = lambda event, params, _f=js_fn: _f(event)
             return
         ns: dict = {"pa": pa, "pd": pd, "np": np}

@@ -169,6 +169,7 @@ class _Parser:
     def __init__(self, tokens):
         self.toks = tokens
         self.i = 0
+        self._no_in = False   # suppress the `in` OPERATOR in for-headers
 
     def peek(self, k=0):
         j = min(self.i + k, len(self.toks) - 1)
@@ -280,7 +281,7 @@ class _Parser:
             return ("continue",)
         if val == "switch":
             return self.parse_switch()
-        if val in ("throw", "new", "do"):
+        if val in ("throw", "do"):
             raise JSUnsupported(f"JS construct {val!r} is outside the "
                                 "supported subset (see stages/minijs.py)")
         expr = self.parse_expr()
@@ -404,10 +405,20 @@ class _Parser:
 
     def parse_cmp(self):
         l = self.parse_add()
-        while self.peek()[1] in ("===", "!==", "==", "!=", "<", ">", "<=", ">="):
-            op = self.next()[1]
-            l = ("cmp", op, l, self.parse_add())
-        return l
+        while True:
+            nxt = self.peek()[1]
+            if nxt in ("===", "!==", "==", "!=", "<", ">", "<=", ">="):
+                op = self.next()[1]
+                l = ("cmp", op, l, self.parse_add())
+            elif nxt == "instanceof":
+                self.next()
+                tname = self.next()[1]
+                l = ("instanceof", l, tname)
+            elif nxt == "in" and not self._no_in:
+                self.next()
+                l = ("in_op", l, self.parse_add())
+            else:
+                return l
 
     def parse_add(self):
         l = self.parse_mul()
@@ -424,6 +435,12 @@ class _Parser:
         return l
 
     def parse_unary(self):
+        if self.peek()[1] == "new":
+            self.next()
+            e = self.parse_postfix()
+            if e[0] == "call":
+                return ("new", e[1], e[2])
+            return ("new", e, [])
         if self.peek()[1] == "!":
             self.next()
             return ("not", self.parse_unary())
@@ -614,6 +631,119 @@ _STRING_METHODS = {
 }
 
 
+
+
+def _go_layouts(layouts):
+    """Go reference-time layouts -> the timestamp stage's strptime layouts
+    (UNIX/UNIX_MS/ISO8601 pass through)."""
+    out = []
+    for lay in layouts or []:
+        if lay in ("UNIX", "UNIX_MS", "ISO8601", "TAI64N"):
+            out.append(lay)
+            continue
+        t = lay
+        for go, py in ((".999999999", ".%f"), (".999999", ".%f"),
+                       (".999", ".%f"), ("Z07:00", "%z"), ("-07:00", "%z"),
+                       ("Z0700", "%z"), ("-0700", "%z"), ("2006", "%Y"),
+                       ("Jan", "%b"), ("Mon", "%a"), ("January", "%B"),
+                       ("15", "%H"), ("01", "%m"), ("02", "%d"),
+                       ("_2", "%e"), ("04", "%M"), ("05", "%S"),
+                       ("MST", "%Z"), ("06", "%y"), ("PM", "%p")):
+            t = t.replace(go, py)
+        out.append(t)
+    return out
+
+
+def _run_stage_on_event(stage, proxy):
+    """Execute a batch Stage against ONE event (the goja processor-registry
+    shim: ``new processor.Convert({...}).Run(evt)``).  The row is rebuilt
+    from the stage's 1-row output; non-arrow-able values are held aside."""
+    import pyarrow as pa
+    row = proxy.row
+    cols, names, held = [], [], {}
+    for k, v in row.items():
+        try:
+            cols.append(pa.array([v]))
+            names.append(k)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError, ValueError):
+            held[k] = v
+    t = pa.table(cols, names=names) if names else pa.table({"_d": [0]})
+    out = stage.apply(t)
+    if len(out) == 0:
+        proxy.Cancel()
+        return
+    new = out.to_pylist()[0]
+    new.pop("_d", None)
+    new.update(held)
+    row.clear()
+    row.update(new)
+
+
+def _make_stage(name, cfg):
+    from .base import stage_factory
+    cfg = dict(cfg or {})
+    if name == "timestamp" and cfg.get("layouts"):
+        cfg["layouts"] = _go_layouts(cfg["layouts"])
+        cfg.pop("tests", None)
+        cfg.setdefault("ignore_missing", True)
+    return stage_factory(name)(cfg)
+
+
+_SHIM_NAMES = {
+    "Convert": "convert", "AddFields": "add_fields", "Dissect": "dissect",
+    "Timestamp": "timestamp", "DecodeJSONFields": "decode_json_fields",
+    "CommunityID": "community_id", "AddNetworkDirection":
+    "add_network_direction", "Rename": "rename", "CopyFields":
+    "copy_fields", "DropFields": "drop_fields", "Truncate":
+    "truncate_fields",
+}
+
+
+def _processor_obj(stage):
+    return {"Run": lambda evt, _s=stage: _run_stage_on_event(_s, evt)}
+
+
+def _chain_builder(stages=()):
+    stages = list(stages)
+
+    def _add(p):
+        # p: processor object dict ({Run}), plain callable, or JS closure
+        return _chain_builder(stages + [p])
+
+    def _build():
+        def _run(evt):
+            for p in stages:
+                fn = p.get("Run") if isinstance(p, dict) else p
+                if fn is None:
+                    continue
+                fn(evt)
+                if getattr(evt, "cancelled", False):
+                    return
+        return {"Run": _run}
+
+    out = {"Add": _add, "Build": _build}
+    for attr, reg in _SHIM_NAMES.items():
+        out[attr] = (lambda cfg=None, _r=reg:
+                     _chain_builder(stages + [_processor_obj(
+                         _make_stage(_r, cfg))]))
+    return out
+
+
+class _ProcessorModule:
+    """require("processor") — constructors onto the registered stage set;
+    ``new processor.X(cfg)`` builds the stage once, ``.Run(evt)`` executes
+    it per event (the reference's jsprocessor registry,
+    script/javascript/module/processor)."""
+
+    def __getattr__(self, name):
+        if name == "Chain":
+            return lambda: _chain_builder()
+        reg = _SHIM_NAMES.get(name)
+        if reg is None:
+            raise JSUnsupported(f"processor.{name} is not shimmed")
+        return lambda cfg=None, _r=reg: _processor_obj(_make_stage(_r, cfg))
+
+
 def _require(name):
     """goja's require() shim for the node builtins Beats module scripts use
     (zeek configs do var net = require("net"); net.isIP(x))."""
@@ -632,6 +762,12 @@ def _require(name):
         return {"basename": posixpath.basename,
                 "dirname": posixpath.dirname,
                 "extname": lambda p: posixpath.splitext(p)[1]}
+    if name == "processor":
+        return _ProcessorModule()
+    if name == "console":
+        noop = lambda *a, **k: None  # noqa: E731
+        return {"debug": noop, "info": noop, "warn": noop, "error": noop,
+                "log": noop}
     raise JSUnsupported(f"require({name!r}) is outside the supported subset")
 
 
@@ -639,46 +775,74 @@ _MAX_CALL_DEPTH = 32
 
 
 class _Interp:
-    def __init__(self, funcs: dict, top):
+    def __init__(self, funcs: dict, top, params=None):
         self.funcs = funcs              # name -> (params, body)
-        params, body = funcs["process"]
-        self.arg = params[0] if params else "event"
+        fparams, body = funcs["process"]
+        self.arg = fparams[0] if fparams else "event"
         self.body = body
         self.top = top                  # top-level statements (run per row)
+        self.params = params or {}
+        self._registered = False
+
+    def _base_globals(self):
+        import json as _json
+        return {"String": str, "Number": float,
+                "parseInt": lambda v, base=10: int(str(v), int(base)),
+                "parseFloat": float, "require": _require,
+                "JSON": {"stringify": lambda v, *a: _json.dumps(v),
+                         "parse": lambda v: _json.loads(v)},
+                "Array": {"isArray": lambda v: isinstance(v, list)},
+                "Math": {"round": lambda v: int(_tonum(v) + 0.5)
+                         if _tonum(v) >= 0 else -int(-_tonum(v) + 0.5),
+                         "floor": lambda v: math.floor(_tonum(v)),
+                         "abs": lambda v: abs(_tonum(v)),
+                         "max": lambda *a: max(map(_tonum, a)),
+                         "min": lambda *a: min(map(_tonum, a))}}
 
     def run(self, row: dict):
         proxy = _EventProxy(row)
-        self.globals = {"String": str, "Number": float,
-                        "parseInt": lambda v, base=10: int(str(v), int(base)),
-                        "parseFloat": float, "require": _require,
-                        "Math": {"round": lambda v: int(_tonum(v) + 0.5)
-                                 if _tonum(v) >= 0 else -int(-_tonum(v) + 0.5),
-                                 "floor": lambda v: math.floor(_tonum(v)),
-                                 "abs": lambda v: abs(_tonum(v)),
-                                 "max": lambda *a: max(map(_tonum, a)),
-                                 "min": lambda *a: min(map(_tonum, a))}}
+        has_register = "register" in self.funcs
+        if has_register and self._registered:
+            # register-protocol scripts (o365, gcp): top-level state and
+            # the registered processor pipeline persist across events,
+            # mirroring the reference's per-worker JS session
+            pass
+        else:
+            self.globals = self._base_globals()
+            self._iters = _MAX_ITER
+            self._depth = 0
+            env = dict(self.globals)
+            try:
+                for st in self.top:     # var net = require("net"); ...
+                    self.exec_stmt(st, env)
+            except (_Cancelled, _Returned):
+                pass
+            self.globals = env
+            if has_register:
+                self.call_user("register", [self.params])
+                self._registered = True
         self._iters = _MAX_ITER
         self._depth = 0
-        env = dict(self.globals)
+        env2 = dict(self.globals)
+        env2[self.arg] = proxy
         try:
-            for st in self.top:         # var net = require("net"); ...
-                self.exec_stmt(st, env)
-            self.globals.update(env)
-            env2 = dict(self.globals)
-            env2[self.arg] = proxy
             for st in self.body:
                 self.exec_stmt(st, env2)
         except _Cancelled:
             return None
         except _Returned:
             pass
+        if not has_register:
+            self.globals.update({k: v for k, v in env2.items()
+                                 if k != self.arg})
         return None if proxy.cancelled else proxy.row
 
-    def call_user(self, name, args):
+    def call_user(self, name, args, this_obj=None):
         if self._depth >= _MAX_CALL_DEPTH:
             raise JSUnsupported("script call depth exceeded")
         params, body = self.funcs[name]
         env = dict(self.globals)
+        env["this"] = this_obj
         for p, a in zip(params, args):
             env[p] = a
         for p in params[len(args):]:
@@ -835,25 +999,31 @@ class _Interp:
             # reads config constants through it; writes stay local)
             params, body, cap = node[1], node[2], env
 
-            def _fn(*args, _p=params, _b=body, _cap=cap):
-                if self._depth >= _MAX_CALL_DEPTH:
-                    raise JSUnsupported("script call depth exceeded")
-                fenv = dict(self.globals)
-                fenv.update(_cap)
-                for p, a in zip(_p, args):
-                    fenv[p] = a
-                for p in _p[len(args):]:
-                    fenv[p] = None
-                self._depth += 1
-                try:
-                    for st in _b:
-                        self.exec_stmt(st, fenv)
-                except _Returned as r:
-                    return r.value
-                finally:
-                    self._depth -= 1
-                return None
-            return _fn
+            interp = self
+
+            class _Closure:
+                _is_js_closure = True
+
+                def __call__(self, *args, _this=None):
+                    if interp._depth >= _MAX_CALL_DEPTH:
+                        raise JSUnsupported("script call depth exceeded")
+                    fenv = dict(interp.globals)
+                    fenv.update(cap)
+                    fenv["this"] = _this
+                    for p, a in zip(params, args):
+                        fenv[p] = a
+                    for p in params[len(args):]:
+                        fenv[p] = None
+                    interp._depth += 1
+                    try:
+                        for st in body:
+                            interp.exec_stmt(st, fenv)
+                    except _Returned as r:
+                        return r.value
+                    finally:
+                        interp._depth -= 1
+                    return None
+            return _Closure()
         if op == "array":
             return [self.eval(x, env) for x in node[1]]
         if op == "object":
@@ -944,7 +1114,26 @@ class _Interp:
                     return _push
                 if name == "pop":
                     return lambda o=obj: o.pop() if o else None
+                if name == "forEach":
+                    def _each(fn, o=obj):
+                        for x in o:
+                            fn(x)
+                    return _each
+                if name == "map":
+                    return lambda fn, o=obj: [fn(x) for x in o]
+                if name == "filter":
+                    return lambda fn, o=obj: [x for x in o if _truthy(fn(x))]
+                if name == "concat":
+                    return lambda other, o=obj: list(o) + (
+                        list(other) if isinstance(other, list) else [other])
+                if name == "slice":
+                    return lambda a=0, b=None, o=obj: \
+                        o[int(a):None if b is None else int(b)]
             if isinstance(obj, dict):
+                if name == "hasOwnProperty":
+                    return lambda k, o=obj: k in o
+                if name == "keySet":
+                    return lambda o=obj: list(o)
                 return obj.get(name)
             raise JSUnsupported(f"member {name!r} on {type(obj).__name__}")
         if op == "index":
@@ -960,7 +1149,49 @@ class _Interp:
                 except (IndexError, ValueError):
                     return None
             return None
+        if op == "in_op":
+            k = self.eval(node[1], env)
+            container = self.eval(node[2], env)
+            if isinstance(container, dict):
+                return k in container
+            if isinstance(container, list):
+                return isinstance(k, (int, float)) and 0 <= int(k) < len(container)
+            return False
+        if op == "instanceof":
+            v = self.eval(node[1], env)
+            t = node[2]
+            return {"Array": isinstance(v, list),
+                    "String": isinstance(v, str),
+                    "Object": isinstance(v, dict),
+                    "Number": isinstance(v, (int, float))
+                    and not isinstance(v, bool),
+                    "Boolean": isinstance(v, bool),
+                    "Function": callable(v)}.get(t, False)
+        if op == "new":
+            callee = node[1]
+            args = [self.eval(a, env) for a in node[2]]
+            # user-defined constructor: fresh `this` object, JS semantics
+            if callee[0] == "ident" and callee[1] in self.funcs:
+                thisobj = {}
+                r = self.call_user(callee[1], args, this_obj=thisobj)
+                return r if isinstance(r, dict) else thisobj
+            fn = self.eval(callee, env)
+            if getattr(fn, "_is_js_closure", False):
+                thisobj = {}
+                r = fn(*args, _this=thisobj)
+                return r if isinstance(r, dict) else thisobj
+            if callable(fn):   # host constructor (processor.X, Chain...)
+                return fn(*args)
+            raise JSUnsupported("new on non-function")
         if op == "call":
+            # method call on a user object: bind `this` for JS closures
+            if node[1][0] == "member":
+                obj = self.eval(node[1][1], env)
+                if isinstance(obj, dict):
+                    fn = obj.get(node[1][2])
+                    if getattr(fn, "_is_js_closure", False):
+                        args = [self.eval(a, env) for a in node[2]]
+                        return fn(*args, _this=obj)
             if node[1][0] == "ident" and node[1][1] in self.funcs:
                 args = [self.eval(a, env) for a in node[2]]
                 return self.call_user(node[1][1], args)
@@ -1150,14 +1381,16 @@ def _row_view(self):
 _EventProxy.row_view = _row_view
 
 
-def compile_js(source: str):
+def compile_js(source: str, params=None):
     """Compile a ``function process(event) {...}`` JS source into a Python
     callable ``fn(row_dict) -> dict | None`` (None = event cancelled).
-    Raises JSUnsupported at compile time for anything outside the subset."""
+    Raises JSUnsupported at compile time for anything outside the subset.
+    ``params`` feed ``function register(params)`` once per worker (the
+    reference's script-config params)."""
     toks = _tokenize(source)
     p = _Parser(toks)
     funcs, top = p.parse_program()
     if "process" not in funcs:
         raise JSUnsupported("no function process(event) in script")
-    interp = _Interp(funcs, top)
+    interp = _Interp(funcs, top, params=params)
     return interp.run

@@ -120,8 +120,11 @@ def test_ternary_and_not():
 def test_unsupported_constructs_fail_at_compile():
     with pytest.raises(JSUnsupported):
         compile_js('function process(e) { throw "boom"; }')
+    # `new` now parses (round 4: user/host constructors); an unknown
+    # constructor still fails loudly — at run time
+    fn = compile_js('function process(e) { var x = new Date(); }')
     with pytest.raises(JSUnsupported):
-        compile_js('function process(e) { var x = new Date(); }')
+        fn({})
     with pytest.raises(JSUnsupported):
         compile_js('function process(e) { do { } while (false); }')
 
