@@ -55,8 +55,27 @@ def small_groupby(ds, keys: list[str], partial_fn, agg: dict[str, str],
         from ray.data.aggregate import Max, Min, Sum
         mk = {"sum": Sum, "min": Min, "max": Max}
         aggs = [mk[how](col, alias_name=col) for col, how in agg.items()]
-        reduced = partials_md.groupby(keys).aggregate(*aggs)
+        # Ray Data's groupby does not keep null-key groups the way pandas
+        # dropna=False does: route rows with any null key through the
+        # driver merge (bounded: at most #blocks x #null-key-combos rows)
+        # and shuffle only the non-null remainder.
+        def _any_null_key(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            m = pa.array([False] * len(t))
+            for k in keys:
+                m = _pc.or_(m, _pc.is_null(t.column(k)))
+            return t.append_column("__nullkey", m)
+        flagged = partials_md.map_batches(_any_null_key,
+                                          batch_format="pyarrow")
+        reduced = flagged.filter(expr="__nullkey == False") \
+            .drop_columns(["__nullkey"]).groupby(keys).aggregate(*aggs)
         out = reduced.to_pandas()[keys + list(agg)]
+        null_rows = flagged.filter(expr="__nullkey == True") \
+            .drop_columns(["__nullkey"]).take_all()
+        if null_rows:
+            ndf = pd.DataFrame(null_rows).groupby(
+                keys, dropna=False, as_index=False).agg(agg)
+            out = pd.concat([out, ndf], ignore_index=True)
     else:
         df = pd.DataFrame(partials_md.take_all())
         out = df.groupby(keys, dropna=False, as_index=False).agg(agg)

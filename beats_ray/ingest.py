@@ -215,6 +215,11 @@ class _P:
                 # (ftd zone-direction conditions)
                 return self._bool_suffix({"field_contains": [path, arg[1]]})
             return self._bool_suffix({"contains": {path: arg}})
+        if method in ("startsWith", "endsWith", "equalsIgnoreCase"):
+            # field-path arguments (ctx.a.startsWith(ctx.b)) have no static
+            # regex form — fail at compile time, never emit a dead condition
+            if not isinstance(arg, (str, int, float)):
+                raise PainlessUnsupported(f".{method}({arg!r})")
         if method in ("startsWith",):
             return self._bool_suffix(
                 {"regexp": {path: "^" + re.escape(str(arg))}})

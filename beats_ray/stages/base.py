@@ -158,8 +158,20 @@ class Stage:
                     # fallback for nested outputs
                     return None
                 if pa.types.is_null(new.type):
-                    # all-null output column: nothing to scatter
-                    result = set_column(result, name, pa.nulls(n))
+                    # all-null output column from the masked subset: rows
+                    # OUTSIDE the mask must keep their existing values, so
+                    # only shortcut when the column doesn't exist (or is
+                    # itself null-typed); otherwise scatter typed nulls.
+                    if name not in result.column_names or \
+                            pa.types.is_null(result.column(name).type):
+                        result = set_column(result, name, pa.nulls(n))
+                        continue
+                    orig = result.column(name).combine_chunks()
+                    if pa.types.is_nested(orig.type):
+                        return None  # replace_with_mask aborts on nested
+                    merged = pc.replace_with_mask(
+                        orig, mask, pc.cast(new, orig.type))
+                    result = set_column(result, name, merged)
                     continue
                 if name in result.column_names:
                     orig = result.column(name).combine_chunks()

@@ -797,10 +797,18 @@ class KeyValue(Stage):
                     if isinstance(merged[-1], list):
                         any_list = True
                 if any_list:
-                    merged = [m if m is None or isinstance(m, list) else [m]
+                    # pre-existing values may be non-string scalars (ints/
+                    # bools from an earlier stage) — stringify elements so
+                    # the list<string> build can't raise ArrowInvalid
+                    merged = [m if m is None else
+                              [e if e is None or isinstance(e, str)
+                               else str(e) for e in
+                               (m if isinstance(m, list) else [m])]
                               for m in merged]
                     arr = pa.array(merged, pa.list_(pa.string()))
                 else:
+                    merged = [m if m is None or isinstance(m, str) else str(m)
+                              for m in merged]
                     arr = pa.array(merged, pa.string())
             batch = set_column(batch, name, arr)
         if any(failed) and not self.ignore_failure:

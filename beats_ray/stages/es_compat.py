@@ -80,8 +80,9 @@ class SetField(Stage):
             if self.ignore_empty:
                 empty = pc.or_kleene(pc.is_null(new), pc.equal(new, ""))
                 keep_cur = pc.fill_null(empty, True)
-                if pc.all(keep_cur).as_py() and \
-                        field_to_column(self.field) not in batch.column_names:
+                if pc.all(keep_cur).as_py():
+                    # no row is actually set: leave the batch (and the
+                    # existing column's type) untouched
                     return batch
         else:
             if self.ignore_empty and self.value in (None, ""):

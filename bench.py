@@ -100,8 +100,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # pipelines (scheduler/actor-startup variance); best-of-N stabilizes
     # round-over-round comparisons
     reps = int(os.environ.get("BEATS_RAY_QUERY_REPS", "2"))
+    only = os.environ.get("BEATS_RAY_QUERY_FILTER")
+    only = {q.strip() for q in only.split(",")} if only else None
     if not skip_in_scaling:
         for name, fn in QUERIES.items():
+            if only is not None and name not in only:
+                continue
             best = float("inf")
             try:
                 for rep in range(max(reps, 1)):
@@ -141,9 +145,24 @@ def run_subprocess(ncpu: int, sf_dir: str) -> dict:
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="beats_ray benchmark: headline flagship timing + "
+                    "per-query suite over $GRAFT_SF_DIR; prints one JSON "
+                    "line.  --scaling runs the headline at two parallelism "
+                    "levels in fresh processes and reports efficiency.")
+    ap.add_argument("--scaling", action="store_true",
+                    help="two-parallelism scaling evidence "
+                         "(GRAFT_SCALING_PAIR, default 4,16 on sf1)")
+    ap.add_argument("--queries", default=None, metavar="Q1,Q2",
+                    help="comma-separated subset of query names to time "
+                         "(default: all)")
+    opts = ap.parse_args()
+    if opts.queries:
+        os.environ["BEATS_RAY_QUERY_FILTER"] = opts.queries
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    if "--scaling" in sys.argv:
+    if opts.scaling:
         # Scaling evidence needs a compute-dominated job: default to the sf1
         # transcript table (6M turns) so fixed startup cost doesn't mask the
         # parallel speedup (BASELINE.md protocol).

@@ -161,3 +161,64 @@ def test_fingerprint_large_float_uses_go_format():
     import hashlib
     want = hashlib.sha256(b"|f|1.23456789e+08|").hexdigest()
     assert out.column("fp").to_pylist() == [want]
+
+
+# ------------------------------------------------- round-5 advisor findings
+
+def test_scatter_allnull_output_preserves_unmasked_rows():
+    # ADVICE r4: a conditioned stage emitting an all-null column for the
+    # masked subset must NOT wipe existing values on rows outside the mask
+    from beats_ray.stages.base import FnStage
+    from beats_ray.conditions import compile_condition
+
+    def wipe(t: pa.Table) -> pa.Table:
+        return t.set_column(t.column_names.index("x"), "x",
+                            pa.nulls(len(t)))
+
+    st = FnStage(wipe, name="wipe")
+    st.when = compile_condition({"equals": {"sel": "yes"}})
+    batch = pa.table({"sel": ["yes", "no", "yes", "no"],
+                      "x": ["a", "b", "c", "d"]})
+    out = st.apply(batch)
+    rows = {r["sel"] + str(i): r["x"]
+            for i, r in enumerate(out.to_pylist())}
+    vals = {r["x"] for r in out.to_pylist() if r["sel"] == "no"}
+    assert vals == {"b", "d"}, rows
+    masked = {r["x"] for r in out.to_pylist() if r["sel"] == "yes"}
+    assert masked == {None}
+
+
+def test_es_set_ignore_empty_keeps_column_type():
+    # ADVICE r4: template + ignore_empty_value with nothing to set must not
+    # cast an existing int column to string
+    st = stage_factory("set")({"field": "n", "template": "%{[missing]}",
+                               "ignore_empty_value": True})
+    st.setup()
+    batch = pa.table({"n": pa.array([1, 2], pa.int64()),
+                      "other": ["a", "b"]})
+    out = st.apply(batch)
+    assert out.column("n").type == pa.int64()
+    assert out.column("n").to_pylist() == [1, 2]
+
+
+def test_painless_startswith_field_arg_raises():
+    # ADVICE r4: ctx.a.startsWith(ctx.b) must fail at compile, not emit a
+    # never-matching regex
+    import pytest as _pytest
+    from beats_ray.ingest import PainlessUnsupported, painless_condition
+    for meth in ("startsWith", "endsWith", "equalsIgnoreCase"):
+        with _pytest.raises(PainlessUnsupported):
+            painless_condition(f"ctx.a.{meth}(ctx.b)")
+
+
+def test_kv_append_merge_stringifies_non_strings():
+    # ADVICE r4: pre-existing non-string scalars in the kv target must not
+    # raise ArrowInvalid during the append merge
+    st = stage_factory("kv")({"field": "msg", "field_split": " ",
+                                      "value_split": "=", "prefix": "kv."})
+    st.setup()
+    batch = pa.table({"msg": ["a=1 a=2", "a=3"],
+                      "kv_a": pa.array([7, None], pa.int64())})
+    out = st.apply(batch)
+    got = out.column("kv_a").to_pylist()
+    assert got[0] in (["7", "1", "2"], ["7", "1", "2"],), got
