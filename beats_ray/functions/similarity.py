@@ -1,8 +1,9 @@
 """Similarity search over an embedding column (list<float>).
 
 - ``knn_brute``: exact top-k by cosine against a broadcast query matrix —
-  one numpy matmul per batch (``ray.put`` the queries once, ``ray.get`` in
-  the stage), partial top-k per batch, merge on the driver.  The baseline.
+  one numpy matmul per batch (the small query matrix rides in the actor
+  closure, shipped once per actor), partial top-k per batch, merge on the
+  driver.  The baseline.
 - ``knn_ivf``: IVF-flat scale path — k-means coarse quantizer trained on a
   sample (numpy Lloyd iterations, deterministic seed), each vector assigned to
   its nearest centroid inside ``map_batches``; queries probe only the
@@ -29,17 +30,19 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
-def knn_brute(ds, queries: np.ndarray, k: int = 10,
-              id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Exact cosine top-k for each query row.  Returns pa.Table
-    (query_idx, vec_id, cos) with k rows per query, cos rounded to 6."""
-    import ray
-    q = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
-    qref = ray.put(q)
+def make_score_cls(q: np.ndarray, k: int, id_col: str, vec_col: str):
+    """Brute top-k scoring actor class with the (small, nq x dims) unit query
+    matrix captured DIRECTLY in the closure — Ray ships it once per actor via
+    the serialized UDF.  No object-store ObjectRef anywhere in the
+    constructor, so actor RESTART after a node loss re-materializes from the
+    (GCS-backed) task spec even if every driver-side ref is gone (ray#53727:
+    a ray.put ref captured in __init__ fails the restart once the driver ref
+    is dropped).  ``tests/test_round5_paths.py`` pickles this class the way
+    Ray Data does and asserts the payload carries zero ObjectRefs."""
 
     class Score:
         def __init__(self):
-            self.q = ray.get(qref)
+            self.q = q
 
         def __call__(self, t: pa.Table) -> pa.Table:
             mat = list_to_matrix(t[vec_col])
@@ -56,6 +59,15 @@ def knn_brute(ds, queries: np.ndarray, k: int = 10,
                              id_col: pa.array(out_id, pa.int64()),
                              "cos": pa.array(out_c, pa.float64())})
 
+    return Score
+
+
+def knn_brute(ds, queries: np.ndarray, k: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Exact cosine top-k for each query row.  Returns pa.Table
+    (query_idx, vec_id, cos) with k rows per query, cos rounded to 6."""
+    q = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    Score = make_score_cls(q, k, id_col, vec_col)
     partials = ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4)) \
                  .take_all()
     # driver merge: global top-k per query from per-block top-ks
@@ -252,12 +264,12 @@ def sync_ivf_index(root: str, paths: list[str], read_fn,
     prior_dir, indexed = prior
     new_paths = [base_of[b] for b in ident if b not in indexed]
     cent = np.load(os.path.join(prior_dir, "centroids.npy"))
-    import ray
-    cent_ref = ray.put(cent)
 
+    # centroids are n_centroids x dims (small) — direct closure capture is
+    # restart-safe (no constructor ObjectRef, see knn_brute note / ray#53727)
     class Assign:
         def __init__(self):
-            self.cent = ray.get(cent_ref)
+            self.cent = cent
 
         def __call__(self, t: pa.Table) -> pa.Table:
             mat = _unit(list_to_matrix(t[vec_col]))
@@ -382,12 +394,10 @@ def build_ivf_index(ds, n_centroids: int = 16, id_col: str = "vec_id",
                                            id_col=id_col, vec_col=vec_col)
     else:
         cent = train_centroids(sample, n_centroids, seed=seed)
-    import ray
-    cent_ref = ray.put(cent)
-
+    # direct closure capture — restart-safe (see knn_brute note / ray#53727)
     class Assign:
         def __init__(self):
-            self.cent = ray.get(cent_ref)
+            self.cent = cent
 
         def __call__(self, t: pa.Table) -> pa.Table:
             mat = _unit(list_to_matrix(t[vec_col]))
@@ -411,7 +421,6 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
     ~n_probe/n_centroids of the data (assert via ds.stats() input rows).
     Pass ``index=(assigned, cent)`` to amortize the build across calls
     within a process, or ``cache_dir`` to amortize it across runs."""
-    import ray
     q = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     if index is None and cache_dir:
         # persisted-index fast path: centroids load from npy, probing picks
@@ -430,8 +439,6 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
     assigned, cent = index
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]       # (nq, n_probe)
     probed_set = sorted({int(c) for row in probe for c in row})
-    q_ref = ray.put(q)
-    probe_ref = ray.put(probe)
 
     # prune: only vectors in a probed list flow into scoring
     probed_arr = pa.array(probed_set, pa.int32())
@@ -439,10 +446,12 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
         lambda t: t.filter(pa.compute.is_in(t["centroid"], value_set=probed_arr)),
         batch_format="pyarrow")
 
+    # q/probe are nq x dims / nq x n_probe (KBs): direct closure capture,
+    # restart-safe (see knn_brute note / ray#53727)
     class ScoreIVF:
         def __init__(self):
-            self.q = ray.get(q_ref)
-            self.probe = ray.get(probe_ref)
+            self.q = q
+            self.probe = probe
 
         def __call__(self, t: pa.Table) -> pa.Table:
             mat = _unit(list_to_matrix(t[vec_col]))

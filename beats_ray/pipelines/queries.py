@@ -395,7 +395,6 @@ def q_docs_dedup_exact(sf_dir: str):
 def q_embeddings_knn(sf_dir: str):
     """Brute-force cosine top-k against a broadcast query vector (vec_id=0),
     numpy matmul per batch; float64, rounded to 6 digits."""
-    import ray
     import pyarrow.parquet as pq
     # query vector: vec_id == 0 — predicate-pushdown one-row read (never
     # pull the whole embeddings file onto the driver for one vector)
@@ -403,14 +402,15 @@ def q_embeddings_knn(sf_dir: str):
                         columns=["vec_id", "embedding"],
                         filters=[("vec_id", "==", 0)])
     qvec = np.asarray(tbl.column("embedding")[0].as_py(), dtype=np.float64)
-    qref = ray.put(qvec)
     ds = _read(os.path.join(sf_dir, "embeddings.parquet"),
                             columns=["vec_id", "embedding"])
 
+    # one query vector (dims floats) — captured directly in the actor
+    # closure: shipped once per actor, restart-safe (no constructor
+    # ObjectRef that could be lost; ray#53727)
     class Cosine:
         def __init__(self):
-            q = ray.get(qref)
-            self.q = q / np.linalg.norm(q)
+            self.q = qvec / np.linalg.norm(qvec)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
@@ -1529,4 +1529,118 @@ _EXTRA_ORACLES3["docs_decontaminate"] = """
     SELECT d.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS contaminated
     FROM dgrams d JOIN bgrams b USING (g)
     GROUP BY d.doc_id ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------- compiled ES ingest
+
+_APACHE_PIPELINE_YML = ("/root/reference/filebeat/module/apache/access/"
+                        "ingest/pipeline.yml")
+
+# hand-ported painless bodies (positional, like the module golden tests):
+# 1. the tls version splitter (apache pipeline.yml script #1)
+# 2. None — the recursive null-sweep (script #2): the columnar model never
+#    materializes null map members, so it compiles to nothing
+_APACHE_TLS_SCRIPT = {"script": {"source": (
+    "def process(event, params):\n"
+    "    p = event.get('apache_access_ssl_protocol')\n"
+    "    if p is None:\n"
+    "        return event\n"
+    "    parts = p.lower().split('v')\n"
+    "    if len(parts) != 2:\n"
+    "        return event\n"
+    "    event['tls_version'] = parts[1] if '.' in parts[1] \\\n"
+    "        else parts[1] + '.0'\n"
+    "    event['tls_version_protocol'] = parts[0]\n"
+    "    return event\n")}}
+
+
+def q_events_ingest_apache(sf_dir: str):
+    """COMPILED-INGEST pipeline at sf scale (round-4 verdict item 2): the
+    reference's own apache/access ingest pipeline
+    (filebeat/module/apache/access/ingest/pipeline.yml) is compiled onto the
+    registered stage set by ``beats_ray.ingest.compile_ingest`` and run over
+    Apache combined-log lines rendered DETERMINISTICALLY from the events
+    table — so the compiler's emitted chain (multi-pattern grok, uri_parts,
+    Java-layout date parse, painless outcome conditions, mustache set
+    templates) faces the DuckDB oracle and the bench at data scale, not just
+    pytest fixture sizes.  The oracle recomputes the expected parse results
+    straight from the base columns.  geoip is cluster-side (compiler skips
+    it); user_agent RUNS over every row for bench realism but its output is
+    not aggregated (uap parsing is not SQL-expressible)."""
+    from ..ingest import compile_ingest, load_pipeline_yml
+    from ..pipeline import Pipeline
+
+    ds = _read(os.path.join(sf_dir, "events.parquet"),
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        u, e = df["user_id"], df["event_id"]
+        ip = ("10." + ((u // 65536) % 256).astype(str) + "."
+              + ((u // 256) % 256).astype(str) + "." + (u % 256).astype(str))
+        method = pd.Series(
+            np.where(df["event_type"].isin(["purchase", "signup"]),
+                     "POST", "GET"), index=df.index)
+        status = pd.Series(
+            np.where(e % 20 == 0, 500, np.where(e % 20 <= 2, 404, 200)),
+            index=df.index)
+        path = "/api/" + df["event_type"] + "/" + (e % 7).astype(str)
+        when = df["ts"].dt.strftime("%d/%b/%Y:%H:%M:%S") + " +0000"
+        msg = (ip + " - user" + u.astype(str) + " [" + when + "] \""
+               + method + " " + path + " HTTP/1.1\" " + status.astype(str)
+               + " " + (e % 4096).astype(str)
+               + " \"-\" \"Mozilla/5.0 (X11; Linux x86_64) "
+               "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0 "
+               "Safari/537.36\"")
+        # ts doubles as the pre-parse @timestamp the harvester would stamp
+        return pd.DataFrame({"message": msg, "ts": df["ts"]})
+
+    spec = compile_ingest(load_pipeline_yml(_APACHE_PIPELINE_YML),
+                          scripts=[_APACHE_TLS_SCRIPT, None])
+    parsed = Pipeline(spec).apply(
+        ds.map_batches(render, batch_format="pandas"))
+
+    keys = ["event_outcome", "http_request_method",
+            "http_response_status_code", "url_path"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(keys + ["http_response_body_bytes", "ts",
+                              "source_ip"]).to_pandas()
+        g = df.groupby(keys, as_index=False, dropna=False).agg(
+            n=("source_ip", "size"),
+            sum_bytes=("http_response_body_bytes", "sum"),
+            max_ts=("ts", "max"),
+            min_ip=("source_ip", "min"))
+        g["n"] = g["n"].astype("int64")
+        g["sum_bytes"] = g["sum_bytes"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return small_groupby(parsed, keys, partial,
+                         {"n": "sum", "sum_bytes": "sum",
+                          "max_ts": "max", "min_ip": "min"})
+
+
+QUERIES["events_ingest_apache"] = q_events_ingest_apache
+_EXTRA_ORACLES["events_ingest_apache"] = """
+    WITH e AS (
+      SELECT ts,
+             CASE WHEN event_id % 20 = 0 THEN 500
+                  WHEN event_id % 20 <= 2 THEN 404 ELSE 200 END AS status,
+             event_id % 4096 AS nbytes,
+             CASE WHEN event_type IN ('purchase', 'signup') THEN 'POST'
+                  ELSE 'GET' END AS method,
+             '/api/' || event_type || '/' || CAST(event_id % 7 AS VARCHAR) AS path,
+             '10.' || CAST((user_id // 65536) % 256 AS VARCHAR) || '.'
+                   || CAST((user_id // 256) % 256 AS VARCHAR) || '.'
+                   || CAST(user_id % 256 AS VARCHAR) AS ip
+      FROM events)
+    SELECT CASE WHEN status < 400 THEN 'success' ELSE 'failure' END AS event_outcome,
+           method AS http_request_method,
+           status::BIGINT AS http_response_status_code,
+           path AS url_path,
+           count(*)::BIGINT AS n,
+           sum(nbytes)::BIGINT AS sum_bytes,
+           max(date_trunc('second', ts)) AS max_ts,
+           min(ip) AS min_ip
+    FROM e GROUP BY 1, 2, 3, 4
 """
