@@ -152,6 +152,36 @@ def add_tags(batch: pa.Table, tags_to_add, mask=None) -> pa.Table:
     return set_column(batch, TAGS_COL, pa.array(out, typ))
 
 
+def _merge_type(a: pa.DataType, b: pa.DataType) -> pa.DataType:
+    """Recursive type union for branch concat: null slots promote to the
+    other side's type at ANY nesting depth (o365 DLP PolicyDetails: one
+    branch's ActionParameters is all-null -> null type, the other's is
+    list<string>; the merged struct must carry list<string>).  Genuinely
+    conflicting scalars keep the first-seen type."""
+    if a == b:
+        return a
+    if pa.types.is_null(a):
+        return b
+    if pa.types.is_null(b):
+        return a
+    if (pa.types.is_list(a) or pa.types.is_large_list(a)) and \
+            (pa.types.is_list(b) or pa.types.is_large_list(b)):
+        return pa.list_(_merge_type(a.value_type, b.value_type))
+    if pa.types.is_struct(a) and pa.types.is_struct(b):
+        names, fields = [], {}
+        for f in a:
+            names.append(f.name)
+            fields[f.name] = f.type
+        for f in b:
+            if f.name in fields:
+                fields[f.name] = _merge_type(fields[f.name], f.type)
+            else:
+                names.append(f.name)
+                fields[f.name] = f.type
+        return pa.struct([(nm, fields[nm]) for nm in names])
+    return a
+
+
 def unify_concat(parts: list[pa.Table]) -> pa.Table:
     """Concat tables whose schemas may differ by stage-added columns.
 
@@ -178,6 +208,9 @@ def unify_concat(parts: list[pa.Table]) -> pa.Table:
                     # stage appended into a list on some rows): the union
                     # type is the list, scalars wrap below
                     fields[f.name] = f.type
+                else:
+                    # nested null-slot promotion at any depth (_merge_type)
+                    fields[f.name] = _merge_type(fields[f.name], f.type)
     aligned = []
     for t in parts:
         cols = []
@@ -192,7 +225,15 @@ def unify_concat(parts: list[pa.Table]) -> pa.Table:
                             [None if v is None else [v] for v in
                              pc.cast(col, typ.value_type).to_pylist()], typ)
                     else:
-                        col = pc.cast(col, typ)
+                        try:
+                            col = pc.cast(col, typ)
+                        except (pa.ArrowInvalid,
+                                pa.ArrowNotImplementedError):
+                            # deep-nested promotion Arrow can't cast
+                            # directly (struct field-set growth): rebuild
+                            # through python values — branch-split batches
+                            # are small by construction
+                            col = pa.array(col.to_pylist(), typ)
                 cols.append(col)
             else:
                 cols.append(pa.nulls(len(t), typ))

@@ -519,9 +519,11 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
                              "tokenizer": cfg["pattern"],
                              "target_prefix": ""}}]
     if kind == "json":
-        # ES JsonProcessor expands the whole tree (no depth cap)
+        # ES JsonProcessor expands the whole tree (no depth cap) and
+        # REPLACES its target (decoding a stringly field in place — o365
+        # OperationProperties — needs overwrite)
         out = {"fields": [cfg["field"]], "keep_arrays": True,
-               "max_depth": 99}
+               "max_depth": 99, "overwrite_keys": True}
         if cfg.get("target_field"):
             out["target"] = cfg["target_field"]
         elif not cfg.get("add_to_root"):

@@ -76,6 +76,18 @@ class JSUnsupported(ValueError):
     pass
 
 
+def _js_propkey(k):
+    """JS property-name coercion: object keys are strings, so a numeric
+    lookup (evt RecordType 15) must find the literal key '15'."""
+    if isinstance(k, bool):
+        return "true" if k else "false"
+    if isinstance(k, float) and k.is_integer() and abs(k) < 2 ** 53:
+        return str(int(k))
+    if isinstance(k, (int, float)):
+        return str(k)
+    return k
+
+
 def _regex_position(out) -> bool:
     """A '/' starts a REGEX LITERAL (not division) when the previous token
     cannot end an expression — goja/ES lexer rule."""
@@ -231,13 +243,22 @@ class _Parser:
             return ("var", name, ("funclit", params, body))
         if val in ("var", "let", "const"):
             self.next()
-            name = self.next()[1]
-            init = None
-            if self.peek()[1] == "=":
-                self.next()
-                init = self.parse_expr()
+            decls = []
+            while True:
+                name = self.next()[1]
+                init = None
+                if self.peek()[1] == "=":
+                    self.next()
+                    init = self.parse_expr()
+                decls.append((name, init))
+                if self.peek()[1] == ",":   # var a = x, b = y;
+                    self.next()
+                    continue
+                break
             self._semi()
-            return ("var", name, init)
+            if len(decls) == 1:
+                return ("var", decls[0][0], decls[0][1])
+            return ("vars", decls)
         if val == "if":
             self.next()
             self.expect("(")
@@ -377,7 +398,13 @@ class _Parser:
 
     # ---- expressions (precedence climbing) ----
     def parse_expr(self):
-        return self.parse_ternary()
+        e = self.parse_ternary()
+        # assignment EXPRESSION — `(name = src[i].Name) == null` (o365):
+        # plain '=' only ('==' lexes as one token); right-associative
+        if self.peek()[1] == "=" and e[0] in ("ident", "member", "index"):
+            self.next()
+            return ("assignexpr", e, self.parse_expr())
+        return e
 
     def parse_ternary(self):
         cond = self.parse_or()
@@ -535,6 +562,11 @@ class _Parser:
                     key = kt[1]
                 elif kt[0] == "str":
                     key = _unescape_js(kt[1][1:-1])
+                elif kt[0] == "num":
+                    # numeric keys are STRING property names in JS
+                    # (o365 RecordType map: {1: 'ExchangeAdmin', ...})
+                    f = float(kt[1])
+                    key = str(int(f)) if f.is_integer() else str(f)
                 else:
                     raise JSUnsupported(f"object key {kt[1]!r}")
                 self.expect(":")
@@ -575,7 +607,32 @@ class _EventProxy:
     def Get(self, key=None):
         if key is None:
             return dict(self.row)
-        return self.row.get(field_to_column(key))
+        col = field_to_column(key)
+        v = self.row.get(col)
+        if v is not None:
+            return v
+        # dict-valued ancestor: an earlier Put stored a MAP at a shorter
+        # path (o365 makeObjFromNameValuePairArray puts ExtendedProperties
+        # as a dict; altUserAgent then Gets .ExtendedProperties.UserAgent)
+        parts = str(key).split(".")
+        for i in range(len(parts) - 1, 0, -1):
+            av = self.row.get(field_to_column(".".join(parts[:i])))
+            if isinstance(av, dict):
+                cur = av
+                for seg in parts[i:]:
+                    cur = cur.get(seg) if isinstance(cur, dict) else None
+                    if cur is None:
+                        break
+                if cur is not None:
+                    return cur
+        # container Get: the decoder flattens nested OBJECTS into prefix
+        # columns (o365audit.ExceptionInfo -> ..._FalsePositive), but goja's
+        # evt.Get returns the map — rebuild a (single-level) dict view so
+        # null-checks and iteration see the container
+        pre = col + "_"
+        subs = {k[len(pre):]: val for k, val in self.row.items()
+                if k.startswith(pre) and val is not None}
+        return subs or None
 
     def Put(self, key, value):
         col = field_to_column(key)
@@ -662,6 +719,12 @@ def _run_stage_on_event(stage, proxy):
     row = proxy.row
     cols, names, held = [], [], {}
     for k, v in row.items():
+        if v is None:
+            # null == ABSENT in the event model: a None slot (another
+            # row's column) must not count as present, or a Convert with
+            # ignore_missing would null its target (o365 DLP user.id)
+            held[k] = v
+            continue
         try:
             cols.append(pa.array([v]))
             names.append(k)
@@ -674,7 +737,8 @@ def _run_stage_on_event(stage, proxy):
         return
     new = out.to_pylist()[0]
     new.pop("_d", None)
-    new.update(held)
+    for k, v in held.items():
+        new.setdefault(k, v)   # held-aside slots must not clobber stage output
     row.clear()
     row.update(new)
 
@@ -823,8 +887,8 @@ class _Interp:
                 self._registered = True
         self._iters = _MAX_ITER
         self._depth = 0
-        env2 = dict(self.globals)
-        env2[self.arg] = proxy
+        from collections import ChainMap as _CM
+        env2 = _CM({self.arg: proxy}, self.globals)
         try:
             for st in self.body:
                 self.exec_stmt(st, env2)
@@ -833,7 +897,7 @@ class _Interp:
         except _Returned:
             pass
         if not has_register:
-            self.globals.update({k: v for k, v in env2.items()
+            self.globals.update({k: v for k, v in env2.maps[0].items()
                                  if k != self.arg})
         return None if proxy.cancelled else proxy.row
 
@@ -841,8 +905,8 @@ class _Interp:
         if self._depth >= _MAX_CALL_DEPTH:
             raise JSUnsupported("script call depth exceeded")
         params, body = self.funcs[name]
-        env = dict(self.globals)
-        env["this"] = this_obj
+        from collections import ChainMap as _CM
+        env = _CM({"this": this_obj}, self.globals)
         for p, a in zip(params, args):
             env[p] = a
         for p in params[len(args):]:
@@ -861,6 +925,9 @@ class _Interp:
         op = st[0]
         if op == "var":
             env[st[1]] = self.eval(st[2], env) if st[2] is not None else None
+        elif op == "vars":
+            for name, init in st[1]:
+                env[name] = self.eval(init, env) if init is not None else None
         elif op == "if":
             if _truthy(self.eval(st[1], env)):
                 for s in st[2]:
@@ -958,7 +1025,19 @@ class _Interp:
 
     def assign(self, target, value, env):
         if target[0] == "ident":
-            env[target[1]] = value
+            # JS write-where-declared: assignment binds in the innermost
+            # scope that already has the name (so register() writing the
+            # top-level `var audit;` reaches module globals — o365), else
+            # declares locally
+            from collections import ChainMap as _CM
+            if isinstance(env, _CM):
+                for mp in env.maps:
+                    if target[1] in mp:
+                        mp[target[1]] = value
+                        return
+                env.maps[0][target[1]] = value
+            else:
+                env[target[1]] = value
             return
         if target[0] == "index" or target[0] == "member":
             base = target[1]
@@ -1007,13 +1086,20 @@ class _Interp:
                 def __call__(self, *args, _this=None):
                     if interp._depth >= _MAX_CALL_DEPTH:
                         raise JSUnsupported("script call depth exceeded")
-                    fenv = dict(interp.globals)
-                    fenv.update(cap)
-                    fenv["this"] = _this
+                    from collections import ChainMap as _CM
+                    # locals chain to the CAPTURED env (itself chained to
+                    # globals), so closure writes reach the defining scope
+                    # (JS semantics; o365's builder mutates captured state)
+                    if isinstance(cap, _CM):
+                        fenv = _CM({"this": _this}, *cap.maps)
+                    elif cap is interp.globals:
+                        fenv = _CM({"this": _this}, interp.globals)
+                    else:
+                        fenv = _CM({"this": _this}, cap, interp.globals)
                     for p, a in zip(params, args):
-                        fenv[p] = a
+                        fenv.maps[0][p] = a
                     for p in params[len(args):]:
-                        fenv[p] = None
+                        fenv.maps[0][p] = None
                     interp._depth += 1
                     try:
                         for st in body:
@@ -1131,10 +1217,12 @@ class _Interp:
                         o[int(a):None if b is None else int(b)]
             if isinstance(obj, dict):
                 if name == "hasOwnProperty":
-                    return lambda k, o=obj: k in o
+                    return lambda k, o=obj: k in o or _js_propkey(k) in o
                 if name == "keySet":
                     return lambda o=obj: list(o)
                 return obj.get(name)
+            if isinstance(obj, _ProcessorModule):
+                return getattr(obj, name)   # processor.Chain / .Convert / ...
             raise JSUnsupported(f"member {name!r} on {type(obj).__name__}")
         if op == "index":
             obj = self.eval(node[1], env)
@@ -1142,7 +1230,9 @@ class _Interp:
             if isinstance(obj, _EventProxy):
                 return obj.Get(key)
             if isinstance(obj, dict):
-                return obj.get(key)
+                if key in obj:
+                    return obj[key]
+                return obj.get(_js_propkey(key))
             if isinstance(obj, (list, str)):
                 try:
                     return obj[int(key)]
@@ -1153,7 +1243,7 @@ class _Interp:
             k = self.eval(node[1], env)
             container = self.eval(node[2], env)
             if isinstance(container, dict):
-                return k in container
+                return k in container or _js_propkey(k) in container
             if isinstance(container, list):
                 return isinstance(k, (int, float)) and 0 <= int(k) < len(container)
             return False
@@ -1200,6 +1290,10 @@ class _Interp:
             if not callable(fn):
                 raise JSUnsupported("call of non-function")
             return fn(*args)
+        if op == "assignexpr":
+            val = self.eval(node[2], env)
+            self.assign(node[1], val, env)
+            return val
         if op == "ternary":
             return self.eval(node[2], env) if _truthy(self.eval(node[1], env)) \
                 else self.eval(node[3], env)

@@ -118,6 +118,13 @@ class TimestampStage(Stage):
                              f"could not fetch value for key: {self.field}")
         col = batch.column(src)
         n = len(batch)
+        if pa.types.is_timestamp(col.type):
+            # already-parsed source (a JSON decoder inferred the ISO string
+            # as a timestamp): the instant IS the value — layouts don't
+            # apply (o365 CreationTime)
+            batch = set_column(batch, field_to_column(self.target),
+                               pc.cast(col, pa.timestamp("us")))
+            return batch
         out = pa.nulls(n, pa.timestamp("us"))
         out = pa.chunked_array([out])
         for layout in self.layouts:
@@ -235,13 +242,17 @@ class Convert(Stage):
 
     def __init__(self, config=None):
         super().__init__(config)
-        self.fields = [(f["from"], f.get("to", f["from"]), f.get("type", "string"))
+        # type is OPTIONAL in convert.go: without it the value moves
+        # unchanged (a list AlertLinks -> rule.reference must stay a list)
+        self.fields = [(f["from"], f.get("to", f["from"]), f.get("type"))
                        for f in self.config.get("fields", [])]
         self.mode = self.config.get("mode", "copy")
         self.ignore_missing = bool(self.config.get("ignore_missing", False))
         self.fail_on_error = bool(self.config.get("fail_on_error", True))
 
     def _cast(self, col, typ):
+        if typ is None:
+            return col          # typeless entry: move/copy unchanged
         target = _CONVERT_TYPES[typ]
         if typ == "ip":
             import ipaddress
@@ -282,8 +293,29 @@ class Convert(Stage):
     def process(self, batch):
         failed = pa.array([False] * len(batch))
         staged = []
+        handled: set[str] = set()
+        for src, dst, typ in self.fields:
+            # container move/copy: Beats Convert on a MAP value relocates
+            # the whole subtree (o365 saveRaw renames o365audit -> o365.audit
+            # as one field entry); in the flat model that is a column-prefix
+            # rename — no cast applies to a map
+            s = field_to_column(src)
+            if s not in batch.column_names:
+                pre = s + "_"
+                subs = [c for c in batch.column_names if c.startswith(pre)]
+                if subs:
+                    d = field_to_column(dst)
+                    for c in subs:
+                        batch = set_column(batch, d + c[len(s):],
+                                           batch.column(c))
+                    if self.mode == "rename":
+                        batch = batch.drop_columns(subs)
+                    handled.add(s)
+                    continue
         for src, dst, typ in self.fields:
             s = field_to_column(src)
+            if s in handled:
+                continue
             if s not in batch.column_names:
                 if self.ignore_missing:
                     continue
