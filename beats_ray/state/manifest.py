@@ -94,8 +94,30 @@ def run_resumable(pipeline, input_files: list[str], out_dir: str,
     ran = skipped = 0
     for pid, files in plan_partitions(input_files, files_per_partition):
         if pid in done:
-            skipped += 1
-            continue
+            # a committed partition may have been PARTIAL when it ran (the
+            # tail chunk) and the input has since GROWN into it — skipping
+            # on pid alone would silently drop the appended files.  Process
+            # only the never-consumed delta under a derived tag so the
+            # prior partition's outputs stay byte-identical.
+            consumed: set[str] = set()
+            n_derived = 0
+            for did, row in done.items():
+                if did == pid or did.startswith(pid + ".d"):
+                    consumed.update(row.get("input_files") or [])
+                    if did != pid:
+                        n_derived += 1
+            new_files = [f for f in files if f not in consumed]
+            if not new_files:
+                skipped += 1
+                continue
+            if not consumed.issubset(files):
+                raise ValueError(
+                    f"partition {pid}: committed inputs are no longer part "
+                    f"of the chunk (files removed/reordered, not appended). "
+                    f"Resume supports append-only input growth; clear "
+                    f"{out_dir} to reprocess.")
+            pid = f"{pid}.d{n_derived + 1}"
+            files = new_files
         ds = rd.read_parquet(files)
         # input row count from parquet footer metadata — the old ds.count()
         # forced a full extra pass over every partition (2x read
