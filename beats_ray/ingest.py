@@ -319,6 +319,11 @@ _JAVA_TOKENS = [
     ("z", "%Z"), ("VV", "%Z"),
 ]
 _PASSTHROUGH = {"ISO8601", "UNIX", "UNIX_MS", "TAI64N"}
+# java.time named formatters ES date accepts -> the engine's special layouts
+_NAMED_LAYOUTS = {"ISO_INSTANT": "ISO8601", "ISO_OFFSET_DATE_TIME": "ISO8601",
+                  "ISO_DATE_TIME": "ISO8601", "ISO_ZONED_DATE_TIME": "ISO8601",
+                  "iso8601": "ISO8601", "epoch_millis": "UNIX_MS",
+                  "epoch_second": "UNIX"}
 
 
 def java_date_layouts(formats) -> list[str]:
@@ -327,6 +332,9 @@ def java_date_layouts(formats) -> list[str]:
     for f in formats:
         if f in _PASSTHROUGH:
             out.append(f)
+            continue
+        if f in _NAMED_LAYOUTS:
+            out.append(_NAMED_LAYOUTS[f])
             continue
         buf, i = [], 0
         while i < len(f):
@@ -438,8 +446,11 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
             out["timezone"] = tz
         return [{"timestamp": out}]
     if kind == "remove":
+        # ES remove of a map field deletes the subtree (zoom `remove: zoom`
+        # between the payload lift renames)
         return [{"drop_fields": {"fields": _fields_list(cfg),
-                                 "ignore_missing": True}}]
+                                 "ignore_missing": True,
+                                 "drop_subtrees": True}}]
     if kind == "rename":
         if "{{" in cfg.get("target_field", ""):
             return [{"set_dynamic": {"field_template": cfg["target_field"],

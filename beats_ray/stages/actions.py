@@ -372,6 +372,11 @@ class DropFields(Stage):
         super().__init__(config)
         self.fields = list(self.config.get("fields", []))
         self.ignore_missing = bool(self.config.get("ignore_missing", True))
+        # ES `remove` of a MAP field deletes the whole subtree; flat-model
+        # prefix drop is opt-in (same literal-underscore-key ambiguity as
+        # rename move_subtrees) — the ingest compiler sets it, Beats-config
+        # drop_fields keeps leaf-only semantics
+        self.drop_subtrees = bool(self.config.get("drop_subtrees", False))
 
     def process(self, batch):
         names = []
@@ -379,9 +384,28 @@ class DropFields(Stage):
             c = field_to_column(f)
             if c in PROTECTED_COLS:
                 continue
+            hit = False
             if c in batch.column_names:
                 names.append(c)
-            elif not self.ignore_missing:
+                hit = True
+            if self.drop_subtrees and "." not in str(f):
+                # subtree drop ONLY for single-segment fields ("zoom",
+                # "_temp_", "json" — container lifts): a multi-segment
+                # remove like abusech.url.url is a LEAF whose flat-named
+                # siblings (abusech.url.url_status) must survive
+                exact_t = batch.column(c).type if hit else None
+                leaf_scalar = exact_t is not None and not (
+                    pa.types.is_list(exact_t)
+                    or pa.types.is_large_list(exact_t)
+                    or pa.types.is_null(exact_t))
+                if not leaf_scalar:
+                    pref = c + "_"
+                    subs = [n for n in batch.column_names
+                            if n.startswith(pref)
+                            and n not in PROTECTED_COLS]
+                    names.extend(subs)
+                    hit = hit or bool(subs)
+            if not hit and not self.ignore_missing:
                 raise KeyError(f"drop_fields: {f} missing")
         # duplicate entries (juniper srx lists a field twice) shift arrow's
         # column indices and delete a NEIGHBOUR column — dedupe first
