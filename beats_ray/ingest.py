@@ -519,16 +519,39 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
                                                          "on_failure", "tag")}
         return [{"kv": out}]
     if kind == "grok":
+        # ES grok is an UNANCHORED substring match (kafka's first pattern
+        # starts at the timestamp INSIDE "[ts] ...")
         out = {"field": cfg["field"], "patterns": cfg["patterns"],
-               "ignore_missing": True, "empty_to_null": True,
+               "ignore_missing": True, "empty_to_null": True, "anchor": False,
                "ignore_failure": bool(cfg.get("ignore_failure", False))}
         if cfg.get("pattern_definitions"):
             out["pattern_definitions"] = cfg["pattern_definitions"]
+        if cfg.get("on_failure"):
+            # ES on_failure: the doc does NOT fail; handlers run for the
+            # rows this grok missed — gated on a per-processor flag
+            flag = f"_grok_fail_{ctx.index}"
+            out["ignore_failure"] = True
+            out["failure_flag"] = flag
+            specs = [{"grok": out}]
+            cond = {"contains": {"log.flags": flag}}
+            for h in cfg["on_failure"]:
+                for s in compile_ingest([h], _ctx=ctx):
+                    w = {"and": [cond, s["when"]]} if "when" in s else cond
+                    specs.append({**s, "when": w})
+            return specs
         return [{"grok": out}]
     if kind == "dissect":
-        return [{"dissect": {"field": cfg["field"],
-                             "tokenizer": cfg["pattern"],
-                             "target_prefix": ""}}]
+        # ES DissectProcessor appends join with append_separator, DEFAULT ""
+        # (Beats dissect joins with the preceding delimiter instead)
+        out = {"field": cfg["field"], "tokenizer": cfg["pattern"],
+               "target_prefix": "",
+               "append_separator": cfg.get("append_separator", "")}
+        if cfg.get("ignore_failure"):
+            # cisco asa 713049: two variant dissects under one message-id
+            # condition, each ignore_failure — a non-matching variant must
+            # not poison the row
+            out["ignore_failure"] = True
+        return [{"dissect": out}]
     if kind == "json":
         # ES JsonProcessor expands the whole tree (no depth cap) and
         # REPLACES its target (decoding a stringly field in place — o365

@@ -145,10 +145,16 @@ def _convert(dtype: str, v: str):
 class CompiledDissector:
     """One tokenizer, compiled once; `dissect(str) -> dict | None`."""
 
-    def __init__(self, tokenizer: str, trim_mode: str = "none", trim_chars: str = " "):
+    def __init__(self, tokenizer: str, trim_mode: str = "none",
+                 trim_chars: str = " ", append_separator: str | None = None):
         self.t = parse_tokenizer(tokenizer)
         self.trim_mode = trim_mode
         self.trim_chars = trim_chars
+        # None -> Beats semantics (join with the key's preceding delimiter);
+        # the ES ingest dissect processor joins with append_separator,
+        # default "" (cisco asa 419002: '%{event.reason}from ...
+        # %{+event.reason}' must not double the space)
+        self.append_separator = append_separator
         # resolve order: stable sort by (ordinal, token position) so appends
         # join left-to-right (parser.go:81-84)
         self._resolve_order = sorted(self.t.keys, key=lambda k: (k.ordinal, k.kid))
@@ -244,7 +250,9 @@ class CompiledDissector:
             a, b = positions[k.kid]
             val = s[a:b]
             if k.kind == APPEND and k.name in m:
-                m[k.name] = m[k.name] + k.join_string() + val
+                sep = self.append_separator if self.append_separator \
+                    is not None else k.join_string()
+                m[k.name] = m[k.name] + sep + val
             elif k.kind == INDIRECT:
                 if k.name in m:
                     m[m[k.name]] = val
@@ -284,7 +292,8 @@ class DissectStage(Stage):
         c = self.config
         self.dissector = CompiledDissector(c["tokenizer"],
                                            c.get("trim_values", "none"),
-                                           c.get("trim_chars", " "))
+                                           c.get("trim_chars", " "),
+                                           c.get("append_separator"))
         self.field = c.get("field", "message")
         prefix = c.get("target_prefix", "dissect")
         self.prefix = (prefix + "_") if prefix else ""
@@ -309,10 +318,7 @@ class DissectStage(Stage):
         names = [f.name for f in structs.type] if structs.type.num_fields else []
         for name in names:
             vals = pc.struct_field(structs, name)
-            out_name = self.prefix + name
-            if out_name in batch.column_names and not self.overwrite_keys:
-                continue
-            batch = set_column(batch, out_name, vals)
+            batch = self._write(batch, self.prefix + name, vals, ok)
         return self._fail(batch, pc.invert(ok))
 
     def _process_py(self, batch, col):
@@ -329,13 +335,31 @@ class DissectStage(Stage):
                     if k not in seen:
                         seen.add(k)
                         keys.append(k)
+        ok_arr = pa.array(ok, pa.bool_())
         for k in keys:
             out_name = self.prefix + k
-            if out_name in batch.column_names and not self.overwrite_keys:
-                continue
             vals = [r.get(k) if r else None for r in results]
-            batch = set_column(batch, out_name, pa.array(vals))
-        return self._fail(batch, pc.invert(pa.array(ok, pa.bool_())))
+            batch = self._write(batch, out_name, pa.array(vals), ok_arr)
+        return self._fail(batch, pc.invert(ok_arr))
+
+    def _write(self, batch, out_name, vals, ok):
+        """Per-ROW key semantics (dissect operates on one event): a row
+        whose parse failed keeps its existing value; an existing NON-NULL
+        cell is kept unless overwrite_keys — the old column-level skip let
+        one variant dissect starve another that matched different rows
+        (cisco asa 713049 LAN-to-LAN vs Username variants)."""
+        out_name = field_to_column(out_name)
+        if out_name not in batch.column_names:
+            return set_column(batch, out_name,
+                              pc.if_else(ok, vals, pa.nulls(len(batch),
+                                                            vals.type)))
+        old = batch.column(out_name)
+        write = ok if self.overwrite_keys else pc.and_(ok, pc.is_null(old))
+        try:
+            merged = pc.if_else(write, pc.cast(vals, old.type), old)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            merged = pc.if_else(write, vals, pc.cast(old, vals.type))
+        return set_column(batch, out_name, merged)
 
     def _fail(self, batch, fail_mask):
         if (pc.sum(fail_mask).as_py() or 0) == 0:

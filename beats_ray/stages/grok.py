@@ -24,6 +24,22 @@ import pyarrow.compute as pc
 from ..event import add_flag, field_to_column, set_column, set_error
 from .base import Stage, register
 
+# strict IPv6 (upstream logstash grok-patterns alternation, public)
+_V4SEG = r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+_V4 = rf"(?:{_V4SEG}(?:\.{_V4SEG}){{3}})"
+_H16 = "[0-9A-Fa-f]{1,4}"
+_IPV6 = (
+    rf"(?:(?:{_H16}:){{7}}(?:{_H16}|:)"
+    rf"|(?:{_H16}:){{6}}(?::{_H16}|{_V4}|:)"
+    rf"|(?:{_H16}:){{5}}(?:(?::{_H16}){{1,2}}|:{_V4}|:)"
+    rf"|(?:{_H16}:){{4}}(?:(?::{_H16}){{1,3}}|(?::{_H16})?:{_V4}|:)"
+    rf"|(?:{_H16}:){{3}}(?:(?::{_H16}){{1,4}}|(?::{_H16}){{0,2}}:{_V4}|:)"
+    rf"|(?:{_H16}:){{2}}(?:(?::{_H16}){{1,5}}|(?::{_H16}){{0,3}}:{_V4}|:)"
+    rf"|(?:{_H16}:){{1}}(?:(?::{_H16}){{1,6}}|(?::{_H16}){{0,4}}:{_V4}|:)"
+    rf"|:(?:(?::{_H16}){{1,7}}|(?::{_H16}){{0,5}}:{_V4}|:)"
+    rf")(?:%\w+)?"
+)
+
 CORE_PATTERNS: dict[str, str] = {
     "USERNAME": r"[a-zA-Z0-9._-]+",
     "USER": r"[a-zA-Z0-9._-]+",
@@ -40,11 +56,15 @@ CORE_PATTERNS: dict[str, str] = {
     "QUOTEDSTRING": r'"[^"]*"|\'[^\']*\'',
     "QS": r'"[^"]*"|\'[^\']*\'',
     "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
-    "IPV6": r"[0-9A-Fa-f:.]{2,}",
-    "IP": r"(?:(?:\d{1,3}\.){3}\d{1,3}|[0-9A-Fa-f:]+:[0-9A-Fa-f:.]*)",
-    # IPv6 admits the optional %zone suffix the upstream IPV6 pattern has
-    # ("(%.+)?", grok-patterns): iis logs carry "::1%0"-style addresses.
-    "IPORHOST": r"(?:(?:\d{1,3}\.){3}\d{1,3}|[0-9A-Fa-f:]+:[0-9A-Fa-f:.]*(?:%\w+)?|[0-9A-Za-z][0-9A-Za-z.-]*)",
+    # Upstream grok-patterns IPV6 (strict alternation; round 5: the old
+    # permissive [0-9A-Fa-f:.]{2,} matched ':2205:baff:...' so the cisco
+    # asa 'gaddr fe80::x' optional-interface grok never backtracked).  The
+    # trailing (?:%\w+)? admits zone ids ("::1%0", iis logs) like
+    # upstream's "(%.+)?".
+    "IPV6": _IPV6,
+    "IP": r"(?:" + _IPV6 + r"|(?:\d{1,3}\.){3}\d{1,3})",
+    "IPORHOST": r"(?:" + _IPV6
+                + r"|(?:\d{1,3}\.){3}\d{1,3}|[0-9A-Za-z][0-9A-Za-z.-]*)",
     "HOSTNAME": r"\b[0-9A-Za-z][0-9A-Za-z-]{0,62}(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?\b",
     "HOSTPORT": r"\S+:\d+",
     "MONTH": r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\b",
@@ -62,6 +82,11 @@ CORE_PATTERNS: dict[str, str] = {
     "TIMESTAMP_ISO8601": r"(?:\d\d){1,2}-(?:0?[1-9]|1[0-2])-(?:(?:0[1-9])|(?:[12]\d)|(?:3[01])|[1-9])[T ](?:2[0123]|[01]?\d):?(?:[0-5]\d)(?::?(?:(?:[0-5]?\d|60)(?:[:.,]\d+)?))?(?:Z|[+-](?:2[0123]|[01]?\d)(?::?(?:[0-5]\d)))?",
     "HTTPDATE": r"(?:(?:0[1-9])|(?:[12]\d)|(?:3[01])|[1-9])/\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\b/(?:\d\d){1,2}:(?:2[0123]|[01]?\d):(?:[0-5]\d)(?::(?:(?:[0-5]?\d|60)(?:[:.,]\d+)?))? [+-]\d{4}",
     "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+    # upstream grok-patterns "java" set (kafka/elasticsearch module groks)
+    "JAVACLASS": r"(?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)*[a-zA-Z$_][a-zA-Z$_0-9]*",
+    "JAVAFILE": r"(?:[a-zA-Z$_0-9. -]+)",
+    "JAVAMETHOD": r"(?:(<(?:cl)?init>)|[a-zA-Z$_][a-zA-Z$_0-9]*)",
+    "JAVALOGMESSAGE": r"(?:.*)",
     "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
     "PATH": r"(?:/[\w_%!$@:.,+~-]*)+",
     "URIPATH": r"(?:/[\w_%!$@:.,+~-]*)+",
@@ -101,6 +126,17 @@ def compile_grok(expression: str, pattern_definitions: dict | None = None,
     fields: dict[str, str] = {}   # group -> original field name
     counter = [0]
 
+    # Oniguruma option flags: (?m) is DOT-ALL there (Ruby semantics), not
+    # Python's ^$-multiline (kafka stacktrace groks).  Strip a leading flag
+    # group, re-emit as python (?s) BEFORE the ^ anchor, and — since a
+    # dotall pattern is meant for multiline messages — translate bare $
+    # (end-of-LINE in Oniguruma) to (?=\n|$).
+    oni_dotall = False
+    mflag = re.match(r"^\(\?([a-z]+)\)", expression)
+    if mflag and "m" in mflag.group(1):
+        oni_dotall = True
+        expression = expression[mflag.end():]
+
     def sub(m: re.Match) -> str:
         name, field, typ = m.group(1), m.group(2), m.group(3)
         if name not in library:
@@ -132,15 +168,22 @@ def compile_grok(expression: str, pattern_definitions: dict | None = None,
         return f"(?P<{group}>"
 
     # only bare Oniguruma groups — (?P<...> groups were emitted by the
-    # %{} sub above and are already registered
+    # %{} sub above and are already registered; both <name> and 'name'
+    # quoting forms (kafka uses (?'kafka.log.trace.full'...))
     pattern = re.sub(r"\(\?<([A-Za-z_][\w.\[\]@]*)>", sub_inline, pattern)
+    pattern = re.sub(r"\(\?'([A-Za-z_][\w.\[\]@]*)'",
+                     lambda m: sub_inline(m), pattern)
     # Oniguruma (ES grok) permits bare unnamed capture groups; RE2's
     # extract_regex rejects them.  Rewrite "(" -> "(?:" unless escaped or
     # already a (?...) construct — capture-by-name is the only extraction
     # path here, so plain groups only ever mean grouping.
     pattern = re.sub(r"(?<!\\)\((?![?])", "(?:", pattern)
+    if oni_dotall:
+        pattern = re.sub(r"(?<!\\)\$", r"(?=\\n|$)", pattern)
     if anchor:
         pattern = "^" + pattern
+    if oni_dotall:
+        pattern = "(?s)" + pattern
     return pattern, {"types": types, "fields": fields}
 
 
@@ -357,7 +400,12 @@ class GrokStage(Stage):
             batch = set_column(batch, name, vals)
         failed = pc.and_(pc.invert(matched_any), pc.invert(input_null))
         if (pc.sum(failed).as_py() or 0) > 0:
-            batch = add_flag(batch, failed, "_grok_parse_failure")
+            # failure_flag: a per-processor marker the ingest compiler uses
+            # to gate compiled ES on_failure handlers onto exactly the rows
+            # THIS grok missed (kafka component -> "unknown")
+            batch = add_flag(batch, failed,
+                             self.config.get("failure_flag",
+                                             "_grok_parse_failure"))
             if not self.ignore_failure:
                 batch = set_error(batch, failed,
                                   "Provided Grok expressions do not match field value")

@@ -212,7 +212,9 @@ DATE_SCRIPT = _py(
     "if dt is None:\n"
     "    return event\n"
     "if dt.year == 1900:\n"
-    "    dt = dt.replace(year=2024)\n"
+    "    # no-year syslog dates: the reference pins to the CURRENT year\n"
+    "    # (the asa goldens' event.end carries the generation-time year)\n"
+    "    dt = dt.replace(year=_d.now().year)\n"
     "zz = zone or tz\n"
     "abbr = {'UTC': 0, 'GMT': 0, 'Z': 0, 'EST': -300, 'EDT': -240,\n"
     "        'CST': -360, 'CDT': -300, 'MST': -420, 'MDT': -360,\n"
@@ -246,6 +248,39 @@ def test_cisco_ftd_golden(log):
         "line_no": pa.array(range(len(lines)), pa.int64()),
         "event_timezone": pa.array(["-02:00"] * len(lines), pa.string()),
         "tags": pa.array([["cisco-ftd", "forwarded"]] * len(lines),
+                         pa.list_(pa.string())),
+    })
+    out = Pipeline({"processors": spec}).run_local(batch)
+    expected = json.load(open(logp + "-expected.json"))
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    check_golden(rows[:len(expected)], expected)
+
+
+ASA = "/root/reference/x-pack/filebeat/module/cisco/asa"
+
+
+@pytest.mark.parametrize("log", sorted(
+    os.path.basename(p[:-len("-expected.json")])
+    for p in glob.glob(f"{ASA}/test/*-expected.json")))
+def test_cisco_asa_golden(log):
+    """cisco/asa — the same shared asa-ftd-pipeline.yml rendered with the
+    asa manifest vars (internal_prefix asa/ASA, log_level 7); all fixtures
+    (round 5: fixture-level completion of the fileset)."""
+    doc = load_shared(prefix="asa", PREFIX="ASA")
+    dates = [i for i, p in enumerate(doc["processors"]) if "date" in p]
+    overrides = {dates[0]: DATE_SCRIPT}
+    spec = compile_ingest(doc, scripts=_scripts(doc), overrides=overrides)
+    spec.append({"add_fields": {"target": "", "fields": {
+        "event.module": "cisco", "event.dataset": "cisco.asa",
+        "fileset.name": "asa", "input.type": "log",
+        "service.type": "cisco"}}})
+    logp = f"{ASA}/test/{log}"
+    lines = _terminated_lines(logp)
+    batch = pa.table({
+        "message": lines,
+        "line_no": pa.array(range(len(lines)), pa.int64()),
+        "event_timezone": pa.array(["-02:00"] * len(lines), pa.string()),
+        "tags": pa.array([["cisco-asa", "forwarded"]] * len(lines),
                          pa.list_(pa.string())),
     })
     out = Pipeline({"processors": spec}).run_local(batch)
