@@ -45,7 +45,8 @@ _TOKEN_RE = re.compile(r"""
     \s*(?:
       (?P<str>'[^']*'|"[^"]*")
     | (?P<num>-?\d+(?:\.\d+)?)
-    | (?P<op>==|!=|<=|>=|&&|\|\||[!<>().\[\]?,])
+    | (?P<op>==~|==|!=|<=|>=|&&|\|\||[!<>().\[\]?,])
+    | (?P<rx>/(?:[^/\\]|\\.)+/)
     | (?P<word>[A-Za-z_$][A-Za-z0-9_$]*)
     )""", re.X)
 
@@ -66,6 +67,8 @@ def _tokenize(src: str):
             out.append(("num", float(n) if "." in n else int(n)))
         elif m.group("op") is not None:
             out.append(("op", m.group("op")))
+        elif m.group("rx") is not None:
+            out.append(("rx", m.group("rx")[1:-1]))
         else:
             out.append(("word", m.group("word")))
     return out
@@ -264,6 +267,17 @@ class _P:
                 # match (ElementString condition)
                 return {"element_string": path[:-2]}
             return {"has_fields": [path]}
+        if nxt == ("op", "==~"):
+            # painless regex-match operator: x ==~ /pattern/ (postgresql
+            # sql_state_code class check); anchored full-match in painless
+            self.take()
+            rhs = self.take()
+            if rhs[0] != "rx":
+                raise PainlessUnsupported("==~ needs a regex literal")
+            pat = rhs[1]
+            if not pat.endswith("$") and not pat.endswith(".*"):
+                pat = pat + "$" if pat.startswith("^") else "^" + pat + "$"
+            return {"regexp": {path: pat}}
         if nxt[0] == "op" and nxt[1] in ("==", "!=", "<", ">", "<=", ">="):
             op = self.take()[1]
             if self.peek() == ("word", "ctx") and op in ("==", "!="):

@@ -51,6 +51,8 @@ CORE_PATTERNS: dict[str, str] = {
     "INT": r"[+-]?\d+",
     "NUMBER": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
     "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "BASE16NUM": r"(?:0[xX])?[0-9A-Fa-f]+",
+    "BASE16FLOAT": r"\b(?:0[xX])?(?:[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?|\.[0-9A-Fa-f]+)\b",
     "POSINT": r"\b[1-9]\d*\b",
     "NONNEGINT": r"\b\d+\b",
     "QUOTEDSTRING": r'"[^"]*"|\'[^\']*\'',
