@@ -85,6 +85,14 @@ def _same(got, want):
     got, want = _norm(got), _norm(want)
     if isinstance(got, list) and len(got) == 1 and not isinstance(want, list):
         got = got[0]  # columnar lift: 1-element list where ES kept a scalar
+    if isinstance(got, list) and isinstance(want, list):
+        # ES duplicate-capture arrays mix TYPES ([16, "16"] when one grok
+        # group is :long and its twin untyped — mysql slowlog Thread_id);
+        # one Arrow list has one element type, so compare element VALUES
+        if len(got) != len(want):
+            return False
+        return all(_same(g, w) for g, w in zip(sorted(got, key=str),
+                                               sorted(want, key=str)))
     if isinstance(want, str) and isinstance(got, str) and want.endswith("Z"):
         m = _SPACE_TS.match(got)  # engine's strftime form vs ES ISO-millis
         if m:
