@@ -171,6 +171,9 @@ class _P:
             # .length property (painless arrays/strings)
             method, segs = "length", segs[:-1]
         if not segs:
+            if method == "containsKey" and isinstance(arg, str):
+                # ctx.containsKey('http') (haproxy) == root-level existence
+                return arg, "__exists__", None
             raise PainlessUnsupported("bare ctx")
         return ".".join(segs), method, arg
 
@@ -218,6 +221,9 @@ class _P:
                 # (ftd zone-direction conditions)
                 return self._bool_suffix({"field_contains": [path, arg[1]]})
             return self._bool_suffix({"contains": {path: arg}})
+        if method == "__exists__":
+            # ctx.containsKey('x') — x may be a flat leaf OR a container
+            return self._bool_suffix({"has_fields": [path]})
         if method in ("startsWith", "endsWith", "equalsIgnoreCase"):
             # field-path arguments (ctx.a.startsWith(ctx.b)) have no static
             # regex form — fail at compile time, never emit a dead condition
@@ -328,9 +334,10 @@ _JAVA_TOKENS = [
     ("EEEE", "%A"), ("EEE", "%a"), ("HH", "%H"), ("H", "%H"),
     ("hh", "%I"), ("h", "%I"), ("mm", "%M"), ("m", "%M"),
     ("ss", "%S"), ("s", "%S"), ("SSSSSSSSS", "%f"), ("SSSSSS", "%f"),
-    ("SSS", "%f"), ("S", "%f"), ("a", "%p"), ("XXX", "%z"), ("XX", "%z"),
-    ("X", "%z"), ("ZZZ", "%z"), ("ZZ", "%z"), ("Z", "%z"), ("zzz", "%Z"),
-    ("z", "%Z"), ("VV", "%Z"),
+    ("SSS", "%f"), ("S", "%f"), ("a", "%p"), ("XXXXX", "%z"), ("XXX", "%z"),
+    ("XX", "%z"), ("X", "%z"), ("ZZZZZ", "%z"), ("ZZZZ", "%z"),
+    ("ZZZ", "%z"), ("ZZ", "%z"), ("Z", "%z"), ("zzz", "%Z"),
+    ("zz", "%Z"), ("z", "%Z"), ("VV", "%Z"),
 ]
 _PASSTHROUGH = {"ISO8601", "UNIX", "UNIX_MS", "TAI64N"}
 # java.time named formatters ES date accepts -> the engine's special layouts

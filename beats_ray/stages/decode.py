@@ -530,6 +530,8 @@ class UserAgent(Stage):
         # (compiled later) pattern, family name, fixed version override;
         # version = group 1 unless the override is set
         (r"Edg(?:e|A|iOS)?/(\d+[\w.]*)", "Edge", None),
+        # uap-core: Amazon Silk outranks the Chrome token it embeds
+        (r"Silk/(\d+[\w.]*)", "Amazon Silk", None),
         (r"OPR/(\d+[\w.]*)", "Opera", None),
         (r"Opera[ /](\d+[\w.]*)", "Opera", None),
         (r"Firefox/(\d+[\w.]*)", "Firefox", None),
@@ -641,6 +643,8 @@ class UserAgent(Stage):
             device = "iPhone"
         elif "iPad" in ua:
             device = "iPad"
+        elif "Kindle" in ua or re.search(r"\bKF[A-Z]{2,4}\b", ua):
+            device = "Kindle"   # uap-core: Kindle Fire models (KFFOWI...)
         elif "Android" in ua and "Mobile" in ua:
             device = "Generic Smartphone"
         elif "Macintosh" in ua:

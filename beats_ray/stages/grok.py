@@ -84,6 +84,9 @@ CORE_PATTERNS: dict[str, str] = {
     "TIMESTAMP_ISO8601": r"(?:\d\d){1,2}-(?:0?[1-9]|1[0-2])-(?:(?:0[1-9])|(?:[12]\d)|(?:3[01])|[1-9])[T ](?:2[0123]|[01]?\d):?(?:[0-5]\d)(?::?(?:(?:[0-5]?\d|60)(?:[:.,]\d+)?))?(?:Z|[+-](?:2[0123]|[01]?\d)(?::?(?:[0-5]\d)))?",
     "HTTPDATE": r"(?:(?:0[1-9])|(?:[12]\d)|(?:3[01])|[1-9])/\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\b/(?:\d\d){1,2}:(?:2[0123]|[01]?\d):(?:[0-5]\d)(?::(?:(?:[0-5]?\d|60)(?:[:.,]\d+)?))? [+-]\d{4}",
     "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+    # upstream grok-patterns mongodb set
+    "MONGO3_SEVERITY": r"\w",
+    "MONGO3_COMPONENT": r"(?:%{WORD}|-)",
     # upstream grok-patterns "java" set (kafka/elasticsearch module groks)
     "JAVACLASS": r"(?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)*[a-zA-Z$_][a-zA-Z$_0-9]*",
     "JAVAFILE": r"(?:[a-zA-Z$_0-9. -]+)",
@@ -94,6 +97,14 @@ CORE_PATTERNS: dict[str, str] = {
     "URIPATH": r"(?:/[\w_%!$@:.,+~-]*)+",
     "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
     "URIPATHPARAM": r"(?:/[\w_%!$@:.,+~-]*)+(?:\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*)?",
+    # upstream grok-patterns URI composition (apache error referer)
+    "URIPROTO": r"[A-Za-z](?:[A-Za-z0-9+.-]+)+",
+    "URIHOST": r"(?:(?:\d{1,3}\.){3}\d{1,3}|[0-9A-Za-z][0-9A-Za-z.-]*)(?::\d+)?",
+    "URI": (r"[A-Za-z](?:[A-Za-z0-9+.-]+)+://"
+            r"(?:[a-zA-Z0-9$.+!*'(){},~#%&/=:;_?\-\[\]<>@]*@)?"
+            r"(?:(?:\d{1,3}\.){3}\d{1,3}|[0-9A-Za-z][0-9A-Za-z.-]*)(?::\d+)?"
+            r"(?:(?:/[\w_%!$@:.,+~-]*)+"
+            r"(?:\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*)?)?"),
     "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
     # trailing (\.?|\b) of the ES HOSTNAME matches EMPTY, so a label may
     # end with '-' ("Route1- " in the juniper flow fixture)
