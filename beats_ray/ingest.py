@@ -170,10 +170,11 @@ class _P:
         if method is None and segs and segs[-1] == "length":
             # .length property (painless arrays/strings)
             method, segs = "length", segs[:-1]
+        if method == "containsKey" and isinstance(arg, str):
+            # ctx[.path].containsKey('x') == existence of path.x (haproxy
+            # root-level; elasticsearch.server.containsKey('type'))
+            return ".".join(segs + [arg]), "__exists__", None
         if not segs:
-            if method == "containsKey" and isinstance(arg, str):
-                # ctx.containsKey('http') (haproxy) == root-level existence
-                return arg, "__exists__", None
             raise PainlessUnsupported("bare ctx")
         return ".".join(segs), method, arg
 
@@ -720,15 +721,40 @@ def compile_ingest(doc, scripts=None, overrides=None, pipeline_loader=None,
         cond_src = cfg.get("if")
         if cond_src and specs:
             cond = painless_condition(cond_src)
-            wrapped = []
-            for s in specs:
-                if "if" in s:
-                    wrapped.append(s)
-                elif "when" in s:  # spliced sub-pipeline spec keeps its own
-                    wrapped.append({**s, "when": {"and": [cond, s["when"]]}})
-                else:
-                    wrapped.append({**s, "when": cond})
-            specs = wrapped
+            if kind == "pipeline":
+                # ES evaluates a sub-pipeline's `if` ONCE at dispatch; the
+                # sub-pipeline may then mutate the very field the condition
+                # reads (elasticsearch json-7 removes .type first thing) —
+                # PIN the verdict in a marker column, gate every spliced
+                # spec on it, drop the marker after
+                import hashlib as _hl
+                mark = "_pipe_" + _hl.sha1(
+                    (str(ctx.index) + str(cond)).encode()).hexdigest()[:8]
+                pin = {"set": {"field": mark, "value": True}, "when": cond}
+                gate = {"equals": {mark: True}}
+                wrapped = [pin]
+                for s in specs:
+                    if "if" in s:
+                        wrapped.append(s)
+                    elif "when" in s:
+                        wrapped.append(
+                            {**s, "when": {"and": [gate, s["when"]]}})
+                    else:
+                        wrapped.append({**s, "when": gate})
+                wrapped.append({"drop_fields": {"fields": [mark],
+                                                "ignore_missing": True}})
+                specs = wrapped
+            else:
+                wrapped = []
+                for s in specs:
+                    if "if" in s:
+                        wrapped.append(s)
+                    elif "when" in s:  # spliced sub-pipeline keeps its own
+                        wrapped.append(
+                            {**s, "when": {"and": [cond, s["when"]]}})
+                    else:
+                        wrapped.append({**s, "when": cond})
+                specs = wrapped
         out.extend(specs)
     return out
 
