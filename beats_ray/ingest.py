@@ -715,6 +715,12 @@ def compile_ingest(doc, scripts=None, overrides=None, pipeline_loader=None,
                 ctx.scripts.pop(0)  # keep positional script list aligned
             if o is None:
                 continue
+            if isinstance(o, dict) and "__unconditional__" in o:
+                # replacement handles the painless `if` internally (e.g. an
+                # instanceof-List guard the flat model can't evaluate)
+                u = o["__unconditional__"]
+                out.extend(u if isinstance(u, list) else [u])
+                continue
             specs = o if isinstance(o, list) else [o]
         else:
             specs = _compile_one(kind, cfg, ctx)
