@@ -421,6 +421,8 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
     if kind == "set":
         if cfg["field"] in _SKIP_SET_FIELDS:
             return []
+        if str(cfg.get("copy_from", "")).startswith("_ingest"):
+            return []   # harness-owned metadata (event.ingested)
         if "{{" in cfg["field"]:  # templated field NAME -> per-row target
             out = {"field_template": cfg["field"]}
             v = cfg.get("value")

@@ -290,6 +290,33 @@ class Convert(Stage):
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
             return pa.nulls(len(col), target)
 
+    @staticmethod
+    def _merge_target(batch, d, conv):
+        # Beats convert is per-EVENT: an event whose source is missing (or
+        # whose cast failed under IgnoreError) keeps its existing target
+        # value (convert.go Run/convertFields).  Column-wise that means
+        # only rows with a successfully converted value are written; rows
+        # where `conv` is null retain whatever the target already holds
+        # (e.g. files.yml's second `source.ip` convert from ssh.dropped_ip
+        # must not wipe the source.address-derived IPs).
+        if d in batch.column_names and conv.null_count > 0:
+            prior = batch.column(d)
+            if prior.null_count < len(prior):
+                if prior.type != conv.type:
+                    try:
+                        prior = pc.cast(prior, conv.type)
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                            pa.ArrowTypeError):
+                        try:
+                            conv = pc.cast(conv, batch.column(d).type)
+                            prior = batch.column(d)
+                        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                                pa.ArrowTypeError):
+                            prior = None
+                if prior is not None:
+                    conv = pc.if_else(pc.is_valid(conv), conv, prior)
+        return set_column(batch, d, conv)
+
     def process(self, batch):
         failed = pa.array([False] * len(batch))
         staged = []
@@ -352,9 +379,9 @@ class Convert(Stage):
                     else:
                         batch = set_column(batch, d, pc.if_else(failed, orig, conv))
                 else:
-                    batch = set_column(batch, d, conv)
+                    batch = self._merge_target(batch, d, conv)
             else:
-                batch = set_column(batch, d, conv)
+                batch = self._merge_target(batch, d, conv)
             if self.mode == "rename" and d != s:
                 batch = batch.drop_columns([s])
         if self.fail_on_error and anyfail:

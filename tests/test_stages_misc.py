@@ -87,7 +87,9 @@ def test_convert_boolean_and_ip():
     assert out.column("b").to_pylist() == [True, False]
     out = run("convert", {"fields": [{"from": "ip", "type": "ip"}],
                           "fail_on_error": False}, batch)
-    assert out.column("ip").to_pylist() == ["10.1.2.3", None]
+    # convert.go !failOnError: a failed conversion leaves the original
+    # value in place (the event continues unchanged), it does NOT null it
+    assert out.column("ip").to_pylist() == ["10.1.2.3", "999.1.1.1"]
 
 
 # ---------------------------------------------------------------- decode
