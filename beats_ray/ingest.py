@@ -345,7 +345,12 @@ _PASSTHROUGH = {"ISO8601", "UNIX", "UNIX_MS", "TAI64N"}
 _NAMED_LAYOUTS = {"ISO_INSTANT": "ISO8601", "ISO_OFFSET_DATE_TIME": "ISO8601",
                   "ISO_DATE_TIME": "ISO8601", "ISO_ZONED_DATE_TIME": "ISO8601",
                   "iso8601": "ISO8601", "epoch_millis": "UNIX_MS",
-                  "epoch_second": "UNIX"}
+                  "epoch_second": "UNIX",
+                  # java.time DateFormatter names (panw): optional-time ISO
+                  # with up to ns fraction — the engine's ISO8601 layout
+                  # already accepts date-only and fractional forms
+                  "strict_date_optional_time": "ISO8601",
+                  "strict_date_optional_time_nanos": "ISO8601"}
 
 
 def java_date_layouts(formats) -> list[str]:
@@ -465,9 +470,13 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
                "layouts": java_date_layouts(cfg.get("formats", ["ISO8601"]))}
         tz = cfg.get("timezone")
         if tz:
-            if "{{" in str(tz):
+            m = _PURE_TMPL.match(str(tz))
+            if m:  # '{{ event.timezone }}' -> per-row timezone column
+                out["timezone_field"] = m.group(1)
+            elif "{{" in str(tz):
                 raise PainlessUnsupported(f"templated timezone {tz!r}")
-            out["timezone"] = tz
+            else:
+                out["timezone"] = tz
         return [{"timestamp": out}]
     if kind == "remove":
         # ES remove of a map field deletes the subtree (zoom `remove: zoom`
@@ -636,11 +645,21 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
             out["target_field"] = cfg["target_field"]
         return [{"user_agent": out}]
     if kind == "community_id":
-        out = {}
+        # field overrides live under the stage's `fields` map (the NAT
+        # community id in panw computes over source.nat.ip/port)
+        out, fields = {}, {}
         for k in ("source_ip", "source_port", "destination_ip",
-                  "destination_port", "transport", "target_field"):
+                  "destination_port", "transport", "icmp_type", "icmp_code",
+                  "iana_number"):
             if k in cfg:
-                out[{"target_field": "target"}.get(k, k)] = cfg[k]
+                fields[k] = cfg[k]
+        if fields:
+            out["fields"] = fields
+        if "target_field" in cfg:
+            out["target"] = cfg["target_field"]
+        if "seed" in cfg:
+            out["seed"] = cfg["seed"]
+        out["strict_ports"] = True  # ES rejects ports outside 1-65535
         return [{"community_id": out}]
     if kind == "registered_domain":
         out = {"field": cfg["field"], "ignore_missing": True}
@@ -792,19 +811,29 @@ def render_module_config(text: str, vars: dict) -> str:
     text = re.sub(r"\{\{\s*range[^}]*\}\}.*?\{\{\s*end\s*\}\}", "", text,
                   flags=re.S)
 
-    # if/else/end blocks (non-nested)
+    # if/else-if/else/end blocks (non-nested); conditions: `.x`,
+    # `not .x`, `eq .x "lit"` (panw input.yml dispatches on
+    # `eq .input "syslog"` / `else if eq .input "file"`)
+    def _truth(cond):
+        cond = cond.strip()
+        if cond.startswith("not "):
+            return not _truth(cond[4:])
+        if cond.startswith("eq "):
+            toks = re.findall(r'"[^"]*"|\S+', cond[3:])
+            vals = [t[1:-1] if t.startswith('"') else str(_val(t))
+                    for t in toks]
+            return len(vals) >= 2 and all(v == vals[0] for v in vals[1:])
+        return bool(_val(cond.split()[0]))
+
     def _if(m):
         cond, body = m.group(1), m.group(2)
-        parts = re.split(r"\{\{\s*else\s*\}\}", body, maxsplit=1)
-        neg = cond.strip().startswith("not ")
-        name = cond.strip()[4:] if neg else cond.strip()
-        name = name.split()[0]
-        truthy = bool(_val(name))
-        if neg:
-            truthy = not truthy
-        if truthy:
-            return parts[0]
-        return parts[1] if len(parts) > 1 else ""
+        segs = re.split(r"\{\{\s*else(?:\s+if\s+([^}]*?))?\s*\}\}", body)
+        if _truth(cond):
+            return segs[0]
+        for i in range(1, len(segs), 2):
+            if segs[i] is None or _truth(segs[i]):
+                return segs[i + 1]
+        return ""
 
     prev = None
     while prev != text:

@@ -560,6 +560,8 @@ class UserAgent(Stage):
         # match would wrongly claim kube-probe/1.19+ or webhook/v0.0.0
         # (gcp audit goldens: Other).  Alternation of the uap tools the
         # module fixtures exercise.
+        # uap-core explicit: Debian APT (suricata eve-alerts golden)
+        (r"^(Debian APT-HTTP)/(\d[\w.]*)", None, None),
         (r"^(curl|[Ww]get|Microsoft-CryptoAPI|Go-http-client|"
          r"python-requests|Python-urllib|okhttp|libwww-perl|Java|PHP|"
          r"Ruby|Faraday|axios|node-fetch|Apache-HttpClient|Googlebot|Twitterbot)"
@@ -584,6 +586,8 @@ class UserAgent(Stage):
         (r"Android (\d+[\w.]*)", "Android", None),
         # uap-core: Linux/x.y.z kernel token carries a version
         (r"Linux/(\d+\.\d+(?:\.\d+)?)", "Linux", None),
+        # uap-core: APT user agents carry the distro as OS, version-less
+        (r"^(Debian) APT-HTTP", "Debian", None),
         # case-insensitive: Go-client UAs carry "(linux/amd64)" (gcp audit)
         (r"(?i)(linux)", "Linux", None),
         (r"\((Windows)[;)]", "Windows", None),

@@ -97,6 +97,10 @@ class CommunityID(Stage):
         super().__init__(config)
         self.seed = int(self.config.get("seed", 0))
         self.target = self.config.get("target", "network_community_id")
+        # ES ingest CommunityIdProcessor rejects ports outside 1-65535 for
+        # port-bearing transports (panw NAT tuples with port 0 stay unset);
+        # the Beats-native processor hashes whatever it is given
+        self.strict_ports = bool(self.config.get("strict_ports", False))
         f = self.config.get("fields", {})
         self.f_sip = f.get("source_ip", "source.ip")
         self.f_dip = f.get("destination_ip", "destination.ip")
@@ -134,6 +138,15 @@ class CommunityID(Stage):
             if proto is None or sips[i] is None or dips[i] is None:
                 out.append(None)
                 continue
+            if self.strict_ports and proto in (6, 17, 132):
+                try:
+                    sp, dp = int(sps[i]), int(dps[i])
+                except (TypeError, ValueError):
+                    out.append(None)
+                    continue
+                if not (1 <= sp <= 65535 and 1 <= dp <= 65535):
+                    out.append(None)
+                    continue
             out.append(community_id_v1(sips[i], dips[i], sps[i], dps[i],
                                        proto, self.seed,
                                        icmp_type=itypes[i], icmp_code=icodes[i]))

@@ -105,9 +105,71 @@ class TimestampStage(Stage):
                 off = mins if m.group(1) == "+" else -mins
                 # local -> UTC: subtract the offset
                 self.tz_shift_us = -off * 60 * 1_000_000
+        # per-ROW timezone column (ES date `timezone: '{{ event.timezone }}'`
+        # — the add_locale + templated-timezone idiom in panw/system/cisco):
+        # offsets are vectorized, IANA names resolved per distinct zone with
+        # DST applied against each row's parsed local time
+        self.tz_field = self.config.get("timezone_field")
+
+    def _row_tz(self, batch):
+        """(shift_us int64 array, [(zone_name, mask), ...]) for
+        `timezone_field`, or None when unset/absent."""
+        if not self.tz_field:
+            return None
+        c = field_to_column(self.tz_field)
+        if c not in batch.column_names:
+            return None
+        s = pc.cast(batch.column(c), pa.string())
+        m = pc.extract_regex(s, r"^(?P<sign>[+-])(?P<h>\d{2}):?(?P<m>\d{2})$")
+        mins = pc.add(
+            pc.multiply(pc.cast(pc.struct_field(m, "h"), pa.int64()), 60),
+            pc.cast(pc.struct_field(m, "m"), pa.int64()))
+        signed = pc.if_else(pc.equal(pc.struct_field(m, "sign"), "+"),
+                            mins, pc.negate(mins))
+        # local -> UTC: subtract the offset; unknown/absent tz -> 0
+        shift = pc.multiply(pc.fill_null(signed, 0), -60_000_000)
+        names = []
+        is_name = pc.and_(
+            pc.fill_null(pc.match_substring_regex(
+                s, r"^[A-Za-z_]+(/[A-Za-z_+\-0-9]+)+$"), False),
+            pc.fill_null(pc.invert(pc.is_in(
+                s, value_set=pa.array(["Etc/UTC", "Etc/GMT"]))), False))
+        if (pc.sum(is_name).as_py() or 0) > 0:
+            for zone in pc.unique(s.filter(is_name)).to_pylist():
+                names.append((zone, pc.and_(is_name, pc.equal(s, zone))))
+        return shift, names
+
+    def _apply_naive_tz(self, parsed, rowtz):
+        """UTC-normalize values parsed from a layout with no zone of its
+        own, per the static `timezone` or the per-row `timezone_field`."""
+        if rowtz is None:
+            if self.tz_shift_us:
+                return pc.add(parsed, pa.scalar(self.tz_shift_us,
+                                                pa.duration("us")))
+            return parsed
+        shift, names = rowtz
+        if isinstance(parsed, pa.ChunkedArray):
+            parsed = parsed.combine_chunks()
+        parsed = pc.add(parsed, pc.cast(shift, pa.duration("us")))
+        if names:
+            from zoneinfo import ZoneInfo
+            vals = parsed.to_pylist()
+            for zone, mask in names:
+                try:
+                    zi = ZoneInfo(zone)
+                except Exception:
+                    continue
+                for i, hit in enumerate(mask.to_pylist()):
+                    if hit and vals[i] is not None:
+                        vals[i] -= vals[i].replace(tzinfo=zi).utcoffset()
+            parsed = pa.array(vals, pa.timestamp("us"))
+        return parsed
 
     def input_columns(self):
-        return [field_to_column(self.field)]
+        cols = [field_to_column(self.field)]
+        if self.tz_field:
+            cols.append(field_to_column(self.tz_field))
+        return cols
 
     def process(self, batch):
         src = field_to_column(self.field)
@@ -127,6 +189,7 @@ class TimestampStage(Stage):
             return batch
         out = pa.nulls(n, pa.timestamp("us"))
         out = pa.chunked_array([out])
+        rowtz = self._row_tz(batch)
         for layout in self.layouts:
             need = pc.is_null(out)
             if (pc.sum(need).as_py() or 0) == 0:
@@ -159,12 +222,12 @@ class TimestampStage(Stage):
                     p2 = pc.strptime(nofrac, format=fmt, unit="us", error_is_null=True)
                     if getattr(p2.type, "tz", None):
                         p2 = pc.cast(p2, pa.timestamp("us"))
-                    elif fmt[-2:] != "SZ" and self.tz_shift_us:
+                    elif fmt[-2:] != "SZ" and (rowtz is not None
+                                               or self.tz_shift_us):
                         # offset-less ISO inputs are interpreted in the
                         # configured timezone (ES date `timezone`;
                         # juniper srx naive timestamps)
-                        p2 = pc.add(p2, pa.scalar(self.tz_shift_us,
-                                                  pa.duration("us")))
+                        p2 = self._apply_naive_tz(p2, rowtz)
                     parsed = p2 if parsed is None else pc.if_else(pc.is_null(parsed), p2, parsed)
                 fr = pc.extract_regex(s, r"[.,](?P<f>\d{1,6})")
                 digits = pc.utf8_rpad(pc.struct_field(fr, "f"), 6, padding="0")
@@ -206,9 +269,8 @@ class TimestampStage(Stage):
                     # %z layouts parse to tz-aware UTC; normalize to the
                     # engine's tz-naive-UTC convention (same instant)
                     parsed = pc.cast(parsed, pa.timestamp("us"))
-                elif self.tz_shift_us:
-                    parsed = pc.add(parsed, pa.scalar(
-                        self.tz_shift_us, pa.duration("us")))
+                elif rowtz is not None or self.tz_shift_us:
+                    parsed = self._apply_naive_tz(parsed, rowtz)
                 if "%Y" not in layout and "%y" not in layout:
                     # zero-year rule: strptime defaults to 1900; shift to pinned year
                     shift = (self.PINNED_YEAR - 1900)

@@ -4563,7 +4563,11 @@ EVE_SMALL = ("/root/reference/x-pack/filebeat/module/suricata/eve/test/"
 
 @pytest.mark.skipif(not os.path.exists(EVE_SMALL + "-expected.json"),
                     reason="reference not present")
-def test_suricata_eve_module_golden():
+@pytest.mark.parametrize("eve_log", sorted(
+    f[:-len("-expected.json")]
+    for f in os.listdir(os.path.dirname(EVE_SMALL))
+    if f.endswith("-expected.json")) if os.path.exists(EVE_SMALL) else [])
+def test_suricata_eve_module_golden(eve_log):
     """suricata/eve (41st module golden, eve-small: every event type — ssh,
     alert, http, fileinfo, dns answer v1, stats (128 flattened keys), tls
     x509 decomposition, flow): Beats-side config processors (decode_json_
@@ -4577,7 +4581,8 @@ def test_suricata_eve_module_golden():
 
     from beats_ray.pipeline import Pipeline
 
-    lines = [ln for ln in open(EVE_SMALL).read().splitlines() if ln.strip()]
+    eve_path = os.path.join(os.path.dirname(EVE_SMALL), eve_log)
+    lines = [ln for ln in open(eve_path).read().splitlines() if ln.strip()]
     batch = pa.table({"message": lines,
                       "line_no": pa.array(range(len(lines)), pa.int64())})
     categorize = (
@@ -4636,9 +4641,11 @@ def test_suricata_eve_module_golden():
         "    if g('suricata_eve_fileinfo_size') is not None:\n"
         "        event['file_size'] = event['suricata_eve_fileinfo_size']\n"
         "        event['suricata_eve_fileinfo_size'] = None\n"
-        "    # alert block\n"
+        "    # alert block: message via `convert` (copies '' too, only\n"
+        "    # skips missing); rule.category via set ignore_empty_value\n"
+        "    if g('suricata_eve_alert_category') is not None:\n"
+        "        event['message'] = str(event['suricata_eve_alert_category'])\n"
         "    if g('suricata_eve_alert_category'):\n"
-        "        event['message'] = event['suricata_eve_alert_category']\n"
         "        event['rule_category'] = event['suricata_eve_alert_category']\n"
         "    if g('suricata_eve_alert_signature_id') is not None:\n"
         "        event['rule_id'] = str(event['suricata_eve_alert_signature_id'])\n"
@@ -4691,15 +4698,24 @@ def test_suricata_eve_module_golden():
         "    t = event.get('network_transport')\n"
         "    if t:\n"
         "        event['network_transport'] = t.lower()\n"
-        "    # dns (answer v1)\n"
+        "    # dns (ingest/dns.yml + dns-answer-v1/v2.yml: v2 carries the\n"
+        "    # full answers array + grouped map; v1 is one answer per event)\n"
         "    if event.get('network_protocol') == 'dns':\n"
+        "        ver = g('suricata_eve_dns_version')\n"
         "        for src, tgt in (('suricata_eve_dns_id', 'dns_id'),\n"
         "                         ('suricata_eve_dns_rcode',\n"
         "                          'dns_response_code'),\n"
         "                         ('suricata_eve_dns_type', 'dns_type')):\n"
         "            if g(src) is not None:\n"
         "                event[tgt] = str(event[src])\n"
-        "        if event.get('dns_type') == 'answer':\n"
+        "        if event.get('dns_type') == 'query' or ver == 2:\n"
+        "            if g('suricata_eve_dns_rrname'):\n"
+        "                event['dns_question_name'] = \\\n"
+        "                    event['suricata_eve_dns_rrname']\n"
+        "            if g('suricata_eve_dns_rrtype'):\n"
+        "                event['dns_question_type'] = \\\n"
+        "                    event['suricata_eve_dns_rrtype']\n"
+        "        if event.get('dns_type') == 'answer' and ver is None:\n"
         "            ans = {}\n"
         "            for k, f in (('name', 'suricata_eve_dns_rrname'),\n"
         "                         ('data', 'suricata_eve_dns_rdata'),\n"
@@ -4709,8 +4725,42 @@ def test_suricata_eve_module_golden():
         "                    ans[k] = event[f]\n"
         "            if ans:\n"
         "                event['dns_answers'] = [ans]\n"
-        "            if ans.get('type') in ('A', 'AAAA'):\n"
+        "            if ans.get('type') in ('A', 'AAAA') and 'data' in ans:\n"
         "                event['dns_resolved_ip'] = [ans['data']]\n"
+        "        if event.get('dns_type') == 'answer' and ver == 2:\n"
+        "            out, resolved = [], []\n"
+        "            for a in (g('suricata_eve_dns_answers') or []):\n"
+        "                b = {}\n"
+        "                for src, k in (('rrname', 'name'),\n"
+        "                               ('rrtype', 'type'),\n"
+        "                               ('rdata', 'data'), ('ttl', 'ttl')):\n"
+        "                    v = a.get(src)\n"
+        "                    if v is None:\n"
+        "                        v = a.get(k)\n"
+        "                    if v is not None:\n"
+        "                        b[k] = v\n"
+        "                out.append(b)\n"
+        "                if b.get('type') in ('A', 'AAAA') and \\\n"
+        "                        b.get('data') is not None:\n"
+        "                    resolved.append(b['data'])\n"
+        "            if out:\n"
+        "                event['dns_answers'] = out\n"
+        "            if resolved:\n"
+        "                event['dns_resolved_ip'] = resolved\n"
+        "            event['suricata_eve_dns_answers'] = None\n"
+        "        flags = []\n"
+        "        for f, lab in (('suricata_eve_dns_aa', 'AA'),\n"
+        "                       ('suricata_eve_dns_tc', 'TC'),\n"
+        "                       ('suricata_eve_dns_rd', 'RD'),\n"
+        "                       ('suricata_eve_dns_ra', 'RA')):\n"
+        "            if g(f) is True:\n"
+        "                flags.append(lab)\n"
+        "            event[f] = None\n"
+        "        if flags:\n"
+        "            event['dns_header_flags'] = flags\n"
+        "        for f in ('suricata_eve_dns_qr', 'suricata_eve_dns_version',\n"
+        "                  'suricata_eve_dns_flags'):\n"
+        "            event[f] = None\n"
         "    # http renames\n"
         "    if g('suricata_eve_http_http_method'):\n"
         "        event['http_request_method'] = \\\n"
@@ -4832,6 +4882,10 @@ def test_suricata_eve_module_golden():
         {"decode_json_fields": {"fields": ["event.original"],
                                 "target": "suricata.eve",
                                 "keep_arrays": True, "max_depth": 10}},
+        {"rename": {"fields": [
+            {"from": "suricata.eve.ether.dest_mac", "to": "destination.mac"},
+            {"from": "suricata.eve.ether.src_mac", "to": "source.mac"}],
+            "ignore_missing": True, "fail_on_error": False}},
         {"convert": {"mode": "rename", "ignore_missing": True,
                      "fail_on_error": False, "fields": [
                          {"from": "suricata.eve.src_ip",
@@ -4860,14 +4914,46 @@ def test_suricata_eve_module_golden():
         {"community_id": {}},
         {"add_network_direction": {"internal_networks": ["private"],
                                    "target": "network.direction"}},
+        # config/eve.yml registered_domain block (Beats-side), incl. its
+        # query-or-v2 `when` — must run before categorize nulls dns.version
+        {"registered_domain": {
+            "when": {"or": [
+                {"equals": {"suricata.eve.dns.type": "query"}},
+                {"equals": {"suricata.eve.dns.version": 2}}]},
+            "ignore_missing": True, "ignore_failure": True,
+            "field": "suricata.eve.dns.rrname",
+            "target_field": "dns.question.registered_domain",
+            "target_subdomain_field": "dns.question.subdomain",
+            "target_etld_field": "dns.question.top_level_domain"}},
         {"script": {"source": categorize}},
         {"uri_parts": {"field": "url.original", "keep_original": False,
                        "ignore_missing": True}},
         {"user_agent": {"field": "suricata.eve.http.http_user_agent",
                         "ignore_missing": True}},
         {"script": {"source": tls_and_related}},
+        # the alert.metadata.* block (created_at/updated_at join+date,
+        # cvss/sid/classtype/mitre renames) spliced from the module's OWN
+        # ingest/pipeline.yml through the compiler (eve-alerts fixture)
+        *__import__("beats_ray.ingest", fromlist=["compile_ingest"])
+        .compile_ingest([
+            p for p in __import__("beats_ray.ingest",
+                                  fromlist=["load_pipeline_yml"])
+            .load_pipeline_yml(
+                "/root/reference/x-pack/filebeat/module/suricata/eve/"
+                "ingest/pipeline.yml")["processors"]
+            if "alert.metadata" in str(p) or "_tmp_." in str(p)]),
+        {"script": {"source": (
+            "def process(event, params):\n"
+            "    for k in ('suricata_eve_alert_created_at',\n"
+            "              'suricata_eve_alert_updated_at'):\n"
+            "        v = event.get(k)\n"
+            "        if v is not None and not isinstance(v, str):\n"
+            "            event[k] = v.strftime('%Y-%m-%dT%H:%M:%S.') + \\\n"
+            "                ('%03d' % (v.microsecond // 1000)) + 'Z'\n"
+            "    return event\n")}},
         {"drop_fields": {"fields": [
-            "suricata.eve.http.http_user_agent"], "ignore_missing": True}},
+            "suricata.eve.http.http_user_agent", "_tmp_"],
+            "ignore_missing": True, "drop_subtrees": True}},
         {"add_fields": {"target": "", "fields": {
             "event.module": "suricata", "event.dataset": "suricata.eve",
             "fileset.name": "eve", "input.type": "log",
@@ -4875,7 +4961,7 @@ def test_suricata_eve_module_golden():
     ]}
     out = Pipeline(spec).run_local(batch)
     rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
-    expected = json.load(open(EVE_SMALL + "-expected.json"))
+    expected = json.load(open(eve_path + "-expected.json"))
     assert len(rows) == len(expected)
     SKIP = ("source.geo", "destination.geo", "source.as", "destination.as",
             "ecs.version")
