@@ -5400,19 +5400,22 @@ FTNT_EVENT = ("/root/reference/x-pack/filebeat/module/fortinet/firewall/"
 
 @pytest.mark.skipif(not os.path.exists(FTNT_EVENT + "-expected.json"),
                     reason="reference not present")
-def test_fortinet_event_module_golden():
+@pytest.mark.parametrize("logname", ["event.log", "event-nul.log"])
+def test_fortinet_event_module_golden(logname):
     """fortinet/firewall event (43rd module golden, all 28 events — vpn /
     user / system / update / perf-stats subtypes): N/A-value drop, FSSO/
     auth logon classification, negotiate_error outcome, locip/remip
     fallback mapping, direction normalization (outgoing->outbound),
     sess_duration, Dynamic-address addr->addrgrp rename —
     x-pack/filebeat/module/fortinet/firewall/ingest/event.yml + the shared
-    pipeline tail."""
+    pipeline tail.  event-nul.log carries trailing \\x00 terminators that
+    the pipeline's own gsub strips (pipeline.yml:10-14)."""
     from datetime import datetime, timezone as _tz
 
     from beats_ray.pipeline import Pipeline
 
-    lines = [ln for ln in open(FTNT_EVENT).read().splitlines()
+    event_path = os.path.join(os.path.dirname(FTNT_EVENT), logname)
+    lines = [ln for ln in open(event_path).read().splitlines()
              if ln.strip()]
     batch = pa.table({"message": lines,
                       "line_no": pa.array(range(len(lines)), pa.int64())})
@@ -5615,6 +5618,10 @@ def test_fortinet_event_module_golden():
             r"%{SYSLOG5424PRI}%{GREEDYDATA:syslog5424_sd}$"],
             "pattern_definitions": {
                 "SYSLOG5424PRI": r"<%{NONNEGINT:syslog5424_pri}>"}}},
+        # the module's own NUL-strip gsub (pipeline.yml:10-14)
+        {"replace": {"fields": [{"field": "syslog5424_sd",
+                                 "pattern": "\x00", "replacement": ""}],
+                     "ignore_missing": True, "fail_on_error": False}},
         {"script": {"source": kv_and_time}},
         # the raw line is removed BEFORE the sub-pipeline (pipeline.yml) so
         # the common tail's msg -> message rename lands on a free slot
@@ -5643,7 +5650,7 @@ def test_fortinet_event_module_golden():
     ]}
     out = Pipeline(spec).run_local(batch)
     rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
-    expected = json.load(open(FTNT_EVENT + "-expected.json"))
+    expected = json.load(open(event_path + "-expected.json"))
     assert len(rows) == len(expected)
     SKIP = ("source.geo", "destination.geo", "source.as", "destination.as",
             "ecs.version")
@@ -6362,19 +6369,24 @@ CS_AUDIT = ("/root/reference/x-pack/filebeat/module/crowdstrike/falcon/"
 
 @pytest.mark.skipif(not os.path.exists(CS_AUDIT + "-expected.json"),
                     reason="reference not present")
-def test_crowdstrike_falcon_audit_module_golden():
-    """crowdstrike/falcon audit events (48th module golden, all 14
+@pytest.mark.parametrize("logname", ["falcon-audit-events.log",
+                                     "falcon-events.log",
+                                     "falcon-sample.log"])
+def test_crowdstrike_falcon_audit_module_golden(logname):
+    """crowdstrike/falcon (48th module golden, all 3 fixtures / 24
     multiline-JSON events — AuthActivityAudit, UserActivityAudit,
-    RemoteResponseSession start/end): digit-count UNIX vs UNIX_MS date
-    dispatch rendered in place, Success-driven outcome, camelCase->snake
-    OperationName actions, value-blacklist cleanup ('', '-', N/A, NA, 0),
-    per-type sub-pipelines, AuditKeyValues kept verbatim — x-pack/
+    RemoteResponseSession start/end, DetectionSummary, IncidentSummary,
+    FirewallMatch): digit-count UNIX vs UNIX_MS date dispatch rendered in
+    place, Success-driven outcome, camelCase->snake OperationName actions,
+    value-blacklist cleanup ('', '-', N/A, NA, 0), per-type sub-pipelines,
+    AuditKeyValues kept verbatim — x-pack/
     filebeat/module/crowdstrike/falcon/ingest/*.yml."""
     from beats_ray.pipeline import Pipeline
     from beats_ray.stages.flow import multiline_join
     import ray.data as rd
 
-    raw = _terminated_lines(CS_AUDIT)
+    cs_path = os.path.join(os.path.dirname(CS_AUDIT), logname)
+    raw = _terminated_lines(cs_path)
     src = pa.table({"conv_id": ["f"] * len(raw),
                     "turn_idx": pa.array(range(len(raw)), pa.int32()),
                     "text": raw})
@@ -6469,9 +6481,107 @@ def process(event, params):
             else "Remote response session ended."
         if ev.get("HostnameField") is not None:
             event["host_name"] = str(ev["HostnameField"])
-    # value-blacklist cleanup
+    elif et == "DetectionSummaryEvent":
+        # ingest/detection_summary.yml
+        event["event_kind"] = "alert"
+        event["event_category"] = ["malware"]
+        event["event_type"] = ["info"]
+        event["event_dataset"] = "crowdstrike.falcon_endpoint"
+        event["agent_type"] = "falcon"
+        if ev.get("LocalIP") not in (None, ""):
+            event["source_ip"] = ev["LocalIP"]
+        if ev.get("ProcessId") is not None:
+            event["process_pid"] = int(ev["ProcessId"])
+        if ev.get("Severity") is not None:
+            event["event_severity"] = int(ev["Severity"])
+        for src, tgt in (("ParentImageFileName",
+                          "process_parent_executable"),
+                         ("ParentCommandLine",
+                          "process_parent_command_line"),
+                         ("PatternDispositionDescription", "event_action"),
+                         ("FalconHostLink", "event_url"),
+                         ("DetectDescription", "message"),
+                         ("DetectDescription", "rule_description"),
+                         ("FileName", "process_name"),
+                         ("MachineDomain", "user_domain"),
+                         ("SensorId", "agent_id"),
+                         ("ComputerName", "host_name"),
+                         ("DetectName", "rule_name")):
+            if ev.get(src) is not None:
+                event[tgt] = str(ev[src])
+        rel_h = []
+        for src, tgt in (("SHA256String", "file_hash_sha256"),
+                         ("MD5String", "file_hash_md5"),
+                         ("SHA1String", "file_hash_sha1")):
+            v = ev.get(src)
+            if v is not None:
+                event[tgt] = str(v)
+                # all-zero placeholder hashes stay out of related.hash
+                if str(v) and set(str(v)) != {"0"} and str(v) not in rel_h:
+                    rel_h.append(str(v))
+        if rel_h:
+            event["related_hash"] = rel_h
+        for src, tgt in (("Technique", "threat_technique_name"),
+                         ("Tactic", "threat_tactic_name")):
+            if ev.get(src) is not None:
+                event[tgt] = str(ev[src]).lower()
+    elif et == "IncidentSummaryEvent":
+        # ingest/incident_summary.yml
+        event["event_kind"] = "alert"
+        event["event_category"] = ["malware"]
+        event["event_type"] = ["info"]
+        event["event_action"] = "incident"
+        event["event_dataset"] = "crowdstrike.falcon_endpoint"
+        event["agent_type"] = "falcon"
+        if ev.get("FalconHostLink") is not None:
+            event["event_url"] = str(ev["FalconHostLink"])
+        if ev.get("FineScore") is not None:
+            event["message"] = "Incident score " + str(ev["FineScore"])
+    elif et == "FirewallMatchEvent":
+        # ingest/firewall_match.yml (network.direction is 'ingress' on
+        # BOTH branches in the module's own yml)
+        event["event_kind"] = "event"
+        event["event_category"] = ["network"]
+        event["event_action"] = ["firewall_match_event"]
+        event["event_type"] = ["start", "connection"]
+        event["event_dataset"] = "crowdstrike.falcon_endpoint"
+        if ev.get("RuleName") is not None:
+            event["message"] = \\
+                "Firewall Rule '" + str(ev["RuleName"]) + "' triggered"
+        for src, tgt in (("Ipv", "network_type"), ("RuleId", "rule_id"),
+                         ("RuleName", "rule_name"),
+                         ("RuleGroupName", "rule_ruleset"),
+                         ("RuleDescription", "rule_description"),
+                         ("RuleFamilyID", "rule_category"),
+                         ("HostName", "host_name"),
+                         ("EventType", "event_code")):
+            if ev.get(src) is not None:
+                event[tgt] = str(ev[src])
+        if ev.get("PID") is not None:
+            event["process_pid"] = int(ev["PID"])
+        event["network_direction"] = "ingress"
+        inbound = str(ev.get("ConnectionDirection")) == "1"
+        remote, local = ev.get("RemoteAddress"), ev.get("LocalAddress")
+        rport, lport = ev.get("RemotePort"), ev.get("LocalPort")
+        s_ip, d_ip = (remote, local) if inbound else (local, remote)
+        s_p, d_p = (rport, lport) if inbound else (lport, rport)
+        if s_ip not in (None, ""):
+            event["source_ip"] = s_ip
+        if s_p is not None:
+            event["source_port"] = int(s_p)
+        if d_ip not in (None, ""):
+            event["destination_ip"] = d_ip
+        if d_p is not None:
+            event["destination_port"] = int(d_p)
+    # value-blacklist cleanup.  The module converts these fields to long
+    # BEFORE the blacklist script; painless params.values holds Integer 0,
+    # and Integer(0).equals(Long(0L)) is false in Java, so long-converted
+    # zeros survive the removeIf (pipeline.yml:216-250 then :314-326).
+    LONGED = ("LateralMovement", "LocalPort", "MatchCount",
+              "MatchCountSinceLastReport", "PID", "RemotePort")
     ev = {k: v for k, v in ev.items()
-          if v not in (None, "", "-", "N/A", "NA", 0) or v is True}
+          if v not in (None, "", "-", "N/A", "NA", 0) or v is True
+          or (k in LONGED and v == 0)}
     meta = {k: v for k, v in meta.items()
             if v not in (None, "", "-", "N/A", "NA") or v in (0,)}
     rel_u = []
@@ -6509,7 +6619,7 @@ def process(event, params):
     ]}
     out = Pipeline(spec).run_local(batch)
     rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
-    expected = json.load(open(CS_AUDIT + "-expected.json"))
+    expected = json.load(open(cs_path + "-expected.json"))
     assert len(rows) == len(expected)
 
     def _n(v):
