@@ -123,6 +123,8 @@ CORE_PATTERNS: dict[str, str] = {
     "BASE16NUM": r"(?:[+-]?(?:0[xX])?[0-9A-Fa-f]+)",
     "SYSLOGTIMESTAMP": r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\b +(?:(?:0[1-9])|(?:[12]\d)|(?:3[01])|[1-9]) (?:2[0123]|[01]?\d):(?:[0-5]\d)(?::(?:(?:[0-5]?\d|60)(?:[:.,]\d+)?))?",
     "SYSLOG5424PRI": r"<[0-9]+>",
+    # RFC5424 PRINTUSASCII run (grok-patterns: %%{SYSLOG5424PRINTASCII})
+    "SYSLOG5424PRINTASCII": r"[!-~]+",
 }
 
 _GROK_TOKEN = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?(?::(\w+))?\}")

@@ -10498,62 +10498,105 @@ CEF_LOG = "/root/reference/x-pack/filebeat/module/cef/log/test/cef.log"
 
 @pytest.mark.skipif(not os.path.exists(CEF_LOG + "-expected.json"),
                     reason="reference not present")
-def test_cef_log_module_golden():
-    """cef/log (73rd module golden, base fixture): the module chain over
-    PURE registered stages — decode_cef (full extension typing + ECS
-    mapping) -> community_id -> related.* assembly — x-pack/filebeat/
-    module/cef/log/config/input.yml + ingest/pipeline.yml."""
+@pytest.mark.parametrize("logname", ["cef.log", "checkpoint.log",
+                                     "fp-ngfw-smc.log"])
+def test_cef_log_module_golden(logname):
+    """cef/log (73rd module golden, ALL 3 fixtures): the module chain over
+    registered stages — decode_cef (full extension typing + ECS mapping,
+    non-standard Check Point / Forcepoint extension keys kept as strings,
+    deviceCustomDate epoch-ms + 'MMM dd yyyy HH:mm:ss' forms) ->
+    community_id -> the COMPILED ingest/pipeline.yml with its
+    vendor-dispatched cp-/fp-pipeline sub-pipelines.  The cp-pipeline's
+    data-driven extension-mapping painless (ext name -> `to`, label-switched
+    targets, value-convert dicts) is hand-ported with the mapping table
+    PARSED OUT of the module's own yml params at test time — x-pack/
+    filebeat/module/cef/log/{config/input.yml, ingest/*.yml}."""
     from datetime import datetime, timezone as _tz
 
+    from beats_ray.ingest import compile_ingest, load_pipeline_yml
     from beats_ray.pipeline import Pipeline
 
-    related = (
+    ING = os.path.join(os.path.dirname(os.path.dirname(CEF_LOG)), "ingest")
+
+    ext_copy = (
         "def process(event, params):\n"
-        "    rel = []\n"
-        "    for f in ('destination_ip', 'destination_nat_ip',\n"
-        "              'source_ip', 'source_nat_ip'):\n"
-        "        v = event.get(f)\n"
-        "        if v and v not in rel:\n"
-        "            rel.append(v)\n"
-        "    if rel:\n"
-        "        event['related_ip'] = rel\n"
-        "    users = []\n"
-        "    for f in ('destination_user_name', 'source_user_name'):\n"
-        "        v = event.get(f)\n"
-        "        if v and v not in users:\n"
-        "            users.append(v)\n"
-        "    if users:\n"
-        "        event['related_user'] = users\n"
-        "    if event.get('observer_hostname'):\n"
-        "        event['related_hosts'] = [event['observer_hostname']]\n"
-        "    hashes = []\n"
-        "    for f in ('cef_extensions_fileHash',\n"
-        "              'cef_extensions_oldFileHash'):\n"
-        "        v = event.get(f)\n"
-        "        if v and v not in hashes:\n"
-        "            hashes.append(v)\n"
-        "    if hashes:\n"
-        "        event['related_hash'] = hashes\n"
+        "    # port of cp-pipeline.yml's extension-mapping painless +\n"
+        "    # foreach-set executor (mustache renders values as strings)\n"
+        "    for entry in params['extensions']:\n"
+        "        v = event.get('cef_extensions_' + entry['name'])\n"
+        "        if v is None:\n"
+        "            continue\n"
+        "        if 'convert' in entry:\n"
+        "            v = entry['convert'].get(str(v).lower())\n"
+        "            if v is None:\n"
+        "                continue\n"
+        "        if entry.get('to') is not None:\n"
+        "            dest = entry['to']\n"
+        "        else:\n"
+        "            label = event.get('cef_extensions_' + entry['name']\n"
+        "                              + 'Label')\n"
+        "            if label is None:\n"
+        "                continue\n"
+        "            dest = entry['labels'].get(str(label).lower())\n"
+        "            if dest is None:\n"
+        "                continue\n"
+        "        event[dest.replace('.', '_')] = \\\n"
+        "            v if hasattr(v, 'isoformat') else str(v)\n"
         "    return event\n")
+    duration = (
+        "def process(event, params):\n"
+        "    d = event.get('event_duration')\n"
+        "    if d is None:\n"
+        "        return event\n"
+        "    try:\n"
+        "        event['event_duration'] = \\\n"
+        "            int(d) * params['second_to_nanos']\n"
+        "    except ValueError:\n"
+        "        event['event_duration'] = None\n"
+        "    return event\n")
+
+    def _compile_sub(name):
+        doc = load_pipeline_yml(f"{ING}/{name}.yml")
+        overrides = {}
+        for i, p in enumerate(doc["processors"]):
+            if "script" in p and "extensions" in (
+                    p["script"].get("params") or {}):
+                overrides[i] = {"script": {
+                    "source": ext_copy,
+                    "params": p["script"]["params"]}}
+            elif "script" in p and "second_to_nanos" in (
+                    p["script"].get("params") or {}):
+                overrides[i] = {"script": {
+                    "source": duration,
+                    "params": p["script"]["params"]}}
+            elif "foreach" in p and \
+                    p["foreach"].get("field") == "_tmp_copy":
+                overrides[i] = None  # executed inside ext_copy
+            elif "remove" in p and \
+                    p["remove"].get("field") == "_tmp_copy":
+                overrides[i] = None
+        return compile_ingest(doc, overrides=overrides)
+
+    ingest = compile_ingest(load_pipeline_yml(f"{ING}/pipeline.yml"),
+                            pipeline_loader=_compile_sub)
     spec = {"processors": [
         {"rename": {"fields": [{"from": "message", "to": "event.original"}]}},
         {"decode_cef": {"field": "event.original"}},
         {"community_id": {}},
-        {"script": {"source": related}},
+    ] + ingest + [
         {"add_fields": {"target": "", "fields": {
             "event.module": "cef", "event.dataset": "cef.log",
             "fileset.name": "log", "input.type": "log",
             "service.type": "cef", "event.timezone": "-02:00",
-            "observer.vendor": "Elastic", "observer.product": "Vaporware",
-            "observer.version": "1.0.0-alpha",
             "tags": ["cef", "forwarded"]}}},
     ]}
-    lines = [ln for ln in _terminated_lines(CEF_LOG) if ln.strip()]
+    cef_path = os.path.join(os.path.dirname(CEF_LOG), logname)
+    lines = [ln for ln in _terminated_lines(cef_path) if ln.strip()]
     batch = pa.table({"message": lines,
                       "line_no": pa.array(range(len(lines)), pa.int64())})
     out = Pipeline(spec).run_local(batch)
     rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
-    expected = json.load(open(CEF_LOG + "-expected.json"))
+    expected = json.load(open(cef_path + "-expected.json"))
     assert len(rows) == len(expected)
     SKIP = ("source.geo", "destination.geo", "source.as", "destination.as")
     for got, exp in zip(rows, expected):
@@ -10570,6 +10613,9 @@ def test_cef_log_module_golden():
                 assert got_dt == want_dt, (got_dt, want_dt)
                 continue
             got_v = got.get(key.replace(".", "_"))
+            if isinstance(got_v, datetime):
+                # typed datetime vs the golden's ES ISO-millis rendering
+                got_v = got_v.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
             if isinstance(got_v, list) and len(got_v) == 1 and \
                     not isinstance(want, list):
                 got_v = got_v[0]
