@@ -211,8 +211,20 @@ class ScriptStage(Stage):
         if self._batch_fn:
             return self._batch_fn(batch, self.params)
         rows = batch.to_pylist()
-        out = [r for r in (self._row_fn(dict(ev), self.params) for ev in rows)
-               if r is not None]
+        from ..event import ERROR_COL
+        from .minijs import _Thrown
+        out = []
+        for ev in rows:
+            try:
+                r = self._row_fn(dict(ev), self.params)
+            except _Thrown as t:
+                # uncaught JS `throw` errors THAT event only (goja parity:
+                # session.runProcessFunc returns the error per event) —
+                # poison the row, keep the batch
+                r = dict(ev)
+                r[ERROR_COL] = str(t) or "script error"
+            if r is not None:
+                out.append(r)
         if not out:
             return batch.slice(0, 0)
         # from_pylist infers the schema from the FIRST row only — fields a

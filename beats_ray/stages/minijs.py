@@ -302,7 +302,28 @@ class _Parser:
             return ("continue",)
         if val == "switch":
             return self.parse_switch()
-        if val in ("throw", "do"):
+        if val == "throw":
+            self.next()
+            expr = self.parse_expr()
+            self._semi()
+            return ("throw", expr)
+        if val == "try":
+            self.next()
+            block = self.parse_block()
+            cname = cblock = fblock = None
+            if self.peek()[1] == "catch":
+                self.next()
+                self.expect("(")
+                cname = self.next()[1]
+                self.expect(")")
+                cblock = self.parse_block()
+            if self.peek()[1] == "finally":
+                self.next()
+                fblock = self.parse_block()
+            if cblock is None and fblock is None:
+                raise JSUnsupported("try without catch/finally")
+            return ("try", block, cname, cblock, fblock)
+        if val == "do":
             raise JSUnsupported(f"JS construct {val!r} is outside the "
                                 "supported subset (see stages/minijs.py)")
         expr = self.parse_expr()
@@ -597,6 +618,18 @@ class _Continue(Exception):
     pass
 
 
+class _Thrown(Exception):
+    """A JS ``throw`` in flight.  ``value`` is the thrown JS value (often a
+    ``{name, message}`` Error dict).  Escaping uncaught to the stage layer
+    it reads as a script failure, poisoning the row like any other
+    processor error (goja: uncaught exception -> processor error)."""
+
+    def __init__(self, value):
+        self.value = value
+        m = value.get("message") if isinstance(value, dict) else value
+        super().__init__(str(m))
+
+
 class _EventProxy:
     """The beatevent_v0 API over the engine's flattened row dict."""
 
@@ -856,6 +889,10 @@ class _Interp:
                 "JSON": {"stringify": lambda v, *a: _json.dumps(v),
                          "parse": lambda v: _json.loads(v)},
                 "Array": {"isArray": lambda v: isinstance(v, list)},
+                "Error": lambda msg=None: {"name": "Error",
+                                           "message": msg},
+                "TypeError": lambda msg=None: {"name": "TypeError",
+                                               "message": msg},
                 "Math": {"round": lambda v: int(_tonum(v) + 0.5)
                          if _tonum(v) >= 0 else -int(-_tonum(v) + 0.5),
                          "floor": lambda v: math.floor(_tonum(v)),
@@ -907,6 +944,7 @@ class _Interp:
         params, body = self.funcs[name]
         from collections import ChainMap as _CM
         env = _CM({"this": this_obj}, self.globals)
+        env.maps[0]["arguments"] = list(args)
         for p, a in zip(params, args):
             env[p] = a
         for p in params[len(args):]:
@@ -990,6 +1028,35 @@ class _Interp:
                     break
                 except _Continue:
                     continue
+        elif op == "throw":
+            raise _Thrown(self.eval(st[1], env))
+        elif op == "try":
+            _, block, cname, cblock, fblock = st
+            try:
+                for s in block:
+                    self.exec_stmt(s, env)
+            except _Thrown as t:
+                if cblock is None:
+                    raise
+                env[cname] = t.value
+                for s in cblock:
+                    self.exec_stmt(s, env)
+            except JSUnsupported:
+                raise  # compile-surface gaps stay loud, never catchable
+            except (TypeError, ValueError, KeyError, AttributeError,
+                    IndexError, ZeroDivisionError) as e:
+                # goja surfaces runtime errors as catchable JS errors; the
+                # interpreter's Python-level faults map to Error-shaped
+                # dicts (e.message / e.name both work)
+                if cblock is None:
+                    raise
+                env[cname] = {"name": type(e).__name__, "message": str(e)}
+                for s in cblock:
+                    self.exec_stmt(s, env)
+            finally:
+                if fblock is not None:
+                    for s in fblock:
+                        self.exec_stmt(s, env)
         elif op == "switch":
             _, disc_node, cases = st
             d = self.eval(disc_node, env)
@@ -1096,6 +1163,7 @@ class _Interp:
                         fenv = _CM({"this": _this}, interp.globals)
                     else:
                         fenv = _CM({"this": _this}, cap, interp.globals)
+                    fenv.maps[0]["arguments"] = list(args)
                     for p, a in zip(params, args):
                         fenv.maps[0][p] = a
                     for p in params[len(args):]:
@@ -1164,6 +1232,13 @@ class _Interp:
                     return _search
                 if name == "indexOf":
                     return lambda sub, o=obj: o.find(sub)
+                if name == "lastIndexOf":
+                    return lambda sub, o=obj: o.rfind(sub)
+                if name == "charCodeAt":
+                    return lambda i=0, o=obj: \
+                        ord(o[int(i)]) if 0 <= int(i) < len(o) else None
+                if name == "repeat":
+                    return lambda n, o=obj: o * int(n)
                 if name == "substring":
                     return lambda a, b=None, o=obj: o[int(a):None if b is None else int(b)]
                 if name == "substr":
@@ -1202,13 +1277,60 @@ class _Interp:
                     return lambda o=obj: o.pop() if o else None
                 if name == "forEach":
                     def _each(fn, o=obj):
-                        for x in o:
-                            fn(x)
+                        for i, x in enumerate(o):
+                            # ES5 callback signature (value, index, array)
+                            # for JS closures; host fns take the value only
+                            if getattr(fn, "_is_js_closure", False):
+                                fn(x, i, o)
+                            else:
+                                fn(x)
                     return _each
                 if name == "map":
-                    return lambda fn, o=obj: [fn(x) for x in o]
+                    def _map(fn, o=obj):
+                        js = getattr(fn, "_is_js_closure", False)
+                        return [fn(x, i, o) if js else fn(x)
+                                for i, x in enumerate(o)]
+                    return _map
                 if name == "filter":
-                    return lambda fn, o=obj: [x for x in o if _truthy(fn(x))]
+                    def _filter(fn, o=obj):
+                        js = getattr(fn, "_is_js_closure", False)
+                        return [x for i, x in enumerate(o)
+                                if _truthy(fn(x, i, o) if js else fn(x))]
+                    return _filter
+                if name == "some":
+                    return lambda fn, o=obj: any(_truthy(fn(x)) for x in o)
+                if name == "every":
+                    return lambda fn, o=obj: all(_truthy(fn(x)) for x in o)
+                if name == "reduce":
+                    def _reduce(fn, *init, o=obj):
+                        it = iter(o)
+                        acc = init[0] if init else next(it)
+                        for x in it:
+                            acc = fn(acc, x)
+                        return acc
+                    return _reduce
+                if name == "reverse":
+                    def _rev(o=obj):
+                        o.reverse()
+                        return o
+                    return _rev
+                if name == "shift":
+                    return lambda o=obj: o.pop(0) if o else None
+                if name == "unshift":
+                    def _unshift(*vs, o=obj):
+                        o[:0] = list(vs)
+                        return len(o)
+                    return _unshift
+                if name == "sort":
+                    def _sort(fn=None, o=obj):
+                        if fn is None:
+                            o.sort(key=str)
+                        else:
+                            import functools
+                            o.sort(key=functools.cmp_to_key(
+                                lambda a, b: (fn(a, b) > 0) - (fn(a, b) < 0)))
+                        return o
+                    return _sort
                 if name == "concat":
                     return lambda other, o=obj: list(o) + (
                         list(other) if isinstance(other, list) else [other])

@@ -118,15 +118,15 @@ def test_ternary_and_not():
 
 
 def test_unsupported_constructs_fail_at_compile():
-    with pytest.raises(JSUnsupported):
-        compile_js('function process(e) { throw "boom"; }')
-    # `new` now parses (round 4: user/host constructors); an unknown
+    # `new` parses (round 4: user/host constructors); an unknown
     # constructor still fails loudly — at run time
     fn = compile_js('function process(e) { var x = new Date(); }')
     with pytest.raises(JSUnsupported):
         fn({})
     with pytest.raises(JSUnsupported):
         compile_js('function process(e) { do { } while (false); }')
+    with pytest.raises(JSUnsupported):
+        compile_js('function process(e) { try { e.Get("x"); } }')
 
 
 def test_loops_run_with_budget():
@@ -279,3 +279,114 @@ def test_regex_vs_division_disambiguation():
         {"script": {"lang": "javascript", "source": src}}]}).run_local(t) \
         .to_pylist()[0]
     assert r["half"] == 5 and r["slash"] is True
+
+
+def test_try_catch_throw_finally():
+    """ES5 try/catch/finally + throw (goja runs full ES5; reference module
+    JS guards JSON.parse and processor.Run with try/catch —
+    libbeat/processors/script/javascript/processor.go)."""
+    from beats_ray.stages.minijs import compile_js
+
+    src = """
+function process(evt) {
+    var log = [];
+    try {
+        throw new Error("boom");
+    } catch (e) {
+        evt.Put("caught", e.message);
+    } finally {
+        log.push("fin");
+    }
+    // runtime error (bad JSON) is catchable like goja's thrown errors
+    try {
+        var v = JSON.parse(evt.Get("raw"));
+        evt.Put("parsed", v.k);
+    } catch (e) {
+        evt.Put("parse_err", e.name !== null && e.name !== undefined);
+    }
+    // finally runs on the success path too
+    try {
+        evt.Put("ok", 1);
+    } finally {
+        log.push("fin2");
+    }
+    evt.Put("fins", log.join(","));
+}
+"""
+    f = compile_js(src)
+    good = f({"raw": '{"k": 7}'})
+    assert good["caught"] == "boom" and good["parsed"] == 7
+    assert good["fins"] == "fin,fin2"
+    bad = f({"raw": "{nope"})
+    assert bad["parse_err"] is True
+
+
+def test_throw_uncaught_poisons_row():
+    import pyarrow as pa
+    from beats_ray.pipeline import Pipeline
+
+    src = (
+        "function process(evt) {\n"
+        "    if (evt.Get('n') > 1) { throw new Error('too big'); }\n"
+        "    evt.Put('ok', true);\n"
+        "}\n")
+    out = Pipeline({"processors": [
+        {"script": {"lang": "javascript", "source": src}}]}).run_local(
+        pa.table({"n": [1, 2]})).to_pylist()
+    by_n = {r["n"]: r for r in out}
+    assert by_n[1]["ok"] is True
+    assert by_n[2].get("ok") is None
+    assert by_n[2].get("error_message")  # poisoned, chain aborted per event
+
+
+def test_arguments_object():
+    from beats_ray.stages.minijs import compile_js
+
+    src = """
+function sum() {
+    var t = 0;
+    for (var i = 0; i < arguments.length; i++) { t += arguments[i]; }
+    return t;
+}
+function process(evt) {
+    evt.Put("s", sum(1, 2, 3, 4));
+    var f = function() { return arguments.length; };
+    evt.Put("n", f("a", "b"));
+}
+"""
+    out = compile_js(src)({})
+    assert out["s"] == 10 and out["n"] == 2
+
+
+def test_array_prototype_remainder():
+    """ES5 Array.prototype surface beyond r4: some/every/reduce/sort/
+    reverse/shift/unshift + (value, index, array) callback args."""
+    from beats_ray.stages.minijs import compile_js
+
+    src = """
+function process(evt) {
+    var a = [3, 1, 2];
+    evt.Put("some", a.some(function(x) { return x > 2; }));
+    evt.Put("every", a.every(function(x) { return x > 0; }));
+    evt.Put("sum", a.reduce(function(acc, x) { return acc + x; }, 10));
+    evt.Put("sorted", a.sort(function(x, y) { return x - y; }).join(""));
+    a.reverse();
+    evt.Put("rev", a.join(""));
+    a.unshift(9);
+    evt.Put("first", a.shift());
+    var idx = [];
+    ["a", "b"].forEach(function(v, i) { idx.push(v + i); });
+    evt.Put("fe", idx.join(","));
+    evt.Put("mapped", ["x", "y"].map(
+        function(v, i) { return v + i; }).join(","));
+    evt.Put("code", "A".charCodeAt(0));
+    evt.Put("last", "a.b.c".lastIndexOf("."));
+}
+"""
+    out = compile_js(src)({})
+    assert out["some"] is True and out["every"] is True
+    assert out["sum"] == 16
+    assert out["sorted"] == "123" and out["rev"] == "321"
+    assert out["first"] == 9
+    assert out["fe"] == "a0,b1" and out["mapped"] == "x0,y1"
+    assert out["code"] == 65 and out["last"] == 3
