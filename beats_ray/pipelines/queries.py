@@ -1644,3 +1644,165 @@ _EXTRA_ORACLES["events_ingest_apache"] = """
            min(ip) AS min_ip
     FROM e GROUP BY 1, 2, 3, 4
 """
+
+
+# ------------------------------------------- compiled ES ingest: checkpoint
+
+_CP_PIPELINE_YML = ("/root/reference/x-pack/filebeat/module/checkpoint/"
+                    "firewall/ingest/pipeline.yml")
+
+# vectorized ports of the checkpoint pipeline's painless (positional):
+# #1 iana_number -> network.transport else-if chain — the number->name
+#    table is parsed from the module's own painless source at compile time
+#    and applied as one pc.index_in/take; #2/#3 (source+destination
+#    byte/packet sums) compile to None: the rendered input never carries
+#    per-side counters, and their painless `if` guards would mask every row
+_CP_IANA_BATCH = (
+    "def process_batch(table, params):\n"
+    "    import pyarrow as pa, pyarrow.compute as pc\n"
+    "    if 'network_iana_number' not in table.column_names:\n"
+    "        return table\n"
+    "    keys = pa.array(list(params['table'].keys()), pa.string())\n"
+    "    vals = pa.array(list(params['table'].values()), pa.string())\n"
+    "    col = pc.cast(table.column('network_iana_number'), pa.string())\n"
+    "    mapped = pc.take(vals, pc.index_in(col, keys))\n"
+    "    if 'network_transport' in table.column_names:\n"
+    "        cur = table.column('network_transport')\n"
+    "        mapped = pc.if_else(pc.is_valid(mapped), mapped, cur)\n"
+    "        return table.set_column(\n"
+    "            table.column_names.index('network_transport'),\n"
+    "            'network_transport', mapped)\n"
+    "    return table.append_column('network_transport', mapped)\n")
+
+# ES `set: field: client copy_from: source` copies the whole map; flat
+# rendering = vectorized whole-prefix column copy (nulls stay null, matching
+# the ES ignore_failure no-op when the source map is absent)
+def _cp_subtree_copy(dst, src):
+    return {"script": {"source": (
+        "def process_batch(table, params):\n"
+        f"    for name in list(table.column_names):\n"
+        f"        if name == '{src}' or name.startswith('{src}_'):\n"
+        f"            out = '{dst}' + name[len('{src}'):]\n"
+        "            if out in table.column_names:\n"
+        "                table = table.set_column(\n"
+        "                    table.column_names.index(out), out,\n"
+        "                    table.column(name))\n"
+        "            else:\n"
+        "                table = table.append_column(\n"
+        "                    out, table.column(name))\n"
+        "    return table\n")}}
+
+
+def _checkpoint_compiled_spec():
+    import re as _re
+
+    from ..ingest import compile_ingest, load_pipeline_yml
+    doc = load_pipeline_yml(_CP_PIPELINE_YML)
+    procs = doc["processors"]
+    iana_src = next(p["script"]["source"] for p in procs if "script" in p)
+    pairs = _re.findall(r"iana_number == '(\d+)'\)\s*\{\s*"
+                        r"ctx\.network\.transport = '([\w-]+)'", iana_src)
+    iana = {"script": {"source": _CP_IANA_BATCH,
+                       "params": {"table": dict(pairs)}}}
+    overrides = {}
+    for i, p in enumerate(procs):
+        s = p.get("set") or {}
+        if s.get("field") == "client" and s.get("copy_from") == "source":
+            overrides[i] = _cp_subtree_copy("client", "source")
+        if s.get("field") == "server" and s.get("copy_from") == "destination":
+            overrides[i] = _cp_subtree_copy("server", "destination")
+    return compile_ingest(doc, scripts=[iana, None, None],
+                          overrides=overrides)
+
+
+def q_events_ingest_checkpoint(sf_dir: str):
+    """SECOND compiled-ingest pipeline at sf scale — the checkpoint/firewall
+    ingest/pipeline.yml (904 lines: RFC5424-header grok, the ES kv
+    processor with exclude_keys/strip_brackets, a ~96-rename + 15-convert
+    ECS map, per-row ES date timezone, painless-guarded sets, iana->
+    transport table) compiled by ``beats_ray.ingest.compile_ingest`` and run
+    over RFC5424+kv lines rendered DETERMINISTICALLY from the events table.
+    Complements ``events_ingest_apache`` (grok/uri shape) with the kv/
+    syslog shape, so both major module families face the DuckDB oracle and
+    the bench at data scale.  geoip is cluster-side (compiler skips it).
+
+    Reference: x-pack/filebeat/module/checkpoint/firewall/ingest/
+    pipeline.yml; golden parity for the same compiled chain on all 5
+    reference fixtures in tests/test_checkpoint_golden.py."""
+    from ..pipeline import Pipeline
+
+    ds = _read(os.path.join(sf_dir, "events.parquet"),
+               columns=["event_id", "ts", "user_id"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        u, e = df["user_id"], df["event_id"]
+        srcip = ("10." + ((u // 65536) % 256).astype(str) + "."
+                 + ((u // 256) % 256).astype(str) + "."
+                 + (u % 256).astype(str))
+        dstip = ("172.16." + (e % 256).astype(str) + "."
+                 + ((e // 256) % 256).astype(str))
+        proto = pd.Series(np.where(e % 2 == 1, "6", "17"), index=df.index)
+        direction = pd.Series(
+            np.where((e // 2) % 2 == 1, "inbound", "outbound"),
+            index=df.index)
+        ra = pd.Series(np.where(e % 5 == 0, "Drop", "Accept"),
+                       index=df.index)
+        sport = (1024 + e % 60000).astype(str)
+        dport = pd.Series(np.select([e % 3 == 0, e % 3 == 1],
+                                    ["443", "80"], "25"), index=df.index)
+        when = df["ts"].dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+        msg = ("<134>1 " + when + " gw-" + (u % 8).astype(str)
+               + " CheckPoint 1930 - [action:\"" + ra
+               + "\"; ifdir:\"" + direction
+               + "\"; loguid:\"{0x" + e.astype(str)
+               + ",0x0,0x0,0x1}\"; origin:\"" + srcip
+               + "\"; sequencenum:\"" + (e % 100).astype(str)
+               + "\"; product:\"VPN-1 & FireWall-1\"; rule_action:\"" + ra
+               + "\"; src:\"" + srcip + "\"; dst:\"" + dstip
+               + "\"; proto:\"" + proto + "\"; s_port:\"" + sport
+               + "\"; service:\"" + dport + "\"]")
+        return pd.DataFrame({"message": msg, "ts": df["ts"]})
+
+    parsed = Pipeline(_checkpoint_compiled_spec()).apply(
+        ds.map_batches(render, batch_format="pandas"))
+
+    keys = ["event_action", "event_outcome", "network_transport",
+            "network_direction"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(keys + ["destination_port", "ts",
+                              "source_ip"]).to_pandas()
+        g = df.groupby(keys, as_index=False, dropna=False).agg(
+            n=("source_ip", "size"),
+            sum_dport=("destination_port", "sum"),
+            max_ts=("ts", "max"),
+            min_ip=("source_ip", "min"))
+        g["n"] = g["n"].astype("int64")
+        g["sum_dport"] = g["sum_dport"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return small_groupby(parsed, keys, partial,
+                         {"n": "sum", "sum_dport": "sum",
+                          "max_ts": "max", "min_ip": "min"})
+
+
+QUERIES["events_ingest_checkpoint"] = q_events_ingest_checkpoint
+_EXTRA_ORACLES["events_ingest_checkpoint"] = """
+    WITH e AS (
+      SELECT ts, event_id AS e,
+             '10.' || CAST((user_id // 65536) % 256 AS VARCHAR) || '.'
+                   || CAST((user_id // 256) % 256 AS VARCHAR) || '.'
+                   || CAST(user_id % 256 AS VARCHAR) AS srcip
+      FROM events)
+    SELECT CASE WHEN e % 5 = 0 THEN 'Drop' ELSE 'Accept' END AS event_action,
+           'success' AS event_outcome,
+           CASE WHEN e % 2 = 1 THEN 'tcp' ELSE 'udp' END AS network_transport,
+           CASE WHEN (e // 2) % 2 = 1 THEN 'inbound'
+                ELSE 'outbound' END AS network_direction,
+           count(*)::BIGINT AS n,
+           sum(CASE WHEN e % 3 = 0 THEN 443
+                    WHEN e % 3 = 1 THEN 80 ELSE 25 END)::BIGINT AS sum_dport,
+           max(date_trunc('second', ts)) AS max_ts,
+           min(srcip) AS min_ip
+    FROM e GROUP BY 1, 2, 3, 4
+"""
