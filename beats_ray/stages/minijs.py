@@ -9,15 +9,26 @@ parser + tree-walking interpreter for the JS SUBSET those scripts use:
 
   statements:  var declarations, assignments (incl. += -= *= /= %=),
                expression statements, if/else (with blocks), return,
-               while, for(;;), for-in, break, continue
-  expressions: string/number/bool/null literals, identifiers, member
-               access, [] indexing, function calls, ===, !==, ==, !=,
+               while, do/while, for(;;), for-in, switch, break, continue,
+               function declarations/expressions (closures), throw,
+               try/catch/finally (runtime errors surface as catchable
+               Error-shaped {name, message} values — goja parity)
+  expressions: string/number/bool/null literals, regex literals,
+               identifiers, member access, [] indexing, function calls,
+               `new` (user/host constructors), ===, !==, ==, !=,
                <, >, <=, >=, +, -, *, %, &&, ||, !, ternary ?:,
-               typeof, ++/-- (prefix and postfix)
+               typeof, instanceof, ++/-- (prefix and postfix),
+               ``arguments`` inside functions
   event API:   event.Get/Put/Rename/Delete/Cancel/Tag/AppendTo,
                event.fields["k"] read/write
-  string API:  toUpperCase, toLowerCase, trim, split, indexOf, substring,
-               startsWith, endsWith, replace, length
+  string API:  toUpperCase, toLowerCase, trim, split, indexOf,
+               lastIndexOf, charAt, charCodeAt, substring, substr,
+               startsWith, endsWith, replace, match, search, repeat,
+               length
+  array API:   push/pop/shift/unshift, indexOf, includes, join, concat,
+               slice, forEach/map/filter (ES5 (value, index, array)
+               callback args), some/every/reduce, sort (comparator),
+               reverse, length
 
 Anything outside the subset raises ``JSUnsupported`` at COMPILE time with
 the offending token, so unsupported configs fail loudly at pipeline build,
@@ -324,8 +335,16 @@ class _Parser:
                 raise JSUnsupported("try without catch/finally")
             return ("try", block, cname, cblock, fblock)
         if val == "do":
-            raise JSUnsupported(f"JS construct {val!r} is outside the "
-                                "supported subset (see stages/minijs.py)")
+            self.next()
+            body = self.parse_block() if self.peek()[1] == "{" \
+                else [self.parse_stmt()]
+            if self.next()[1] != "while":
+                raise JSUnsupported("do without while")
+            self.expect("(")
+            cond = self.parse_expr()
+            self.expect(")")
+            self._semi()
+            return ("dowhile", cond, body)
         expr = self.parse_expr()
         nxt = self.peek()[1]
         if nxt == "=":
@@ -990,6 +1009,19 @@ class _Interp:
                     break
                 except _Continue:
                     continue
+        elif op == "dowhile":
+            _, cond, body = st
+            while True:
+                self._tick()
+                try:
+                    for s in body:
+                        self.exec_stmt(s, env)
+                except _Break:
+                    break
+                except _Continue:
+                    pass
+                if not _truthy(self.eval(cond, env)):
+                    break
         elif op == "for":
             _, init, cond, update, body = st
             if init is not None:

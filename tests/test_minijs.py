@@ -124,9 +124,9 @@ def test_unsupported_constructs_fail_at_compile():
     with pytest.raises(JSUnsupported):
         fn({})
     with pytest.raises(JSUnsupported):
-        compile_js('function process(e) { do { } while (false); }')
-    with pytest.raises(JSUnsupported):
         compile_js('function process(e) { try { e.Get("x"); } }')
+    with pytest.raises(JSUnsupported):
+        compile_js('function process(e) { do { e.Get("x"); } until (1); }')
 
 
 def test_loops_run_with_budget():
@@ -390,3 +390,20 @@ function process(evt) {
     assert out["first"] == 9
     assert out["fe"] == "a0,b1" and out["mapped"] == "x0,y1"
     assert out["code"] == 65 and out["last"] == 3
+
+
+def test_do_while():
+    from beats_ray.stages.minijs import compile_js
+
+    src = """
+function process(evt) {
+    var n = 0;
+    do { n++; } while (n < 3);
+    var m = 0;
+    do { m++; } while (false);
+    evt.Put("n", n);
+    evt.Put("m", m);
+}
+"""
+    out = compile_js(src)({})
+    assert out["n"] == 3 and out["m"] == 1
