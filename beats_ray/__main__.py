@@ -147,6 +147,49 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_module(args) -> int:
+    """Run a reference-style filebeat module fileset over log files: render
+    the module's own config, compile its ingest pipeline(s), stream the
+    lines through the chain, write routed parquet + manifest."""
+    import os
+
+    from .modules import compile_fileset_spec
+    from .pipeline import Pipeline
+    from .sinks.parquet import sink_counts, write_routed
+    from .sources.readers import read_log_lines
+
+    module = args.module or \
+        os.path.basename(os.path.normpath(args.module_dir))
+    vars = {"input": "file"}
+    for kv in args.var or []:
+        k, _, v = kv.partition("=")
+        vars[k] = v
+    spec, mvars = compile_fileset_spec(args.module_dir, module,
+                                       args.fileset, vars=vars)
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    files: list[str] = []
+    for pat in args.input:
+        files.extend(sorted(glob.glob(pat)))
+    if not files:
+        print(f"no input files matched {args.input}", file=sys.stderr)
+        return 2
+    ds = read_log_lines(files, encoding=args.encoding)
+    if mvars.get("tags"):
+        spec.insert(0, {"add_tags": {"tags": mvars["tags"]}})
+    pipe = Pipeline({"processors": spec,
+                     "route": {"rules": [],
+                               "default": f"{module}.{args.fileset}",
+                               "target": "sink"}})
+    man = write_routed(pipe.apply(ds), args.output)
+    print(json.dumps({"sink_counts": sink_counts(man),
+                      "module": module, "fileset": args.fileset}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="beats_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -154,9 +197,26 @@ def main(argv=None) -> int:
     runp.add_argument("--config", required=True)
     runp.add_argument("--resume", action="store_true",
                       help="(default behavior) skip completed partitions")
+    modp = sub.add_parser(
+        "module", help="run a filebeat module fileset (config/*.yml + "
+                       "compiled ingest/*.yml) over log files")
+    modp.add_argument("--module-dir", required=True,
+                      help="path to the module directory "
+                           "(.../filebeat/module/<name>)")
+    modp.add_argument("--fileset", required=True)
+    modp.add_argument("--module", default=None,
+                      help="module name (default: module-dir basename)")
+    modp.add_argument("--input", nargs="+", required=True,
+                      help="log file globs")
+    modp.add_argument("--output", default="/tmp/beats_ray_module_out")
+    modp.add_argument("--encoding", default="")
+    modp.add_argument("--var", action="append", metavar="K=V",
+                      help="fileset var override (repeatable)")
     args = ap.parse_args(argv)
     if args.cmd == "run":
         return cmd_run(args)
+    if args.cmd == "module":
+        return cmd_module(args)
     return 1
 
 

@@ -1242,7 +1242,7 @@ _EXTRA_ORACLES["multimodal_pipeline"] = """
     FROM read_parquet('/tmp/beats_ray_data/multimodal_synth.parquet')
 """
 
-_EXTRA_ORACLES["docs_dedup_simhash"] = """
+_EXTRA_ORACLES["docs_dedup_simhash"] = r"""
     WITH RECURSIVE toks AS (
         SELECT doc_id, t.i AS tok_idx, ws[t.i] AS tok
         FROM (SELECT doc_id,
@@ -1693,11 +1693,11 @@ def _cp_subtree_copy(dst, src):
         "    return table\n")}}
 
 
-def _checkpoint_compiled_spec():
+def _checkpoint_hook_parts(doc):
+    """(scripts, overrides) for the checkpoint/firewall pipeline — shared
+    with ``beats_ray.modules.FILESET_HOOKS``."""
     import re as _re
 
-    from ..ingest import compile_ingest, load_pipeline_yml
-    doc = load_pipeline_yml(_CP_PIPELINE_YML)
     procs = doc["processors"]
     iana_src = next(p["script"]["source"] for p in procs if "script" in p)
     pairs = _re.findall(r"iana_number == '(\d+)'\)\s*\{\s*"
@@ -1711,8 +1711,14 @@ def _checkpoint_compiled_spec():
             overrides[i] = _cp_subtree_copy("client", "source")
         if s.get("field") == "server" and s.get("copy_from") == "destination":
             overrides[i] = _cp_subtree_copy("server", "destination")
-    return compile_ingest(doc, scripts=[iana, None, None],
-                          overrides=overrides)
+    return [iana, None, None], overrides
+
+
+def _checkpoint_compiled_spec():
+    from ..ingest import compile_ingest, load_pipeline_yml
+    doc = load_pipeline_yml(_CP_PIPELINE_YML)
+    scripts, overrides = _checkpoint_hook_parts(doc)
+    return compile_ingest(doc, scripts=scripts, overrides=overrides)
 
 
 def q_events_ingest_checkpoint(sf_dir: str):

@@ -1,0 +1,94 @@
+"""Module runner (`beats_ray.modules` + `python -m beats_ray module`) —
+runs a reference filebeat module fileset end-to-end: render the fileset's
+own Go-templated config, compile its ingest pipeline(s), apply the built-in
+painless port hook, route to partitioned parquet.
+
+Reference: filebeat/fileset/fileset.go (config render + pipeline upload),
+filebeat/fileset/pipelines.go.
+"""
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from beats_ray.modules import FILESET_HOOKS, compile_fileset_spec
+from beats_ray.pipeline import Pipeline
+from test_zeek_golden import _terminated_lines, check_golden
+
+APACHE = "/root/reference/filebeat/module/apache"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(APACHE),
+                                reason="reference not present")
+
+UA_SKIP = ("user_agent.name", "user_agent.os", "user_agent.device",
+           "user_agent.version", "user_agent.major", "user_agent.minor")
+
+
+def _golden_via_runner(logname):
+    """apache/access through compile_fileset_spec with NO explicit scripts:
+    proves the built-in FILESET_HOOKS port is auto-applied."""
+    spec, vars = compile_fileset_spec(APACHE, "apache", "access")
+    logp = f"{APACHE}/access/test/{logname}"
+    lines = _terminated_lines(logp)
+    batch = pa.table({
+        "message": lines,
+        "line_no": pa.array(range(len(lines)), pa.int64()),
+        "tags": pa.array([vars.get("tags") or []] * len(lines),
+                         pa.list_(pa.string())),
+    })
+    out = Pipeline({"processors": spec}).run_local(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
+    expected = json.load(open(logp + "-expected.json"))
+    check_golden(rows, expected, skip=UA_SKIP)
+
+
+def test_runner_apache_access_golden():
+    _golden_via_runner("test.log")
+
+
+def test_runner_apache_ssl_hook_applied():
+    # ssl-request.log exercises the tls-version painless port in the hook
+    _golden_via_runner("ssl-request.log")
+
+
+def test_hooks_registered():
+    assert ("apache", "access") in FILESET_HOOKS
+    assert ("checkpoint", "firewall") in FILESET_HOOKS
+
+
+def test_checkpoint_hook_compiles():
+    # the 904-line checkpoint pipeline compiles through the hook without
+    # explicit scripts (iana table parsed from the module's own painless)
+    cp = "/root/reference/x-pack/filebeat/module/checkpoint"
+    if not os.path.isdir(cp):
+        pytest.skip("checkpoint module not present")
+    spec, _ = compile_fileset_spec(cp, "checkpoint", "firewall")
+    assert len(spec) > 50  # the compiled chain is large
+
+
+def test_module_cli_e2e(tmp_path):
+    """`python -m beats_ray module` in a fresh process: reads the module's
+    own test log, writes routed parquet + manifest, prints sink counts."""
+    out = tmp_path / "out"
+    proc = subprocess.run(
+        [sys.executable, "-m", "beats_ray", "module",
+         "--module-dir", APACHE, "--fileset", "access",
+         "--input", f"{APACHE}/access/test/test.log",
+         "--output", str(out)],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "RAY_ADDRESS": "local"})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["sink_counts"] == {"apache.access": 7}
+    files = glob.glob(str(out / "sink=apache.access" / "*.parquet"))
+    assert files
+    t = pq.read_table(files[0])
+    assert t.num_rows == 7
+    got = set(t.column("http_response_status_code").to_pylist())
+    exp = json.load(open(f"{APACHE}/access/test/test.log-expected.json"))
+    assert got == {e["http.response.status_code"] for e in exp}

@@ -14,9 +14,7 @@ import os
 import pyarrow as pa
 import pytest
 
-from beats_ray.ingest import (compile_ingest, config_processors,
-                              load_fileset_config, load_pipeline_yml,
-                              manifest_vars)
+from beats_ray.ingest import load_pipeline_yml
 from beats_ray.pipeline import Pipeline
 
 ZEEK = "/root/reference/x-pack/filebeat/module/zeek"
@@ -161,53 +159,12 @@ def check_golden(rows, expected, skip=()):
 
 def run_fileset(module_dir, module, fs, scripts=None, overrides=None,
                 log=None, extra_spec=None):
-    vars = manifest_vars(f"{module_dir}/{fs}/manifest.yml")
-    cfg = load_fileset_config(f"{module_dir}/{fs}/config/{fs}.yml", vars)
-    spec = []
-    json_cfg = {**(cfg.get("json") or {}),
-                **{k.split(".", 1)[1]: v for k, v in cfg.items()
-                   if k.startswith("json.")}}
-    if json_cfg:  # input-level ndjson parse (older zeek config shape)
-        under_root = json_cfg.get("keys_under_root", False)
-        spec += [
-            {"decode_json_fields": {"fields": ["message"],
-                                    "target": "" if under_root else "json",
-                                    "keep_arrays": True}},
-            {"drop_fields": {"fields": ["message"], "ignore_missing": True}},
-        ]
-    if cfg.get("fields"):
-        spec.append({"add_fields": {"target": "", "fields": cfg["fields"]}})
-    for p in cfg.get("processors", []):
-        if "decode_json_fields" in p:  # native arrays for golden parity
-            p = {"decode_json_fields": {**p["decode_json_fields"],
-                                        "keep_arrays": True}}
-        if isinstance(p, dict) and "rename" in p:
-            # dot-free froms ("json", "seen") are real map containers in
-            # Beats (PutValue nests); multi-segment froms may be literal
-            # dotted source keys the flat model can't tell apart (kerberos
-            # "cert.client_subject") -> subtree move only for the former,
-            # split into order-preserving runs
-            runs = []
-            for q in p["rename"].get("fields", []):
-                tree = "." not in q.get("from", ".")
-                if runs and runs[-1][0] == tree:
-                    runs[-1][1].append(q)
-                else:
-                    runs.append((tree, [q]))
-            for tree, pairs in runs:
-                spec.append({"rename": {**p["rename"], "fields": pairs,
-                                        "move_subtrees": tree}})
-            continue
-        spec.append(p)
-    spec += compile_ingest(
-        load_pipeline_yml(f"{module_dir}/{fs}/ingest/pipeline.yml"),
-        scripts=scripts, overrides=overrides)
-    spec.append({"add_fields": {"target": "", "fields": {
-        "event.module": module, "event.dataset": f"{module}.{fs}",
-        "fileset.name": fs, "input.type": "log",
-        "service.type": module}}})
-    if extra_spec:
-        spec += extra_spec
+    # delegates to the library module runner so the golden suite exercises
+    # the same compile path `python -m beats_ray module` runs in production
+    from beats_ray.modules import compile_fileset_spec
+    spec, vars = compile_fileset_spec(module_dir, module, fs,
+                                      scripts=scripts, overrides=overrides,
+                                      extra_spec=extra_spec)
     logp = log or f"{module_dir}/{fs}/test/{fs}-json.log"
     if not os.path.exists(logp):
         import glob as _glob
