@@ -3,9 +3,10 @@ compiled by beats_ray.ingest and run against the module's own test fixture
 (x-pack/filebeat/module/zeek/<fs>/test/<fs>-json.log-expected.json).
 
 Unlike the hand-built specs in test_reference_golden.py, these run the
-reference's ACTUAL pipeline files through the generic ES-ingest compiler;
-only the painless ``script:`` bodies are hand-ported (listed per fileset in
-SCRIPTS below, positional), mirroring how the compiler is meant to be used.
+reference's ACTUAL pipeline files through the generic ES-ingest compiler via
+beats_ray.modules.compile_fileset_spec (the `python -m beats_ray module`
+path); the painless ``script:`` ports for the scripted filesets live in
+beats_ray.modules.FILESET_HOOKS and are applied automatically.
 """
 import datetime as _dt
 import json
@@ -14,7 +15,6 @@ import os
 import pyarrow as pa
 import pytest
 
-from beats_ray.ingest import load_pipeline_yml
 from beats_ray.pipeline import Pipeline
 
 ZEEK = "/root/reference/x-pack/filebeat/module/zeek"
@@ -200,122 +200,46 @@ def test_zeek_plain_fileset_golden(fs):
     check_golden(rows, expected)
 
 
-def _py(src):
-    return {"script": {"source": "def process(event, params):\n" + "".join(
-        "    " + ln + "\n" for ln in src.splitlines()) + "    return event\n"}}
-
-
 def test_zeek_ssl_golden():
-    """zeek/ssl (both fixtures) — the painless version-split script
-    (ingest/pipeline.yml: splitOnToken('v') -> tls.version[_protocol])."""
-    scripts = [_py(
-        "v = event.get('zeek_ssl_version')\n"
-        "parts = v.split('v') if v else []\n"
-        "if len(parts) == 2:\n"
-        "    if parts[0] == 'SSL':\n"
-        "        event['tls_version'] = parts[1] + '.0'\n"
-        "    else:\n"
-        "        event['tls_version'] = parts[1][:1] + '.' + parts[1][1:]\n"
-        "    event['tls_version_protocol'] = parts[0].lower()")]
+    """zeek/ssl (both fixtures) — the painless version-split port, applied
+    automatically via its built-in FILESET_HOOKS entry (beats_ray.modules)."""
     for log in ("ssl-json.log", "ssl-with-ja3-and-custom-fields-json.log"):
         rows, expected = run_fileset(ZEEK, "zeek", "ssl",
-                                     scripts=list(scripts),
                                      log=f"{ZEEK}/ssl/test/{log}")
         check_golden(rows, expected)
 
 
 def test_zeek_kerberos_golden():
-    """zeek/kerberos — valid.days = round((until-from)/86400) painless."""
-    scripts = [_py(
-        "f, u = event.get('zeek_kerberos_valid_from'), "
-        "event.get('zeek_kerberos_valid_until')\n"
-        "if f is not None and u is not None:\n"
-        "    event['zeek_kerberos_valid_days'] = int(round((u - f) / 86400))")]
-    rows, expected = run_fileset(ZEEK, "zeek", "kerberos", scripts=scripts)
+    """zeek/kerberos — valid.days = round((until-from)/86400) port via its
+    built-in hook."""
+    rows, expected = run_fileset(ZEEK, "zeek", "kerberos")
     check_golden(rows, expected)
 
 
 def test_zeek_sip_golden():
     """zeek/sip — the only painless script strips null map values, a no-op
-    in the columnar model (absent == null)."""
-    rows, expected = run_fileset(ZEEK, "zeek", "sip", scripts=[None])
+    in the columnar model (absent == null); built-in hook."""
+    rows, expected = run_fileset(ZEEK, "zeek", "sip")
     check_golden(rows, expected)
 
 
 def test_zeek_files_golden():
-    """zeek/files — 3 one-line painless scripts (first-element extracts +
-    remove) hand-ported; foreach+append handled by the compiler."""
-    scripts = [
-        _py("ids = event.get('zeek_files_session_ids')\n"
-            "if ids:\n"
-            "    event['zeek_session_id'] = ids[0]"),
-        _py("tx = event.get('zeek_files_tx_hosts')\n"
-            "if tx:\n"
-            "    event['zeek_files_tx_host'] = tx[0]\n"
-            "event['zeek_files_tx_hosts'] = None"),
-        _py("rx = event.get('zeek_files_rx_hosts')\n"
-            "if rx:\n"
-            "    event['zeek_files_rx_host'] = rx[0]\n"
-            "event['zeek_files_rx_hosts'] = None"),
-    ]
-    rows, expected = run_fileset(ZEEK, "zeek", "files", scripts=scripts)
+    """zeek/files — 3 one-line painless ports (first-element extracts +
+    remove) via the built-in hook; foreach+append handled by the compiler."""
+    rows, expected = run_fileset(ZEEK, "zeek", "files")
     check_golden(rows, expected)
 
 
 def test_zeek_connection_golden():
-    """zeek/connection — all 7 painless scripts hand-ported (duration
-    scale, local_orig/resp tags, packet/byte sums, direction matrix,
-    state->message/type table read from the module's own params)."""
-    doc = load_pipeline_yml(f"{ZEEK}/connection/ingest/pipeline.yml")
-    state_params = [p["script"]["params"] for p in doc["processors"]
-                    if "script" in p and p["script"].get("params")
-                    and "S0" in p["script"]["params"]][0]
-    scripts = [
-        _py("d = event.get('temp_duration')\n"
-            "if d is not None:\n"
-            "    event['event_duration'] = int(round(d * 1000000000))"),
-        _py("if event.get('zeek_connection_local_orig'):\n"
-            "    event['tags'] = (event.get('tags') or []) + ['local_orig']"),
-        _py("if event.get('zeek_connection_local_resp'):\n"
-            "    event['tags'] = (event.get('tags') or []) + ['local_resp']"),
-        _py("sp, dp = event.get('source_packets'), "
-            "event.get('destination_packets')\n"
-            "if sp is not None and dp is not None:\n"
-            "    event['network_packets'] = sp + dp"),
-        _py("sb, db = event.get('source_bytes'), "
-            "event.get('destination_bytes')\n"
-            "if sb is not None and db is not None:\n"
-            "    event['network_bytes'] = sb + db"),
-        _py("lo = event.get('zeek_connection_local_orig')\n"
-            "lr = event.get('zeek_connection_local_resp')\n"
-            "if lo is not None and lr is not None:\n"
-            "    event['network_direction'] = (\n"
-            "        'internal' if lo and lr else\n"
-            "        'outbound' if lo else\n"
-            "        'inbound' if lr else 'external')"),
-        _py("st = event.get('zeek_connection_state')\n"
-            f"table = {state_params!r}\n"
-            "if st is not None and st in table:\n"
-            "    event['zeek_connection_state_message'] = "
-            "table[st]['conn_str']\n"
-            "    event['event_type'] = table[st]['types']"),
-    ]
-    rows, expected = run_fileset(ZEEK, "zeek", "connection", scripts=scripts)
+    """zeek/connection — all 7 painless scripts via the built-in hook
+    (duration scale, local_orig/resp tags, packet/byte sums, direction
+    matrix, state->message/type table read from the module's own params)."""
+    rows, expected = run_fileset(ZEEK, "zeek", "connection")
     check_golden(rows, expected)
 
 
 def test_zeek_x509_golden():
     """zeek/x509 — the painless script is a pure params-table lookup; the
-    impl reads the table from the module's own pipeline.yml."""
-    doc = load_pipeline_yml(f"{ZEEK}/x509/ingest/pipeline.yml")
-    params = next(p["script"]["params"] for p in doc["processors"]
-                  if "script" in p)
-    src = ("def process(event, params):\n"
-           f"    table = {params!r}\n"
-           "    algo = table.get(event.get('file_x509_signature_algorithm'))\n"
-           "    if algo is not None:\n"
-           "        event['file_x509_signature_algorithm'] = algo\n"
-           "    return event\n")
-    rows, expected = run_fileset(ZEEK, "zeek", "x509",
-                                 scripts=[{"script": {"source": src}}])
+    built-in hook reads the table from the module's own pipeline.yml."""
+    rows, expected = run_fileset(ZEEK, "zeek", "x509")
     check_golden(rows, expected)
