@@ -34,6 +34,37 @@ import json
 import sys
 
 
+def multiline_pre_transform(mc: dict, is_log: bool = True):
+    """Beats ``multiline:`` config -> Dataset-level grouped transform
+    (an ordering-sensitive per-file fold a row-local chain can't express)."""
+    mc = dict(mc)
+    conv_col = mc.pop("conv_col", "log_file_path" if is_log else "conv_id")
+    order_col = mc.pop("order_col", "log_offset" if is_log else "turn_idx")
+    field = mc.pop("field", "message" if is_log else "text")
+    mode = mc.pop("type", "pattern")
+    count_lines = int(mc.pop("count_lines", 1))
+    max_lines = mc.pop("max_lines", None)
+    if max_lines is None:
+        max_lines = count_lines if mode == "count" else 500
+    kw = dict(pattern=mc.get("pattern"),
+              negate=bool(mc.get("negate", False)),
+              match=mc.get("match", "after"),
+              flush_pattern=mc.get("flush_pattern"),
+              mode=mode, count_lines=count_lines,
+              max_lines=int(max_lines),
+              conv_col=conv_col, order_col=order_col,
+              text_col=field)
+    if mode != "count" and not kw["pattern"]:
+        raise ValueError("multiline.pattern is required for type="
+                         f"{mode} (multiline_config.go:68-79)")
+
+    def transform(ds):
+        from .stages.flow import multiline_join
+        return multiline_join(ds, **kw)
+
+    return transform
+
+
 def build_pipeline_from_config(cfg: dict):
     """Compile the YAML config -> (Pipeline, pre_transforms).
 
@@ -56,34 +87,8 @@ def build_pipeline_from_config(cfg: dict):
     is_log = input_cfg.get("type", "parquet") == "log"
     for p in parsers_to_processors(input_cfg.get("parsers", [])):
         if "__multiline__" in p:
-            mc = dict(p["__multiline__"])
-            conv_col = mc.pop("conv_col",
-                              "log_file_path" if is_log else "conv_id")
-            order_col = mc.pop("order_col",
-                               "log_offset" if is_log else "turn_idx")
-            field = mc.pop("field", "message" if is_log else "text")
-            mode = mc.pop("type", "pattern")
-            count_lines = int(mc.pop("count_lines", 1))
-            max_lines = mc.pop("max_lines", None)
-            if max_lines is None:
-                max_lines = count_lines if mode == "count" else 500
-            kw = dict(pattern=mc.get("pattern"),
-                      negate=bool(mc.get("negate", False)),
-                      match=mc.get("match", "after"),
-                      flush_pattern=mc.get("flush_pattern"),
-                      mode=mode, count_lines=count_lines,
-                      max_lines=int(max_lines),
-                      conv_col=conv_col, order_col=order_col,
-                      text_col=field)
-            if mode != "count" and not kw["pattern"]:
-                raise ValueError("multiline.pattern is required for type="
-                                 f"{mode} (multiline_config.go:68-79)")
-
-            def make(kw=kw):
-                from .stages.flow import multiline_join
-                return lambda ds: multiline_join(ds, **kw)
-
-            pre_transforms.append(make())
+            pre_transforms.append(
+                multiline_pre_transform(p["__multiline__"], is_log))
         else:
             processors.append(p)
     processors.extend(cfg.get("processors", []))
@@ -152,11 +157,12 @@ def cmd_module(args) -> int:
     the module's own config, compile its ingest pipeline(s), stream the
     lines through the chain, write routed parquet + manifest."""
     import os
+    import re
 
-    from .modules import compile_fileset_spec
+    from .modules import compile_fileset_spec, fileset_reader_opts
     from .pipeline import Pipeline
     from .sinks.parquet import sink_counts, write_routed
-    from .sources.readers import read_log_lines
+    from .sources.readers import read_log_lines, read_log_records
 
     module = args.module or \
         os.path.basename(os.path.normpath(args.module_dir))
@@ -166,6 +172,7 @@ def cmd_module(args) -> int:
         vars[k] = v
     spec, mvars = compile_fileset_spec(args.module_dir, module,
                                        args.fileset, vars=vars)
+    reader = fileset_reader_opts(args.module_dir, args.fileset, vars=vars)
 
     import ray
     if not ray.is_initialized():
@@ -174,10 +181,24 @@ def cmd_module(args) -> int:
     files: list[str] = []
     for pat in args.input:
         files.extend(sorted(glob.glob(pat)))
+    for rx in reader["exclude_files"]:
+        files = [f for f in files if not re.search(rx, f)]
     if not files:
         print(f"no input files matched {args.input}", file=sys.stderr)
         return 2
-    ds = read_log_lines(files, encoding=args.encoding)
+    enc = args.encoding or reader["encoding"]
+    if reader["multiline"]:
+        # ordering-sensitive join needs per-file line order -> record reader
+        ds = read_log_records(files, encoding=enc)
+        ds = multiline_pre_transform(reader["multiline"])(ds)
+    else:
+        ds = read_log_lines(files, encoding=enc)
+    # include/exclude_lines filter the multiline-JOINED message
+    # (harvester.go:426)
+    if reader["include_lines"] or reader["exclude_lines"]:
+        spec.insert(0, {"line_filter": {
+            "include_lines": reader["include_lines"],
+            "exclude_lines": reader["exclude_lines"]}})
     if mvars.get("tags"):
         spec.insert(0, {"add_tags": {"tags": mvars["tags"]}})
     pipe = Pipeline({"processors": spec,

@@ -36,8 +36,41 @@ import os
 from .ingest import (compile_ingest, load_fileset_config, load_pipeline_yml,
                      manifest_vars)
 
-__all__ = ["compile_fileset_spec", "fileset_pipeline_loader",
-           "FILESET_HOOKS"]
+__all__ = ["compile_fileset_spec", "fileset_reader_opts",
+           "fileset_pipeline_loader", "FILESET_HOOKS"]
+
+
+def _nested(cfg: dict, key: str) -> dict:
+    """Merge ``key: {...}`` and flattened ``key.sub: v`` config forms."""
+    return {**(cfg.get(key) or {}),
+            **{k.split(".", 1)[1]: v for k, v in cfg.items()
+               if k.startswith(key + ".")}}
+
+
+def fileset_reader_opts(module_dir: str, fileset: str,
+                        vars: dict | None = None) -> dict:
+    """Reader-level settings from the fileset's rendered config — the input
+    options the harvester applies BEFORE/AROUND the processor chain
+    (input/log/config.go:67-68, harvester.go:426,496-511):
+
+    - ``multiline``: reader-chain join (elasticsearch/mysql/kafka configs)
+    - ``include_lines`` / ``exclude_lines``: post-multiline message filter
+    - ``exclude_files``: file-path regex blacklist
+    - ``encoding``: charset name
+    """
+    fs_dir = os.path.join(module_dir, fileset)
+    mvars = manifest_vars(os.path.join(fs_dir, "manifest.yml"))
+    if vars:
+        mvars.update(vars)
+    cfg = load_fileset_config(
+        os.path.join(fs_dir, "config", f"{fileset}.yml"), mvars)
+    return {
+        "multiline": _nested(cfg, "multiline") or None,
+        "include_lines": cfg.get("include_lines") or [],
+        "exclude_lines": cfg.get("exclude_lines") or [],
+        "exclude_files": cfg.get("exclude_files") or [],
+        "encoding": cfg.get("encoding", ""),
+    }
 
 
 def fileset_pipeline_loader(ingest_dir: str, scripts_by_name=None,

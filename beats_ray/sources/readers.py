@@ -155,6 +155,52 @@ class IncludeMessage(Stage):
         return batch.filter(keep)
 
 
+@register("line_filter")
+class LineFilter(Stage):
+    """include_lines / exclude_lines input filter (input/log/harvester.go:
+    496-511 shouldExportLine): when include patterns are set, keep only
+    messages matching ANY of them; then drop messages matching any exclude
+    pattern.  Runs on the multiline-JOINED message like the reference
+    (harvester.go:426 filters the reader chain's output)."""
+
+    name = "line_filter"
+    may_drop = True
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.include = list(self.config.get("include_lines", []))
+        self.exclude = list(self.config.get("exclude_lines", []))
+        self.field = self.config.get("field", "message")
+
+    @staticmethod
+    def _match_any(col, patterns):
+        m = None
+        for p in patterns:
+            try:
+                one = pc.fill_null(pc.match_substring_regex(col, p), False)
+            except pa.lib.ArrowInvalid:
+                # RE2-unsupported construct (lookaround): python-re fallback
+                import re
+                rx = re.compile(p)
+                one = pa.array([v is not None and rx.search(v) is not None
+                                for v in col.to_pylist()])
+            m = one if m is None else pc.or_(m, one)
+        return m
+
+    def process(self, batch):
+        col = batch.column(field_to_column(self.field))
+        keep = None
+        if self.include:
+            keep = self._match_any(col, self.include)
+        if self.exclude:
+            drop = self._match_any(col, self.exclude)
+            inv = pc.invert(drop)
+            keep = inv if keep is None else pc.and_(keep, inv)
+        if keep is None:
+            return batch
+        return batch.filter(keep)
+
+
 @register("container")
 class ContainerParser(Stage):
     """Docker/CRI container-log parser (reader/readjson/docker_json.go):

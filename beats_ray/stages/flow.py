@@ -345,9 +345,14 @@ def _multiline_groups(txt: pd.Series, mode: str, pattern: str | None,
         ordinal = np.cumsum(nonempty) - 1
         grp = ordinal // max(count_lines, 1)
         return grp, keep
-    hit = txt.str.contains(pattern, regex=True).to_numpy() != negate
-    fl = txt.str.contains(flush_pattern, regex=True).to_numpy() \
-        if flush_pattern else np.zeros(n, dtype=bool)
+    import warnings
+    with warnings.catch_warnings():
+        # user patterns with capture groups ('^([0-9]{4}-...)') trigger
+        # pandas' match-group UserWarning; groups are irrelevant here
+        warnings.simplefilter("ignore", UserWarning)
+        hit = txt.str.contains(pattern, regex=True).to_numpy() != negate
+        fl = txt.str.contains(flush_pattern, regex=True).to_numpy() \
+            if flush_pattern else np.zeros(n, dtype=bool)
     if mode == "while_pattern":
         prev_hit = np.concatenate(([False], hit[:-1]))
         starts = ~hit | (hit & ~prev_hit)

@@ -71,6 +71,61 @@ def test_checkpoint_hook_compiles():
     assert len(spec) > 50  # the compiled chain is large
 
 
+def test_fileset_reader_opts_mysql():
+    """mysql/slowlog config carries multiline + exclude_lines; the reader
+    opts extractor must surface both (input/log/config.go:67-68)."""
+    from beats_ray.modules import fileset_reader_opts
+    mysql = "/root/reference/filebeat/module/mysql"
+    if not os.path.isdir(mysql):
+        pytest.skip("mysql module not present")
+    opts = fileset_reader_opts(mysql, "slowlog")
+    assert opts["multiline"]["pattern"].startswith("^(# User@Host: ")
+    assert opts["multiline"]["negate"] is True
+    assert len(opts["exclude_lines"]) == 2
+    assert opts["exclude_files"] == [".gz$"]
+    # apache/access has no reader-level options
+    assert fileset_reader_opts(APACHE, "access")["multiline"] is None
+
+
+def test_line_filter_semantics():
+    """include first (allowlist), then exclude — harvester.go:496-511."""
+    from beats_ray.stages.base import stage_factory
+    st = stage_factory("line_filter")({"include_lines": ["^keep"],
+                                       "exclude_lines": ["secret"]})
+    batch = pa.table({"message": ["keep me", "keep secret", "drop me",
+                                  None]})
+    out = st.process(batch)
+    assert out.column("message").to_pylist() == ["keep me"]
+    # exclude-only: non-matching (incl. null) rows survive
+    st2 = stage_factory("line_filter")({"exclude_lines": ["^#"]})
+    out2 = st2.process(pa.table({"message": ["# comment", "data", None]}))
+    assert out2.column("message").to_pylist() == ["data", None]
+
+
+def test_runner_mysql_error_multiline_golden(ray_session):
+    """mysql/error end-to-end through the reader opts: record reader ->
+    multiline join -> compiled ingest chain, vs the module's own golden."""
+    mysql = "/root/reference/filebeat/module/mysql"
+    if not os.path.isdir(mysql):
+        pytest.skip("mysql module not present")
+    from beats_ray.__main__ import multiline_pre_transform
+    from beats_ray.modules import fileset_reader_opts
+    from beats_ray.sources.readers import read_log_records
+    opts = fileset_reader_opts(mysql, "error")
+    spec, _ = compile_fileset_spec(mysql, "mysql", "error")
+    # the beats golden harness fakes TZ=-02:00 (see test_apache_golden)
+    spec = [{"add_locale": {"fields": {"event.timezone": "-02:00"}}}
+            if isinstance(p, dict) and "add_locale" in p else p
+            for p in spec]
+    logp = f"{mysql}/error/test/error.log"
+    ds = read_log_records([logp])
+    ds = multiline_pre_transform(opts["multiline"])(ds)
+    out = Pipeline({"processors": spec}).apply(ds)
+    rows = sorted(out.take_all(), key=lambda r: r["log_offset"])
+    expected = json.load(open(logp + "-expected.json"))
+    check_golden(rows, expected)
+
+
 def test_module_cli_e2e(tmp_path):
     """`python -m beats_ray module` in a fresh process: reads the module's
     own test log, writes routed parquet + manifest, prints sink counts."""
