@@ -790,11 +790,24 @@ def compile_ingest(doc, scripts=None, overrides=None, pipeline_loader=None,
 # module fileset loading (config template + ingest yml)
 # ---------------------------------------------------------------------------
 
-def load_pipeline_yml(path: str) -> dict:
+def load_pipeline_yml(path: str, vars: dict | None = None) -> dict:
     """Parse an ingest/pipeline.yml; tolerates the `{< IngestPipeline >}`
-    Go-template pipeline-name values by quoting them."""
+    Go-template pipeline-name values by quoting them.
+
+    With ``vars`` (the fileset's manifest vars), renders the full `{< >}`
+    Go-template surface the reference applies at pipeline-upload time
+    (fileset.go:324-340 applyTemplate with delims `{<` `>}`):
+    ``{<if .var >}...{< end >}`` blocks (osquery pipeline.json) and
+    ``{< .var >}`` substitution (cisco shared asa-ftd-pipeline.yml)."""
     text = open(path).read()
+    if vars is not None:
+        text = re.sub(r"\{<\s*if\s+\.(\w+)\s*>\}(.*?)\{<\s*end\s*>\}",
+                      lambda m: m.group(2) if vars.get(m.group(1)) else "",
+                      text, flags=re.S)
     text = re.sub(r"\{<\s*IngestPipeline\s+\"([^\"]+)\"\s*>\}", r"\1", text)
+    if vars is not None:
+        text = re.sub(r"\{<\s*\.(\w+)\s*>\}",
+                      lambda m: str(vars.get(m.group(1), "")), text)
     return yaml.safe_load(text)
 
 
@@ -842,6 +855,9 @@ def render_module_config(text: str, vars: dict) -> str:
                       r"\{\{\s*end\s*\}\}", _if, text, flags=re.S)
     text = re.sub(r"\{\{\s*([.\w]+)\s*\|\s*tojson\s*\}\}",
                   lambda m: _json.dumps(_val(m.group(1))), text)
+    # `| printf "%q"` Go-quotes the value (sophos/xg config.yml)
+    text = re.sub(r"\{\{\s*([.\w$]+)\s*\|\s*printf\s+\"%q\"\s*\}\}",
+                  lambda m: _json.dumps(str(_val(m.group(1)))), text)
     text = re.sub(r"\{\{\s*inList\s[^}]*\}\}", "false", text)
     text = re.sub(r"\{\{\s*(\.[\w.]+)\s*\}\}",
                   lambda m: str(_val(m.group(1))), text)
@@ -865,7 +881,14 @@ def config_processors(path: str, vars: dict | None = None) -> list:
     return procs
 
 
+def manifest_doc(path: str) -> dict:
+    """Full parsed fileset manifest.yml — the declaration the reference's
+    fileset loader consumes (fileset.go:128-136: ``var``, ``input`` config
+    path, ``ingest_pipeline`` path or list, ``requires.processors``)."""
+    return yaml.safe_load(open(path)) or {}
+
+
 def manifest_vars(path: str) -> dict:
     """{var name: default} from a fileset manifest.yml."""
-    doc = yaml.safe_load(open(path)) or {}
-    return {v["name"]: v.get("default") for v in doc.get("var", [])}
+    return {v["name"]: v.get("default")
+            for v in manifest_doc(path).get("var", [])}

@@ -31,13 +31,57 @@ parameters accept user ports.
 from __future__ import annotations
 
 import glob
+import re
 import os
 
 from .ingest import (compile_ingest, load_fileset_config, load_pipeline_yml,
-                     manifest_vars)
+                     manifest_doc, manifest_vars)
 
 __all__ = ["compile_fileset_spec", "fileset_reader_opts",
-           "fileset_pipeline_loader", "FILESET_HOOKS"]
+           "fileset_pipeline_loader", "fileset_paths", "FILESET_HOOKS"]
+
+
+def fileset_paths(module_dir: str, fileset: str,
+                  vars: dict | None = None) -> tuple[str, list[str]]:
+    """(config path, [ingest pipeline paths]) as the fileset's own
+    manifest.yml declares them (fileset.go:128-136 ``input:`` /
+    ``ingest_pipeline:``) — the reference never assumes
+    ``config/<fileset>.yml``; x-pack modules mostly use ``config/input.yml``
+    and list several pipelines (the FIRST is the root, the rest are
+    ``{< IngestPipeline "name" >}`` targets resolved by basename).
+    Relative paths resolve against the fileset dir (cisco/asa points at
+    ``../shared/ingest/asa-ftd-pipeline.yml``)."""
+    fs_dir = os.path.join(module_dir, fileset)
+    man = manifest_doc(os.path.join(fs_dir, "manifest.yml"))
+    mvars = {v["name"]: v.get("default") for v in man.get("var", [])}
+    if vars:
+        mvars.update(vars)
+
+    def _render(path):  # paths are Go-templated: `input: config/{{.input}}.yml`
+        return re.sub(r"\{\{\s*\.(\w+)\s*\}\}",
+                      lambda m: str(mvars.get(m.group(1), "")), path)
+
+    cfg = _render(man.get("input") or os.path.join("config",
+                                                   f"{fileset}.yml"))
+    if not os.path.exists(os.path.join(fs_dir, cfg)) and "input" in mvars:
+        # cloud-input modules (aws/azure/gcp) template the config filename on
+        # the input var; golden/file runs fall back to the file-shaped config
+        for alt in ("file", "log"):
+            cand = _render((man.get("input") or "")
+                           .replace("{{.input}}", alt))
+            if cand and os.path.exists(os.path.join(fs_dir, cand)):
+                cfg = cand
+                break
+    pipes = man.get("ingest_pipeline") or []
+    if isinstance(pipes, str):
+        pipes = [pipes]
+    pipes = [_render(p) for p in pipes]
+    if not pipes:
+        pipes = [p[len(fs_dir) + 1:] for p in
+                 sorted(glob.glob(os.path.join(fs_dir, "ingest", "*.yml")))]
+        pipes = [p for p in pipes if p.endswith("pipeline.yml")] or pipes[:1]
+    return (os.path.normpath(os.path.join(fs_dir, cfg)),
+            [os.path.normpath(os.path.join(fs_dir, p)) for p in pipes])
 
 
 def _nested(cfg: dict, key: str) -> dict:
@@ -62,8 +106,8 @@ def fileset_reader_opts(module_dir: str, fileset: str,
     mvars = manifest_vars(os.path.join(fs_dir, "manifest.yml"))
     if vars:
         mvars.update(vars)
-    cfg = load_fileset_config(
-        os.path.join(fs_dir, "config", f"{fileset}.yml"), mvars)
+    cfg_path, _ = fileset_paths(module_dir, fileset, vars)
+    cfg = load_fileset_config(cfg_path, mvars)
     return {
         "multiline": _nested(cfg, "multiline") or None,
         "include_lines": cfg.get("include_lines") or [],
@@ -74,15 +118,23 @@ def fileset_reader_opts(module_dir: str, fileset: str,
 
 
 def fileset_pipeline_loader(ingest_dir: str, scripts_by_name=None,
-                            overrides_by_name=None):
+                            overrides_by_name=None, by_name=None,
+                            vars: dict | None = None):
     """Loader for ``pipeline:`` processors: resolves the name emitted by
-    ``{< IngestPipeline "x" >}`` against the fileset's ingest/ directory."""
+    ``{< IngestPipeline "x" >}`` against the manifest's declared pipeline
+    list (``by_name``: basename-without-ext -> path, mirroring
+    fileset.go:327 formatPipelineID) with the fileset's ingest/ directory
+    as fallback."""
     def load(name: str) -> list:
-        base = name if name.endswith((".yml", ".json")) else name + ".yml"
+        short = os.path.splitext(os.path.basename(name))[0]
+        path = (by_name or {}).get(short)
+        if path is None:
+            base = name if name.endswith((".yml", ".json")) else name + ".yml"
+            path = os.path.join(ingest_dir, base)
         return compile_ingest(
-            load_pipeline_yml(os.path.join(ingest_dir, base)),
-            scripts=(scripts_by_name or {}).get(name),
-            overrides=(overrides_by_name or {}).get(name),
+            load_pipeline_yml(path, vars),
+            scripts=(scripts_by_name or {}).get(short),
+            overrides=(overrides_by_name or {}).get(short),
             pipeline_loader=load)
     return load
 
@@ -296,8 +348,8 @@ def compile_fileset_spec(module_dir: str, module: str, fileset: str, *,
     mvars = manifest_vars(os.path.join(fs_dir, "manifest.yml"))
     if vars:
         mvars.update(vars)
-    cfg = load_fileset_config(
-        os.path.join(fs_dir, "config", f"{fileset}.yml"), mvars)
+    cfg_path, pipe_paths = fileset_paths(module_dir, fileset, vars)
+    cfg = load_fileset_config(cfg_path, mvars)
 
     spec: list = []
     json_cfg = {**(cfg.get("json") or {}),
@@ -336,21 +388,28 @@ def compile_fileset_spec(module_dir: str, module: str, fileset: str, *,
             continue
         spec.append(p)
 
-    if scripts is None and overrides is None:
+    sub_scripts = sub_overrides = None
+    if scripts is None and overrides is None and pipe_paths:
         hook = FILESET_HOOKS.get((module, fileset))
         if hook is not None:
-            root_doc = load_pipeline_yml(
-                os.path.join(fs_dir, "ingest", "pipeline.yml"))
-            scripts, overrides = hook(root_doc)
+            parts = hook(load_pipeline_yml(pipe_paths[0], mvars))
+            if isinstance(parts, dict):  # sub-pipeline-aware hook
+                scripts = parts.get("scripts")
+                overrides = parts.get("overrides")
+                sub_scripts = parts.get("sub_scripts")
+                sub_overrides = parts.get("sub_overrides")
+            else:
+                scripts, overrides = parts
 
-    ingest_dir = os.path.join(fs_dir, "ingest")
-    roots = sorted(glob.glob(os.path.join(ingest_dir, "pipeline.yml"))) or \
-        sorted(glob.glob(os.path.join(ingest_dir, "*.yml")))[:1]
-    if roots:
+    if pipe_paths:
+        by_name = {os.path.splitext(os.path.basename(p))[0]: p
+                   for p in pipe_paths}
         spec += compile_ingest(
-            load_pipeline_yml(roots[0]), scripts=scripts,
+            load_pipeline_yml(pipe_paths[0], mvars), scripts=scripts,
             overrides=overrides,
-            pipeline_loader=fileset_pipeline_loader(ingest_dir))
+            pipeline_loader=fileset_pipeline_loader(
+                os.path.join(fs_dir, "ingest"), sub_scripts, sub_overrides,
+                by_name=by_name, vars=mvars))
     spec.append({"add_fields": {"target": "", "fields": {
         "event.module": module, "event.dataset": f"{module}.{fileset}",
         "fileset.name": fileset, "input.type": "log",

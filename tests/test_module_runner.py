@@ -56,6 +56,52 @@ def test_runner_apache_ssl_hook_applied():
     _golden_via_runner("ssl-request.log")
 
 
+def test_fileset_paths_from_manifest():
+    """Config + pipeline paths come from the fileset's own manifest.yml
+    (fileset.go:128-136), not a guessed config/<fileset>.yml: x-pack modules
+    use config/input.yml, cisco/asa points at the SHARED ../shared pipeline,
+    aws templates the config filename on the input var, elasticsearch/server
+    declares a 5-pipeline list whose first entry is the root."""
+    from beats_ray.modules import fileset_paths
+    XP = "/root/reference/x-pack/filebeat/module"
+    FB = "/root/reference/filebeat/module"
+    if not os.path.isdir(XP):
+        pytest.skip("x-pack modules not present")
+    cfg, pipes = fileset_paths(f"{XP}/cisco", "asa")
+    assert cfg.endswith("cisco/asa/config/input.yml")
+    assert pipes[0].endswith("cisco/shared/ingest/asa-ftd-pipeline.yml")
+    cfg, _ = fileset_paths(f"{XP}/aws", "cloudtrail")
+    assert cfg.endswith("aws/cloudtrail/config/aws-s3.yml")  # manifest default
+    cfg, _ = fileset_paths(f"{XP}/aws", "cloudtrail", {"input": "file"})
+    assert cfg.endswith("aws/cloudtrail/config/file.yml")
+    cfg, pipes = fileset_paths(f"{FB}/elasticsearch", "server")
+    assert cfg.endswith("config/log.yml")
+    assert [os.path.basename(p) for p in pipes] == [
+        "pipeline.yml", "pipeline-plaintext.yml", "pipeline-json.yml",
+        "pipeline-json-7.yml", "pipeline-json-8.yml"]
+
+
+def test_pipeline_yml_go_template_render():
+    """{< >}-delimited Go templates in pipeline files render with manifest
+    vars: {<if .use_namespace >} block in osquery's pipeline.json,
+    {< .internal_PREFIX >} substitution in cisco's shared pipeline."""
+    from beats_ray.ingest import load_pipeline_yml
+    osq = "/root/reference/filebeat/module/osquery/result/ingest/pipeline.json"
+    if not os.path.exists(osq):
+        pytest.skip("osquery module not present")
+    doc = load_pipeline_yml(osq, {"use_namespace": True})
+    assert any("script" in p for p in doc["processors"])
+    doc = load_pipeline_yml(osq, {"use_namespace": False})
+    assert not any("script" in p for p in doc["processors"])
+    asa = ("/root/reference/x-pack/filebeat/module/cisco/shared/ingest/"
+           "asa-ftd-pipeline.yml")
+    if os.path.exists(asa):
+        doc = load_pipeline_yml(asa, {"internal_PREFIX": "ASA",
+                                      "internal_prefix": "asa",
+                                      "log_level": 7})
+        assert doc["description"] == "Pipeline for Cisco ASA logs"
+
+
 def test_hooks_registered():
     assert ("apache", "access") in FILESET_HOOKS
     assert ("checkpoint", "firewall") in FILESET_HOOKS
