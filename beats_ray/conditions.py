@@ -169,6 +169,33 @@ class FieldEquals(Condition):
 
 
 @dataclass
+class FieldCompare(Condition):
+    """Column-vs-column ordering (painless ``ctx.a > ctx.b``, pensando dfw
+    port-direction heuristics).  Painless NPEs on a null operand — the
+    processor is skipped — so null on either side is False."""
+
+    left: str
+    right: str
+    op: str   # lt / gt / lte / gte
+
+    def mask(self, batch):
+        n = len(batch)
+        a, b = _col(batch, self.left), _col(batch, self.right)
+        if a is None or b is None:
+            return _false(n)
+        try:
+            if a.type != b.type:
+                a = pc.cast(a, pa.float64(), safe=False)
+                b = pc.cast(b, pa.float64(), safe=False)
+            fn = {"lt": pc.less, "gt": pc.greater,
+                  "lte": pc.less_equal, "gte": pc.greater_equal}[self.op]
+            return _nn(pc.fill_null(fn(a, b), False))
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                pa.ArrowTypeError):
+            return _false(n)
+
+
+@dataclass
 class FieldContains(Condition):
     """Per-row membership: the list/string in ``field`` contains the value
     of ``value_field`` (painless ``a.contains(ctx.b)``, ftd zones)."""
@@ -383,6 +410,8 @@ def compile_condition(cfg) -> Condition:
             parts.append(ElementString(val))
         elif key == "field_equals":
             parts.append(FieldEquals(val[0], val[1]))
+        elif key == "field_compare":
+            parts.append(FieldCompare(val[0], val[1], val[2]))
         elif key == "field_contains":
             parts.append(FieldContains(val[0], val[1]))
         elif key == "has_fields":

@@ -18,6 +18,41 @@ libbeat ES ingest-node painless scripts in each module's ingest/*.yml.
 """
 from __future__ import annotations
 
+import re
+
+# Java HashMap.toString rendering: keys iterate in BUCKET order
+# (String.hashCode spread into capacity-16+ buckets, insertion order within
+# a bucket) — verified against the aws/cloudtrail goldens' rendered maps
+_JAVA_STR = (
+    "def _jhash(s):\n"
+    "    h = 0\n"
+    "    for c in s:\n"
+    "        h = (31 * h + ord(c)) & 0xFFFFFFFF\n"
+    "    return h ^ (h >> 16)\n"
+    "def _jorder(keys):\n"
+    "    cap = 16\n"
+    "    while len(keys) > 0.75 * cap:\n"
+    "        cap *= 2\n"
+    "    return sorted(keys, key=lambda k: (_jhash(k) & (cap - 1),"
+    " keys.index(k)))\n"
+    "def _jv(v):\n"
+    "    if v is None:\n"
+    "        return 'null'\n"
+    "    if isinstance(v, bool):\n"
+    "        return 'true' if v else 'false'\n"
+    "    if isinstance(v, dict):\n"
+    "        ks = _jorder(list(v))\n"
+    "        return '{' + ', '.join(k + '=' + _jv(v[k]) for k in ks) + '}'\n"
+    "    if isinstance(v, list):\n"
+    "        return '[' + ', '.join(_jv(x) for x in v) + ']'\n"
+    "    return str(v)\n"
+    "def _flat(dst, prefix, v):\n"
+    "    if isinstance(v, dict):\n"
+    "        for k, x in v.items():\n"
+    "            _flat(dst, prefix + '_' + k.replace('.', '_'), x)\n"
+    "    else:\n"
+    "        dst[prefix] = v\n")
+
 
 # -- built-in painless ports (module, fileset) -> hook(doc) ----------------
 # A hook receives the parsed root pipeline doc and returns
@@ -207,3 +242,648 @@ FILESET_HOOKS = {
 }
 
 
+
+
+# ---------------------------------------------------------------- log levels
+
+def _level_type_hook(levels, field="log_level", target="event_type",
+                     error="error", info="info"):
+    """The `def errorLevels = [...]` painless shared by kafka/logstash/
+    icinga/activemq/zookeeper log pipelines: level in list -> event.type
+    error, else info."""
+    script = _py(
+        f"lvl = event.get({field!r})\n"
+        f"if lvl is not None:\n"
+        f"    event[{target!r}] = {error!r} if lvl in {tuple(levels)!r} \\\n"
+        f"        else {info!r}")
+    def hook(doc):
+        n = sum(1 for p in doc.get("processors", []) if "script" in p)
+        return [script] * n, None
+    return hook
+
+
+FILESET_HOOKS[("kafka", "log")] = _level_type_hook(["ERROR", "FATAL"])
+
+
+# ------------------------------------------------------- small log modules
+
+def _redis_log_hook(doc):
+    # redis/log/ingest/pipeline.yml: two if/else-chain scripts mapping a
+    # glyph/letter to its name via ADJACENT param pairs
+    # (dot: '.', debug: debug / master_abbrev: M, master: master) —
+    # tables rebuilt from the module's own yml params in declaration order
+    scripts = []
+    for p in doc["processors"]:
+        if "script" not in p:
+            continue
+        vals = list((p["script"].get("params") or {}).values())
+        table = {vals[i]: vals[i + 1] for i in range(0, len(vals) - 1, 2)}
+        field = ("log_level" if "log.level" in p["script"]["source"]
+                 else "redis_log_role")
+        scripts.append(_py(
+            f"m = {table!r}\n"
+            f"v = event.get({field!r})\n"
+            "if v in m:\n"
+            f"    event[{field!r}] = m[v]"))
+    return scripts, None
+
+
+def _haproxy_log_hook(doc):
+    # painless: ctx.event.duration = ctx.temp.duration * 1000000 (ms -> ns)
+    return [_py(
+        "d = event.get('temp_duration')\n"
+        "if d is not None:\n"
+        "    event['event_duration'] = int(d) * 1000000"), None], None
+
+
+def _nginx_access_hook(doc):
+    # script #1 picks the first PUBLIC ip from remote_ip_list (isPrivate
+    # StringTokenizer port); script #2 is the recursive null sweep (no-op)
+    ip_pick = _py(
+        "lst = event.get('nginx_access_remote_ip_list')\n"
+        "if not lst:\n"
+        "    return event\n"
+        "def private(ip):\n"
+        "    try:\n"
+        "        a, b = int(ip.split('.')[0]), int(ip.split('.')[1])\n"
+        "    except (ValueError, IndexError):\n"
+        "        return False\n"
+        "    return a == 10 or a == 127 or (a == 192 and b == 168) \\\n"
+        "        or (a == 172 and 16 <= b <= 31)\n"
+        "pick = next((x for x in lst if not private(x)), lst[0])\n"
+        "event['source_address'] = pick")
+    return [ip_pick, None], None
+
+
+def _mysql_slowlog_hook(doc):
+    # Yes/No -> bool over params.fields (read from the module's own yml) +
+    # float32 Math.round(duration * 1e6) * 1000 painless arithmetic
+    fields = next(p["script"]["params"]["fields"] for p in doc["processors"]
+                  if "script" in p and (p["script"].get("params") or {})
+                  .get("fields"))
+    yesno = _py(
+        f"for f in {tuple(fields)!r}:\n"
+        "    v = event.get('mysql_slowlog_' + f.rsplit('.', 1)[-1])\n"
+        "    if v is not None:\n"
+        "        event['mysql_slowlog_' + f.rsplit('.', 1)[-1]] = \\\n"
+        "            {'Yes': True, 'No': False}.get(v)")
+    duration = _py(
+        "import numpy as np\n"
+        "d = event.get('temp_duration')\n"
+        "if d is not None:\n"
+        "    prod = np.float32(np.float32(d) * np.float32(1000000))\n"
+        "    event['event_duration'] = int(round(float(prod))) * 1000")
+    return [yesno, duration], None
+
+
+# java.time `zz` resolves timezone abbreviations through the underlying
+# IANA zone WITH daylight rules ("EST" in July parses as America/New_York
+# = -04:00 — the postgresql goldens carry exactly that), so a fixed-offset
+# table would be wrong
+_JAVA_ZZ_ZONES = {
+    "UTC": "UTC", "GMT": "UTC", "Z": "UTC",
+    "CET": "Europe/Paris", "CEST": "Europe/Paris",
+    "EST": "America/New_York", "EDT": "America/New_York",
+    "CST": "America/Chicago", "CDT": "America/Chicago",
+    "MST": "America/Denver", "MDT": "America/Denver",
+    "PST": "America/Los_Angeles", "PDT": "America/Los_Angeles",
+}
+
+
+def _zz_date_script(src_col, dst_col):
+    """Port of an ES `date` processor whose layout ends in java `zz`
+    (abbreviated zone name): strip the abbreviation, parse, shift via the
+    IANA zone (DST-aware)."""
+    return _py(
+        "from datetime import datetime, timezone\n"
+        "from zoneinfo import ZoneInfo\n"
+        f"raw = event.get('{src_col}')\n"
+        "if raw is None:\n"
+        "    return event\n"
+        "parts = str(raw).rsplit(' ', 1)\n"
+        f"zname = {_JAVA_ZZ_ZONES!r}.get("
+        "parts[-1] if len(parts) == 2 else '')\n"
+        "base = parts[0] if zname else str(raw)\n"
+        "dt = None\n"
+        "for fmt in ('%Y-%m-%d %H:%M:%S.%f', '%Y-%m-%d %H:%M:%S'):\n"
+        "    try:\n"
+        "        dt = datetime.strptime(base, fmt)\n"
+        "        break\n"
+        "    except ValueError:\n"
+        "        continue\n"
+        "if dt is None:\n"
+        "    event['error_message'] = 'date parse failure'\n"
+        "    return event\n"
+        "if zname:\n"
+        "    dt = dt.replace(tzinfo=ZoneInfo(zname)) \\\n"
+        "        .astimezone(timezone.utc).replace(tzinfo=None)\n"
+        f"event['{dst_col}'] = dt")
+
+
+def _postgresql_log_hook(doc):
+    # Math.round(temp.duration * params.scale) under float32 grok :float,
+    # plus the two `zz`-layout dates (root + CSV sub-pipeline)
+    duration = _py(
+        "import numpy as np\n"
+        "d = event.get('temp_duration')\n"
+        "if d is not None:\n"
+        "    prod = np.float32(np.float32(d) * np.float32(1000000))\n"
+        "    event['event_duration'] = int(round(float(prod)))")
+    dates = [i for i, p in enumerate(doc["processors"]) if "date" in p]
+    return {
+        "scripts": [duration],
+        "overrides": {dates[0]: _zz_date_script("postgresql_log_timestamp",
+                                                "ts")},
+        "sub_overrides": {"pipeline-csv": lambda sub: {
+            [i for i, p in enumerate(sub["processors"])
+             if "date" in p][0]: _zz_date_script(
+                "tempcsv_session_start_time",
+                "postgresql_log_session_start_time")}},
+    }
+
+
+def _osquery_result_hook(doc):
+    # use_namespace block: lift json.* under osquery.result.*
+    return [_py(
+        "for k in [k for k in list(event.keys()) if k.startswith('json_')]:\n"
+        "    v = event.pop(k)\n"
+        "    if v is not None:\n"
+        "        event['osquery_result_' + k[len('json_'):]] = v")], None
+
+
+FILESET_HOOKS.update({
+    ("redis", "log"): _redis_log_hook,
+    ("haproxy", "log"): _haproxy_log_hook,
+    ("nginx", "access"): _nginx_access_hook,
+    ("mysql", "slowlog"): _mysql_slowlog_hook,
+    ("postgresql", "log"): _postgresql_log_hook,
+    ("osquery", "result"): _osquery_result_hook,
+})
+
+
+# ---------------------------------------------------- common painless idioms
+
+def _parse_level_list(src):
+    """['ERROR', 'FATAL'] out of `def errorLevels = [...]`."""
+    m = re.search(r"=\s*\[([^\]]*)\]", src)
+    return [t.strip().strip('"\'') for t in m.group(1).split(",")]
+
+
+def _level_script(levels):
+    return _py(
+        "lvl = event.get('log_level')\n"
+        "if lvl is not None:\n"
+        f"    event['event_type'] = 'error' if lvl in {tuple(levels)!r} \\\n"
+        "        else 'info'")
+
+
+def _pair_table_script(field, params):
+    """if/else chains comparing a field against ADJACENT param pairs
+    (abbrev -> long form): nats levels/msg-types, redis levels/roles."""
+    vals = list(params.values())
+    table = {vals[i]: vals[i + 1] for i in range(0, len(vals) - 1, 2)}
+    return _py(
+        f"m = {table!r}\n"
+        f"v = event.get({field!r})\n"
+        "if v in m:\n"
+        f"    event[{field!r}] = m[v]")
+
+
+def _duration_script(src_field, dst_field="event_duration", scale=1000000,
+                     f32=True):
+    """`ctx.event.duration = Math.round(ctx.X * params.scale)` — java
+    binary numeric promotion makes float*int a FLOAT product (32-bit) when
+    the value came through grok `:float`, so the default computes in
+    float32; a field the pipeline `convert`ed to double multiplies in
+    double (coredns), with Java Math.round = floor(x + 0.5)."""
+    if f32:
+        return _py(
+            "import numpy as np\n"
+            f"d = event.get({src_field!r})\n"
+            "if d is not None:\n"
+            f"    prod = np.float32(np.float32(d) * np.float32({scale}))\n"
+            f"    event[{dst_field!r}] = int(round(float(prod)))")
+    return _py(
+        "import math\n"
+        f"d = event.get({src_field!r})\n"
+        "if d is not None:\n"
+        f"    event[{dst_field!r}] = int(math.floor(float(d) * {scale}"
+        " + 0.5))")
+
+
+def _double_fields(doc):
+    """Fields the pipeline explicitly `convert`s to double before any
+    script runs (flat column names)."""
+    out = set()
+    for p in doc.get("processors", []):
+        if "convert" in p and p["convert"].get("type") == "double":
+            out.add(str(p["convert"].get("field", ""))
+                    .replace(".", "_"))
+    return out
+
+
+def _auto_script(p, dbl=frozenset()):
+    """Recognize the painless idioms shared across the log modules; returns
+    a ported spec, None for no-op sweeps, or NotImplemented."""
+    src = p["script"].get("source", "")
+    params = p["script"].get("params") or {}
+    if "handleMap" in src and "removeIf" in src:
+        if "isEmpty" in src:
+            # mysqlenterprise variant: sweeps EMPTY-STRING map values (the
+            # json carries "" members), not nulls — unset them
+            return _py(
+                "for k in list(event.keys()):\n"
+                "    if event.get(k) == '':\n"
+                "        event[k] = None")
+        return None            # recursive null sweep: absent == null here
+    if re.search(r"def err(?:or_?|_)?[lL]evels\s*=", src) \
+            and "ctx.event.type" in src.replace(" ", "").replace(";", "") \
+            .replace('"', "'").replace("'", ""):
+        return _level_script(_parse_level_list(src))
+    if "Math.round" in src and "params.scale" in src:
+        m = re.search(r"Math\.round\(ctx\.([\w.]+)\s*\*", src)
+        dst = re.search(r"ctx\.([\w.]+)\s*=\s*Math\.round", src)
+        srcf = m.group(1).replace(".", "_")
+        return _duration_script(srcf, dst.group(1).replace(".", "_"),
+                                params.get("scale", 1000000),
+                                f32=srcf not in dbl)
+    m = re.search(r"Math\.round\(ctx\.([\w.]+)\s*\*\s*(\d+)L?\s*\)", src)
+    if m:
+        # literal scale with an L suffix (kibana responseTime * 1000000L):
+        # java promotes to long math for integral inputs, double otherwise
+        dst = re.search(r"ctx\.([\w.]+)\s*=\s*Math\.round", src)
+        srcf = m.group(1).replace(".", "_")
+        scale = int(m.group(2))
+        return _py(
+            "import math\n"
+            f"d = event.get({srcf!r})\n"
+            "if d is not None:\n"
+            f"    event[{dst.group(1).replace('.', '_')!r}] = \\\n"
+            f"        d * {scale} if isinstance(d, int) \\\n"
+            f"        else int(math.floor(float(d) * {scale} + 0.5))")
+    if params and src.count("} else if (") >= 1 \
+            and re.search(r"if \(ctx\.([\w.]+) == params\.", src):
+        field = re.search(r"if \(ctx\.([\w.]+) == params\.",
+                          src).group(1).replace(".", "_")
+        return _pair_table_script(field, params)
+    return NotImplemented
+
+
+def _auto_hook(*specials):
+    """Hook from _auto_script + positional overrides for the stragglers:
+    specials[i] replaces the i-th NotImplemented in document order."""
+    def hook(doc):
+        out, extra = [], list(specials)
+        dbl = _double_fields(doc)
+        for p in doc.get("processors", []):
+            if "script" not in p:
+                continue
+            s = _auto_script(p, dbl)
+            if s is NotImplemented:
+                if not extra:
+                    raise ValueError(
+                        f"unrecognized painless: {p['script'].get('source')!r:.120}")
+                s = extra.pop(0)
+            out.append(s)
+        return out, None
+    return hook
+
+
+def _auto_scripts(doc, *specials):
+    """Positional scripts list for compile_ingest from _auto_script;
+    specials fill the NotImplemented slots in document order.  Also usable
+    as a sub_scripts callable (the loader calls it with the sub-doc)."""
+    out, extra = [], list(specials)
+    dbl = _double_fields(doc)
+    for p in doc.get("processors", []):
+        if "script" not in p:
+            continue
+        s = _auto_script(p, dbl)
+        if s is NotImplemented:
+            if not extra:
+                raise ValueError("unrecognized painless: %.160r"
+                                 % p["script"].get("source"))
+            s = extra.pop(0)
+        out.append(s)
+    return out
+
+
+def _merge_json_to_root(container="json"):
+    """`ctx.json.keySet().each(key -> ctx.merge(key, ...))` (kibana
+    audit/log ECS pipelines): lift every decoded member of the container
+    to the root, container values winning; '@timestamp' strings parse."""
+    return _py(
+        "from datetime import datetime, timezone\n"
+        f"pre = {container + '_'!r}\n"
+        "for k in [k for k in list(event.keys()) if k.startswith(pre)]:\n"
+        "    v = event.pop(k)\n"
+        "    if v is None:\n"
+        "        continue\n"
+        "    tgt = k[len(pre):]\n"
+        "    if isinstance(v, str) and v[:1] in '[{':\n"
+        "        import json as _json\n"
+        "        try:\n"
+        "            v = _json.loads(v)\n"
+        "        except ValueError:\n"
+        "            pass\n"
+        "    if tgt == '@timestamp':\n"
+        "        dt = datetime.fromisoformat(str(v).replace('Z', '+00:00'))\n"
+        "        event['ts'] = dt.astimezone(timezone.utc) \\\n"
+        "            .replace(tzinfo=None)\n"
+        "    elif isinstance(v, dict):\n"
+        "        def emit(prefix, d):\n"
+        "            for kk, vv in d.items():\n"
+        "                if isinstance(vv, dict):\n"
+        "                    emit(prefix + kk + '_', vv)\n"
+        "                else:\n"
+        "                    event[prefix + kk] = vv\n"
+        "        emit(tgt + '_', v)\n"
+        "    else:\n"
+        "        event[tgt] = v")
+
+
+# --------------------------------------------- observability / infra stack
+
+def _logstash_log_hook(doc):
+    # pipeline-json's first script stringifies logEvent.action members
+    # (instanceof List painless): Java Map.toString is BUCKET-ordered, so
+    # the port re-reads the raw json line stashed before decode
+    action_str = {"script": {"source": (
+        _JAVA_STR
+        + "def process(event, params):\n"
+        "    import json as _json\n"
+        "    try:\n"
+        "        obj = _json.loads(event.get('_raw_json') or '')\n"
+        "    except ValueError:\n"
+        "        return event\n"
+        "    act = (obj.get('logEvent') or {}).get('action')\n"
+        "    if isinstance(act, list):\n"
+        "        event['logstash_log_log_event_action'] = \\\n"
+        "            [x if isinstance(x, str) else _jv(x) for x in act]\n"
+        "    return event\n")}}
+
+    def json_sub(sub):
+        scr = [i for i, p in enumerate(sub["processors"]) if "script" in p]
+        return {scr[0]: {"__unconditional__": action_str}}
+
+    return {
+        "pre": [{"copy_fields": {"fields": [
+            {"from": "message", "to": "_raw_json"}],
+            "ignore_missing": True, "fail_on_error": False}}],
+        "post": [{"drop_fields": {"fields": ["_raw_json"],
+                                  "ignore_missing": True}}],
+        "sub_scripts": {"pipeline-plaintext": _auto_scripts,
+                        # script #0 (the forEach stringifier) is replaced by
+                        # json_sub's override; auto-compile only the rest
+                        "pipeline-json": lambda d: [None] + _auto_scripts(
+                            {"processors": [p for p in d.get("processors", [])
+                                            if "script" in p][1:]})},
+        "sub_overrides": {"pipeline-json": json_sub},
+    }
+
+
+def _logstash_slowlog_hook(doc):
+    return {"sub_scripts": {"pipeline-plaintext": _auto_scripts,
+                            "pipeline-json": _auto_scripts}}
+
+
+def _kibana_audit_hook(doc):
+    return {"sub_scripts": {
+        # merge json.* to root; the `fields` merge is a no-op (no `fields`
+        # container in file input)
+        "pipeline-json": [_merge_json_to_root(), None]}}
+
+
+def _kibana_log_hook(doc):
+    state = _py(
+        "st = event.get('kibana_log_state')\n"
+        "if st is not None:\n"
+        "    event['event_type'] = 'error' if st == 'red' else 'info'")
+    return {"sub_scripts": {
+        "pipeline-7": lambda d: _auto_scripts(d, state),
+        "pipeline-ecs": [_merge_json_to_root(), None]}}
+
+
+def _es_audit_hook(doc):
+    outcome = _py(
+        # faithful quirk: the module's SECOND if/else runs unconditionally,
+        # so a null/unlisted event.action always overrides with 'failure'
+        "ok = ('authentication_success', 'access_granted',\n"
+        "      'run_as_granted', 'connection_granted')\n"
+        "act = event.get('event_action')\n"
+        "event['event_outcome'] = 'success' \\\n"
+        "    if act is not None and act in ok else 'failure'")
+    sub_action = _py(
+        "sub = event.get('elasticsearch_audit_sub_action')\n"
+        "if sub is not None:\n"
+        "    event['elasticsearch_audit_action'] = \\\n"
+        "        (event.get('elasticsearch_audit_action') or '') \\\n"
+        "        + '[' + sub + ']'")
+    return {"scripts": [outcome],
+            "sub_scripts": {"pipeline-plaintext": [sub_action]}}
+
+
+def _es_server_hook(doc):
+    # gc observation/collection duration unit normalization (params table
+    # read from the module's own yml)
+    params = next(p["script"]["params"] for p in doc["processors"]
+                  if "script" in p and p["script"].get("params"))
+    gc = _py(
+        f"P = {params!r}\n"
+        "for which in ('observation_duration', 'collection_duration'):\n"
+        "    pre = 'elasticsearch_server_gc_' + which + '_'\n"
+        "    t, u = event.get(pre + 'time'), event.get(pre + 'unit')\n"
+        "    if t is None or u is None:\n"
+        "        continue\n"
+        "    if u == P['seconds_unit']:\n"
+        "        event[pre + 'ms'] = t * P['ms_in_one_s']\n"
+        "    elif u == P['milliseconds_unit']:\n"
+        "        event[pre + 'ms'] = t\n"
+        "    elif u == P['minutes_unit']:\n"
+        "        event[pre + 'ms'] = t * P['ms_in_one_m']")
+    return _auto_scripts(doc, gc), None
+
+
+def _envoyproxy_log_hook(doc):
+    access_prefix = _py(
+        "msg = event.get('message') or ''\n"
+        "if msg[:1] == '[':\n"
+        "    event['temp_message'] = 'ACCESS ' + msg\n"
+        "elif msg[:7] == 'ACCESS ':\n"
+        "    event['temp_message'] = msg\n"
+        "else:\n"
+        "    event['error_message'] = 'Not a valid envoyproxy access log'")
+    dest_split = _py(
+        "d = event.get('dest')\n"
+        "if d is None:\n"
+        "    return event\n"
+        "if d != '-':\n"
+        "    p = d.index(':') if ':' in d else -1\n"
+        "    if p >= 0:\n"
+        "        event['destination_address'] = d[:p]\n"
+        "        event['destination_port'] = d[p + 1:]\n"
+        "event['dest'] = None")
+    proto_version = _py(
+        "pr = event.get('proto')\n"
+        "if pr is not None and '/' in pr:\n"
+        "    event['http_version'] = pr.split('/', 1)[1]")
+    upstream_ms = _py(
+        "v = event.get('upstream_service_time')\n"
+        "if v is not None and v != '-':\n"
+        "    event['envoyproxy_upstream_service_time'] = \\\n"
+        "        int(round(float(v) * 1000000))")
+    return {"sub_scripts": {
+        "pipeline-plaintext": lambda d: _auto_scripts(
+            d, access_prefix, dest_split),
+        "pipeline-http": [proto_version, upstream_ms]}}
+
+
+def _coredns_log_hook(doc):
+    ts_swap = _py(
+        "event['event_created'] = event.get('ts')\n"
+        "t = event.get('timestamp')\n"
+        "if t is not None:\n"
+        "    event['ts'] = t\n"
+        "event['timestamp'] = None")
+    source_split = _py(
+        "s = event.get('temp_source')\n"
+        "if s is None:\n"
+        "    return event\n"
+        "if s[:1] == '[':\n"
+        "    p = s.index(']')\n"
+        "    event['source_address'] = s[1:p]\n"
+        "    event['source_port'] = s[p + 2:]\n"
+        "elif ':' in s:\n"
+        "    p = s.index(':')\n"
+        "    event['source_address'] = s[:p]\n"
+        "    event['source_port'] = s[p + 1:]\n"
+        "event['temp_source'] = None")
+    dot_strip = _py(
+        "q = event.get('dns_question_name')\n"
+        "if q and q.endswith('.'):\n"
+        "    event['dns_question_name'] = q[:-1]")
+    # pipeline-entry is the ROOT (first in the manifest's ingest_pipeline
+    # list) — its scripts ride the top-level scripts hook
+    return {"scripts": _auto_scripts(doc, ts_swap, source_split, dot_strip)}
+
+
+def _nginx_ingress_hook(doc):
+    # four upstream list folds (last/sum semantics, '-' skipped, java
+    # float32 accumulation) + the shared isPrivate first-public-ip pick
+    pre = "L = event.get('nginx_ingress_controller_upstream_response_"
+    length = _py(
+        pre + "length_list')\n"
+        "if L:\n"
+        "    try:\n"
+        "        event['nginx_ingress_controller_upstream_response_"
+        "length'] = int(L[-1])\n"
+        "    except ValueError:\n"
+        "        pass")
+    time_sum = _py(
+        "import numpy as np\n"
+        + pre + "time_list')\n"
+        "if L:\n"
+        "    t = np.float32(0)\n"
+        "    try:\n"
+        "        for x in L:\n"
+        "            if x != '-':\n"
+        "                t = np.float32(t + np.float32(float(x)))\n"
+        "        event['nginx_ingress_controller_upstream_response_"
+        "time'] = float(t)\n"
+        "    except ValueError:\n"
+        "        pass")
+    status = _py(
+        pre + "status_code_list')\n"
+        "if L:\n"
+        "    last = None\n"
+        "    try:\n"
+        "        for x in L:\n"
+        "            if x != '-':\n"
+        "                last = int(x)\n"
+        "    except ValueError:\n"
+        "        last = None\n"
+        "    if last is not None:\n"
+        "        event['nginx_ingress_controller_upstream_response_"
+        "status_code'] = last")
+    address = _py(
+        "L = event.get('nginx_ingress_controller_upstream_address_list')\n"
+        "if L:\n"
+        "    event['nginx_ingress_controller_upstream_address'] = L[-1]")
+    ip_pick = _py(
+        "event['source_address'] = None\n"
+        "lst = event.get('nginx_ingress_controller_remote_ip_list')\n"
+        "if not lst:\n"
+        "    return event\n"
+        "def private(ip):\n"
+        "    try:\n"
+        "        a, b = int(ip.split('.')[0]), int(ip.split('.')[1])\n"
+        "    except (ValueError, IndexError):\n"
+        "        return False\n"
+        "    return a == 10 or a == 127 or (a == 192 and b == 168) \\\n"
+        "        or (a == 172 and 16 <= b <= 31)\n"
+        "event['source_address'] = next(\n"
+        "    (x for x in lst if not private(x)), lst[0])")
+    return _auto_scripts(doc, length, time_sum, status, address, ip_pick), \
+        None
+
+
+def _mysqlenterprise_audit_hook(doc):
+    strip_comma = _py(
+        "msg = event.get('message')\n"
+        "if isinstance(msg, str) and msg.endswith(','):\n"
+        "    event['message'] = msg[:-1]")
+    args_count = _py(
+        "a = event.get('process_args')\n"
+        "if a is not None:\n"
+        "    event['process_args_count'] = len(a)\n"
+        "    if len(a) > 0:\n"
+        "        event['process_executable'] = a[0]")
+    return _auto_scripts(doc, strip_comma, args_count), None
+
+
+def _system_auth_ssh_script():
+    return _py(
+        "ev = event.get('system_auth_ssh_event')\n"
+        "if ev == 'Accepted':\n"
+        "    event['event_type'] = ['info']\n"
+        "    event['event_category'] = ['authentication', 'session']\n"
+        "    event['event_action'] = 'ssh_login'\n"
+        "    event['event_outcome'] = 'success'\n"
+        "elif ev in ('Invalid', 'Failed'):\n"
+        "    event['event_type'] = ['info']\n"
+        "    event['event_category'] = ['authentication']\n"
+        "    event['event_action'] = 'ssh_login'\n"
+        "    event['event_outcome'] = 'failure'")
+
+
+def _system_auth_hook(doc):
+    ssh = _system_auth_ssh_script()
+    return {"sub_scripts": {"files": [ssh], "journald": [ssh]},
+            "scripts": _auto_scripts(doc, ssh) or None}
+
+
+FILESET_HOOKS.update({
+    ("zookeeper", "log"): _auto_hook(),
+    ("activemq", "log"): _auto_hook(),
+    ("activemq", "audit"): _auto_hook(),
+    ("icinga", "main"): _auto_hook(),
+    ("icinga", "debug"): _auto_hook(),
+    ("icinga", "startup"): _auto_hook(),
+    ("nats", "log"): _auto_hook(),
+    ("traefik", "access"): _auto_hook(),
+    ("iis", "access"): _auto_hook(),
+    ("iis", "error"): _auto_hook(),
+    ("elasticsearch", "slowlog"): _auto_hook(),
+    ("elasticsearch", "audit"): _es_audit_hook,
+    ("elasticsearch", "server"): _es_server_hook,
+    ("logstash", "log"): _logstash_log_hook,
+    ("logstash", "slowlog"): _logstash_slowlog_hook,
+    ("kibana", "audit"): _kibana_audit_hook,
+    ("kibana", "log"): _kibana_log_hook,
+    ("envoyproxy", "log"): _envoyproxy_log_hook,
+    ("nginx", "ingress_controller"): _nginx_ingress_hook,
+    ("coredns", "log"): _coredns_log_hook,
+    ("mysqlenterprise", "audit"): _mysqlenterprise_audit_hook,
+    ("system", "auth"): _system_auth_hook,
+})
+FILESET_HOOKS[("kafka", "log")] = _auto_hook()

@@ -239,6 +239,34 @@ class _P:
         if method in ("equalsIgnoreCase",):
             return self._bool_suffix(
                 {"regexp": {path: "(?i)^" + re.escape(str(arg)) + "$"}})
+        if method == "charAt":
+            # ctx.message.charAt(0) ==/!= (char)("{")  (envoyproxy/coredns
+            # pipeline-entry dispatch).  Painless would NPE on a null
+            # receiver (processor skipped), so != requires existence.
+            if not isinstance(arg, (int, float)):
+                raise PainlessUnsupported(f".charAt({arg!r})")
+            nxt = self.peek()
+            if not (nxt[0] == "op" and nxt[1] in ("==", "!=")):
+                raise PainlessUnsupported("bare .charAt()")
+            op = self.take()[1]
+            if self.peek() == ("op", "("):   # (char) cast prefix
+                self.take()
+                if self.take() != ("word", "char"):
+                    raise PainlessUnsupported("charAt cast")
+                self.expect(")")
+            if self.peek() == ("op", "("):
+                self.take()
+                rhs = self.take()
+                self.expect(")")
+            else:
+                rhs = self.take()
+            if rhs[0] != "str" or len(rhs[1]) != 1:
+                raise PainlessUnsupported(f"charAt vs {rhs}")
+            pat = "^" + "." * int(arg) + re.escape(rhs[1])
+            eq = {"regexp": {path: pat}}
+            if op == "==":
+                return eq
+            return {"and": [{"has_fields": [path]}, {"not": eq}]}
         if method in ("toLowerCase", "toUpperCase"):
             nxt = self.peek()
             if nxt[0] == "op" and nxt[1] in ("==", "!="):
@@ -287,13 +315,17 @@ class _P:
             return {"regexp": {path: pat}}
         if nxt[0] == "op" and nxt[1] in ("==", "!=", "<", ">", "<=", ">="):
             op = self.take()[1]
-            if self.peek() == ("word", "ctx") and op in ("==", "!="):
-                # column-vs-column comparison (ftd NAT mapped ip/port)
+            if self.peek() == ("word", "ctx"):
+                # column-vs-column comparison (ftd NAT mapped ip/port;
+                # pensando dfw source_port > destination_port)
                 rpath, rmethod, _ = self._path()
                 if rmethod is not None:
                     raise PainlessUnsupported("method on rhs path")
-                eq = {"field_equals": [path, rpath]}
-                return eq if op == "==" else {"not": eq}
+                if op in ("==", "!="):
+                    eq = {"field_equals": [path, rpath]}
+                    return eq if op == "==" else {"not": eq}
+                key = {"<": "lt", ">": "gt", "<=": "lte", ">=": "gte"}[op]
+                return {"field_compare": [path, rpath, key]}
             rhs = self.take()
             if rhs == ("word", "null"):
                 has = {"has_fields": [path]}
@@ -688,7 +720,33 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
     if kind == "pipeline":
         if ctx.pipeline_loader is None:
             raise PainlessUnsupported("pipeline processor needs a loader")
-        return ctx.pipeline_loader(cfg["name"])
+        specs = ctx.pipeline_loader(cfg["name"])
+        if cfg.get("on_failure"):
+            # ES: a failure anywhere in the sub-pipeline aborts it for that
+            # doc and runs the pipeline processor's on_failure handlers
+            # (system/auth: grok-auth-messages miss -> restore message).
+            # Approximation: groks are the failable stages in spliced
+            # subs — route their misses to a shared per-row flag and gate
+            # the handlers on it.  (A multi-stage sub keeps running its
+            # remaining stages for the failed row; fixtures that care pair
+            # on_failure with single-grok subs.)
+            flag = f"_pipe_fail_{ctx.index}"
+            routed = []
+            for s in specs:
+                if "grok" in s and not s["grok"].get("ignore_failure") \
+                        and "failure_flag" not in s["grok"]:
+                    routed.append({**s, "grok": {**s["grok"],
+                                                 "ignore_failure": True,
+                                                 "failure_flag": flag}})
+                else:
+                    routed.append(s)
+            cond = {"contains": {"log.flags": flag}}
+            for h in cfg["on_failure"]:
+                for s2 in compile_ingest([h], _ctx=ctx):
+                    w = {"and": [cond, s2["when"]]} if "when" in s2 else cond
+                    routed.append({**s2, "when": w})
+            specs = routed
+        return specs
     if kind == "foreach":
         inner = cfg.get("processor", {})
         if "append" in inner:

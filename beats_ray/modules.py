@@ -131,11 +131,17 @@ def fileset_pipeline_loader(ingest_dir: str, scripts_by_name=None,
         if path is None:
             base = name if name.endswith((".yml", ".json")) else name + ".yml"
             path = os.path.join(ingest_dir, base)
-        return compile_ingest(
-            load_pipeline_yml(path, vars),
-            scripts=(scripts_by_name or {}).get(short),
-            overrides=(overrides_by_name or {}).get(short),
-            pipeline_loader=load)
+        doc = load_pipeline_yml(path, vars)
+        scripts = (scripts_by_name or {}).get(short)
+        overrides = (overrides_by_name or {}).get(short)
+        # a callable entry receives the loaded sub-doc (hooks compute
+        # processor indices against the sub-pipeline they target)
+        if callable(scripts):
+            scripts = scripts(doc)
+        if callable(overrides):
+            overrides = overrides(doc)
+        return compile_ingest(doc, scripts=scripts, overrides=overrides,
+                              pipeline_loader=load)
     return load
 
 from .fileset_hooks import FILESET_HOOKS  # noqa: E402  (registry of painless ports)
@@ -171,14 +177,26 @@ def compile_fileset_spec(module_dir: str, module: str, fileset: str, *,
                    if k.startswith("json.")}}
     if json_cfg:  # input-level ndjson parse (zeek-style config shape)
         under_root = json_cfg.get("keys_under_root", False)
+        # the beats ndjson parser decodes the FULL document (readjson.go has
+        # no depth limit) — unlike the decode_json_fields processor default
         spec += [
             {"decode_json_fields": {"fields": ["message"],
                                     "target": "" if under_root else "json",
+                                    "max_depth": 99,
                                     "keep_arrays": keep_arrays}},
             {"drop_fields": {"fields": ["message"], "ignore_missing": True}},
         ]
     if cfg.get("fields"):
         spec.append({"add_fields": {"target": "", "fields": cfg["fields"]}})
+    # module-identity fields are stamped at PUBLISH time in the reference
+    # (channel/runner.go newCommonConfigEditor: fileset.name, service.type,
+    # input.type, event.module, event.dataset set on Processing.Fields) —
+    # i.e. BEFORE the ES ingest pipeline runs server-side, so a pipeline
+    # `set` of event.dataset (elasticsearch/slowlog) must win over the stamp.
+    spec.append({"add_fields": {"target": "", "fields": {
+        "event.module": module, "event.dataset": f"{module}.{fileset}",
+        "fileset.name": fileset, "input.type": "log",
+        "service.type": module}}})
     for p in cfg.get("processors", []):
         if isinstance(p, dict) and "decode_json_fields" in p and keep_arrays:
             p = {"decode_json_fields": {**p["decode_json_fields"],
@@ -203,6 +221,8 @@ def compile_fileset_spec(module_dir: str, module: str, fileset: str, *,
         spec.append(p)
 
     sub_scripts = sub_overrides = None
+    hook_pre: list = []
+    hook_post: list = []
     if scripts is None and overrides is None and pipe_paths:
         hook = FILESET_HOOKS.get((module, fileset))
         if hook is not None:
@@ -212,8 +232,11 @@ def compile_fileset_spec(module_dir: str, module: str, fileset: str, *,
                 overrides = parts.get("overrides")
                 sub_scripts = parts.get("sub_scripts")
                 sub_overrides = parts.get("sub_overrides")
+                hook_pre = parts.get("pre") or []
+                hook_post = parts.get("post") or []
             else:
                 scripts, overrides = parts
+    spec += hook_pre
 
     if pipe_paths:
         by_name = {os.path.splitext(os.path.basename(p))[0]: p
@@ -224,10 +247,7 @@ def compile_fileset_spec(module_dir: str, module: str, fileset: str, *,
             pipeline_loader=fileset_pipeline_loader(
                 os.path.join(fs_dir, "ingest"), sub_scripts, sub_overrides,
                 by_name=by_name, vars=mvars))
-    spec.append({"add_fields": {"target": "", "fields": {
-        "event.module": module, "event.dataset": f"{module}.{fileset}",
-        "fileset.name": fileset, "input.type": "log",
-        "service.type": module}}})
+    spec += hook_post
     if extra_spec:
         spec += extra_spec
     return spec, mvars

@@ -91,7 +91,14 @@ def compile_processor_entry(entry: dict) -> Stage:
     if len(keys) != 1:
         raise ValueError(f"each processor must have exactly one action, got {keys}")
     name = keys[0]
-    config = dict(entry[name] or {})
+    raw = entry[name]
+    if "." in name:
+        # beats flattened config form: `add_locale.when.not.regexp.message:
+        # "^{"` = processor `add_locale` with the dotted config key
+        # (go-ucfg flattening; elasticsearch/slowlog config/slowlog.yml)
+        name, sub = name.split(".", 1)
+        raw = {sub: raw}
+    config = dict(raw or {})
     if "when" in entry:  # when: at entry level wraps the processor
         config.setdefault("when", entry["when"])
     factory = stage_factory(name)

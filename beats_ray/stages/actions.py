@@ -215,7 +215,22 @@ class RenameFields(Stage):
                                             pa.nulls(len(batch), sc.type), sc)
                     except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
                             pa.ArrowTypeError):
-                        continue
+                        # ES moves the value per-document regardless of
+                        # type (audit: string ",SSS+0200" timestamp into a
+                        # column date#1 already made timestamp-typed) —
+                        # merge in string space rather than dropping the
+                        # move; a later date/convert re-types the column
+                        try:
+                            dc2 = pc.cast(dc, pa.string())
+                            sc2 = pc.cast(sc, pa.string())
+                            moved = pc.and_(pc.is_null(dc2),
+                                            pc.is_valid(sc2))
+                            merged = pc.if_else(pc.is_valid(dc2), dc2, sc2)
+                            s_rest = pc.if_else(
+                                moved, pa.nulls(len(batch), sc.type), sc)
+                        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                                pa.ArrowTypeError):
+                            continue
                 batch = batch.set_column(
                     batch.column_names.index(d), d, merged)
                 if s_rest is None or s_rest.null_count == len(batch):

@@ -534,6 +534,12 @@ class UserAgent(Stage):
         (r"Silk/(\d+[\w.]*)", "Amazon Silk", None),
         (r"OPR/(\d+[\w.]*)", "Opera", None),
         (r"Opera[ /](\d+[\w.]*)", "Opera", None),
+        # uap-core explicit crawler family (nginx access golden)
+        (r"Facebot/?\s*(\d+[\w.]*)?", "Facebot", None),
+        # uap-core: alpha/beta suffixed Firefox builds get their own family
+        # and a dot-joined version ("15.0a2" -> "15.0.a2", apache golden)
+        (r"Firefox/(\d+\.[\d.]*)(a\d+[a-z]*)", "Firefox Alpha", None),
+        (r"Firefox/(\d+\.[\d.]*)(b\d+[a-z]*)", "Firefox Beta", None),
         (r"Firefox/(\d+[\w.]*)", "Firefox", None),
         (r"FxiOS/(\d+[\w.]*)", "Firefox iOS", None),
         (r"CriOS/(\d+[\w.]*)", "Chrome Mobile iOS", None),
@@ -562,11 +568,16 @@ class UserAgent(Stage):
         # module fixtures exercise.
         # uap-core explicit: Debian APT (suricata eve-alerts golden)
         (r"^(Debian APT-HTTP)/(\d[\w.]*)", None, None),
+        # uap-core family_replacement: 'Python Requests', major.minor only
+        # (nginx ingress golden: "2.22.0" -> "2.22")
+        (r"python-requests/(\d+\.\d+)", "Python Requests", None),
         (r"^(curl|[Ww]get|Microsoft-CryptoAPI|Go-http-client|"
-         r"python-requests|Python-urllib|okhttp|libwww-perl|Java|PHP|"
+         r"Python-urllib|okhttp|libwww-perl|Java|PHP|"
          r"Ruby|Faraday|axios|node-fetch|Apache-HttpClient|Googlebot|Twitterbot)"
          r"/(\d[\w.-]*)", None, None),
-        (r"^(?!Mozilla)([A-Za-z0-9._!-]+)/(\d+\.\d+\.[\w.-]+)",
+        # no hyphen in the name class: uap has no rule for hyphenated
+        # product tokens like Elastic-metricbeat -> Other (nginx ingress)
+        (r"^(?!Mozilla)([A-Za-z0-9._!]+)/(\d+\.\d+\.[\w.-]+)",
          None, None),
         # uap-core lists explicit mid-string products (aws-sdk-java/1.11.590
         # inside a compound UA) — a GENERIC mid-string product/x.y.z match
@@ -584,6 +595,8 @@ class UserAgent(Stage):
         (r"\biOS/(\d+[._\d]*)", "iOS", None),
         (r"Mac OS X (\d+[_.\d]*)", "Mac OS X", None),
         (r"Android (\d+[\w.]*)", "Android", None),
+        # bare "Android" token (traefik golden): family only, no version
+        (r"\b(Android)\b", "Android", None),
         # uap-core: Linux/x.y.z kernel token carries a version
         (r"Linux/(\d+\.\d+(?:\.\d+)?)", "Linux", None),
         # uap-core: APT user agents carry the distro as OS, version-less
@@ -622,10 +635,15 @@ class UserAgent(Stage):
                 if fam is None:
                     name, version = m.group(1), m.group(2)
                 else:
-                    # fixed == "" means the uap rule carries no version
+                    # fixed == "" means the uap rule carries no version;
+                    # multi-group rules dot-join like uap's v1.v2.v3
+                    # ("15.0" + "a2" -> "15.0.a2")
                     name = fam
-                    version = (fixed or None) if fixed is not None \
-                        else m.group(1)
+                    if fixed is not None:
+                        version = fixed or None
+                    else:
+                        version = ".".join(
+                            g.strip(".") for g in m.groups() if g) or None
                 break
         os_name = os_ver = os_full = None
         for rx, fam, vmap in self._oses:
@@ -649,7 +667,7 @@ class UserAgent(Stage):
             device = "iPad"
         elif "Kindle" in ua or re.search(r"\bKF[A-Z]{2,4}\b", ua):
             device = "Kindle"   # uap-core: Kindle Fire models (KFFOWI...)
-        elif "Android" in ua and "Mobile" in ua:
+        elif "Android" in ua and ("Mobile" in ua or ua.strip() == "Android"):
             device = "Generic Smartphone"
         elif "Macintosh" in ua:
             device = "Mac"

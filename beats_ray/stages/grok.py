@@ -173,21 +173,63 @@ def compile_grok(expression: str, pattern_definitions: dict | None = None,
     # ((?<destination.address>...), cisco asa-ftd) — sanitize like %{}
     # fields; don't touch lookbehinds (?<= / (?<!
 
-    def sub_inline(m: re.Match) -> str:
-        field = m.group(1)
-        group = re.sub(r"\W", "_", field)
-        if group in fields and fields[group] != field:
-            counter[0] += 1
-            group = f"{group}_{counter[0]}"
-        fields[group] = field
-        return f"(?P<{group}>"
-
     # only bare Oniguruma groups — (?P<...> groups were emitted by the
     # %{} sub above and are already registered; both <name> and 'name'
-    # quoting forms (kafka uses (?'kafka.log.trace.full'...))
-    pattern = re.sub(r"\(\?<([A-Za-z_][\w.\[\]@]*)>", sub_inline, pattern)
-    pattern = re.sub(r"\(\?'([A-Za-z_][\w.\[\]@]*)'",
-                     lambda m: sub_inline(m), pattern)
+    # quoting forms (kafka uses (?'kafka.log.trace.full'...)).  Oniguruma
+    # allows REUSING a group name ((?<__quote>...) twice in mysqlenterprise
+    # quote matching) and \k<name> backrefs resolve against any same-named
+    # group — python requires unique names, so a left-to-right walk
+    # uniquifies repeats and points each \k at the nearest PRECEDING
+    # occurrence.
+    rx_open = re.compile(r"\(\?(?:<([A-Za-z_][\w.\[\]@]*)>"
+                         r"|'([A-Za-z_][\w.\[\]@]*)')")
+    rx_ref = re.compile(r"\\k<([^>]+)>")
+    occ: dict[str, str] = {}
+    out_parts: list[str] = []
+    i = 0
+    while i < len(pattern):
+        if pattern[i] == "\\":
+            m = rx_ref.match(pattern, i)
+            if m:
+                nm = m.group(1)
+                out_parts.append(
+                    "(?P=" + occ.get(nm, re.sub(r"\W", "_", nm)) + ")")
+                i = m.end()
+                continue
+            out_parts.append(pattern[i:i + 2])
+            i += 2
+            continue
+        m = rx_open.match(pattern, i)
+        if m:
+            field = m.group(1) or m.group(2)
+            group = re.sub(r"\W", "_", field)
+            if group in fields:
+                counter[0] += 1
+                group = f"{group}_{counter[0]}"
+            fields[group] = field
+            occ[field] = group
+            out_parts.append(f"(?P<{group}>")
+            i = m.end()
+            continue
+        out_parts.append(pattern[i])
+        i += 1
+    pattern = "".join(out_parts)
+    # Oniguruma absent operator (?~X): longest run NOT containing X —
+    # python equivalent (?:(?!X).)*
+    while "(?~" in pattern:
+        j = pattern.find("(?~")
+        depth, k = 1, j + 3
+        while k < len(pattern) and depth:
+            if pattern[k] == "\\":
+                k += 2
+                continue
+            if pattern[k] == "(":
+                depth += 1
+            elif pattern[k] == ")":
+                depth -= 1
+            k += 1
+        inner = pattern[j + 3:k - 1]
+        pattern = pattern[:j] + f"(?:(?!{inner}).)*" + pattern[k:]
     # Oniguruma (ES grok) permits bare unnamed capture groups; RE2's
     # extract_regex rejects them.  Rewrite "(" -> "(?:" unless escaped or
     # already a (?...) construct — capture-by-name is the only extraction
@@ -200,6 +242,273 @@ def compile_grok(expression: str, pattern_definitions: dict | None = None,
     if oni_dotall:
         pattern = "(?s)" + pattern
     return pattern, {"types": types, "fields": fields}
+
+
+#: sampled alphabet for char-class set approximation: ASCII + Latin-1 +
+#: a few beyond-BMP probes so \w/\S style categories aren't mistaken for
+#: ASCII-only classes
+_SAMPLE_CHARS = [chr(c) for c in range(0x180)] + list("α一\U0001f600")
+
+
+def _charset(elem, state=None) -> frozenset | None:
+    """Approximate set of sampled chars a single parsed element can consume
+    as its FIRST character (None = matches nothing / zero-width).  ``state``
+    is the original parse state so pattern flags ((?s)/(?i)) keep their
+    meaning when the element is compiled standalone."""
+    import re._compiler as _c
+    import re._parser as _p
+    op, av = elem
+    K = re._constants
+    if op in (K.LITERAL, K.NOT_LITERAL, K.IN, K.ANY, K.RANGE, K.CATEGORY):
+        if state is None:
+            state = _p.State()
+        try:
+            rx = _c.compile(_p.SubPattern(state, [elem]))
+        except Exception:
+            return frozenset(_SAMPLE_CHARS)   # unknown -> overlap everything
+        return frozenset(ch for ch in _SAMPLE_CHARS if rx.match(ch))
+    return None
+
+
+def _seq_first_charset(seq, state=None) -> tuple[frozenset, bool]:
+    """(union of chars the sequence can start with, can_match_empty) over
+    the sampled alphabet; overapproximates."""
+    K = re._constants
+    first: set = set()
+    for op, av in seq:
+        cs = _charset((op, av), state)
+        if cs is not None:
+            first |= cs
+            return frozenset(first), False
+        if op in _REPEATS:
+            lo, hi, body = av
+            f, e = _seq_first_charset(body, state)
+            first |= f
+            if lo > 0 and not e:
+                return frozenset(first), False
+        elif op is K.BRANCH:
+            any_empty = False
+            for alt in av[1]:
+                f, e = _seq_first_charset(alt, state)
+                first |= f
+                any_empty = any_empty or e
+            if not any_empty:
+                return frozenset(first), False
+        elif op is K.SUBPATTERN:
+            f, e = _seq_first_charset(av[3], state)
+            first |= f
+            if not e:
+                return frozenset(first), False
+        elif op in (K.ASSERT, K.ASSERT_NOT, K.AT):
+            continue   # zero-width
+        elif op is K.ATOMIC_GROUP:
+            f, e = _seq_first_charset(av, state)
+            first |= f
+            if not e:
+                return frozenset(first), False
+        else:
+            # GROUPREF and friends: unknown -> everything, non-empty
+            return frozenset(_SAMPLE_CHARS), False
+    return frozenset(first), True
+
+
+def _seq_all_charset(seq, state=None) -> frozenset:
+    """Union of ALL sampled chars any part of the sequence can consume
+    (overapproximation of the language's alphabet)."""
+    K = re._constants
+    out: set = set()
+    for op, av in seq:
+        cs = _charset((op, av), state)
+        if cs is not None:
+            out |= cs
+        elif op in _REPEATS:
+            out |= _seq_all_charset(av[2], state)
+        elif op is K.BRANCH:
+            for alt in av[1]:
+                out |= _seq_all_charset(alt, state)
+        elif op is K.SUBPATTERN:
+            out |= _seq_all_charset(av[3], state)
+        elif op in (K.ASSERT, K.ASSERT_NOT, K.AT):
+            continue
+        elif op is K.ATOMIC_GROUP:
+            out |= _seq_all_charset(av, state)
+        else:
+            out |= set(_SAMPLE_CHARS)
+    return frozenset(out)
+
+
+_REPEATS: tuple = ()   # filled below once re._constants is importable
+
+
+def _init_repeats():
+    global _REPEATS
+    if _REPEATS:
+        return
+    K = re._constants
+    reps = [K.MAX_REPEAT, K.MIN_REPEAT]
+    if hasattr(K, "POSSESSIVE_REPEAT"):
+        reps.append(K.POSSESSIVE_REPEAT)
+    _REPEATS = tuple(reps)
+
+
+def _re_linear_safe(pattern: str) -> bool:
+    """True when python-re can match ``pattern`` without risking
+    catastrophic backtracking.
+
+    RE2 (the primary grok engine) is linear on every pattern; the python-re
+    participation twin is a BACKTRACKING engine, and grok library patterns
+    like URIPROTO's ``[A-Za-z](?:[A-Za-z0-9+.-]+)+`` are ``(X+)+`` shapes
+    that go exponential on non-matching rows (a single panw threat URL row
+    wedges the worker — re holds the GIL for the entire C-level match, so
+    not even a watchdog thread can run).  Static screening, conservative by
+    construction; a False only disables the ES empty-vs-unset refinement
+    (falls back to the RE2-only participation proxy), never the match
+    itself.  Rules, per repeat R(lo, hi>1, body):
+
+    - an alternation inside R is safe only if its alternatives have
+      pairwise-disjoint FIRST sets and none matches empty (``(?:.|\\n)*``
+      = GREEDYDATA is safe; ``(a|a)*`` is not) — disjoint alternatives
+      give the engine at most one viable branch per position;
+    - a nested flexible repeat (hi>1) inside R is safe only if body also
+      contains a MANDATORY single-char element (delimiter) whose char set
+      is disjoint from everything the nested repeat can consume
+      (``(?:[0-9A-Fa-f]{1,4}:){7}`` and JAVACLASS's
+      ``(?:[a-z$_][a-z$_0-9]*\\.)*`` are safe — iteration boundaries are
+      pinned by the delimiter; URIPROTO's ``(?:[A-Za-z0-9+.-]+)+`` has no
+      delimiter and is rejected).
+
+    Char classes are approximated over a sampled alphabet (ASCII+Latin-1
+    plus multilingual probes), overapproximating toward "overlap", i.e.
+    toward rejection."""
+    _init_repeats()
+    K = re._constants
+    try:
+        tree = re._parser.parse(pattern)
+    except Exception:
+        return False
+
+    state = tree.state
+
+    def mandatory_delims(seq):
+        """Charsets of mandatory single-char elements along seq's spine
+        (descending lo>=1 repeats and subpatterns).  A delimiter sourced
+        from inside a flexible repeat overlaps that repeat's own charset,
+        so self-delimiters never qualify downstream."""
+        out = []
+        for op, av in seq:
+            cs = _charset((op, av), state)
+            if cs is not None:
+                out.append(cs)
+            elif op in _REPEATS and av[0] >= 1:
+                out.extend(mandatory_delims(av[2]))
+            elif op is K.SUBPATTERN:
+                out.extend(mandatory_delims(av[3]))
+        return out
+
+    def flexible_repeats(seq):
+        """All repeats with hi>1 at any depth of seq (returned as av)."""
+        found = []
+        for op, av in seq:
+            if op in _REPEATS:
+                hi = av[1]
+                if hi is K.MAXREPEAT or hi > 1:
+                    found.append(av)
+                found.extend(flexible_repeats(av[2]))
+            elif op is K.BRANCH:
+                for alt in av[1]:
+                    found.extend(flexible_repeats(alt))
+            elif op is K.SUBPATTERN:
+                found.extend(flexible_repeats(av[3]))
+            elif op is K.ATOMIC_GROUP:
+                found.extend(flexible_repeats(av))
+        return found
+
+    def branch_safe(alts):
+        firsts = []
+        for alt in alts:
+            f, can_empty = _seq_first_charset(alt, state)
+            if can_empty:
+                return False
+            firsts.append(f)
+        for i in range(len(firsts)):
+            for j in range(i + 1, len(firsts)):
+                if firsts[i] & firsts[j]:
+                    return False
+        return True
+
+    def scan(seq, in_repeat):
+        for op, av in seq:
+            if op in _REPEATS:
+                lo, hi, body = av
+                iterating = hi is K.MAXREPEAT or hi > 1
+                if iterating:
+                    # every flexible repeat nested in THIS body needs a
+                    # mandatory delimiter in the body disjoint from the
+                    # chars it can consume — pins iteration boundaries
+                    nested = flexible_repeats(body)
+                    if nested:
+                        delims = mandatory_delims(body)
+                        for n_av in nested:
+                            n_chars = _seq_all_charset(n_av[2], state)
+                            if not any(not (d & n_chars) for d in delims):
+                                return False
+                if not scan(body, in_repeat or iterating):
+                    return False
+            elif op is K.BRANCH:
+                if in_repeat and not branch_safe(av[1]):
+                    return False
+                for alt in av[1]:
+                    if not scan(alt, in_repeat):
+                        return False
+            elif op is K.SUBPATTERN:
+                if not scan(av[3], in_repeat):
+                    return False
+            elif op in (K.ASSERT, K.ASSERT_NOT):
+                if not scan(av[1], in_repeat):
+                    return False
+            elif op is K.ATOMIC_GROUP:
+                if not scan(av, in_repeat):
+                    return False
+        return True
+
+    return scan(tree, False)
+
+
+def _mandatory_groups(pattern: str) -> frozenset:
+    """Named groups that participate on EVERY successful match: not nested
+    under any lo==0 repeat, alternation branch, or lookaround.  For these,
+    ES empty-vs-unset participation is decided by the match mask alone —
+    no python-re twin needed (nginx ingress_controller's
+    ``\\[%{DATA:...alternative_name}\\]`` keeps its participating "")."""
+    _init_repeats()
+    K = re._constants
+    try:
+        tree = re._parser.parse(pattern)
+    except Exception:
+        return frozenset()
+    names = {num: name for name, num in tree.state.groupdict.items()}
+    mand: set = set()
+
+    def walk(seq, optional):
+        for op, av in seq:
+            if op in _REPEATS:
+                lo, hi, body = av
+                walk(body, optional or lo == 0)
+            elif op is K.BRANCH:
+                for alt in av[1]:
+                    walk(alt, True)
+            elif op is K.SUBPATTERN:
+                g, _af, _df, body = av
+                if g in names and not optional:
+                    mand.add(names[g])
+                walk(body, optional)
+            elif op in (K.ASSERT, K.ASSERT_NOT):
+                walk(av[1], True)
+            elif op is K.ATOMIC_GROUP:
+                walk(av, optional)
+
+    walk(tree, False)
+    return frozenset(mand)
 
 
 @register("grok")
@@ -221,6 +530,10 @@ class GrokStage(Stage):
         # pipelines historically anchor, so the default stays True and
         # module-parity specs pass anchor: false explicitly
         anchor = bool(c.get("anchor", True))
+        # ES-grok parity: non-participating optional groups leave the field
+        # UNSET; RE2 extracts them as "" — the ingest compiler sets this
+        self.empty_to_null = bool(c.get("empty_to_null", False))
+        self.ignore_missing = bool(c.get("ignore_missing", False))
         self.compiled = []
         for e in exprs:
             pattern, meta = compile_grok(e, defs, anchor=anchor)
@@ -234,18 +547,58 @@ class GrokStage(Stage):
                 rx = None
             except pa.ArrowInvalid:
                 rx = re.compile(pattern)
-            self.compiled.append((pattern, meta, rx))
+            # Under empty_to_null, an RE2 "" extraction is ambiguous between
+            # participating-empty (ES sets "") and non-participating (ES
+            # leaves unset).  Keep a python-re twin to re-verify ONLY the
+            # rows that extracted a "" somewhere (see process()).
+            # ... but ONLY for patterns python-re is provably linear-safe
+            # on (see _re_linear_safe); otherwise keep the RE2-only proxy.
+            mand = _mandatory_groups(pattern)
+            rxv = None
+            if rx is None and self.empty_to_null \
+                    and (set(meta["fields"]) - mand) \
+                    and _re_linear_safe(pattern):
+                try:
+                    rxv = re.compile(pattern)
+                except re.error:
+                    rxv = None
+            self.compiled.append((pattern, meta, rx, rxv, mand))
         prefix = c.get("target_prefix", "")
         self.prefix = prefix + "_" if prefix else ""
         self.ignore_failure = bool(c.get("ignore_failure", False))
-        # ES-grok parity: non-participating optional groups leave the field
-        # UNSET; RE2 extracts them as "" — the ingest compiler sets this
-        self.empty_to_null = bool(c.get("empty_to_null", False))
-        self.ignore_missing = bool(c.get("ignore_missing", False))
 
     def input_columns(self):
         from ..event import FLAGS_COL
         return [field_to_column(self.field), FLAGS_COL]
+
+    @staticmethod
+    def _verify_participation(structs, col, rxv, n, mand=frozenset()):
+        """True per-group participation masks for an RE2 extraction.
+
+        Only rows where the match succeeded AND some group extracted "" are
+        ambiguous (participating-empty vs non-participating both extract ""
+        under RE2); re-run just those rows through the python-re twin.  Rows
+        with only non-empty captures participate trivially."""
+        valid = pc.is_valid(structs)
+        groups = [f.name for f in structs.type]
+        empty_any = None
+        for g in groups:
+            if g in mand:   # participation decided by the match mask
+                continue
+            e = pc.and_(valid, pc.equal(
+                pc.fill_null(pc.struct_field(structs, g), ""), ""))
+            empty_any = e if empty_any is None else pc.or_(empty_any, e)
+        if empty_any is None or not (pc.any(empty_any).as_py() or False):
+            return None
+        import numpy as np
+        idx = np.nonzero(empty_any.to_numpy(zero_copy_only=False))[0]
+        part = {g: np.ones(n, dtype=bool) for g in groups}
+        col_py = col.to_pylist()
+        for i in idx:
+            m = rxv.search(col_py[i])
+            for g in groups:
+                part[g][i] = m is not None and m.group(g) is not None
+        return {g: pa.array(part[g]) for g in groups}
 
     def process(self, batch):
         cname = field_to_column(self.field)
@@ -285,28 +638,48 @@ class GrokStage(Stage):
         # WITHOUT the group must keep any pre-existing column value, like
         # ES grok, instead of being overwritten with null
         col_masks: dict[str, pa.Array] = {}
+        part_masks: dict[str, pa.Array] = {}
         dup_caps: dict[str, list[pa.Array]] = {}
         matched_any = pa.array([False] * n, pa.bool_())
-        for pattern, meta, rx in self.compiled:
+        for pattern, meta, rx, rxv, mand in self.compiled:
+            parts = None
             if rx is None:
                 structs = pc.extract_regex(col, pattern)
+                if rxv is not None:
+                    parts = self._verify_participation(
+                        structs, col, rxv, n, mand)
             else:
                 # Python-re fallback: same struct shape as extract_regex
-                # (non-participating groups as "", null = no match)
+                # (non-participating groups as "", null = no match), plus a
+                # true participation mask per group — re distinguishes a
+                # participating-empty capture ('') from a non-participating
+                # one (None), which RE2's extract_regex cannot.  ES grok
+                # (joni) SETS "" for participating-empty groups and leaves
+                # non-participating ones unset (es slowlog routing[],).
                 groups = list(rx.groupindex)
                 vals_by_group: dict[str, list] = {g: [] for g in groups}
+                part_by_group: dict[str, list] = {g: [] for g in groups}
                 valid = []
                 for v in col.to_pylist():
                     m = rx.search(v) if v is not None else None
                     valid.append(m is not None)
                     for g in groups:
+                        gv = m.group(g) if m is not None else None
                         vals_by_group[g].append(
-                            (m.group(g) or "") if m is not None else None)
+                            (gv or "") if m is not None else None)
+                        part_by_group[g].append(
+                            m is not None and gv is not None)
                 mask = pa.array([not b for b in valid], pa.bool_())
                 structs = pa.StructArray.from_arrays(
                     [pa.array(vals_by_group[g], pa.string()) for g in groups],
                     names=groups, mask=mask)
-            ok = pc.and_(pc.is_valid(structs), remaining)
+                parts = {g: pa.array(part_by_group[g], pa.bool_())
+                         for g in groups}
+            # a null input never matches (the "" fill is storage, not data):
+            # NOZONEIP-style empty-capable patterns must not fabricate
+            # participating-empty captures on rows missing the field (iis)
+            ok = pc.and_(pc.and_(pc.is_valid(structs), remaining),
+                         pc.invert(input_null))
             if (pc.sum(ok).as_py() or 0) == 0:
                 continue
             for f in structs.type:
@@ -315,9 +688,22 @@ class GrokStage(Stage):
                 out_name = self.prefix + field_to_column(field_name)
                 vals = pc.if_else(ok, pc.struct_field(structs, group),
                                   pa.nulls(n, pa.string()))
+                # rows where the group truly participated this pattern; on
+                # the RE2 path participation is unknowable, so a non-empty
+                # capture is the (conservative) proxy
+                if group in mand:
+                    raw_part = ok   # mandatory: participates whenever matched
+                elif parts is not None:
+                    raw_part = pc.and_(ok, parts[group])
+                else:
+                    raw_part = pc.and_(ok, pc.invert(
+                        pc.equal(pc.fill_null(vals, ""), "")))
                 if self.empty_to_null:
+                    # unset only NON-participating empties — a participating
+                    # empty capture stays "" (ES grok sets it)
                     vals = pc.if_else(
-                        pc.equal(pc.fill_null(vals, ""), ""),
+                        pc.and_(pc.equal(pc.fill_null(vals, ""), ""),
+                                pc.invert(raw_part)),
                         pa.nulls(n, pa.string()), vals)
                 typ = meta["types"].get(group)
                 if typ in ("int", "long", "float", "double"):
@@ -366,6 +752,9 @@ class GrokStage(Stage):
                     out_cols[out_name] = vals
                 col_masks[out_name] = ok if out_name not in col_masks \
                     else pc.or_(col_masks[out_name], ok)
+                part_masks[out_name] = raw_part \
+                    if out_name not in part_masks \
+                    else pc.or_(part_masks[out_name], raw_part)
             matched_any = pc.or_(matched_any, ok)
             remaining = pc.and_(remaining, pc.invert(ok))
         # ES grok APPENDS when several groups for the same field all
@@ -397,20 +786,47 @@ class GrokStage(Stage):
                 # writes only participating captures
                 old = batch.column(name)
                 if old.type != vals.type:
-                    old = pc.cast(old, vals.type, safe=False)
+                    # type conflict between a typed grok group and an
+                    # existing column (es slowlog v8: json total_hits is the
+                    # STRING "0 hits", the grok group is :int).  ES keeps
+                    # per-document types; columnar unification: all-null new
+                    # captures adopt the old type, otherwise try numeric and
+                    # degrade to string space (goldens compare values).
+                    if pa.types.is_null(old.type):
+                        old = pc.cast(old, vals.type)
+                    elif (pc.count(vals).as_py() or 0) == 0:
+                        vals = pc.cast(vals, old.type)
+                    else:
+                        try:
+                            old = pc.cast(old, vals.type, safe=False)
+                        except (pa.ArrowInvalid,
+                                pa.ArrowNotImplementedError):
+                            old = pc.cast(old, pa.string())
+                            vals = pc.cast(vals, pa.string())
                 produced = col_masks.get(name)
                 keep_old = pc.or_(input_null, pc.invert(
                     pc.fill_null(produced, False))) if produced is not None \
                     else pa.array([True] * n, pa.bool_())
+                # ES grok never writes null: a row matched by a pattern whose
+                # instance of this group did NOT participate keeps the
+                # pre-existing value (es slowlog: the message re-grok must
+                # not blank took_millis-derived duration)
+                keep_old = pc.or_(keep_old, pc.and_(
+                    pc.is_null(vals), pc.is_valid(old)))
                 if pa.types.is_string(vals.type) or \
                         pa.types.is_large_string(vals.type):
                     # a non-participating optional group extracts as "" —
                     # ES grok leaves the pre-existing value in place
                     # (ibmmq: the Time() re-grok must not blank the
-                    # header date on rows without Time())
+                    # header date on rows without Time()); a PARTICIPATING
+                    # "" capture does overwrite (re-fallback patterns track
+                    # true participation)
                     empty_new = pc.equal(pc.fill_null(vals, ""), "")
-                    keep_old = pc.or_(keep_old,
-                                      pc.and_(empty_new, pc.is_valid(old)))
+                    not_part = pc.invert(pc.fill_null(
+                        part_masks.get(name,
+                                       pa.nulls(n, pa.bool_())), False))
+                    keep_old = pc.or_(keep_old, pc.and_(
+                        pc.and_(empty_new, not_part), pc.is_valid(old)))
                 vals = pc.if_else(keep_old, old, vals)
             batch = set_column(batch, name, vals)
         failed = pc.and_(pc.invert(matched_any), pc.invert(input_null))

@@ -910,6 +910,10 @@ class _Interp:
                 "Array": {"isArray": lambda v: isinstance(v, list)},
                 "Error": lambda msg=None: {"name": "Error",
                                            "message": msg},
+                # new RegExp("pat"[, flags]) — same runtime object as a
+                # regex literal (elasticsearch/audit config script)
+                "RegExp": lambda pattern, flags="": _JSRegExp(
+                    str(pattern), str(flags)),
                 "TypeError": lambda msg=None: {"name": "TypeError",
                                                "message": msg},
                 "Math": {"round": lambda v: int(_tonum(v) + 0.5)

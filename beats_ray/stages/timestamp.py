@@ -279,7 +279,29 @@ class TimestampStage(Stage):
                     parsed = pa.array(py, pa.timestamp("us"))
             out = pc.if_else(need, parsed, out)
         failed = pc.and_(pc.is_null(out), pc.is_valid(col))
-        batch = set_column(batch, field_to_column(self.target), out)
+        tcol = field_to_column(self.target)
+        if tcol in batch.column_names and tcol != field_to_column(self.field):
+            # ES date never writes null: rows whose source is missing or
+            # unparseable keep the target's pre-existing value (santa: a
+            # set-from-template @timestamp survives the later date over a
+            # null `timestamp` column)
+            old = batch.column(tcol).combine_chunks()
+            if old.null_count < len(batch):
+                if old.type != out.type:
+                    try:
+                        old = pc.cast(old, out.type)
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                            pa.ArrowTypeError):
+                        try:
+                            old = pc.cast(old, pa.string())
+                            out = pc.cast(out, pa.string())
+                        except (pa.ArrowInvalid,
+                                pa.ArrowNotImplementedError,
+                                pa.ArrowTypeError):
+                            old = None
+                if old is not None:
+                    out = pc.if_else(pc.is_null(out), old, out)
+        batch = set_column(batch, tcol, out)
         if not self.ignore_failure and (pc.sum(failed).as_py() or 0) > 0:
             batch = set_error(batch, failed,
                               f"could not parse time field {self.field}")

@@ -61,3 +61,43 @@ def test_grok_timestamp_iso8601_and_httpdate():
     out = run("grok", {"pattern": r"\[%{HTTPDATE:ts}\]", "ignore_failure": True},
               pa.table({"message": ["[25/Oct/2016:14:49:33 +0200]"]}))
     assert out.column("ts").to_pylist() == ["25/Oct/2016:14:49:33 +0200"]
+
+
+def test_re_linear_safe_screens_catastrophic_patterns():
+    # the python-re participation twin must never be built for patterns a
+    # backtracking engine can go exponential on (URIPROTO wedged a worker
+    # for >30 min on one panw threat row; re holds the GIL mid-match)
+    from beats_ray.stages.grok import _re_linear_safe as safe
+    # exponential shapes -> rejected
+    assert not safe(r"[A-Za-z](?:[A-Za-z0-9+.-]+)+://")   # URIPROTO (X+)+
+    assert not safe(r"(?:a+)+$")
+    assert not safe(r"(?:a|a)*x")                          # ambiguous branch
+    assert not safe(r"(?s)(?:.+\n)+")                      # dotall kills delim
+    # delimited / disjoint shapes grok actually uses -> accepted
+    assert safe(r"(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}")   # IPV6 segs
+    assert safe(r"(?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)*[a-zA-Z$_]")  # JAVACLASS
+    assert safe(r"(?P<m>(?:.|\n)*)")                       # GREEDYDATA (?m)
+    assert safe(r"\b[0-9A-Za-z][0-9A-Za-z-]{0,62}"
+                r"(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?\b")  # HOSTNAME
+    assert safe(r"(?:(?:\d\d){1,2})-(?:0?[1-9]|1[0-2])")   # YEAR-MONTHNUM
+
+
+def test_mandatory_groups_participation():
+    from beats_ray.stages.grok import _mandatory_groups as mg
+    m = mg(r"\[(?P<a>.*?)\] (?:(?P<b>\d+) )?(?P<c>x|(?P<d>y))")
+    assert "a" in m           # top level
+    assert "b" not in m       # under a lo=0 repeat
+    assert "c" in m           # group wrapping the branch is mandatory
+    assert "d" not in m       # inside one branch alternative
+
+
+def test_grok_participating_empty_capture_stays_set():
+    # ES grok parity: a MANDATORY group that captures "" participates and
+    # stays "" under empty_to_null; only non-participating empties unset
+    # (nginx ingress_controller upstream.alternative_name golden)
+    out = run("grok", {"pattern": r"\[%{DATA:name}\] (?:v=%{NUMBER:v} )?end",
+                       "anchor": False, "empty_to_null": True,
+                       "ignore_failure": True},
+              pa.table({"message": ["[] end", "[x] v=3 end"]}))
+    assert out.column("name").to_pylist() == ["", "x"]
+    assert out.column("v").to_pylist() == [None, "3"]
