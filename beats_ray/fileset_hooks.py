@@ -887,3 +887,237 @@ FILESET_HOOKS.update({
     ("system", "auth"): _system_auth_hook,
 })
 FILESET_HOOKS[("kafka", "log")] = _auto_hook()
+
+
+# ------------------------------------------------------------ zoom/webhook
+
+_ZOOM_ISO_DIFF = _py(
+    # ZonedDateTime.parse(start/end), ChronoUnit.NANOS.between
+    "from datetime import datetime\n"
+    "def _iso(v):\n"
+    "    return datetime.strptime(str(v).replace('Z', '+0000'),\n"
+    "                             '%Y-%m-%dT%H:%M:%S%z')\n"
+    "s, e = event.get('event_start'), event.get('event_end')\n"
+    "if s and e:\n"
+    "    event['event_duration'] = int(\n"
+    "        (_iso(e) - _iso(s)).total_seconds() * 1e9)")
+
+
+def _zoom_phone_span(src_field):
+    # ctx.event.start = <src>; ctx.event.end = call_end_time; NANOS.between
+    return _py(
+        "from datetime import datetime\n"
+        "def _iso(v):\n"
+        "    return datetime.strptime(str(v).replace('Z', '+0000'),\n"
+        "                             '%Y-%m-%dT%H:%M:%S%z')\n"
+        f"s = event.get('zoom_phone_{src_field}')\n"
+        "e = event.get('zoom_phone_call_end_time')\n"
+        "event['event_start'] = s\n"
+        "event['event_end'] = e\n"
+        "event['event_duration'] = int(\n"
+        "    (_iso(e) - _iso(s)).total_seconds() * 1e9)")
+
+
+FILESET_HOOKS[("zoom", "webhook")] = lambda doc: {"sub_scripts": {
+    # x-pack/filebeat/module/zoom/webhook/ingest/*.yml painless ports,
+    # positional per sub-pipeline (only the duration computations)
+    "meeting": [_py(   # minutes (int) -> ns
+        "d = event.get('zoom_meeting_duration')\n"
+        "event['event_duration'] = int(d) * 60 * 1000000000")],
+    "phone": [
+        _zoom_phone_span("ringing_start_time"),
+        _zoom_phone_span("answer_start_time"),
+        # zoom.duration is a STRING of minutes (Integer.parseInt)
+        _py("d = event.get('zoom_duration')\n"
+            "event['event_duration'] = int(str(d)) * 60 * 1000000000"),
+    ],
+    "recording": [_ZOOM_ISO_DIFF],
+}}
+
+
+# -------------------------------------------------------------- panw/panos
+
+def _panw_flags_script(params):
+    # 'Extract flags bitfield into labels' — bit values from the module yml
+    lines = ["v = event.get('_temp__labels')", "if v:"]
+    for name, bit in params.items():
+        lines.append(f"    if v & {int(bit)}:")
+        lines.append(f"        event['labels_{name}'] = True")
+    return _py("\n".join(lines))
+
+
+_PANW_DURATION_END = _py(
+    # seconds -> nanos + event.end = event.start + duration
+    "from datetime import timedelta\n"
+    "d = event.get('event_duration')\n"
+    "if d is not None:\n"
+    "    nanos = int(d) * 10**9\n"
+    "    event['event_duration'] = nanos\n"
+    "    st = event.get('event_start')\n"
+    "    if st is not None:\n"
+    "        event['event_end'] = st + timedelta(microseconds=nanos // 1000)")
+
+_PANW_COPY_USER = _py(
+    # source.user -> user deep copy
+    "for k in list(event):\n"
+    "    if k.startswith('source_user_') and event[k] is not None:\n"
+    "        event['user_' + k[len('source_user_'):]] = event[k]")
+
+
+def _panw_panos_hook(doc):
+    # x-pack/filebeat/module/panw/panos/ingest/pipeline.yml: 3 root scripts
+    # (flags bitfield -> labels.*, duration+end, source.user -> user copy);
+    # the flag bit table read from the module's own yml params
+    flags = next(p["script"]["params"] for p in doc.get("processors", [])
+                 if "script" in p and "params" in p.get("script", {})
+                 and "pcap_included" in p["script"]["params"])
+    return [_panw_flags_script(flags), _PANW_DURATION_END,
+            _PANW_COPY_USER], None
+
+
+FILESET_HOOKS[("panw", "panos")] = _panw_panos_hook
+
+
+# ------------------------------------------------------------- juniper/srx
+
+_JUNIPER_DASH_KEYS = _py(
+    # kv writes dashed keys; painless normalizes to underscores
+    "for k in list(event):\n"
+    "    if k.startswith('juniper_srx_') and '-' in k:\n"
+    "        event[k.replace('-', '_')] = event[k]\n"
+    "        event[k] = None")
+
+_JUNIPER_DURATION = _py(
+    "from datetime import timedelta as _td\n"
+    "d = event.get('juniper_srx_duration')\n"
+    "if d is not None:\n"
+    "    ns = int(d) * 10**9\n"
+    "    event['event_duration'] = ns\n"
+    "    ts = event.get('ts')\n"
+    "    if ts is not None:\n"
+    "        iso = ts.strftime('%Y-%m-%dT%H:%M:%S.') + \\\n"
+    "            ('%03d' % (ts.microsecond // 1000)) + 'Z'\n"
+    "        event['event_start'] = iso\n"
+    "        en = ts + _td(seconds=int(d))\n"
+    "        event['event_end'] = en.strftime('%Y-%m-%dT%H:%M:%S.') + \\\n"
+    "            ('%03d' % (en.microsecond // 1000)) + 'Z'")
+
+_JUNIPER_FLOW_SCRIPTS = [
+    _py("sb, db = event.get('source_bytes'), event.get('destination_bytes')\n"
+        "if sb is not None and db is not None:\n"
+        "    event['network_bytes'] = int(sb) + int(db)"),
+    _py("cp, sp = event.get('client_packets'), event.get('server_packets')\n"
+        "if cp is not None and sp is not None:\n"
+        "    event['network_packets'] = int(cp) + int(sp)"),
+]
+
+
+def _juniper_srx_hook(doc):
+    # x-pack/filebeat/module/juniper/srx/ingest/pipeline.yml: dash-key
+    # normalization, duration/start/end, sentinel sweep (params from the
+    # module's own yml); flow.yml byte/packet sums
+    sweep_vals = [p["script"]["params"]["values"]
+                  for p in doc.get("processors", [])
+                  if "script" in p and p["script"].get("params")][0]
+    sweep = _py(
+        f"sent = {sweep_vals!r}\n"
+        "for k in list(event):\n"
+        "    if k.startswith('juniper_srx_') and event[k] in sent:\n"
+        "        event[k] = None")
+    return {"scripts": [_JUNIPER_DASH_KEYS, _JUNIPER_DURATION, sweep],
+            "sub_scripts": {"flow": list(_JUNIPER_FLOW_SCRIPTS)}}
+
+
+FILESET_HOOKS[("juniper", "srx")] = _juniper_srx_hook
+
+
+# --------------------------------------------------------------- sophos/xg
+
+_SOPHOS_LOWER_KEYS = _py(
+    "for k in list(event):\n"
+    "    if k.startswith('sophos_xg_') and k != k.lower():\n"
+    "        event[k.lower()] = event[k]\n"
+    "        event[k] = None")
+
+_SOPHOS_DURATION = _py(
+    "from datetime import timedelta as _td\n"
+    "d = event.get('sophos_xg_duration')\n"
+    "if d is not None:\n"
+    "    event['event_duration'] = int(d) * 10**9\n"
+    "    ts = event.get('ts')\n"
+    "    if ts is not None:\n"
+    "        event['event_start'] = ts.strftime('%Y-%m-%dT%H:%M:%S.') + \\\n"
+    "            ('%03d' % (ts.microsecond // 1000)) + 'Z'\n"
+    "        en = ts + _td(seconds=int(d))\n"
+    "        event['event_end'] = en.strftime('%Y-%m-%dT%H:%M:%S.') + \\\n"
+    "            ('%03d' % (en.microsecond // 1000)) + 'Z'")
+
+_SOPHOS_SUM_BYTES = _py(
+    "sb, db = event.get('source_bytes'), event.get('destination_bytes')\n"
+    "if sb is not None and db is not None:\n"
+    "    event['network_bytes'] = int(sb) + int(db)")
+_SOPHOS_SUM_PACKETS = _py(
+    "sp, dp = event.get('source_packets'), event.get('destination_packets')\n"
+    "if sp is not None and dp is not None:\n"
+    "    event['network_packets'] = int(sp) + int(dp)")
+
+_SOPHOS_WAF_DURATION = _py(
+    "rt = event.get('sophos_xg_responsetime')\n"
+    "if rt is not None and int(rt) > 0:\n"
+    "    event['event_duration'] = int(rt) * 1000")
+
+# Java's `z` format throws on ambiguous zone abbreviations ("... IST"
+# eventtime rows): the whole doc fails in ES and the goldens EXCLUDE it —
+# mark the row so the runner/test can drop it
+_SOPHOS_BADZONE = _py(
+    "import re as _re\n"
+    "v = event.get('_temp__time')\n"
+    "if v is not None and _re.search(r' [A-Z]{2,5}$', v):\n"
+    "    event['_badzone'] = True\n"
+    "    event['_temp__time'] = None")
+
+
+def _sophos_xg_hook(doc, mvars=None):
+    # x-pack/filebeat/module/sophos/xg/ingest/pipeline.yml: key lowering,
+    # duration/start/end, sentinel sweep + serial->hostname map (params and
+    # known_devices from the module's own yml/manifest), byte/packet sums;
+    # waf.yml response-time duration.  The _temp_.time date is replaced
+    # with a per-row-timezone layout chain (the module conditions the two
+    # date processors on ctx.event.timezone like juniper, but its layouts
+    # include the throwing `z`).
+    mvars = mvars or {}
+    sweep_vals = [p["script"]["params"]["values"]
+                  for p in doc.get("processors", [])
+                  if "script" in p and p["script"].get("params")][0]
+    sweep = _py(
+        f"sent = {sweep_vals!r}\n"
+        "for k in list(event):\n"
+        "    if k.startswith('sophos_xg_') and event[k] in sent:\n"
+        "        event[k] = None")
+    host_map = _py(
+        f"mappings = {mvars.get('known_devices') or []!r}\n"
+        f"default = {mvars.get('default_host_name', 'firewall.localgroup.local')!r}\n"
+        "serial = event.get('observer_serial_number')\n"
+        "name = default\n"
+        "for item in mappings:\n"
+        "    if item['serial_number'] == str(serial):\n"
+        "        name = item['hostname']\n"
+        "        break\n"
+        "event['host_name'] = name")
+    dates = [i for i, p in enumerate(doc.get("processors", []))
+             if "date" in p and p["date"].get("field") == "_temp_.time"]
+    overrides = {
+        dates[0]: [_SOPHOS_BADZONE, {"timestamp": {
+            "field": "_temp_.time", "target_field": "@timestamp",
+            "layouts": ["ISO8601", "%Y-%m-%d %H:%M:%S %z"],
+            "ignore_failure": True,
+            "timezone_field": "event_timezone"}}],
+        dates[1]: None,
+    }
+    return {"scripts": [_SOPHOS_LOWER_KEYS, _SOPHOS_DURATION, sweep,
+                        host_map, _SOPHOS_SUM_BYTES, _SOPHOS_SUM_PACKETS],
+            "overrides": overrides,
+            "sub_scripts": {"waf": [_SOPHOS_WAF_DURATION]}}
+
+
+FILESET_HOOKS[("sophos", "xg")] = _sophos_xg_hook

@@ -198,9 +198,16 @@ def compile_fileset_spec(module_dir: str, module: str, fileset: str, *,
         "fileset.name": fileset, "input.type": "log",
         "service.type": module}}})
     for p in cfg.get("processors", []):
-        if isinstance(p, dict) and "decode_json_fields" in p and keep_arrays:
-            p = {"decode_json_fields": {**p["decode_json_fields"],
-                                        "keep_arrays": True}}
+        if isinstance(p, dict) and "decode_json_fields" in p:
+            # reference max_depth caps recursive decoding of nested JSON
+            # *strings* (decode_json_fields.go) — a plain JSON object
+            # decodes fully at the default 1.  This engine's flat-column
+            # model uses the knob as flatten depth, so "full object" means
+            # a high cap (zoom/webhook config decodes the whole payload).
+            d = {"max_depth": 99, **p["decode_json_fields"]}
+            if keep_arrays:
+                d["keep_arrays"] = True
+            p = {"decode_json_fields": d}
         if isinstance(p, dict) and "rename" in p:
             # dot-free froms ("json", "seen") are real map containers in
             # Beats (PutValue nests); multi-segment froms may be literal
@@ -226,7 +233,11 @@ def compile_fileset_spec(module_dir: str, module: str, fileset: str, *,
     if scripts is None and overrides is None and pipe_paths:
         hook = FILESET_HOOKS.get((module, fileset))
         if hook is not None:
-            parts = hook(load_pipeline_yml(pipe_paths[0], mvars))
+            doc0 = load_pipeline_yml(pipe_paths[0], mvars)
+            try:   # hooks that read manifest vars take (doc, mvars)
+                parts = hook(doc0, mvars=mvars)
+            except TypeError:
+                parts = hook(doc0)
             if isinstance(parts, dict):  # sub-pipeline-aware hook
                 scripts = parts.get("scripts")
                 overrides = parts.get("overrides")

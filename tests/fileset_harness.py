@@ -54,7 +54,8 @@ def fixtures_of(base, module, fileset, suffix=".log"):
 def run_fileset_fixture(base, module, fileset, logname, vars=None, skip=(),
                         tz="-02:00", keep_blank=False, comment_prefix=None,
                         extra_cols=None, extra_spec=None, cap=True,
-                        expected_transform=None, unordered=False):
+                        expected_transform=None, unordered=False,
+                        align_by=None):
     """Run one fixture end-to-end through compile_fileset_spec and
     check_golden it against its ``-expected.json``."""
     mdir = f"{base}/{module}"
@@ -146,6 +147,23 @@ def run_fileset_fixture(base, module, fileset, logname, vars=None, skip=(),
             assert assign(i, set()), \
                 f"expected row {i} has no unmatched produced row"
         return rows
+    if align_by:
+        # some goldens EXCLUDE docs the pipeline itself cannot see failing
+        # (ES-side indexing rejections, e.g. sophos/xg ambiguous-zone
+        # eventtime rows): align each expected row to a produced row by a
+        # key both sides carry (event.original via
+        # preserve_original_event), dropping unmatched produced rows
+        got_key = align_by.replace(".", "_")
+        by_key: dict = {}
+        for r in rows:
+            by_key.setdefault(r.get(got_key), []).append(r)
+        aligned = []
+        for e in expected:
+            cand = by_key.get(e.get(align_by))
+            assert cand, f"no row for {str(e.get(align_by))[:80]!r}"
+            aligned.append(cand.pop(0))
+        check_golden(aligned, expected, skip=skip)
+        return aligned
     if cap:
         rows = rows[:len(expected)]
     check_golden(rows, expected, skip=skip)

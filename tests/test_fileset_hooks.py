@@ -78,6 +78,10 @@ CASES = {
     (XP, "aws", "ec2"): {},
     (XP, "awsfargate", "log"): {},
     (XP, "checkpoint", "firewall"): {},
+    (XP, "zoom", "webhook"): {"vars": {"input": "file"},
+                              "skip": ("event.timezone",)},
+    (XP, "panw", "panos"): {"vars": {"input": "file"}},
+    (XP, "juniper", "srx"): {},
 }
 
 # every zeek fileset compiles generically (the scripted ones have ports in
