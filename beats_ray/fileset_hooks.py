@@ -1106,14 +1106,11 @@ def _sophos_xg_hook(doc, mvars=None):
         "event['host_name'] = name")
     dates = [i for i, p in enumerate(doc.get("processors", []))
              if "date" in p and p["date"].get("field") == "_temp_.time"]
-    overrides = {
-        dates[0]: [_SOPHOS_BADZONE, {"timestamp": {
-            "field": "_temp_.time", "target_field": "@timestamp",
-            "layouts": ["ISO8601", "%Y-%m-%d %H:%M:%S %z"],
-            "ignore_failure": True,
-            "timezone_field": "event_timezone"}}],
-        dates[1]: None,
-    }
+    # dates[0] handles the no-event.timezone case, unreachable in module
+    # runs (add_locale always sets it); replace with the unconditional
+    # badzone marker so throwing-`z` rows are nulled BEFORE dates[1], the
+    # {{ event.timezone }} date, which compiles generically.
+    overrides = {dates[0]: {"__unconditional__": [_SOPHOS_BADZONE]}}
     return {"scripts": [_SOPHOS_LOWER_KEYS, _SOPHOS_DURATION, sweep,
                         host_map, _SOPHOS_SUM_BYTES, _SOPHOS_SUM_PACKETS],
             "overrides": overrides,
@@ -1121,3 +1118,468 @@ def _sophos_xg_hook(doc, mvars=None):
 
 
 FILESET_HOOKS[("sophos", "xg")] = _sophos_xg_hook
+
+
+# -------------------------------------------------------- cyberarkpas/audit
+
+CYBERARK_SCRIPT = """
+import json as _json
+import re as _re
+from datetime import datetime, timedelta
+
+HDR_5424 = _re.compile(
+    r"^<(?P<pri>\\d+)>\\d+ (?P<ts>\\S+) (?P<host>\\S+) (?P<payload>\\{.*\\})$")
+HDR_LEGACY = _re.compile(
+    r"^(?P<ts>[A-Z][a-z]{2} [ \\d]\\d \\d\\d:\\d\\d:\\d\\d) (?P<host>\\S+) "
+    r"(?P<payload>\\{.*\\})$")
+
+
+def to_snake(s):
+    # faithful port of the module's painless to_snake_case
+    if not any(c.isupper() for c in s[1:]):
+        return s.lower()
+    run, first, out = 0, True, []
+    for c in s:
+        o = c.lower()
+        if c != o:
+            if run == 0 and not first:
+                out.append("_")
+            run += 1
+        else:
+            if run > 1:
+                prev = out[-1]
+                out[-1] = "_"
+                out.append(prev)
+            run = 0
+            first = False
+        out.append(o)
+    return "".join(out)
+
+
+def snake_keys(d):
+    return {to_snake(k): (snake_keys(v) if isinstance(v, dict) else v)
+            for k, v in d.items()}
+
+
+def read_field(ctx, path):
+    cur = ctx
+    for part in path.split("."):
+        if not isinstance(cur, dict) or part not in cur:
+            return None
+        cur = cur[part]
+    return cur
+
+
+def process(event, params):
+    line = event["message"]
+    event["message"] = None
+    m = HDR_5424.match(line) or HDR_LEGACY.match(line)
+    syslog_ts = hostname = None
+    if m:
+        payload = m.group("payload")
+        syslog_ts, hostname = m.group("ts"), m.group("host")
+        gd = m.groupdict()
+        if "pri" in gd and gd["pri"] is not None:
+            event["log_syslog_priority"] = gd["pri"]
+    else:
+        payload = line[line.index("{"):]
+    j = _json.loads(payload)
+    audit = j["syslog"]["audit_record"]
+    audit = {k: v for k, v in audit.items() if v != ""}
+    if j.get("raw") is not None:
+        audit["raw"] = j["raw"]
+    # @timestamp precedence
+    ts = None
+    if audit.get("IsoTimestamp"):
+        ts = datetime.strptime(audit["IsoTimestamp"].replace("Z", "+0000"),
+                               "%Y-%m-%dT%H:%M:%S%z")
+        ts = ts.replace(tzinfo=None) - ts.utcoffset()
+    elif audit.get("Timestamp"):
+        ts = datetime.strptime(
+            f"{datetime.utcnow().year} " + audit["Timestamp"],
+            "%Y %b %d %H:%M:%S")
+    elif syslog_ts:
+        if "T" in syslog_ts:
+            ts = datetime.strptime(syslog_ts.replace("Z", "+0000"),
+                                   "%Y-%m-%dT%H:%M:%S%z")
+            ts = ts.replace(tzinfo=None) - ts.utcoffset()
+        else:
+            # yearless legacy header parsed in the harness timezone
+            ts = datetime.strptime(
+                f"{datetime.utcnow().year} " + syslog_ts,
+                "%Y %b %d %H:%M:%S") + timedelta(hours=2)
+    if ts is not None:
+        event["ts"] = ts
+    # CAProperties -> {Name: Value}
+    cap = (audit.get("CAProperties") or {}).get("CAProperty")
+    if cap is not None:
+        if isinstance(cap, dict):
+            cap = [cap]
+        audit["CAProperties"] = {p["Name"]: p.get("Value") for p in cap}
+    # ExtraDetails kv on unescaped ; =
+    ed = audit.get("ExtraDetails")
+    if isinstance(ed, str):
+        kv = {}
+        for part in _re.split(r"(?<!\\\\);", ed):
+            if not part:
+                continue
+            pieces = _re.split(r"(?<!\\\\)=", part, maxsplit=1)
+            if len(pieces) == 2:
+                kv[pieces[0]] = pieces[1]
+        audit["ExtraDetails"] = kv
+    audit = snake_keys(audit)
+    audit["rfc5424"] = audit.get("rfc5424") == "yes"
+    event["event_kind"] = "event"
+    if audit.get("action") is not None:
+        event["event_action"] = audit["action"].lower()
+    sev = {"Info": 2, "Error": 7, "Critical": 10}.get(audit.get("severity"))
+    if sev is not None:
+        event["event_severity"] = sev
+        if sev > 6:
+            event["event_type"] = "error"
+    if audit.get("message_id") is not None:
+        event["event_code"] = str(audit.pop("message_id"))
+    if audit.get("station"):
+        event["source_address"] = audit["station"]
+    if audit.get("gateway_station"):
+        event["destination_address"] = audit["gateway_station"]
+    if audit.get("file") is not None:
+        event["file_path"] = audit["file"]
+    for src, tgt in (("vendor", "observer_vendor"),
+                     ("product", "observer_product"),
+                     ("version", "observer_version"),
+                     ("hostname", "observer_hostname")):
+        if audit.get(src) is not None:
+            event[tgt] = audit.pop(src)
+    if event.get("observer_hostname") is None and hostname:
+        event["observer_hostname"] = hostname
+    # message-id ECS enrichment (params parsed from the module's own yml)
+    ctx_view = {"cyberarkpas": {"audit": audit}}
+    duration_hms = None
+    for item in params["enrich"].get(event.get("event_code") or "", []):
+        val = item.get("value")
+        if val is None:
+            val = read_field(ctx_view, item["from"])
+        if val is None or val == "":
+            continue
+        tgt = item["set"]
+        if tgt == "_tmp.duration_hms":
+            duration_hms = val
+        else:
+            event[tgt.replace(".", "_")] = val
+    oc = event.get("event_outcome")
+    if oc is not None and oc not in ("success", "failure"):
+        event["event_outcome"] = "unknown"
+    if duration_hms is not None:
+        total, cur = 0, 0
+        for c in duration_hms:
+            if c.isdigit():
+                cur = cur * 10 + int(c)
+            elif c == ":":
+                total = (total + cur) * 60
+                cur = 0
+            else:
+                total, cur = 0, 0
+                break
+        event["event_duration"] = (total + cur) * 1000000000
+    import ipaddress
+    for side in ("source", "destination"):
+        addr = event.get(side + "_address")
+        if addr is None:
+            continue
+        try:
+            ipaddress.ip_address(addr)
+            event[side + "_ip"] = addr
+        except ValueError:
+            event[side + "_domain"] = addr
+    rel = []
+    for v in (event.get("source_ip"), event.get("destination_ip"),
+              audit.get("station"), audit.get("gateway_station")):
+        if v and v not in rel:
+            rel.append(v)
+    if rel:
+        event["related_ip"] = rel
+    rel_u = []
+    for f in ("user_name", "source_user_name", "destination_user_name",
+              "user_target_name"):
+        v = event.get(f)
+        if v and v not in rel_u:
+            rel_u.append(v)
+    if rel_u:
+        event["related_user"] = rel_u
+    if event.get("network_application"):
+        event["network_application"] = event["network_application"].lower()
+    if event.get("host_name") is None and event.get("observer_hostname"):
+        event["host_name"] = event["observer_hostname"]
+    sip, dip = event.get("source_ip"), event.get("destination_ip")
+    if sip and dip:
+        def internal(ip):
+            # beats named ranges loopback+private+unspecified — python's
+            # is_private would wrongly include link-local (169.254/16)
+            a = ipaddress.ip_address(ip)
+            return a.is_loopback or a.is_unspecified or any(
+                a in n for n in (ipaddress.ip_network("10.0.0.0/8"),
+                                 ipaddress.ip_network("172.16.0.0/12"),
+                                 ipaddress.ip_network("192.168.0.0/16"),
+                                 ipaddress.ip_network("fd00::/8")))
+        si, di = internal(sip), internal(dip)
+        event["network_direction"] = \
+            "internal" if si and di else "outbound" if si else \
+            "inbound" if di else "external"
+    # interesting-fields remap: keep-list at top, rest under .other
+    for group in ("ca_properties", "extra_details"):
+        base = audit.get(group)
+        if not isinstance(base, dict):
+            continue
+        keep = params["keep"][group]
+        selected = {k: base.pop(k) for k in list(base) if k in keep}
+        if base:
+            selected["other"] = base
+        audit[group] = selected
+
+    def emit(prefix, d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                emit(prefix + k + "_", v)
+            else:
+                event[prefix + k] = v
+
+    emit("cyberarkpas_audit_", audit)
+    return event
+"""
+
+
+def _cyberark_audit_hook(doc):
+    # x-pack/filebeat/module/cyberarkpas/audit/ingest/pipeline.yml is one
+    # long painless-dominated chain (to_snake_case, CAProperty
+    # normalization, ExtraDetails KV, 30-message-id ECS enrichment table,
+    # hh:mm:ss durations, address->ip/domain + direction) — ported as ONE
+    # mono-script; the enrichment/keep tables are parsed from the module's
+    # own yml params.  Every original processor is overridden out.
+    params = {"enrich": None, "keep": None}
+    for proc in doc.get("processors", []):
+        cfg = proc.get("script") if isinstance(proc, dict) else None
+        if not cfg:
+            continue
+        desc = cfg.get("description", "")
+        if desc.startswith("ECS enrichment"):
+            params["enrich"] = cfg["params"]
+        elif desc.startswith("Map interesting fields"):
+            params["keep"] = cfg["params"]
+    return {"pre": [{"script": {"source": CYBERARK_SCRIPT,
+                                "params": params}}],
+            "overrides": {i: None
+                          for i in range(len(doc.get("processors", [])))}}
+
+
+FILESET_HOOKS[("cyberarkpas", "audit")] = _cyberark_audit_hook
+
+
+# ------------------------------------------------------------ aws/cloudtrail
+
+def _aws_cloudtrail_hook(doc):
+    # x-pack/filebeat/module/aws/cloudtrail/ingest/pipeline.yml painless:
+    # request/response flattening (Java Map.toString rendering — values
+    # re-parsed from event.original so insertion order survives the
+    # columnar flatten), the ConsoleLogin additional_eventdata fold, and
+    # ECS categorization via the action table read from the module's yml
+    action_table = [p["script"]["params"] for p in doc["processors"]
+                    if "script" in p and p["script"].get("params")][0]
+    flatten = _py(
+        "import json as _json\n" + _JAVA_STR +
+        "raw = event.get('event_original')\n"
+        "if raw:\n"
+        "    j = _json.loads(raw)\n"
+        "    for src, snake in (('requestParameters', 'request_parameters'),"
+        "('responseElements', 'response_elements'),"
+        "('additionalEventData', 'additional_eventdata'),"
+        "('serviceEventDetails', 'service_event_details')):\n"
+        "        v = j.get(src)\n"
+        "        if v is None:\n"
+        "            continue\n"
+        "        s = _jv(v)\n"
+        "        event['aws_cloudtrail_' + snake] = s\n"
+        "        if len(s) < 32766:\n"
+        "            _flat(event, 'aws_cloudtrail_flattened_' + snake, v)")
+    console = _py(
+        "if event.get('json_eventName') == 'ConsoleLogin':\n"
+        "    pre = 'aws_cloudtrail_flattened_additional_eventdata_'\n"
+        "    mv = event.get(pre + 'MobileVersion')\n"
+        "    if mv is not None:\n"
+        "        event['aws_cloudtrail_console_login_additional_eventdata"
+        "_mobile_version'] = mv != 'No'\n"
+        "    lt = event.get(pre + 'LoginTo')\n"
+        "    if lt is not None:\n"
+        "        event['aws_cloudtrail_console_login_additional_eventdata"
+        "_login_to'] = lt\n"
+        "    mfa = event.get(pre + 'MFAUsed')\n"
+        "    if mfa is not None:\n"
+        "        event['aws_cloudtrail_console_login_additional_eventdata"
+        "_mfa_used'] = mfa != 'No'")
+    categorize = _py(
+        f"table = {action_table!r}\n"
+        "event['event_kind'] = 'event'\n"
+        "event['event_type'] = 'info'\n"
+        "if event.get('aws_cloudtrail_error_code') is not None or "
+        "event.get('aws_cloudtrail_error_message') is not None:\n"
+        "    event['event_outcome'] = 'failure'\n"
+        "else:\n"
+        "    event['event_outcome'] = 'success'\n"
+        "action = event.get('event_action')\n"
+        "if action is None:\n"
+        "    return event\n"
+        "cl = event.get("
+        "'aws_cloudtrail_flattened_response_elements_ConsoleLogin')\n"
+        "if action == 'ConsoleLogin' and cl is not None:\n"
+        "    event['event_outcome'] = str(cl).lower()\n"
+        "m = table.get(action)\n"
+        "if m:\n"
+        "    for k, v in m.items():\n"
+        "        event['event_' + k] = v")
+    return [flatten, console, categorize], None
+
+
+FILESET_HOOKS[("aws", "cloudtrail")] = _aws_cloudtrail_hook
+
+
+# ------------------------------------------------------------- auditd/log
+
+def _auditd_log_hook(doc):
+    # filebeat/module/auditd/log/ingest/pipeline.yml: the four
+    # painless scripts (hex/quote normalization, the types/syscalls
+    # categorization table, args count, EXECVE arg assembly) —
+    # their DATA (possibleHexKeys, the categorization table) is
+    # parsed from the module's own yml; the copy-foreach collapses
+    # into categorize
+    procs = doc["processors"]
+    s8 = [p for p in procs if "script" in p][0]["script"]
+    hex_keys = re.search(r"possibleHexKeys = \[([^\]]+)\]",
+                         s8["source"]).group(1)
+    hex_keys = [k.strip().strip('"') for k in hex_keys.split(",")]
+    cat = [p["script"]["params"] for p in procs
+           if "script" in p and p["script"].get("params", {}).get("types")][0]
+
+    normalize = _py(
+        f"hex_keys = {hex_keys!r}\n"
+        "def unhex(v):\n"
+        "    if not v or len(v) % 2 or any(c not in '0123456789abcdefABCDEF'"
+        " for c in v):\n"
+        "        return None\n"
+        "    out, needed = [], False\n"
+        "    for i in range(0, len(v) - 1, 2):\n"
+        "        cp = int(v[i:i + 2], 16)\n"
+        "        if cp < 33 or cp == 34 or cp == 127:\n"
+        "            needed = True\n"
+        "        if cp < 32 or cp == 127:\n"
+        "            out.append('^')\n"
+        "            cp ^= 64\n"
+        "        out.append(chr(cp))\n"
+        "    return ''.join(out) if needed else v\n"
+        "for k in list(event):\n"
+        "    if not k.startswith('auditd_log_') or k in ("
+        "'auditd_log_kv', 'auditd_log_sub_kv', 'auditd_log_epoch'):\n"
+        "        continue\n"
+        "    v = event[k]\n"
+        "    if v in ('?', '(null)', ''):\n"
+        "        event[k] = None\n"
+        "        continue\n"
+        "    if not isinstance(v, str):\n"
+        "        continue\n"
+        "    short = k[len('auditd_log_'):]\n"
+        "    if short.replace('_', '-') in hex_keys or short in hex_keys:\n"
+        "        h = unhex(v)\n"
+        "        if h is not None:\n"
+        "            v = h\n"
+        "    if v[:1] in ('\\'', '\"'):\n"
+        "        v = v[1:]\n"
+        "    if v[-1:] in ('\\'', '\"'):\n"
+        "        v = v[:-1]\n"
+        "    if short == 'arch' and v == 'c000003e':\n"
+        "        v = 'x86_64'\n"
+        "    event[k] = v")
+
+    categorize = _py(
+        f"params = {cat!r}\n"
+        "rt = event.get('auditd_log_record_type')\n"
+        "if rt is None:\n"
+        "    return event\n"
+        "def g(short):\n"
+        "    v = event.get('auditd_log_' + short.replace('-', '_'))\n"
+        "    if isinstance(v, list) and len(v) == 1:\n"
+        "        return v[0]  # per-doc scalar; the kv merge lifted the\n"
+        "        # column to list for the rows where BOTH kv passes hit\n"
+        "    return v\n"
+        "acts = params['types'].get(rt)\n"
+        "if acts is None and g('syscall') is not None:\n"
+        "    acts = params['syscalls'].get(g('syscall'))\n"
+        "    if acts is None:\n"
+        "        acts = params['syscalls'].get('*')\n"
+        "if acts is None:\n"
+        "    return event\n"
+        "act = None\n"
+        "for a in acts:\n"
+        "    need = a.get('has_fields')\n"
+        "    if not need or all(g(f) is not None for f in need):\n"
+        "        act = a\n"
+        "        break\n"
+        "if act is None:\n"
+        "    return event\n"
+        "for k, v in (act.get('event') or {}).items():\n"
+        "    event['event_' + k] = v\n"
+        "copies = []\n"
+        "for c in act.get('copy') or []:\n"
+        "    value = None\n"
+        "    for src in c['from']:\n"
+        "        if value is None:\n"
+        "            value = g(src)\n"
+        "    if value is not None and isinstance(value, str):\n"
+        "        import re as _re\n"
+        "        suffix = '.id' if _re.fullmatch(r'[0-9]+', value) "
+        "else '.name'\n"
+        "        copies.append({'target': c['to'] + suffix, "
+        "'value': value})\n"
+        "for c in copies:\n"
+        "    event[c['target'].replace('.', '_')] = c['value']")
+
+    args_count = _py(
+        "a = event.get('process_args')\n"
+        "if isinstance(a, list):\n"
+        "    event['process_args_count'] = len(a)")
+
+    execve = _py(
+        "import re as _re\n"
+        "if event.get('auditd_log_record_type') != 'EXECVE':\n"
+        "    return event\n"
+        "rx = _re.compile(r'^a([0-9]+)(.*)$')\n"
+        "args = []\n"
+        "for k in list(event):\n"
+        "    if not k.startswith('auditd_log_'):\n"
+        "        continue\n"
+        "    m = rx.match(k[len('auditd_log_'):])\n"
+        "    if not m:\n"
+        "        continue\n"
+        "    v = event[k]\n"
+        "    if v is None:\n"
+        "        continue\n"
+        "    event[k] = None\n"
+        "    if m.group(2) == '_len':\n"
+        "        continue\n"
+        "    args.append((int(m.group(1)), v))\n"
+        "if not args:\n"
+        "    return event\n"
+        "args.sort()\n"
+        "vals = [v for _, v in args]\n"
+        "first = args[0][0]\n"
+        "if first == 0:\n"
+        "    event['process_executable'] = vals[0]\n"
+        "else:\n"
+        "    vals.insert(0, '[... %d truncated arguments ...]' % first)\n"
+        "event['process_args'] = vals")
+
+    fe = [i for i, p in enumerate(procs) if "foreach" in p][0]
+    # foreach #19 re-applies auditd.log.copy — categorize already set the
+    # dynamic targets, so the foreach collapses into it
+    return [normalize, categorize, args_count, execve], {fe: None}
+
+
+FILESET_HOOKS[("auditd", "log")] = _auditd_log_hook

@@ -82,6 +82,11 @@ CASES = {
                               "skip": ("event.timezone",)},
     (XP, "panw", "panos"): {"vars": {"input": "file"}},
     (XP, "juniper", "srx"): {},
+    # goldens exclude the ambiguous-zone (throwing `z`) docs ES rejects
+    (XP, "sophos", "xg"): {"align_by": "event.original"},
+    (XP, "cyberarkpas", "audit"): {"vars": {"input": "file"}},
+    (XP, "aws", "cloudtrail"): {},
+    (FB, "auditd", "log"): {},
 }
 
 # every zeek fileset compiles generically (the scripted ones have ports in

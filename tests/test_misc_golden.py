@@ -163,62 +163,10 @@ def test_aws_cloudtrail_golden(log):
     event.original so ordering survives the columnar flatten), the
     ConsoleLogin additional_eventdata fold, and the ECS categorization
     driven by the action table read from the module's own yml."""
-    import yaml as _yaml
+    from beats_ray.fileset_hooks import _aws_cloudtrail_hook
     doc = load_pipeline_yml(f"{CT}/ingest/pipeline.yml")
-    action_table = [p["script"]["params"] for p in doc["processors"]
-                    if "script" in p and p["script"].get("params")][0]
-    flatten = _py(
-        "import json as _json\n" + JAVA_STR +
-        "raw = event.get('event_original')\n"
-        "if raw:\n"
-        "    j = _json.loads(raw)\n"
-        "    for src, snake in (('requestParameters', 'request_parameters'),"
-        "('responseElements', 'response_elements'),"
-        "('additionalEventData', 'additional_eventdata'),"
-        "('serviceEventDetails', 'service_event_details')):\n"
-        "        v = j.get(src)\n"
-        "        if v is None:\n"
-        "            continue\n"
-        "        s = _jv(v)\n"
-        "        event['aws_cloudtrail_' + snake] = s\n"
-        "        if len(s) < 32766:\n"
-        "            _flat(event, 'aws_cloudtrail_flattened_' + snake, v)")
-    console = _py(
-        "if event.get('json_eventName') == 'ConsoleLogin':\n"
-        "    pre = 'aws_cloudtrail_flattened_additional_eventdata_'\n"
-        "    mv = event.get(pre + 'MobileVersion')\n"
-        "    if mv is not None:\n"
-        "        event['aws_cloudtrail_console_login_additional_eventdata"
-        "_mobile_version'] = mv != 'No'\n"
-        "    lt = event.get(pre + 'LoginTo')\n"
-        "    if lt is not None:\n"
-        "        event['aws_cloudtrail_console_login_additional_eventdata"
-        "_login_to'] = lt\n"
-        "    mfa = event.get(pre + 'MFAUsed')\n"
-        "    if mfa is not None:\n"
-        "        event['aws_cloudtrail_console_login_additional_eventdata"
-        "_mfa_used'] = mfa != 'No'")
-    categorize = _py(
-        f"table = {action_table!r}\n"
-        "event['event_kind'] = 'event'\n"
-        "event['event_type'] = 'info'\n"
-        "if event.get('aws_cloudtrail_error_code') is not None or "
-        "event.get('aws_cloudtrail_error_message') is not None:\n"
-        "    event['event_outcome'] = 'failure'\n"
-        "else:\n"
-        "    event['event_outcome'] = 'success'\n"
-        "action = event.get('event_action')\n"
-        "if action is None:\n"
-        "    return event\n"
-        "cl = event.get("
-        "'aws_cloudtrail_flattened_response_elements_ConsoleLogin')\n"
-        "if action == 'ConsoleLogin' and cl is not None:\n"
-        "    event['event_outcome'] = str(cl).lower()\n"
-        "m = table.get(action)\n"
-        "if m:\n"
-        "    for k, v in m.items():\n"
-        "        event['event_' + k] = v")
-    spec = compile_ingest(doc, scripts=[flatten, console, categorize])
+    scripts, _ = _aws_cloudtrail_hook(doc)  # the SHIPPED port
+    spec = compile_ingest(doc, scripts=scripts)
     spec.append({"add_fields": {"target": "", "fields": {
         "event.module": "aws", "event.dataset": "aws.cloudtrail",
         "fileset.name": "cloudtrail", "input.type": "log",

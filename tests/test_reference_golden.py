@@ -6663,231 +6663,9 @@ CYBERARK_LOGS = sorted(
                 if os.path.isdir(os.path.join(CYBERARK_DIR, "test")) else [])
     if f.endswith(".log"))
 
-_CYBERARK_SCRIPT = '''
-import json as _json
-import re as _re
-from datetime import datetime, timedelta
-
-HDR_5424 = _re.compile(
-    r"^<(?P<pri>\\d+)>\\d+ (?P<ts>\\S+) (?P<host>\\S+) (?P<payload>\\{.*\\})$")
-HDR_LEGACY = _re.compile(
-    r"^(?P<ts>[A-Z][a-z]{2} [ \\d]\\d \\d\\d:\\d\\d:\\d\\d) (?P<host>\\S+) "
-    r"(?P<payload>\\{.*\\})$")
-
-
-def to_snake(s):
-    # faithful port of the module's painless to_snake_case
-    if not any(c.isupper() for c in s[1:]):
-        return s.lower()
-    run, first, out = 0, True, []
-    for c in s:
-        o = c.lower()
-        if c != o:
-            if run == 0 and not first:
-                out.append("_")
-            run += 1
-        else:
-            if run > 1:
-                prev = out[-1]
-                out[-1] = "_"
-                out.append(prev)
-            run = 0
-            first = False
-        out.append(o)
-    return "".join(out)
-
-
-def snake_keys(d):
-    return {to_snake(k): (snake_keys(v) if isinstance(v, dict) else v)
-            for k, v in d.items()}
-
-
-def read_field(ctx, path):
-    cur = ctx
-    for part in path.split("."):
-        if not isinstance(cur, dict) or part not in cur:
-            return None
-        cur = cur[part]
-    return cur
-
-
-def process(event, params):
-    line = event["message"]
-    event["message"] = None
-    m = HDR_5424.match(line) or HDR_LEGACY.match(line)
-    syslog_ts = hostname = None
-    if m:
-        payload = m.group("payload")
-        syslog_ts, hostname = m.group("ts"), m.group("host")
-        gd = m.groupdict()
-        if "pri" in gd and gd["pri"] is not None:
-            event["log_syslog_priority"] = gd["pri"]
-    else:
-        payload = line[line.index("{"):]
-    j = _json.loads(payload)
-    audit = j["syslog"]["audit_record"]
-    audit = {k: v for k, v in audit.items() if v != ""}
-    if j.get("raw") is not None:
-        audit["raw"] = j["raw"]
-    # @timestamp precedence
-    ts = None
-    if audit.get("IsoTimestamp"):
-        ts = datetime.strptime(audit["IsoTimestamp"].replace("Z", "+0000"),
-                               "%Y-%m-%dT%H:%M:%S%z")
-        ts = ts.replace(tzinfo=None) - ts.utcoffset()
-    elif audit.get("Timestamp"):
-        ts = datetime.strptime(
-            f"{datetime.utcnow().year} " + audit["Timestamp"],
-            "%Y %b %d %H:%M:%S")
-    elif syslog_ts:
-        if "T" in syslog_ts:
-            ts = datetime.strptime(syslog_ts.replace("Z", "+0000"),
-                                   "%Y-%m-%dT%H:%M:%S%z")
-            ts = ts.replace(tzinfo=None) - ts.utcoffset()
-        else:
-            # yearless legacy header parsed in the harness timezone
-            ts = datetime.strptime(
-                f"{datetime.utcnow().year} " + syslog_ts,
-                "%Y %b %d %H:%M:%S") + timedelta(hours=2)
-    if ts is not None:
-        event["ts"] = ts
-    # CAProperties -> {Name: Value}
-    cap = (audit.get("CAProperties") or {}).get("CAProperty")
-    if cap is not None:
-        if isinstance(cap, dict):
-            cap = [cap]
-        audit["CAProperties"] = {p["Name"]: p.get("Value") for p in cap}
-    # ExtraDetails kv on unescaped ; =
-    ed = audit.get("ExtraDetails")
-    if isinstance(ed, str):
-        kv = {}
-        for part in _re.split(r"(?<!\\\\);", ed):
-            if not part:
-                continue
-            pieces = _re.split(r"(?<!\\\\)=", part, maxsplit=1)
-            if len(pieces) == 2:
-                kv[pieces[0]] = pieces[1]
-        audit["ExtraDetails"] = kv
-    audit = snake_keys(audit)
-    audit["rfc5424"] = audit.get("rfc5424") == "yes"
-    event["event_kind"] = "event"
-    if audit.get("action") is not None:
-        event["event_action"] = audit["action"].lower()
-    sev = {"Info": 2, "Error": 7, "Critical": 10}.get(audit.get("severity"))
-    if sev is not None:
-        event["event_severity"] = sev
-        if sev > 6:
-            event["event_type"] = "error"
-    if audit.get("message_id") is not None:
-        event["event_code"] = str(audit.pop("message_id"))
-    if audit.get("station"):
-        event["source_address"] = audit["station"]
-    if audit.get("gateway_station"):
-        event["destination_address"] = audit["gateway_station"]
-    if audit.get("file") is not None:
-        event["file_path"] = audit["file"]
-    for src, tgt in (("vendor", "observer_vendor"),
-                     ("product", "observer_product"),
-                     ("version", "observer_version"),
-                     ("hostname", "observer_hostname")):
-        if audit.get(src) is not None:
-            event[tgt] = audit.pop(src)
-    if event.get("observer_hostname") is None and hostname:
-        event["observer_hostname"] = hostname
-    # message-id ECS enrichment (params parsed from the module's own yml)
-    ctx_view = {"cyberarkpas": {"audit": audit}}
-    duration_hms = None
-    for item in params["enrich"].get(event.get("event_code") or "", []):
-        val = item.get("value")
-        if val is None:
-            val = read_field(ctx_view, item["from"])
-        if val is None or val == "":
-            continue
-        tgt = item["set"]
-        if tgt == "_tmp.duration_hms":
-            duration_hms = val
-        else:
-            event[tgt.replace(".", "_")] = val
-    oc = event.get("event_outcome")
-    if oc is not None and oc not in ("success", "failure"):
-        event["event_outcome"] = "unknown"
-    if duration_hms is not None:
-        total, cur = 0, 0
-        for c in duration_hms:
-            if c.isdigit():
-                cur = cur * 10 + int(c)
-            elif c == ":":
-                total = (total + cur) * 60
-                cur = 0
-            else:
-                total, cur = 0, 0
-                break
-        event["event_duration"] = (total + cur) * 1000000000
-    import ipaddress
-    for side in ("source", "destination"):
-        addr = event.get(side + "_address")
-        if addr is None:
-            continue
-        try:
-            ipaddress.ip_address(addr)
-            event[side + "_ip"] = addr
-        except ValueError:
-            event[side + "_domain"] = addr
-    rel = []
-    for v in (event.get("source_ip"), event.get("destination_ip"),
-              audit.get("station"), audit.get("gateway_station")):
-        if v and v not in rel:
-            rel.append(v)
-    if rel:
-        event["related_ip"] = rel
-    rel_u = []
-    for f in ("user_name", "source_user_name", "destination_user_name",
-              "user_target_name"):
-        v = event.get(f)
-        if v and v not in rel_u:
-            rel_u.append(v)
-    if rel_u:
-        event["related_user"] = rel_u
-    if event.get("network_application"):
-        event["network_application"] = event["network_application"].lower()
-    if event.get("host_name") is None and event.get("observer_hostname"):
-        event["host_name"] = event["observer_hostname"]
-    sip, dip = event.get("source_ip"), event.get("destination_ip")
-    if sip and dip:
-        def internal(ip):
-            # beats named ranges loopback+private+unspecified — python's
-            # is_private would wrongly include link-local (169.254/16)
-            a = ipaddress.ip_address(ip)
-            return a.is_loopback or a.is_unspecified or any(
-                a in n for n in (ipaddress.ip_network("10.0.0.0/8"),
-                                 ipaddress.ip_network("172.16.0.0/12"),
-                                 ipaddress.ip_network("192.168.0.0/16"),
-                                 ipaddress.ip_network("fd00::/8")))
-        si, di = internal(sip), internal(dip)
-        event["network_direction"] = \
-            "internal" if si and di else "outbound" if si else \
-            "inbound" if di else "external"
-    # interesting-fields remap: keep-list at top, rest under .other
-    for group in ("ca_properties", "extra_details"):
-        base = audit.get(group)
-        if not isinstance(base, dict):
-            continue
-        keep = params["keep"][group]
-        selected = {k: base.pop(k) for k in list(base) if k in keep}
-        if base:
-            selected["other"] = base
-        audit[group] = selected
-
-    def emit(prefix, d):
-        for k, v in d.items():
-            if isinstance(v, dict):
-                emit(prefix + k + "_", v)
-            else:
-                event[prefix + k] = v
-
-    emit("cyberarkpas_audit_", audit)
-    return event
-'''
+# the mono-script port lives in the shipped hook registry (promoted
+# round 5); this golden suite exercises it via import
+from beats_ray.fileset_hooks import CYBERARK_SCRIPT as _CYBERARK_SCRIPT
 
 
 def _cyberark_params():
