@@ -1,6 +1,13 @@
 """CLI — run a Beats-shaped YAML pipeline config on Ray Data.
 
     python -m beats_ray run --config pipeline.yml [--resume]
+    python -m beats_ray run --config pipeline.yml --follow \
+        [--scan-frequency 10] [--max-scans N]
+
+``--follow`` is the continuous harvester/scan loop (state/follow.py): log
+inputs tail per-file byte offsets through an ack-gated registrar; parquet
+inputs re-plan partitions each scan and the resume manifest skips finished
+ones (append-only growth handled as delta partitions).
 
 Config shape mirrors filebeat.yml (SURVEY.md §2.7):
 
@@ -119,11 +126,50 @@ def cmd_run(args) -> int:
     files: list[str] = []
     for pat in input_cfg.get("paths", []):
         files.extend(sorted(glob.glob(pat)))
-    if not files:
+    if not files and not getattr(args, "follow", False):
+        # follow mode tolerates an initially-empty input (files appear
+        # later, like a harvester watching a fresh log directory)
         print(f"no input files matched {input_cfg.get('paths')}", file=sys.stderr)
         return 2
 
-    if input_cfg.get("type", "parquet") == "log":
+    is_log = input_cfg.get("type", "parquet") == "log"
+    out_fmt = out_cfg.get("format", "parquet")
+
+    if getattr(args, "follow", False):
+        # continuous mode: the fswatcher/scan_frequency loop (SURVEY §2.1).
+        # Log inputs tail byte offsets via the registrar (state/follow.py);
+        # parquet inputs re-plan partitions each scan — the manifest
+        # anti-join (+ append-only delta tags) skips finished work.
+        import time
+
+        from .state.follow import follow_once
+        from .state.manifest import run_resumable
+        scan = 0
+        while True:
+            scan += 1
+            files = []
+            for pat in input_cfg.get("paths", []):
+                files.extend(sorted(glob.glob(pat)))
+            if is_log:
+                report = follow_once(
+                    pipe, files, out_dir, scan,
+                    encoding=input_cfg.get("encoding", ""),
+                    pre_transforms=pre_transforms, output_format=out_fmt)
+            else:
+                counts, ran, skipped = run_resumable(
+                    pipe, files, out_dir,
+                    files_per_partition=int(
+                        cfg.get("files_per_partition", 8)),
+                    output_format=out_fmt, pre_transforms=pre_transforms)
+                report = {"scan": scan, "partitions_run": ran,
+                          "partitions_skipped": skipped,
+                          "sink_counts": counts}
+            print(json.dumps(report), flush=True)
+            if args.max_scans and scan >= args.max_scans:
+                return 0
+            time.sleep(args.scan_frequency)
+
+    if is_log:
         # raw log lines: no per-file partition resume (read_text path);
         # run one pass over everything
         from .sinks.parquet import sink_counts, write_routed
@@ -218,6 +264,18 @@ def main(argv=None) -> int:
     runp.add_argument("--config", required=True)
     runp.add_argument("--resume", action="store_true",
                       help="(default behavior) skip completed partitions")
+    runp.add_argument("--follow", action="store_true",
+                      help="continuous mode: rescan inputs every "
+                           "--scan-frequency seconds; log inputs tail byte "
+                           "offsets (registrar), parquet inputs pick up new "
+                           "files via the resume manifest")
+    runp.add_argument("--scan-frequency", type=float, default=10.0,
+                      metavar="SECONDS",
+                      help="poll interval between follow scans "
+                           "(filebeat scan_frequency, default 10)")
+    runp.add_argument("--max-scans", type=int, default=0, metavar="N",
+                      help="stop after N follow scans (0 = run until "
+                           "interrupted)")
     modp = sub.add_parser(
         "module", help="run a filebeat module fileset (config/*.yml + "
                        "compiled ingest/*.yml) over log files")
