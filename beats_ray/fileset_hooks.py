@@ -1583,3 +1583,130 @@ def _auditd_log_hook(doc):
 
 
 FILESET_HOOKS[("auditd", "log")] = _auditd_log_hook
+
+
+# ------------------------------------------------------------- threatintel
+
+def _ti_null_sweep_hook(doc):
+    """abuseurl/abusemalware/otx/anomali/malwarebazaar: the single painless
+    script is the shared recursive null-value-removal walker
+    (x-pack/filebeat/module/threatintel/*/ingest/pipeline.yml) — a no-op in
+    the columnar model, where an absent value IS null."""
+    n = sum(1 for p in doc.get("processors", []) if "script" in p)
+    return [None] * n, None
+
+
+for _fs in ("abuseurl", "abusemalware", "otx", "anomali", "malwarebazaar"):
+    FILESET_HOOKS[("threatintel", _fs)] = _ti_null_sweep_hook
+
+
+def _ti_confidence(src_field, dst_field):
+    """Shared ThreatStream/ThreatQ 0-100 -> None/Low/Med/High bucketing
+    (the modules' own painless ranges)."""
+    return _py(
+        f"v = event.get('{src_field}')\n"
+        "if v is not None:\n"
+        f"    event['{dst_field}'] = (\n"
+        "        'None' if v <= 0.0 or v > 100.0 else\n"
+        "        'Low' if v <= 29.0 else\n"
+        "        'Med' if v <= 69.0 else 'High')")
+
+
+def _ti_anomalithreatstream_hook(doc):
+    # itype->STIX-type params table read from the module's own yml;
+    # confidence bucketing; trusted-circle CSV split
+    itype = next(p["script"]["params"] for p in doc["processors"]
+                 if "script" in p and p["script"].get("params"))
+    scripts = [
+        _py(f"table = {itype!r}\n"
+            "m = table.get(event.get('json_itype'))\n"
+            "if m is not None:\n"
+            "    event['threatintel_indicator_type'] = m"),
+        _ti_confidence("json_confidence",
+                       "threatintel_indicator_confidence"),
+        _py("v = event.get('json_trusted_circle_ids')\n"
+            "if isinstance(v, str):\n"
+            "    lst = [s for s in v.split(',') if s]\n"
+            "    event['json_trusted_circle_ids'] = lst or None"),
+    ]
+    return scripts, None
+
+
+FILESET_HOOKS[("threatintel", "anomalithreatstream")] = \
+    _ti_anomalithreatstream_hook
+
+
+def _ti_threatq_hook(doc):
+    # score bucketing + sources provider/tlp fold + per-attribute dynamic
+    # columns (the pipeline's foreach lowercase/gsub/append over
+    # list<struct>, folded into one row-level script)
+    procs = doc["processors"]
+    fe = [i for i, p in enumerate(procs) if "foreach" in p]
+    scripts = [
+        _ti_confidence("json_score", "threat_indicator_confidence"),
+        _py("srcs = event.get('json_sources')\n"
+            "if isinstance(srcs, list) and srcs:\n"
+            "    providers, tlps = [], []\n"
+            "    for s in srcs:\n"
+            "        if s is None:\n"
+            "            return event\n"
+            "        if isinstance(s, dict):\n"
+            "            if s.get('provider') is not None:\n"
+            "                providers.append(s['provider'])\n"
+            "            if s.get('tlp_name') is not None:\n"
+            "                tlps.append(s['tlp_name'])\n"
+            "    if tlps:\n"
+            "        event['threat_indicator_marking_tlp'] = tlps\n"
+            "    if providers:\n"
+            "        event['threat_indicator_provider'] = providers"),
+        None,   # shared null sweep: columnar no-op
+    ]
+    attr = _py(
+        "attrs = event.get('json_attributes')\n"
+        "if isinstance(attrs, list):\n"
+        "    for a in attrs:\n"
+        "        if isinstance(a, dict) and a.get('name') is not None:\n"
+        "            name = a['name'].lower().replace(' ', '_')\n"
+        "            key = 'threatq_attributes_' + name\n"
+        "            cur = event.get(key) or []\n"
+        "            event[key] = cur + ['' if a.get('value') is None "
+        "else a['value']]")
+    return scripts, {fe[0]: attr, fe[1]: None, fe[2]: None}
+
+
+FILESET_HOOKS[("threatintel", "threatq")] = _ti_threatq_hook
+
+
+def _ti_misp_hook(doc):
+    # tag stream/filter script (tags + tlp marking) + the documented
+    # flat-model park/restore around the object-attribute promotion (the
+    # Event carries BOTH literal key `attribute_count` and the `Attribute`
+    # map; the subtree move cannot tell them apart after flattening)
+    promo = [i for i, p in enumerate(doc["processors"])
+             if "rename" in p and p["rename"].get("field") == "misp.attribute"
+             and p["rename"].get("target_field") == "misp.context.attribute"]
+    park = {"rename": {"fields": [
+        {"from": "misp.attribute_count", "to": "_tmp.attrcount"}],
+        "ignore_missing": True, "fail_on_error": False}}
+    promote = {"rename": {"fields": [
+        {"from": "misp.attribute", "to": "misp.context.attribute"}],
+        "ignore_missing": True, "move_subtrees": True,
+        "fail_on_error": False,
+        "when": {"has_fields": ["misp.object"]}}}
+    restore = {"rename": {"fields": [
+        {"from": "_tmp.attrcount", "to": "misp.attribute_count"}],
+        "ignore_missing": True, "fail_on_error": False}}
+    scripts = [
+        _py("tag = event.get('misp_tag')\n"
+            "if tag is not None:\n"
+            "    names = [t.get('name', '').replace('\\\\', '')"
+            ".replace('\"', '') for t in tag if isinstance(t, dict)]\n"
+            "    event['tags'] = names\n"
+            "    event['threat_indicator_marking_tlp'] = ["
+            "t[len('tlp:'):] for t in names if t.startswith('tlp:')]"),
+        None,   # shared null sweep: columnar no-op
+    ]
+    return scripts, {promo[0]: [park, promote, restore]}
+
+
+FILESET_HOOKS[("threatintel", "misp")] = _ti_misp_hook

@@ -108,8 +108,12 @@ def fileset_reader_opts(module_dir: str, fileset: str,
         mvars.update(vars)
     cfg_path, _ = fileset_paths(module_dir, fileset, vars)
     cfg = load_fileset_config(cfg_path, mvars)
+    ml = _nested(cfg, "multiline")
+    for p in cfg.get("parsers") or []:  # filestream-style parser chain
+        if isinstance(p, dict) and "multiline" in p:
+            ml = p["multiline"] or {}
     return {
-        "multiline": _nested(cfg, "multiline") or None,
+        "multiline": ml or None,
         "include_lines": cfg.get("include_lines") or [],
         "exclude_lines": cfg.get("exclude_lines") or [],
         "exclude_files": cfg.get("exclude_files") or [],
@@ -186,6 +190,22 @@ def compile_fileset_spec(module_dir: str, module: str, fileset: str, *,
                                     "keep_arrays": keep_arrays}},
             {"drop_fields": {"fields": ["message"], "ignore_missing": True}},
         ]
+    for p in cfg.get("parsers") or []:
+        # filestream-style `parsers:` chain (parser.go:87-148;
+        # elasticsearch/querylog config) — multiline stays reader-level
+        # (fileset_reader_opts), the row-local parsers join the spec front
+        if not isinstance(p, dict) or "multiline" in p:
+            continue
+        from .sources.readers import parsers_to_processors
+        q = parsers_to_processors([p])[0]
+        if "decode_json_fields" in q:
+            q = {"decode_json_fields": {**q["decode_json_fields"],
+                                        "max_depth": 99,
+                                        "keep_arrays": keep_arrays}}
+            spec += [q, {"drop_fields": {"fields": ["message"],
+                                         "ignore_missing": True}}]
+        else:
+            spec.append(q)
     if cfg.get("fields"):
         spec.append({"add_fields": {"target": "", "fields": cfg["fields"]}})
     # module-identity fields are stamped at PUBLISH time in the reference

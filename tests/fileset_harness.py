@@ -45,6 +45,33 @@ def local_multiline(lines, ml):
     return df.groupby("g", sort=True)["t"].agg("\n".join).tolist()
 
 
+def flatten_expected(doc, prefix=""):
+    """new-style NESTED expected docs -> the flat dotted-key shape
+    check_golden compares (lists of scalars stay lists; lists of dicts
+    stay values)."""
+    out = {}
+    for k, v in doc.items():
+        key = prefix + k
+        if isinstance(v, dict):
+            out.update(flatten_expected(v, key + "."))
+        else:
+            out[key] = v
+    return out
+
+
+# ndjson-decoded @timestamp strings -> naive datetime under the golden
+# harness's canonical 'ts' key (modules whose pipeline never re-dates)
+TS_FIX = [{"script": {"source": (
+    "def process(event, params):\n"
+    "    from datetime import datetime as _d\n"
+    "    v = event.get('@timestamp')\n"
+    "    if isinstance(v, str):\n"
+    "        dt = _d.fromisoformat(v.replace('Z', '+00:00'))\n"
+    "        event['ts'] = dt.replace(tzinfo=None)\n"
+    "        event['@timestamp'] = None\n"
+    "    return event\n")}}]
+
+
 def fixtures_of(base, module, fileset, suffix=".log"):
     d = f"{base}/{module}/{fileset}/test"
     return sorted(f[:-len("-expected.json")] for f in os.listdir(d)
@@ -60,6 +87,10 @@ def run_fileset_fixture(base, module, fileset, logname, vars=None, skip=(),
     check_golden it against its ``-expected.json``."""
     mdir = f"{base}/{module}"
     v = dict(vars or {})
+    if extra_spec == "ts_fix":       # string alias usable from CASES tables
+        extra_spec = TS_FIX
+    if expected_transform == "flatten":
+        expected_transform = flatten_expected
     spec, mvars = compile_fileset_spec(mdir, module, fileset, vars=v,
                                        extra_spec=extra_spec)
     def _fake_locale(p):

@@ -87,6 +87,18 @@ CASES = {
     (XP, "cyberarkpas", "audit"): {"vars": {"input": "file"}},
     (XP, "aws", "cloudtrail"): {},
     (FB, "auditd", "log"): {},
+    (XP, "threatintel", "abuseurl"): {"vars": {"input": "file"}},
+    (XP, "threatintel", "abusemalware"): {"vars": {"input": "file"}},
+    (XP, "threatintel", "otx"): {"vars": {"input": "file"}},
+    (XP, "threatintel", "anomali"): {"vars": {"input": "file"}},
+    (XP, "threatintel", "malwarebazaar"): {"vars": {"input": "file"}},
+    (XP, "threatintel", "anomalithreatstream"): {"vars": {"input": "file"}},
+    (XP, "threatintel", "threatq"): {"vars": {"input": "file"}},
+    (XP, "threatintel", "misp"): {"vars": {"input": "file"}},
+    # filestream ndjson parser (parsers: config) + nested-format golden
+    (FB, "elasticsearch", "querylog"): {
+        "skip": ("event.created", "input.type"),
+        "expected_transform": "flatten", "extra_spec": "ts_fix"},
 }
 
 # every zeek fileset compiles generically (the scripted ones have ports in
