@@ -1710,3 +1710,99 @@ def _ti_misp_hook(doc):
 
 
 FILESET_HOOKS[("threatintel", "misp")] = _ti_misp_hook
+
+
+# ----------------------------------------------------------------- aws (logs)
+
+def _aws_elb_hook(doc):
+    """x-pack/filebeat/module/aws/elb/ingest/pipeline.yml: the single
+    painless splits ssl_protocol 'TLSv1.2'/'TLSv1' on 'v' into
+    tls.version (dot-inserted when bare digits) + version_protocol."""
+    return [_py(
+        "p = event.get('aws_elb_ssl_protocol')\n"
+        "if p is None:\n"
+        "    return event\n"
+        "parts = p.split('v')\n"
+        "if len(parts) != 2:\n"
+        "    return event\n"
+        "event['tls_version'] = parts[1] if '.' in parts[1] \\\n"
+        "    else parts[1][:1] + '.' + parts[1][1:]\n"
+        "event['tls_version_protocol'] = parts[0].lower()")], None
+
+
+FILESET_HOOKS[("aws", "elb")] = _aws_elb_hook
+
+
+def _aws_s3access_hook(doc):
+    """aws/s3access ingest/pipeline.yml: duration ms->ns scale (params from
+    the module's own yml), tls 'TLSv1.2' split, recursive null sweep
+    (columnar no-op)."""
+    scale = next(p["script"]["params"] for p in doc["processors"]
+                 if "script" in p and p["script"].get("params"))
+    return [
+        _py("v = event.get('event_duration')\n"
+            "if v is not None:\n"
+            f"    event['event_duration'] = v * {scale['MS_TO_NS']!r}"),
+        _py("p = event.get('aws_s3access_tls_version')\n"
+            "if p is None:\n"
+            "    return event\n"
+            "parts = p.lower().split('v')\n"
+            "if len(parts) == 2:\n"
+            "    event['tls_version'] = parts[1]\n"
+            "    event['tls_version_protocol'] = parts[0]"),
+        None,   # recursive null sweep: columnar no-op
+    ], None
+
+
+FILESET_HOOKS[("aws", "s3access")] = _aws_s3access_hook
+
+
+# -------------------------------------------------------------- microsoft
+
+_MS_DURATION = _py(
+    "from datetime import datetime as _dt\n"
+    "def _ns(s):\n"
+    "    s = s.replace('Z', '+00:00')\n"
+    "    frac = 0\n"
+    "    if '.' in s:\n"
+    "        head, rest = s.split('.', 1)\n"
+    "        i = rest.find('+') if '+' in rest else rest.find('-')\n"
+    "        digits, tz = (rest[:i], rest[i:]) if i >= 0 else (rest, '')\n"
+    "        frac = int((digits + '0' * 9)[:9])  # ES keeps 7-digit fracs\n"
+    "        s = head + tz\n"
+    "    base = _dt.strptime(s, '%Y-%m-%dT%H:%M:%S%z')\n"
+    "    return int(base.timestamp()) * 10**9 + frac\n"
+    "st, en = event.get('event_start'), event.get('event_end')\n"
+    "if st is not None and en is not None:\n"
+    "    event['event_duration'] = _ns(en) - _ns(st)")
+
+
+def _ms_sweep(prefix, values):
+    """entrySet().removeIf(value in params.values) over flattened json_*
+    (x-pack/filebeat/module/microsoft/defender_atp/ingest/pipeline.yml)."""
+    return _py(
+        f"sent = {values!r}\n"
+        "for k in list(event):\n"
+        f"    if k.startswith('{prefix}') and event[k] in sent:\n"
+        "        event[k] = None")
+
+
+def _ms_defender_atp_hook(doc):
+    # sentinel-value sweeps (params tables from the module's own yml) +
+    # start..end -> event.duration nanos
+    sweeps = [p["script"]["params"]["values"] for p in doc["processors"]
+              if "script" in p and p["script"].get("params")]
+    return [_ms_sweep("json_", sweeps[0]),
+            _ms_sweep("json_evidence_", sweeps[1]),
+            _MS_DURATION], None
+
+
+FILESET_HOOKS[("microsoft", "defender_atp")] = _ms_defender_atp_hook
+
+
+def _ms_m365_defender_hook(doc):
+    # null sweep (columnar no-op) + duration nanos
+    return [None, _MS_DURATION], None
+
+
+FILESET_HOOKS[("microsoft", "m365_defender")] = _ms_m365_defender_hook

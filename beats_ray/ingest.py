@@ -366,8 +366,7 @@ _JAVA_TOKENS = [
     ("MM", "%m"), ("M", "%m"), ("dd", "%d"), ("d", "%d"),
     ("EEEE", "%A"), ("EEE", "%a"), ("HH", "%H"), ("H", "%H"),
     ("hh", "%I"), ("h", "%I"), ("mm", "%M"), ("m", "%M"),
-    ("ss", "%S"), ("s", "%S"), ("SSSSSSSSS", "%f"), ("SSSSSS", "%f"),
-    ("SSS", "%f"), ("S", "%f"), ("a", "%p"), ("XXXXX", "%z"), ("XXX", "%z"),
+    ("ss", "%S"), ("s", "%S"), ("a", "%p"), ("XXXXX", "%z"), ("XXX", "%z"),
     ("XX", "%z"), ("X", "%z"), ("ZZZZZ", "%z"), ("ZZZZ", "%z"),
     ("ZZZ", "%z"), ("ZZ", "%z"), ("Z", "%z"), ("zzz", "%Z"),
     ("zz", "%Z"), ("z", "%Z"), ("VV", "%Z"),
@@ -404,6 +403,11 @@ def java_date_layouts(formats) -> list[str]:
                 lit = f[i + 1:j] or "'"
                 buf.append(lit.replace("%", "%%"))
                 i = j + 1
+                continue
+            if f[i] == "S":   # any-width fraction-of-second run (S..SSSSSSSSS)
+                while i < len(f) and f[i] == "S":
+                    i += 1
+                buf.append("%f")
                 continue
             for tok, rep in _JAVA_TOKENS:
                 if f.startswith(tok, i):

@@ -161,10 +161,15 @@ class AppendField(Stage):
                 return batch
             adds = [[] if v is None else [v] for v in src.to_pylist()]
         elif self.templates is not None:
-            # per-row template renders; null render (missing field) -> skip
+            # per-row template renders; ES mustache renders a missing field
+            # as "" (ibmmq arithinsert goldens expect ['', '']) — except the
+            # all-of-one-missing single-template case, which stays a skip
+            # (appending "" for every row would fabricate empty tags)
             vals = self.value if isinstance(self.value, list) else [self.value]
             cols = [t.render(batch).to_pylist() if t is not None else [v] * n
                     for t, v in zip(self.templates, vals)]
+            if isinstance(self.value, list) and len(vals) > 1:
+                cols = [["" if v is None else v for v in c] for c in cols]
             adds = [[c[i] for c in cols if c[i] is not None] for i in range(n)]
         else:
             vals = self.value if isinstance(self.value, list) else [self.value]

@@ -563,13 +563,24 @@ class GrokStage(Stage):
                 except re.error:
                     rxv = None
             self.compiled.append((pattern, meta, rx, rxv, mand))
+        self.anchor = anchor
         prefix = c.get("target_prefix", "")
         self.prefix = prefix + "_" if prefix else ""
         self.ignore_failure = bool(c.get("ignore_failure", False))
 
     def input_columns(self):
         from ..event import FLAGS_COL
-        return [field_to_column(self.field), FLAGS_COL]
+        # output columns are ALSO inputs: the merge keeps pre-existing
+        # values on rows where a group didn't participate (ibmmq: the
+        # Time() grok must see grok #1's header date to preserve it when
+        # running under a mask via _apply_scatter)
+        outs = {self.prefix + field_to_column(meta["fields"].get(g, g))
+                for _, meta, _, _, _ in self.compiled
+                for g in meta["fields"]}
+        # the source field may itself be an output (grok into same field):
+        # dedupe, or select() would duplicate the column in the subset
+        outs -= {field_to_column(self.field), FLAGS_COL}
+        return [field_to_column(self.field), FLAGS_COL, *sorted(outs)]
 
     @staticmethod
     def _verify_participation(structs, col, rxv, n, mand=frozenset()):
@@ -632,6 +643,33 @@ class GrokStage(Stage):
         col = pc.fill_null(pc.cast(col, pa.large_string()), "")
         n = len(batch)
         remaining = pa.array([True] * n, pa.bool_())
+        # ES combines multiple patterns into ONE alternation regex
+        # (GrokProcessor.combinePatterns), so under unanchored (substring)
+        # matching the pattern whose match STARTS EARLIEST in the string
+        # wins; declaration order only breaks position ties.  aws/elb: a v2
+        # ALB line is "<type> " + a classic HTTP log + a tail — the classic
+        # pattern matches at offset 5, the v2 pattern at offset 0 and must
+        # win.  Sequential first-pattern-wins is only equivalent when
+        # patterns are anchored.
+        winner = None
+        if not self.anchor and len(self.compiled) > 1:
+            import numpy as np
+            starts = []
+            sentinel = np.iinfo(np.int64).max
+            for pattern, _meta, rx, _rxv, _mand in self.compiled:
+                if rx is None:
+                    s = pc.find_substring_regex(col, pattern=pattern)
+                    s = pc.fill_null(s, -1).to_numpy(zero_copy_only=False)
+                    s = s.astype(np.int64)
+                else:
+                    s = np.fromiter(
+                        ((m.start() if (m := rx.search(v)) is not None
+                          else -1) for v in col.to_pylist()),
+                        dtype=np.int64, count=n)
+                starts.append(np.where(s < 0, sentinel, s))
+            st = np.stack(starts)
+            winner = st.argmin(axis=0)
+            winner[st.min(axis=0) == sentinel] = -1
         out_cols: dict[str, pa.Array] = {}
         # rows actually produced per column (ok-mask union over the
         # patterns that contain the group): a row matched by a pattern
@@ -641,7 +679,7 @@ class GrokStage(Stage):
         part_masks: dict[str, pa.Array] = {}
         dup_caps: dict[str, list[pa.Array]] = {}
         matched_any = pa.array([False] * n, pa.bool_())
-        for pattern, meta, rx, rxv, mand in self.compiled:
+        for pi, (pattern, meta, rx, rxv, mand) in enumerate(self.compiled):
             parts = None
             if rx is None:
                 structs = pc.extract_regex(col, pattern)
@@ -680,6 +718,8 @@ class GrokStage(Stage):
             # participating-empty captures on rows missing the field (iis)
             ok = pc.and_(pc.and_(pc.is_valid(structs), remaining),
                          pc.invert(input_null))
+            if winner is not None:
+                ok = pc.and_(ok, pa.array(winner == pi))
             if (pc.sum(ok).as_py() or 0) == 0:
                 continue
             for f in structs.type:

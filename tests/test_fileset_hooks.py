@@ -99,6 +99,20 @@ CASES = {
     (FB, "elasticsearch", "querylog"): {
         "skip": ("event.created", "input.type"),
         "expected_transform": "flatten", "extra_spec": "ts_fix"},
+    # no hook needed: generic compile (SS fraction layouts; ibmmq exercises
+    # the grok merge-under-mask path + list-template appends)
+    (XP, "mssql", "log"): {},
+    (XP, "ibmmq", "errorlog"): {},
+    # multi-pattern unanchored grok: leftmost-position-wins (ES combined
+    # alternation semantics; the ALB fixtures prove it)
+    (XP, "aws", "elb"): {},
+    (XP, "aws", "s3access"): {},
+    (XP, "microsoft", "defender_atp"): {"vars": {"input": "file"},
+                                        "unordered": True},
+    # m365 splits one alert into per-entity docs sharing event.original;
+    # golden arrays are re-sorted -> bipartite row matching
+    (XP, "microsoft", "m365_defender"): {"vars": {"input": "file"},
+                                         "unordered": True},
 }
 
 # every zeek fileset compiles generically (the scripted ones have ports in

@@ -29,6 +29,9 @@ SKIP_PREFIXES = (
     "ecs.version", "host.", "agent.",
     "source.geo", "destination.geo", "client.geo", "server.geo",
     "source.as", "destination.as", "client.as", "server.as",
+    # top-level geoip target (aws/s3access `geoip: target_field: geo`) —
+    # cluster-owned processor, no db in this environment
+    "geo.",
 )
 
 
