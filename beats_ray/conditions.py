@@ -245,6 +245,33 @@ class ElementString(Condition):
 
 
 @dataclass
+class InstanceString(Condition):
+    """True where the field's VALUE is a string — painless
+    ``x instanceof String`` (crowdstrike digit-count date guards negate it
+    over numeric timestamps)."""
+
+    field: str
+
+    def mask(self, batch):
+        col = _col(batch, self.field)
+        if col is None:
+            return _false(len(batch))
+        t = col.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return _nn(pc.is_valid(col))
+        if pa.types.is_list(t) or pa.types.is_large_list(t) or \
+                pa.types.is_struct(t) or pa.types.is_null(t):
+            return _false(len(batch))
+        if t == pa.binary() or pa.types.is_integer(t) or \
+                pa.types.is_floating(t) or pa.types.is_boolean(t) or \
+                pa.types.is_timestamp(t):
+            return _false(len(batch))
+        # object-typed column: per-row check
+        return pa.array([isinstance(v, str) for v in col.to_pylist()],
+                        pa.bool_())
+
+
+@dataclass
 class Range(Condition):
     field: str
     bounds: dict  # {"gt": x, "lte": y, ...}
@@ -256,9 +283,15 @@ class Range(Condition):
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
             col = pc.cast(col, pa.float64(), safe=False)
         acc = None
-        for op, val in self.bounds.items():
-            m = _RANGE_OPS[op](col, val)
-            acc = m if acc is None else pc.and_kleene(acc, m)
+        try:
+            for op, val in self.bounds.items():
+                m = _RANGE_OPS[op](col, val)
+                acc = m if acc is None else pc.and_kleene(acc, m)
+        except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+            # incomparable type (timestamp column vs a numeric bound after
+            # an in-place date, crowdstrike digit-count guard): painless
+            # would throw and the guarded processor be skipped
+            return _false(len(batch))
         return _nn(acc) if acc is not None else _false(len(batch))
 
 
@@ -408,6 +441,8 @@ def compile_condition(cfg) -> Condition:
                 parts.append(Length(f, v if isinstance(v, dict) else {"eq": v}))
         elif key == "element_string":
             parts.append(ElementString(val))
+        elif key == "instance_string":
+            parts.append(InstanceString(val))
         elif key == "field_equals":
             parts.append(FieldEquals(val[0], val[1]))
         elif key == "field_compare":

@@ -1806,3 +1806,575 @@ def _ms_m365_defender_hook(doc):
 
 
 FILESET_HOOKS[("microsoft", "m365_defender")] = _ms_m365_defender_hook
+
+
+# ------------------------------------------------------------------- snyk
+
+def _snyk_null_sweep_hook(doc):
+    """snyk/audit + vulnerabilities: the painless is the shared recursive
+    null-removal walker — a columnar no-op.  The vulnerabilities foreach
+    that 'renames' {{ _ingest._value.modificationTime }} renders a VALUE as
+    the field NAME, a no-op upstream too (x-pack/filebeat/module/snyk/
+    vulnerabilities/ingest/pipeline.yml:156) — dropped."""
+    n = sum(1 for p in doc.get("processors", []) if "script" in p)
+    over = {i: None for i, p in enumerate(doc.get("processors", []))
+            if "foreach" in p
+            and "rename" in (p["foreach"].get("processor") or {})}
+    return [None] * n, over
+
+
+FILESET_HOOKS[("snyk", "audit")] = _snyk_null_sweep_hook
+FILESET_HOOKS[("snyk", "vulnerabilities")] = _snyk_null_sweep_hook
+
+
+# ------------------------------------------------------- cisco asa / ftd
+
+_CISCO_DATE = _py(
+    # the shared pipeline's date uses a TEMPLATED per-row timezone — parse
+    # in python with the row's event.timezone (offsets, abbreviations, UTC)
+    "from datetime import datetime as _d, timedelta as _td\n"
+    "raw = event.get('_temp__raw_date')\n"
+    "if raw is None:\n"
+    "    return event\n"
+    "tz = event.get('event_timezone') or 'UTC'\n"
+    "raw = ' '.join(raw.split())\n"
+    "dt = None\n"
+    "m = __import__('re').match("
+    "r'^(.*?)\\s*(Z|[+-]\\d{2}:?\\d{2}|[A-Z]{3,5})?$', raw)\n"
+    "base, zone = m.group(1), m.group(2)\n"
+    "for fmt in ('%Y-%m-%dT%H:%M:%S', '%Y-%m-%d %H:%M:%S',\n"
+    "            '%b %d %H:%M:%S %Y', '%b %d %Y %H:%M:%S',\n"
+    "            '%a %b %d %H:%M:%S %Y', '%b %d %H:%M:%S'):\n"
+    "    try:\n"
+    "        dt = _d.strptime(base, fmt)\n"
+    "        break\n"
+    "    except ValueError:\n"
+    "        continue\n"
+    "if dt is None:\n"
+    "    return event\n"
+    "if dt.year == 1900:\n"
+    "    # no-year syslog dates: the reference pins to the CURRENT year\n"
+    "    dt = dt.replace(year=_d.now().year)\n"
+    "zz = zone or tz\n"
+    "abbr = {'UTC': 0, 'GMT': 0, 'Z': 0, 'EST': -300, 'EDT': -240,\n"
+    "        'CST': -360, 'CDT': -300, 'MST': -420, 'MDT': -360,\n"
+    "        'PST': -480, 'PDT': -420}\n"
+    "if zz in abbr:\n"
+    "    off = abbr[zz]\n"
+    "else:\n"
+    "    mm = __import__('re').fullmatch(r'([+-])(\\d{2}):?(\\d{2})', zz)\n"
+    "    off = 0 if mm is None else \\\n"
+    "        (1 if mm.group(1) == '+' else -1) * \\\n"
+    "        (int(mm.group(2)) * 60 + int(mm.group(3)))\n"
+    "event['ts'] = dt - _td(minutes=off)")
+
+
+def _cisco_asa_ftd_hook(doc):
+    """cisco/asa + cisco/ftd: the SHARED asa-ftd-pipeline.yml (242
+    processors).  The 7 painless scripts are ported with their DATA (the
+    security-event field mapping generated from security-mappings.csv, the
+    iana table, the ECS action categorization) read from the rendered doc's
+    own params; the per-row-templated-timezone date is overridden
+    (x-pack/filebeat/module/cisco/shared/ingest/asa-ftd-pipeline.yml)."""
+    scr = [p["script"] for p in doc["processors"] if "script" in p]
+    sec_map = scr[1]["params"]
+    field_map = scr[2]["params"]
+    iana = scr[4]["params"]
+    actions = scr[5]["params"]
+
+    s0 = _py(
+        "pri = event.get('log_syslog_priority')\n"
+        "if pri is not None and str(pri).isdigit():\n"
+        "    event['log_syslog_severity_code'] = int(pri) & 7\n"
+        "    event['log_syslog_facility_code'] = int(pri) >> 3")
+
+    s1 = _py(
+        f"params = {sec_map!r}\n"
+        "pre = '_temp__orig_security_'\n"
+        "counters = {}\n"
+        "for k in list(event):\n"
+        "    if not k.startswith(pre) or event[k] is None:\n"
+        "        continue\n"
+        "    param = params.get(k[len(pre):])\n"
+        "    if param is None:\n"
+        "        continue\n"
+        "    for i in param.get('id') or []:\n"
+        "        counters[i] = counters.get(i, 0) + 1\n"
+        "    val = event[k]\n"
+        "    if val == '' or val == []:\n"
+        "        continue\n"
+        "    for field in param.get('ecs') or []:\n"
+        "        col = field.replace('.', '_')\n"
+        "        cur = event.get(col)\n"
+        "        if cur is None:\n"
+        "            event[col] = val\n"
+        "        elif isinstance(cur, list):\n"
+        "            event[col] = cur + [val]\n"
+        "        else:\n"
+        "            event[col] = [cur, val]\n"
+        "    event['_temp__cisco_security_' + param['target']] = val\n"
+        "if event.get('_temp__cisco_message_id') != '':\n"
+        "    return event\n"
+        "def _jhash(x):\n"
+        "    h = 0\n"
+        "    for c in x:\n"
+        "        h = (31 * h + ord(c)) & 0xFFFFFFFF\n"
+        "    return h ^ (h >> 16)\n"
+        "cap = 16\n"
+        "while len(counters) > 0.75 * cap:\n"
+        "    cap *= 2\n"
+        "order = sorted(counters, key=lambda k: (_jhash(k) & (cap - 1)))\n"
+        "best = None\n"
+        "for i in order:  # Java HashMap iteration; first max wins\n"
+        "    if best is None or counters[best] < counters[i]:\n"
+        "        best = i\n"
+        "if best is not None:\n"
+        "    event['_temp__cisco_message_id'] = best")
+
+    s2 = _py(
+        f"params = {field_map!r}\n"
+        "for src_field, param in params.items():\n"
+        "    col = src_field.replace('ctx.', '').replace('.', '_')\n"
+        "    old = event.get(col)\n"
+        "    if old is None or not isinstance(old, str):\n"
+        "        continue\n"
+        "    new = (param.get('map') or {}).get(old.lower())\n"
+        "    if new is not None:\n"
+        "        dst = param.get('target', src_field.replace('ctx.', ''))\n"
+        "        event[dst.replace('.', '_')] = new")
+
+    s3 = _py(
+        "from datetime import timedelta as _td\n"
+        "hms = event.get('_temp__duration_hms')\n"
+        "ts = event.get('ts')\n"
+        "if hms is not None and ts is not None:\n"
+        "    cur = total = 0\n"
+        "    for c in hms:\n"
+        "        if c.isdigit():\n"
+        "            cur = cur * 10 + int(c)\n"
+        "        elif c == ':':\n"
+        "            total = (total + cur) * 60\n"
+        "            cur = 0\n"
+        "    secs = total + cur\n"
+        "    event['event_end'] = ts.strftime('%Y-%m-%dT%H:%M:%S.') + \\\n"
+        "        ('%03d' % (ts.microsecond // 1000)) + 'Z'\n"
+        "    event['event_duration'] = secs * 10**9\n"
+        "    st = ts - _td(seconds=secs)\n"
+        "    event['event_start'] = st.strftime('%Y-%m-%dT%H:%M:%S.') + \\\n"
+        "        ('%03d' % (st.microsecond // 1000)) + 'Z'")
+
+    s4 = _py(
+        f"params = {iana!r}\n"
+        "tr = event.get('network_transport')\n"
+        "if tr is None:\n"
+        "    return event\n"
+        "iana = params.get(tr)\n"
+        "if iana is not None:\n"
+        "    event['network_iana_number'] = iana\n"
+        "    return event\n"
+        "rev = {str(v): k for k, v in params.items()}\n"
+        "if str(tr) in rev:\n"
+        "    event['network_iana_number'] = tr\n"
+        "    event['network_transport'] = rev[str(tr)]")
+
+    s5 = _py(
+        f"params = {actions!r}\n"
+        "a = event.get('event_action')\n"
+        "if a is None or a not in params:\n"
+        "    return event\n"
+        "p = params[a]\n"
+        "event['event_kind'] = p.get('kind')\n"
+        "cat = list(p.get('category') or [])\n"
+        "typ = list(p.get('type') or [])\n"
+        "out = event.get('event_outcome')\n"
+        "if out is None or ('network' not in cat and "
+        "'intrusion_detection' not in cat):\n"
+        "    if a == 'firewall-rule':\n"
+        "        typ.append('info')\n"
+        "    elif a.startswith('connection-'):\n"
+        "        typ.append('connection')\n"
+        "    event['event_category'] = cat\n"
+        "    event['event_type'] = typ\n"
+        "    return event\n"
+        "if out == 'allowed':\n"
+        "    event['event_outcome'] = 'success'\n"
+        "    typ += ['connection', 'allowed']\n"
+        "elif out in ('denied', 'block'):\n"
+        "    event['event_outcome'] = 'success'\n"
+        "    typ += ['connection', 'denied']\n"
+        "elif out == 'dropped':\n"
+        "    event['event_outcome'] = 'failure'\n"
+        "    typ += ['connection', 'denied']\n"
+        "elif a == 'firewall-rule':\n"
+        "    typ.append('info')\n"
+        "elif a.startswith('connection-'):\n"
+        "    typ.append('connection')\n"
+        "if event.get('event_outcome') == 'monitored':\n"
+        "    cat.append('intrusion_detection')\n"
+        "    event['event_outcome'] = 'success'\n"
+        "event['event_category'] = cat\n"
+        "event['event_type'] = typ")
+
+    dates = [i for i, p in enumerate(doc["processors"]) if "date" in p]
+    return [s0, s1, s2, s3, s4, s5, None], {dates[0]: _CISCO_DATE}
+
+
+FILESET_HOOKS[("cisco", "asa")] = _cisco_asa_ftd_hook
+FILESET_HOOKS[("cisco", "ftd")] = _cisco_asa_ftd_hook
+
+
+def _cisco_umbrella_hook(doc):
+    """cisco/umbrella: the one painless folds identities -> related.user
+    (x-pack/filebeat/module/cisco/umbrella/ingest/pipeline.yml)."""
+    return [_py(
+        "ids = event.get('cisco_umbrella_identities')\n"
+        "if isinstance(ids, list):\n"
+        "    rel = list(event.get('related_user') or [])\n"
+        "    for ident in ids:\n"
+        "        if '@' in ident and ident not in rel:\n"
+        "            rel.append(ident)\n"
+        "    if rel:\n"
+        "        event['related_user'] = rel")], None
+
+
+FILESET_HOOKS[("cisco", "umbrella")] = _cisco_umbrella_hook
+
+
+def _cisco_amp_hook(doc):
+    """cisco/amp: network_addresses ip/mac folds (both painless loops fold
+    into one row script); the CVE foreach and the null sweep compile
+    generically (x-pack/filebeat/module/cisco/amp/ingest/pipeline.yml)."""
+    folds = _py(
+        "addrs = event.get('cisco_amp_computer_network_addresses')\n"
+        "if isinstance(addrs, list):\n"
+        "    rel_ip = list(event.get('related_ip') or [])\n"
+        "    rel_mac = list(event.get('cisco_amp_related_mac') or [])\n"
+        "    for a in addrs:\n"
+        "        if not isinstance(a, dict):\n"
+        "            continue\n"
+        "        if a.get('ip') and a['ip'] not in rel_ip:\n"
+        "            rel_ip.append(a['ip'])\n"
+        "        if a.get('mac') and a['mac'] not in rel_mac:\n"
+        "            rel_mac.append(a['mac'])\n"
+        "    if rel_ip:\n"
+        "        event['related_ip'] = rel_ip\n"
+        "    if rel_mac:\n"
+        "        event['cisco_amp_related_mac'] = rel_mac")
+    return [folds, None, None], None
+
+
+FILESET_HOOKS[("cisco", "amp")] = _cisco_amp_hook
+
+
+# --------------------------------------------------------------- iptables
+
+def _iptables_log_hook(doc):
+    """iptables/log: mapping table + hex-field conversion, both driven by
+    the params in the module's own yml
+    (x-pack/filebeat/module/iptables/log/ingest/pipeline.yml)."""
+    scr = [p["script"] for p in doc["processors"] if "script" in p]
+    mappings = scr[0]["params"]["mappings"]
+    hexf = scr[1]["params"]["hex_fields_to_convert"]
+    maps = _py(
+        f"mappings = {mappings!r}\n"
+        "for action in mappings:\n"
+        "    src_obj = action['source']['object']\n"
+        "    key = event.get(src_obj + '_' + action['source']['key'])\n"
+        "    m = action['map'].get(key) if key is not None else None\n"
+        "    if m is not None:\n"
+        "        event[action['destination']['object'] + '_'\n"
+        "              + action['destination']['key']] = m")
+    hexes = _py(
+        f"fields = {hexf!r}\n"
+        "for key in fields:\n"
+        "    v = event.get('iptables_' + key)\n"
+        "    if v is None:\n"
+        "        continue\n"
+        "    val = 0\n"
+        "    for ch in str(v).lower():\n"
+        "        d = -1\n"
+        "        if 'a' <= ch <= 'f':\n"
+        "            d = ord(ch) - ord('a') + 10\n"
+        "        elif '0' <= ch <= '9':\n"
+        "            d = ord(ch) - ord('0')\n"
+        "        if d >= 0:\n"
+        "            val = val * 16 + d\n"
+        "    event['iptables_' + key] = val")
+    return [maps, hexes], None
+
+
+FILESET_HOOKS[("iptables", "log")] = _iptables_log_hook
+
+
+# ------------------------------------------------------------- o365/audit
+
+def _o365_audit_hook(doc):
+    """o365/audit ingest/pipeline.yml: the painless merges uri_parts output
+    (_temp_.url) into url.* without clobbering earlier values; the config's
+    1104-line pipeline.js runs through mini-JS via the config path."""
+    url_merge = {"script": {"source": (
+        "def process(event, params):\n"
+        "    pre = '_temp__url_'\n"
+        "    for k in [k for k in list(event.keys()) if k.startswith(pre)]:\n"
+        "        v = event.get(k)\n"
+        "        event[k] = None\n"
+        "        if v is None:\n"
+        "            continue\n"
+        "        tgt = 'url_' + k[len(pre):]\n"
+        "        cur = event.get(tgt)\n"
+        "        if cur is None:\n"
+        "            event[tgt] = v\n"
+        "        elif isinstance(cur, list):\n"
+        "            if v not in cur:\n"
+        "                event[tgt] = cur + [v]\n"
+        "        elif not (isinstance(cur, str) and str(v) in cur):\n"
+        "            event[tgt] = [cur, v]\n"
+        "    return event\n")}}
+    return [url_merge], None
+
+
+FILESET_HOOKS[("o365", "audit")] = _o365_audit_hook
+
+
+# ---------------------------------------------------- crowdstrike/falcon
+
+def _cs_sweep(prefix, values):
+    # entrySet().removeIf(value in params.values); painless Integer 0 in
+    # the blacklist matches long-converted zeros too (Integer-vs-Long
+    # parity) — python int equality already gives that
+    return _py(
+        f"sent = {values!r}\n"
+        "for k in list(event):\n"
+        f"    if k.startswith('{prefix}'):\n"
+        "        v = event[k]\n"
+        "        if v in sent and not isinstance(v, bool):\n"
+        "            event[k] = None")
+
+
+def _crowdstrike_falcon_hook(doc):
+    """crowdstrike/falcon root pipeline.yml: CommandLine split into
+    process.*, value-blacklist sweeps over event/metadata (params from the
+    module's own yml); auth sub-pipeline camelCase->snake OperationName."""
+    sweeps = [p["script"]["params"]["values"] for p in doc["processors"]
+              if "script" in p and p["script"].get("params")]
+    cmdline = _py(
+        "cl = event.get('crowdstrike_event_CommandLine')\n"
+        "if cl is not None:\n"
+        "    cl = cl.strip()\n"
+        "    if cl != '':\n"
+        "        args = [a for a in cl.split(' ') if a != '']\n"
+        "        event['process_command_line'] = cl\n"
+        "        event['process_args'] = args\n"
+        "        event['process_executable'] = args[0]")
+    camel = _py(
+        "import re as _re\n"
+        "action = event.get('crowdstrike_event_OperationName')\n"
+        "if action:\n"
+        "    event['event_action'] = _re.sub(\n"
+        "        r'([a-z0-9])([A-Z])', r'\\1_\\2', action).lower()")
+    # fuse each digit-count date pair (UNIX_MS when >=12 digits, UNIX
+    # below) into ONE stage with per-row magnitude dispatch — the columnar
+    # model cannot hold datetime and raw number in one column between the
+    # two branches
+    overrides = {}
+    seen = {}
+    for i, p in enumerate(doc["processors"]):
+        if "date" not in p:
+            continue
+        f = p["date"].get("field")
+        fmts = p["date"].get("formats") or []
+        if fmts in (["UNIX"], ["UNIX_MS"]) and \
+                "Math.log10" in (p["date"].get("if") or ""):
+            if f not in seen:
+                seen[f] = i
+                overrides[i] = {"__unconditional__": {"timestamp": {
+                    "field": f, "target_field": f,
+                    "ignore_missing": True, "ignore_failure": True,
+                    "layouts": ["UNIX_AUTO"], "timezone": "UTC"},
+                    "when": {"and": [
+                        {"has_fields": [f]},
+                        {"not": {"instance_string": f}},
+                        {"not": {"equals": {f: 0}}}]}}}
+            else:
+                overrides[i] = None
+    # painless params.values holds Integer 0; a field converted to LONG
+    # before the sweep never equals it (Integer(0).equals(Long(0)) is
+    # false) — exempt the pipeline's own long-converted fields
+    longs = [p["convert"]["field"].replace(".", "_")
+             for p in doc["processors"]
+             if "convert" in p and p["convert"].get("type") == "long"
+             and not p["convert"].get("target_field")]
+    ev_sweep = _py(
+        f"sent = {sweeps[0]!r}\n"
+        f"longs = {longs!r}\n"
+        "for k in list(event):\n"
+        "    if k.startswith('crowdstrike_event_') and k not in longs:\n"
+        "        v = event[k]\n"
+        "        if v in sent and not isinstance(v, bool):\n"
+        "            event[k] = None")
+    return {"scripts": [cmdline,
+                        ev_sweep,
+                        _cs_sweep("crowdstrike_metadata_", sweeps[1])],
+            "overrides": overrides,
+            "sub_scripts": {"auth_activity_audit": [camel]}}
+
+
+FILESET_HOOKS[("crowdstrike", "falcon")] = _crowdstrike_falcon_hook
+
+
+# ---------------------------------------------------------------- cef/log
+
+_CEF_EXT_COPY = (
+    "def process(event, params):\n"
+    "    # port of cp-pipeline.yml's extension-mapping painless +\n"
+    "    # foreach-set executor (mustache renders values as strings)\n"
+    "    for entry in params['extensions']:\n"
+    "        v = event.get('cef_extensions_' + entry['name'])\n"
+    "        if v is None:\n"
+    "            continue\n"
+    "        if 'convert' in entry:\n"
+    "            v = entry['convert'].get(str(v).lower())\n"
+    "            if v is None:\n"
+    "                continue\n"
+    "        if entry.get('to') is not None:\n"
+    "            dest = entry['to']\n"
+    "        else:\n"
+    "            label = event.get('cef_extensions_' + entry['name']\n"
+    "                              + 'Label')\n"
+    "            if label is None:\n"
+    "                continue\n"
+    "            dest = entry['labels'].get(str(label).lower())\n"
+    "            if dest is None:\n"
+    "                continue\n"
+    "        event[dest.replace('.', '_')] = \\\n"
+    "            v if hasattr(v, 'isoformat') else str(v)\n"
+    "    return event\n")
+
+_CEF_DURATION = (
+    "def process(event, params):\n"
+    "    d = event.get('event_duration')\n"
+    "    if d is None:\n"
+    "        return event\n"
+    "    try:\n"
+    "        event['event_duration'] = \\\n"
+    "            int(d) * params['second_to_nanos']\n"
+    "    except ValueError:\n"
+    "        event['event_duration'] = None\n"
+    "    return event\n")
+
+
+def _cef_sub_overrides(doc):
+    """cp-/fp-pipeline.yml: the data-driven extension-mapping painless
+    (ext name -> `to`, label-switched targets, value-convert dicts) with
+    the mapping table read from the sub-pipeline's own params."""
+    overrides = {}
+    for i, p in enumerate(doc["processors"]):
+        if "script" in p and "extensions" in (p["script"].get("params")
+                                              or {}):
+            overrides[i] = {"script": {"source": _CEF_EXT_COPY,
+                                       "params": p["script"]["params"]}}
+        elif "script" in p and "second_to_nanos" in (
+                p["script"].get("params") or {}):
+            overrides[i] = {"script": {"source": _CEF_DURATION,
+                                       "params": p["script"]["params"]}}
+        elif "foreach" in p and p["foreach"].get("field") == "_tmp_copy":
+            overrides[i] = None  # executed inside the ext-copy port
+        elif "remove" in p and p["remove"].get("field") == "_tmp_copy":
+            overrides[i] = None
+    return overrides
+
+
+def _cef_log_hook(doc):
+    return {"sub_overrides": {"cp-pipeline": _cef_sub_overrides,
+                              "fp-pipeline": _cef_sub_overrides}}
+
+
+FILESET_HOOKS[("cef", "log")] = _cef_log_hook
+
+
+# ------------------------------------------------------ fortinet/firewall
+
+def _ftnt_direction(doc):
+    """event.yml/utm.yml: network.direction normalize via params map."""
+    idx = [i for i, p in enumerate(doc["processors"]) if "script" in p]
+    params = doc["processors"][idx[0]]["script"].get("params") or {}
+    return [_py(
+        f"params = {params!r}\n"
+        "d = event.get('network_direction')\n"
+        "if d is not None:\n"
+        "    k = d.lower()\n"
+        "    event['network_direction'] = params.get(k, k)")]
+
+
+def _fortinet_firewall_hook(doc):
+    """fortinet/firewall root pipeline.yml: quote-aware splitUnquoted KV
+    (values may contain the separators — not the ES kv processor),
+    N/A|undefined sweep, duration s->ns, iana->transport map, byte/packet
+    sums, dns.resolved_ip -> related.ip fold, final null sweep."""
+    kv = _py(
+        "sd = event.get('syslog5424_sd')\n"
+        "if sd is None:\n"
+        "    return event\n"
+        "def split_unquoted(s, sep):\n"
+        "    toks, start, inq = [], 0, False\n"
+        "    for i, ch in enumerate(s):\n"
+        "        if ch == '\"':\n"
+        "            inq = not inq\n"
+        "        elif ch == sep and not inq:\n"
+        "            t = s[start:i].strip()\n"
+        "            if t:\n"
+        "                toks.append(t)\n"
+        "            start = i + 1\n"
+        "    last = s[start:]\n"
+        "    if last != sep and last != '':\n"
+        "        toks.append(last.strip())\n"
+        "    return toks\n"
+        "for part in split_unquoted(sd, ' '):\n"
+        "    kv = split_unquoted(part, '=')\n"
+        "    if len(kv) != 2:\n"
+        "        continue\n"
+        "    v = kv[1]\n"
+        "    if v.startswith('\"'):\n"
+        "        v = v[1:]\n"
+        "    if v.endswith('\"'):\n"
+        "        v = v[:-1]\n"
+        "    event['fortinet_firewall_' + kv[0]] = v")
+    sweep_na = _py(
+        "for k in list(event):\n"
+        "    if k.startswith('fortinet_firewall_') and \\\n"
+        "            event[k] in ('N/A', 'undefined'):\n"
+        "        event[k] = None")
+    duration = _py(
+        "dur = event.get('fortinet_firewall_duration')\n"
+        "if dur is not None:\n"
+        "    event['event_duration'] = int(dur) * 1000000000")
+    iana = _py(
+        "n = event.get('network_iana_number')\n"
+        "m = {'1': 'icmp', '2': 'igmp', '6': 'tcp', '17': 'udp',\n"
+        "     '58': 'ipv6-icmp'}\n"
+        "if n in m:\n"
+        "    event['network_transport'] = m[n]")
+    sums_b = _py(
+        "sb, db = event.get('source_bytes'), event.get('destination_bytes')\n"
+        "if sb is not None and db is not None:\n"
+        "    event['network_bytes'] = sb + db")
+    sums_p = _py(
+        "sp, dp = event.get('source_packets'), "
+        "event.get('destination_packets')\n"
+        "if sp is not None and dp is not None:\n"
+        "    event['network_packets'] = sp + dp")
+    dns_fold = _py(
+        "ips = event.get('dns_resolved_ip')\n"
+        "if isinstance(ips, list):\n"
+        "    rel = list(event.get('related_ip') or [])\n"
+        "    for ip in ips:\n"
+        "        if ip not in rel:\n"
+        "            rel.append(ip)\n"
+        "    event['related_ip'] = rel")
+    return {"scripts": [kv, sweep_na, duration, iana, sums_b, sums_p,
+                        dns_fold, None],
+            "sub_scripts": {"event": _ftnt_direction,
+                            "utm": _ftnt_direction}}
+
+
+FILESET_HOOKS[("fortinet", "firewall")] = _fortinet_firewall_hook

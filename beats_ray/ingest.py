@@ -291,16 +291,21 @@ class _P:
         if method is not None:
             raise PainlessUnsupported(f"method .{method}()")
         if nxt == ("word", "instanceof"):
-            # type guard: reduce to existence — the hand-ported script impl
-            # (the only consumer of these conditions) re-checks the type
             self.take()
-            if self.take()[0] != "word":
+            t = self.take()
+            if t[0] != "word":
                 raise PainlessUnsupported("instanceof operand")
             if path.endswith(".0"):
                 # `x[0] instanceof String` (cisco amp mitre lists):
                 # non-empty list WITH string elements; struct lists never
                 # match (ElementString condition)
                 return {"element_string": path[:-2]}
+            if t[1] == "String":
+                # real per-value type test (crowdstrike digit-count date
+                # guards NEGATE it over numeric timestamps)
+                return {"instance_string": path}
+            # other type guards reduce to existence — the hand-ported
+            # script impl (the only consumer) re-checks the type
             return {"has_fields": [path]}
         if nxt == ("op", "==~"):
             # painless regex-match operator: x ==~ /pattern/ (postgresql
@@ -347,6 +352,30 @@ class _P:
 
 def painless_condition(src: str) -> dict:
     """Compile a painless ``if:`` expression to a conditions.py config."""
+    # digit-count dispatch (crowdstrike UNIX vs UNIX_MS):
+    # (int)(Math.log10(x) + 1) >= N  ⇔  x >= 10^(N-1)  for positive x
+    # (the pipelines guard x != 0 alongside)
+    def _digits(m):
+        path, op, n = m.group(1), m.group(2), int(m.group(3))
+        bound = 10 ** (n - 1)
+        return f"{path} {'>=' if op == '>=' else '<'} {bound}"
+    src = re.sub(
+        r"\(int\)\s*\(\s*Math\.log10\(\s*(ctx[\w.?$]*)\s*\)\s*\+\s*1\s*\)"
+        r"\s*(>=|<)\s*(\d+)", _digits, src)
+    # /c/.split(x).length == N  ⇔  x has exactly N-1 occurrences of c
+    # (crowdstrike user.name email test)
+    def _split_len(m):
+        sep, path, n = m.group(1), m.group(2), int(m.group(3))
+        cls = "[^" + sep + "]*"
+        return f"{path} ==~ /{cls}" + (sep + cls) * (n - 1) + "/"
+    src = re.sub(
+        r"/(\w|@)/\.split\(\s*(ctx[\w.?$]*)\s*\)\.length\s*==\s*(\d+)",
+        _split_len, src)
+    # /pat/.matcher(x).matches()  ->  x ==~ /pat/  (crowdstrike all-zero
+    # hash guards)
+    src = re.sub(
+        r"/((?:[^/\\]|\\.)+)/\.matcher\(\s*(ctx[\w.?$]*)\s*\)\.matches\(\)",
+        lambda m: f"{m.group(2)} ==~ /{m.group(1)}/", src)
     # parens around a bare ctx path — `(ctx.json?.description).length()` —
     # are grouping noise for this grammar
     src = re.sub(r"(?<![\w)])\(\s*(ctx[\w.?$]*)\s*\)", r"\1", src)
@@ -712,6 +741,15 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
         return [{"fingerprint": out}]
     if kind == "drop":
         return [{"drop_event": {}}]
+    if kind == "network_direction":
+        out = {"source": cfg.get("source_ip", "source.ip"),
+               "destination": cfg.get("destination_ip", "destination.ip"),
+               "target": cfg.get("target_field", "network.direction")}
+        if "internal_networks" in cfg:
+            out["internal_networks"] = cfg["internal_networks"]
+        if "internal_networks_field" in cfg:
+            out["internal_networks_field"] = cfg["internal_networks_field"]
+        return [{"add_network_direction": out}]
     if kind == "script":
         if ctx.scripts is None or not ctx.scripts:
             raise PainlessUnsupported(

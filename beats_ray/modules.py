@@ -218,6 +218,35 @@ def compile_fileset_spec(module_dir: str, module: str, fileset: str, *,
         "fileset.name": fileset, "input.type": "log",
         "service.type": module}}})
     for p in cfg.get("processors", []):
+        if isinstance(p, dict) and "script" in p and \
+                isinstance(p["script"], dict) and p["script"].get("file"):
+            # the reference resolves ${path.home}/module/... script files at
+            # load time (libbeat/processors/script/javascript config.go);
+            # module_dir is <path.home>/module/<module>
+            f = p["script"]["file"]
+            f = f.replace("${path.home}/module", os.path.dirname(module_dir))
+            sc = {k: v for k, v in p["script"].items() if k != "file"}
+            sc["source"] = open(f).read()
+            p = {"script": sc}
+        if isinstance(p, dict) and "parse_aws_vpc_flow_log" in p:
+            # a beats-side processor error never aborts the event (the
+            # processor runner logs and ships it on — the vpcflow header
+            # line must reach the ES pipeline's drop)
+            p = {"parse_aws_vpc_flow_log": {
+                "ignore_failure": True, **(p["parse_aws_vpc_flow_log"] or {})}}
+        if isinstance(p, dict) and "timestamp" in p and \
+                isinstance(p["timestamp"], dict):
+            # the beats timestamp processor takes GO reference layouts
+            # (timestamp/timestamp.go; o365 config '2006-01-02T15:04:05')
+            lay = p["timestamp"].get("layouts")
+            if lay and not any("%" in str(l) for l in lay):
+                from .stages.minijs import _go_layouts
+                # YAML parses '2006-01-02T15:04:05' as a datetime — take
+                # it back to the literal Go reference layout
+                lay = [l.isoformat() if hasattr(l, "isoformat") else str(l)
+                       for l in lay]
+                p = {"timestamp": {**p["timestamp"],
+                                   "layouts": _go_layouts(lay)}}
         if isinstance(p, dict) and "decode_json_fields" in p:
             # reference max_depth caps recursive decoding of nested JSON
             # *strings* (decode_json_fields.go) — a plain JSON object

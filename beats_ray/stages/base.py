@@ -184,6 +184,14 @@ class Stage:
                         outside = orig.filter(pc.invert(mask))
                         if len(outside) == outside.null_count:
                             orig = pa.nulls(n, new.type)
+                        elif pa.types.is_timestamp(new.type) != \
+                                pa.types.is_timestamp(orig.type):
+                            # timestamp<->numeric casts are value-mangling
+                            # (an in-place date converting only SOME rows —
+                            # crowdstrike digit-count dispatch — must not
+                            # turn datetimes into µs ints): let the
+                            # filter+concat fallback unify per-row
+                            return None
                         else:
                             try:
                                 new = pc.cast(new, orig.type)

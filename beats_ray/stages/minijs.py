@@ -46,6 +46,7 @@ Infinity (0/0 NaN).
 
 from __future__ import annotations
 
+import datetime as _dt_mod
 import math
 import re
 
@@ -62,7 +63,7 @@ _TOKEN_RE = re.compile(r"""
 
 _KEYWORDS = {"function", "var", "let", "const", "if", "else", "return",
              "true", "false", "null", "undefined", "new", "for", "while",
-             "throw", "typeof", "break", "continue", "in", "do"}
+             "throw", "typeof", "break", "continue", "in", "do", "delete"}
 
 _MAX_ITER = 1_000_000       # per-process() loop-iteration budget
 
@@ -507,6 +508,18 @@ class _Parser:
             e = self.parse_postfix()
             if e[0] == "call":
                 return ("new", e[1], e[2])
+            # postfix accesses after the constructor call bind to the
+            # construction RESULT: `new processor.Dissect({...}).Run` is
+            # (new processor.Dissect({...})).Run (cisco/ios pipeline.js)
+            trail, inner = [], e
+            while inner[0] in ("member", "index"):
+                trail.append((inner[0], inner[2]))
+                inner = inner[1]
+            if inner[0] == "call":
+                node = ("new", inner[1], inner[2])
+                for kind, x in reversed(trail):
+                    node = (kind, node, x)
+                return node
             return ("new", e, [])
         if self.peek()[1] == "!":
             self.next()
@@ -517,6 +530,9 @@ class _Parser:
         if self.peek()[1] == "typeof":
             self.next()
             return ("typeof", self.parse_unary())
+        if self.peek()[1] == "delete":
+            self.next()
+            return ("delete", self.parse_unary())
         if self.peek()[1] in ("++", "--"):
             op = self.next()[1]
             return ("incdec", self.parse_unary(), 1 if op == "++" else -1, False)
@@ -655,6 +671,13 @@ class _EventProxy:
     def __init__(self, row: dict):
         self.row = row
         self.cancelled = False
+        # column -> the dotted-path segments it was Put under: goja splits
+        # ONLY on dots, so Put("a.b.target_domain") must not make
+        # "target_domain" look like a child of "a.b.target" when a later
+        # Get("a.b.target") rebuilds a container view (google_workspace
+        # drive).  Decode-flattened columns have no entry and keep the
+        # underscore-as-separator heuristic (o365 ExceptionInfo).
+        self.segs: dict = {}
 
     def Get(self, key=None):
         if key is None:
@@ -682,14 +705,23 @@ class _EventProxy:
         # evt.Get returns the map — rebuild a (single-level) dict view so
         # null-checks and iteration see the container
         pre = col + "_"
-        subs = {k[len(pre):]: val for k, val in self.row.items()
-                if k.startswith(pre) and val is not None}
+        kp = str(key).split(".")
+        subs = {}
+        for k, val in self.row.items():
+            if not k.startswith(pre) or val is None:
+                continue
+            segs = self.segs.get(k)
+            if segs is not None and not (
+                    len(segs) > len(kp) and list(segs[:len(kp)]) == kp):
+                continue   # literal underscore key, not a child
+            subs[k[len(pre):]] = val
         return subs or None
 
     def Put(self, key, value):
         col = field_to_column(key)
         old = self.row.get(col)
         self.row[col] = value
+        self.segs[col] = tuple(str(key).split("."))
         return old
 
     def Rename(self, frm, to):
@@ -795,13 +827,39 @@ def _run_stage_on_event(stage, proxy):
     row.update(new)
 
 
+_STAGE_CACHE: dict = {}
+
+
 def _make_stage(name, cfg):
+    # module JS rebuilds processor chains per event (google_workspace admin
+    # constructs its whole pipeline inside the per-event dispatch): stages
+    # are stateless once built, so memoize on the canonical config
+    try:
+        import json as _j
+        key = (name, _j.dumps(cfg, sort_keys=True, default=str))
+    except (TypeError, ValueError):
+        key = None
+    if key is not None and key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    st = _build_stage(name, cfg)
+    if key is not None and len(_STAGE_CACHE) < 4096:
+        _STAGE_CACHE[key] = st
+    return st
+
+
+def _build_stage(name, cfg):
     from .base import stage_factory
     cfg = dict(cfg or {})
     if name == "timestamp" and cfg.get("layouts"):
         cfg["layouts"] = _go_layouts(cfg["layouts"])
         cfg.pop("tests", None)
         cfg.setdefault("ignore_missing", True)
+    if name == "decode_json_fields":
+        # beats' readjson decodes the FULL object (max_depth caps nested
+        # JSON *strings*, not object depth) — this engine's flat-column
+        # model uses the knob as flatten depth (gcp pipeline.js decode)
+        cfg.setdefault("max_depth", 99)
+        cfg.setdefault("keep_arrays", True)
     return stage_factory(name)(cfg)
 
 
@@ -811,7 +869,7 @@ _SHIM_NAMES = {
     "CommunityID": "community_id", "AddNetworkDirection":
     "add_network_direction", "Rename": "rename", "CopyFields":
     "copy_fields", "DropFields": "drop_fields", "Truncate":
-    "truncate_fields",
+    "truncate_fields", "Fingerprint": "fingerprint",
 }
 
 
@@ -890,6 +948,21 @@ def _require(name):
 _MAX_CALL_DEPTH = 32
 
 
+def _pure_literal(node):
+    """True for an expression tree of only literals/arrays/objects — its
+    evaluation is row-independent (processor-config memoization)."""
+    op = node[0]
+    if op == "lit":
+        return True
+    if op == "neg":
+        return _pure_literal(node[1])
+    if op == "array":
+        return all(_pure_literal(x) for x in node[1])
+    if op == "object":
+        return all(_pure_literal(v) for _, v in node[1])
+    return False
+
+
 class _Interp:
     def __init__(self, funcs: dict, top, params=None):
         self.funcs = funcs              # name -> (params, body)
@@ -899,6 +972,7 @@ class _Interp:
         self.top = top                  # top-level statements (run per row)
         self.params = params or {}
         self._registered = False
+        self._new_cache: dict = {}   # AST-node id -> processor object
 
     def _base_globals(self):
         import json as _json
@@ -908,6 +982,17 @@ class _Interp:
                 "JSON": {"stringify": lambda v, *a: _json.dumps(v),
                          "parse": lambda v: _json.loads(v)},
                 "Array": {"isArray": lambda v: isinstance(v, list)},
+                "Object": {
+                    "keys": lambda v: list(v) if isinstance(v, dict) else [],
+                    "values": lambda v: list(v.values())
+                    if isinstance(v, dict) else [],
+                    "entries": lambda v: [[k, x] for k, x in v.items()]
+                    if isinstance(v, dict) else []},
+                # new Date(millis) -> UTC datetime (the golden normalizer
+                # renders it as ES ISO-millis; google_workspace event.start)
+                "Date": lambda ms=None: _dt_mod.datetime.utcfromtimestamp(
+                    _tonum(ms) / 1000.0) if ms is not None
+                else _dt_mod.datetime.utcfromtimestamp(0),
                 "Error": lambda msg=None: {"name": "Error",
                                            "message": msg},
                 # new RegExp("pat"[, flags]) — same runtime object as a
@@ -926,10 +1011,12 @@ class _Interp:
     def run(self, row: dict):
         proxy = _EventProxy(row)
         has_register = "register" in self.funcs
-        if has_register and self._registered:
-            # register-protocol scripts (o365, gcp): top-level state and
-            # the registered processor pipeline persist across events,
-            # mirroring the reference's per-worker JS session
+        if self._registered:
+            # goja runs a module's top level ONCE per VM: top-level state
+            # (IIFE-built processor chains — google_workspace admin builds
+            # ~1000 of them — and the register-protocol pipelines of
+            # o365/gcp) persists across events, mirroring the reference's
+            # per-worker JS session
             pass
         else:
             self.globals = self._base_globals()
@@ -944,7 +1031,7 @@ class _Interp:
             self.globals = env
             if has_register:
                 self.call_user("register", [self.params])
-                self._registered = True
+            self._registered = True
         self._iters = _MAX_ITER
         self._depth = 0
         from collections import ChainMap as _CM
@@ -1381,6 +1468,19 @@ class _Interp:
                 return obj.get(name)
             if isinstance(obj, _ProcessorModule):
                 return getattr(obj, name)   # processor.Chain / .Convert / ...
+            if isinstance(obj, _dt_mod.datetime):
+                # Go time.Time methods goja exposes on event timestamps
+                # (google_workspace admin: end.UnixNano() - start.UnixNano())
+                d = obj if obj.tzinfo else obj.replace(
+                    tzinfo=_dt_mod.timezone.utc)
+                if name == "UnixNano":
+                    return lambda d=d: int(d.timestamp() * 1e6) * 1000
+                if name == "UnixMilli":
+                    return lambda d=d: int(d.timestamp() * 1000)
+                if name == "Unix":
+                    return lambda d=d: int(d.timestamp())
+                if name == "getTime":
+                    return lambda d=d: d.timestamp() * 1000
             raise JSUnsupported(f"member {name!r} on {type(obj).__name__}")
         if op == "index":
             obj = self.eval(node[1], env)
@@ -1417,6 +1517,22 @@ class _Interp:
                     "Function": callable(v)}.get(t, False)
         if op == "new":
             callee = node[1]
+            # `new processor.X({...pure literal...})` rebuilds the SAME
+            # stateless stage per event (google_workspace admin constructs
+            # its whole chain inside the per-event dispatch): memoize the
+            # processor object on the AST node — config constant, stage
+            # stateless, so one instance serves every row
+            if callee[0] == "member" and callee[1] == ("ident", "processor") \
+                    and all(_pure_literal(a) for a in node[2]):
+                cached = self._new_cache.get(id(node))
+                if cached is not None:
+                    return cached
+                base = self.eval_base(callee[1], env)
+                if isinstance(base, _ProcessorModule):
+                    fn = getattr(base, callee[2])
+                    obj = fn(*[self.eval(a, env) for a in node[2]])
+                    self._new_cache[id(node)] = obj
+                    return obj
             args = [self.eval(a, env) for a in node[2]]
             # user-defined constructor: fresh `this` object, JS semantics
             if callee[0] == "ident" and callee[1] in self.funcs:
@@ -1446,7 +1562,7 @@ class _Interp:
             fn = self.eval(node[1], env)
             args = [self.eval(a, env) for a in node[2]]
             if not callable(fn):
-                raise JSUnsupported("call of non-function")
+                raise JSUnsupported(f"call of non-function: {node[1]!r:.120}")
             return fn(*args)
         if op == "assignexpr":
             val = self.eval(node[2], env)
@@ -1481,6 +1597,17 @@ class _Interp:
             if callable(v):
                 return "function"
             return "object"
+        if op == "delete":
+            target = node[1]
+            if target[0] in ("member", "index"):
+                obj = self.eval_base(target[1], env)
+                key = self.eval(target[2], env) if target[0] == "index" \
+                    else target[2]
+                if isinstance(obj, dict):
+                    obj.pop(key, None)
+                elif isinstance(obj, _EventProxy):
+                    obj.Delete(key)
+            return True
         if op == "incdec":
             _, target, delta, post = node
             old = self.eval(target, env)

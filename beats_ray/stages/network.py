@@ -241,29 +241,52 @@ class AddNetworkDirection(Stage):
         self.source = self.config.get("source", "source.ip")
         self.dest = self.config.get("destination", "destination.ip")
         self.target = self.config.get("target", "network_direction")
+        # internal_networks_field: per-row CIDR list column (the ES ingest
+        # network_direction processor shape — fortinet _temp.internal_networks)
+        self.nets_field = self.config.get("internal_networks_field")
         nets = self.config.get("internal_networks", ["private", "loopback"])
-        self.nets = []
-        named = {"private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16", "fd00::/8"],
-                 "loopback": ["127.0.0.0/8", "::1/128"]}
-        for n in nets:
-            for c in named.get(n, [n]):
-                self.nets.append(ipaddress.ip_network(c, strict=False))
+        self.nets = self._parse_nets(nets)
 
-    def _internal(self, ip):
+    _NAMED = {"private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16",
+                          "fd00::/8"],
+              "loopback": ["127.0.0.0/8", "::1/128"]}
+
+    @classmethod
+    def _parse_nets(cls, nets):
+        out = []
+        for n in nets or []:
+            for c in cls._NAMED.get(n, [n]):
+                out.append(ipaddress.ip_network(c, strict=False))
+        return out
+
+    @staticmethod
+    def _internal(ip, nets):
         try:
             addr = ipaddress.ip_address(ip)
         except (ValueError, TypeError):
             return None
-        return any(addr in net for net in self.nets)
+        return any(addr in net for net in nets)
 
     def process(self, batch):
         s = batch.column(field_to_column(self.source)).to_pylist() \
             if field_to_column(self.source) in batch.column_names else [None] * len(batch)
         d = batch.column(field_to_column(self.dest)).to_pylist() \
             if field_to_column(self.dest) in batch.column_names else [None] * len(batch)
+        rownets = None
+        if self.nets_field is not None:
+            col = field_to_column(self.nets_field)
+            if col not in batch.column_names:
+                return batch   # ignore_missing: skip when the field absent
+            rownets = [self._parse_nets(v if isinstance(v, list)
+                                        else [v] if v else [])
+                       for v in batch.column(col).to_pylist()]
         out = []
-        for si, di in zip(s, d):
-            ints, intd = self._internal(si), self._internal(di)
+        for i, (si, di) in enumerate(zip(s, d)):
+            nets = rownets[i] if rownets is not None else self.nets
+            if rownets is not None and not nets:
+                out.append(None)
+                continue
+            ints, intd = self._internal(si, nets), self._internal(di, nets)
             if ints is None or intd is None:
                 out.append(None)
             elif ints and intd:
@@ -274,5 +297,14 @@ class AddNetworkDirection(Stage):
                 out.append("inbound")
             else:
                 out.append("external")
-        return set_column(batch, field_to_column(self.target),
-                          pa.array(out, pa.string()))
+        merged = pa.array(out, pa.string())
+        tcol = field_to_column(self.target)
+        if tcol in batch.column_names:
+            import pyarrow.compute as _pc
+            old = batch.column(tcol)
+            if not pa.types.is_null(old.type):
+                # the processor writes only when a direction was determined
+                # (add_network_direction.go PutValue on success)
+                merged = _pc.if_else(_pc.is_valid(merged), merged,
+                                     _pc.cast(old, pa.string()))
+        return set_column(batch, tcol, merged)

@@ -194,7 +194,7 @@ class TimestampStage(Stage):
             need = pc.is_null(out)
             if (pc.sum(need).as_py() or 0) == 0:
                 break
-            if layout in ("UNIX", "UNIX_MS"):
+            if layout in ("UNIX", "UNIX_MS", "UNIX_AUTO"):
                 if pa.types.is_floating(col.type) or pa.types.is_integer(col.type):
                     f = pc.cast(col, pa.float64())
                 else:
@@ -207,7 +207,16 @@ class TimestampStage(Stage):
                     s = pc.if_else(pc.fill_null(numeric, False), s,
                                    pa.nulls(n, pa.string()))
                     f = pc.cast(s, pa.float64(), safe=False)
-                scale = 1_000_000.0 if layout == "UNIX" else 1000.0
+                if layout == "UNIX_AUTO":
+                    # per-row magnitude dispatch: >= 1e11 is millis, below
+                    # is seconds (the crowdstrike digit-count pattern fused
+                    # into one stage — per-row branch state has no columnar
+                    # equivalent)
+                    scale = pc.if_else(
+                        pc.greater_equal(pc.fill_null(f, 0.0), 1e11),
+                        1000.0, 1_000_000.0)
+                else:
+                    scale = 1_000_000.0 if layout == "UNIX" else 1000.0
                 parsed = pc.cast(pc.cast(pc.multiply(f, scale), pa.int64(), safe=False),
                                  pa.timestamp("us"), safe=False)
             elif layout == "ISO8601":
@@ -375,6 +384,22 @@ class Convert(Stage):
             return pa.nulls(len(col), target)
 
     @staticmethod
+    def _go_render(v):
+        """Go fmt %v of a decoded JSON value (beats Convert type:string over
+        a MAP renders the Go map literal — gcp protoPayload.response
+        'map[allowed:true ...]', keys sorted)."""
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, dict):
+            return "map[" + " ".join(
+                k + ":" + Convert._go_render(v[k]) for k in sorted(v)) + "]"
+        if isinstance(v, list):
+            return "[" + " ".join(Convert._go_render(x) for x in v) + "]"
+        if isinstance(v, float) and v == int(v):
+            return str(int(v))
+        return str(v)
+
+    @staticmethod
     def _merge_target(batch, d, conv):
         # Beats convert is per-EVENT: an event whose source is missing (or
         # whose cast failed under IgnoreError) keeps its existing target
@@ -402,72 +427,115 @@ class Convert(Stage):
         return set_column(batch, d, conv)
 
     def process(self, batch):
-        failed = pa.array([False] * len(batch))
-        staged = []
-        handled: set[str] = set()
+        n = len(batch)
+        failed = pa.array([False] * n)
+        entry = batch
+        # convert.go Run is TWO-PHASE: convertFields fetches+casts EVERY
+        # field against the ENTRY event, THEN writeToEvent applies the
+        # staged values in order (rename deletes each source after its
+        # write).  So a source listed twice converts twice (misp lists
+        # Event.info for both misp.threat_indicator.description and
+        # rule.description), and a subtree rename listed LAST does not
+        # starve earlier fields reading inside it (gcp firewall reads
+        # json.connection.dest_ip before {json -> gcp.firewall}).
+        staged: list = []   # (kind, s, d, payload)
         for src, dst, typ in self.fields:
-            # container move/copy: Beats Convert on a MAP value relocates
-            # the whole subtree (o365 saveRaw renames o365audit -> o365.audit
-            # as one field entry); in the flat model that is a column-prefix
-            # rename — no cast applies to a map
             s = field_to_column(src)
-            if s not in batch.column_names:
+            d = field_to_column(dst)
+            if s not in entry.column_names:
+                # container move/copy: Beats Convert on a MAP value
+                # relocates the whole subtree (o365 saveRaw renames
+                # o365audit -> o365.audit as one field entry); in the flat
+                # model that is a column-prefix rename
                 pre = s + "_"
-                subs = [c for c in batch.column_names if c.startswith(pre)]
-                if subs:
-                    d = field_to_column(dst)
+                subs = [c for c in entry.column_names if c.startswith(pre)]
+                if subs and typ == "string":
+                    # Convert type:string over a MAP: Go fmt map[k:v ...]
+                    # rendering over the flattened children (gcp audit
+                    # protoPayload.response/status/metadata).  The
+                    # flattened suffix stays ONE key: "_" is ambiguous
+                    # between nesting and underscore-in-key, and the gcp
+                    # goldens verify the flat form.
+                    rows = [None] * n
                     for c in subs:
-                        batch = set_column(batch, d + c[len(s):],
-                                           batch.column(c))
-                    if self.mode == "rename":
-                        batch = batch.drop_columns(subs)
-                    handled.add(s)
+                        vals = entry.column(c).to_pylist()
+                        key = c[len(pre):]
+                        for i, v in enumerate(vals):
+                            if v is None:
+                                continue
+                            tree = rows[i] = rows[i] or {}
+                            tree[key] = v
+                    out = [self._go_render(r) if r is not None else None
+                           for r in rows]
+                    staged.append(("scalar", None, d,
+                                   pa.array(out, pa.string())))
+                    staged.append(("drop_prefix", s, None, None))
                     continue
-        for src, dst, typ in self.fields:
-            s = field_to_column(src)
-            if s in handled:
-                continue
-            if s not in batch.column_names:
+                if subs:
+                    # convertField fetches the MAP by reference, so writes
+                    # from earlier fields in this same processor are visible
+                    # when writeToEvent moves it (gcp vpcflow writes
+                    # json.rtt.ms then renames json -> gcp.vpcflow):
+                    # materialize the subtree at WRITE time
+                    staged.append(("subtree", s, d, None))
+                    continue
                 if self.ignore_missing:
                     continue
                 if self.fail_on_error:
-                    return set_error(batch, pa.array([True] * len(batch)),
+                    return set_error(batch, pa.array([True] * n),
                                      f"could not fetch value for key: {src}")
                 continue
-            col = batch.column(s)
+            col = entry.column(s)
             conv = self._cast(col, typ)
             rowfail = pc.and_(pc.is_null(conv), pc.is_valid(col))
             failed = pc.or_(failed, rowfail)
-            staged.append((s, field_to_column(dst), conv))
+            staged.append(("scalar", s, d, conv))
+            if self.mode == "rename" and d != s:
+                staged.append(("drop", None, None, [s]))
         anyfail = (pc.sum(failed).as_py() or 0) > 0
-        for s, d, conv in staged:
-            if self.fail_on_error and anyfail:
-                # rollback per row: failed rows keep originals in-place; for
-                # copy/rename targets the failed rows stay null
-                if d == s:
-                    orig = batch.column(s)
-                    if orig.type != conv.type:
-                        # convert.go clones the event and restores it on
-                        # error, so failed rows must keep their ORIGINAL
-                        # values.  One Arrow column has one type, so merge
-                        # in the original type: ok rows carry the converted
-                        # value rendered back into the source type, failed
-                        # rows keep the source value byte-for-byte (they are
-                        # also error-marked for dead-letter routing).
+        for kind, s, d, payload in staged:
+            if kind == "drop":
+                if self.mode != "rename":
+                    continue
+                cols = [c for c in payload if c in batch.column_names]
+                if cols:
+                    batch = batch.drop_columns(cols)
+            elif kind == "drop_prefix":
+                if self.mode != "rename":
+                    continue
+                cols = [c for c in batch.column_names
+                        if c.startswith(s + "_")]
+                if cols:
+                    batch = batch.drop_columns(cols)
+            elif kind == "subtree":
+                pre = s + "_"
+                subs = [c for c in batch.column_names if c.startswith(pre)]
+                for c in subs:
+                    batch = set_column(batch, d + c[len(s):],
+                                       batch.column(c))
+                if self.mode == "rename" and subs:
+                    batch = batch.drop_columns(subs)
+            else:
+                if self.fail_on_error and anyfail and d == s:
+                    # rollback per row: failed rows keep their ORIGINAL
+                    # values in-place (convert.go clones + restores); one
+                    # Arrow column has one type, so merge in the original
+                    # type — failed rows keep the source byte-for-byte
+                    orig, conv2 = entry.column(s), payload
+                    if orig.type != conv2.type:
                         try:
-                            conv_back = pc.cast(conv, orig.type)
+                            conv_back = pc.cast(conv2, orig.type)
                             merged = pc.if_else(failed, orig, conv_back)
                         except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                            merged = orig  # full rollback: keep source column
-                        batch = set_column(batch, d, merged)
+                            merged = orig  # full rollback
                     else:
-                        batch = set_column(batch, d, pc.if_else(failed, orig, conv))
+                        merged = pc.if_else(failed, orig, conv2)
+                    batch = set_column(batch, d, merged)
                 else:
-                    batch = self._merge_target(batch, d, conv)
-            else:
-                batch = self._merge_target(batch, d, conv)
-            if self.mode == "rename" and d != s:
-                batch = batch.drop_columns([s])
+                    # _merge_target keeps the existing value on rows whose
+                    # cast failed (convert.go !failOnError leaves the
+                    # original in place)
+                    batch = self._merge_target(batch, d, payload)
         if self.fail_on_error and anyfail:
             batch = set_error(batch, failed, "unable to convert value")
         return batch

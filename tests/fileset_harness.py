@@ -82,7 +82,8 @@ def run_fileset_fixture(base, module, fileset, logname, vars=None, skip=(),
                         tz="-02:00", keep_blank=False, comment_prefix=None,
                         extra_cols=None, extra_spec=None, cap=True,
                         expected_transform=None, unordered=False,
-                        align_by=None):
+                        align_by=None, pre_json=None, log_path_col=False,
+                        dedupe_lines=False):
     """Run one fixture end-to-end through compile_fileset_spec and
     check_golden it against its ``-expected.json``."""
     mdir = f"{base}/{module}"
@@ -93,6 +94,15 @@ def run_fileset_fixture(base, module, fileset, logname, vars=None, skip=(),
         expected_transform = flatten_expected
     spec, mvars = compile_fileset_spec(mdir, module, fileset, vars=v,
                                        extra_spec=extra_spec)
+    if pre_json:
+        # structured inputs (httpjson/pubsub/eventhub) hand the pipeline a
+        # decoded object under this prefix; the file-input golden simulates
+        # that split from the ndjson fixture line
+        spec = [{"decode_json_fields": {"fields": ["message"],
+                                        "target": pre_json, "max_depth": 99,
+                                        "keep_arrays": True}},
+                {"drop_fields": {"fields": ["message"],
+                                 "ignore_missing": True}}] + spec
     def _fake_locale(p):
         """add_locale -> fixed harness zone, preserving any `when` carried
         in the flattened dotted-key form (elasticsearch/slowlog config)."""
@@ -121,6 +131,10 @@ def run_fileset_fixture(base, module, fileset, logname, vars=None, skip=(),
         raw = [ln for ln in raw if not ln.startswith(comment_prefix)]
     lines = local_multiline(raw, opts["multiline"]) if opts["multiline"] \
         else raw
+    if dedupe_lines:
+        # inputs that use the event id as the ES document _id collapse
+        # duplicate lines at indexing time (cisco/amp)
+        lines = list(dict.fromkeys(lines))
     if opts["include_lines"] or opts["exclude_lines"]:
         import re
         inc = [re.compile(p) for p in opts["include_lines"]]
@@ -136,6 +150,8 @@ def run_fileset_fixture(base, module, fileset, logname, vars=None, skip=(),
                                 pa.list_(pa.string()))
     for name, value in (extra_cols or {}).items():
         cols[name] = pa.array([value] * len(lines))
+    if log_path_col:   # pipelines that branch on log.file.path (umbrella)
+        cols["log_file_path"] = pa.array([path] * len(lines), pa.string())
     out = Pipeline({"processors": spec}).run_local(pa.table(cols))
     rows = sorted(out.to_pylist(), key=lambda r: r["line_no"])
     expected = json.load(open(path + "-expected.json"))

@@ -113,6 +113,45 @@ CASES = {
     # golden arrays are re-sorted -> bipartite row matching
     (XP, "microsoft", "m365_defender"): {"vars": {"input": "file"},
                                          "unordered": True},
+    (XP, "snyk", "audit"): {"vars": {"input": "file"}},
+    (XP, "snyk", "vulnerabilities"): {"vars": {"input": "file"}},
+    # the SHARED asa-ftd-pipeline.yml (242 processors) rendered through the
+    # manifest's ../shared path + {< .internal_prefix >} Go templating
+    (XP, "cisco", "asa"): {"vars": {"input": "file"}},
+    (XP, "cisco", "ftd"): {"vars": {"input": "file"}},
+    # the module's REAL config/pipeline.js (processor-registry API) through
+    # mini-JS — ${path.home} file resolution in compile_fileset_spec
+    (XP, "gcp", "audit"): {"vars": {"input": "file"}},
+    (XP, "gcp", "firewall"): {"vars": {"input": "file"}},
+    (XP, "gcp", "vpcflow"): {"vars": {"input": "file"}},
+    (XP, "misp", "threat"): {"vars": {"input": "file"}},
+    (XP, "google_workspace", "login"): {"vars": {"input": "file"}},
+    (XP, "google_workspace", "saml"): {"vars": {"input": "file"}},
+    (XP, "google_workspace", "groups"): {"vars": {"input": "file"}},
+    (XP, "google_workspace", "drive"): {"vars": {"input": "file"}},
+    (XP, "google_workspace", "user_accounts"): {"vars": {"input": "file"}},
+    # the 925-line admin pipeline.js builds ~1000 processors in its
+    # top-level IIFE — run-once-per-VM module state makes all 16 fixtures
+    # ~4 s each through the real JS
+    (XP, "google_workspace", "admin"): {"vars": {"input": "file"}},
+    (XP, "cisco", "ios"): {"vars": {"input": "file"}},
+    # pipeline branches on log.file.path; golden arrays sorted -> align
+    (XP, "cisco", "umbrella"): {"vars": {"input": "file"},
+                                "log_path_col": True,
+                                "align_by": "event.original"},
+    # event id is the ES doc _id: duplicate fixture lines collapse
+    (XP, "cisco", "amp"): {"vars": {"input": "file"}, "dedupe_lines": True},
+    (XP, "iptables", "log"): {"vars": {"input": "file"}},
+    # the REAL 1104-line pipeline.js through mini-JS + compiled ingest yml
+    (XP, "o365", "audit"): {"vars": {"input": "file"}},
+    # digit-count date pairs fused to one UNIX_AUTO stage; Integer-vs-Long
+    # blacklist parity
+    (XP, "crowdstrike", "falcon"): {"vars": {"input": "file"}},
+    # compiled root + vendor-dispatched cp-/fp- sub-pipelines
+    (XP, "cef", "log"): {"vars": {"input": "file"}},
+    # quote-aware splitUnquoted KV + ES network_direction processor
+    (XP, "fortinet", "firewall"): {"vars": {"input": "file"}},
+    (XP, "aws", "vpcflow"): {"vars": {"input": "file"}},
 }
 
 # every zeek fileset compiles generically (the scripted ones have ports in
@@ -126,9 +165,13 @@ if os.path.isdir(os.path.join(XP, "zeek")):
 def _params():
     out = []
     for (base, module, fileset), kw in CASES.items():
+        only = kw.get("fixtures")
+        kw = {k: v for k, v in kw.items() if k != "fixtures"}
         for fx in fixtures_of(base, module, fileset):
             if fx.endswith(".journal"):
                 continue   # binary journald input not shipped in the repo
+            if only is not None and fx not in only:
+                continue
             out.append(pytest.param(base, module, fileset, fx, kw,
                                     id=f"{module}/{fileset}/{fx}"))
     return out

@@ -120,7 +120,7 @@ def test_ternary_and_not():
 def test_unsupported_constructs_fail_at_compile():
     # `new` parses (round 4: user/host constructors); an unknown
     # constructor still fails loudly — at run time
-    fn = compile_js('function process(e) { var x = new Date(); }')
+    fn = compile_js('function process(e) { var x = new WeakMap(); }')
     with pytest.raises(JSUnsupported):
         fn({})
     with pytest.raises(JSUnsupported):

@@ -68,6 +68,8 @@ _ISO_TS = __import__("re").compile(
     r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})(?:\.(\d+))?Z$")
 _ISO_ANY = __import__("re").compile(
     r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})(?:\.(\d+))?(Z|[+-]\d{2}:\d{2})$")
+_NAIVE_WANT = __import__("re").compile(
+    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?$")
 
 
 def _instant(s):
@@ -83,6 +85,11 @@ def _instant(s):
 
 
 def _same(got, want):
+    if isinstance(got, _dt.datetime) and isinstance(want, str) and \
+            _NAIVE_WANT.match(want):
+        # pyarrow.json infers timestamps from naive-ISO strings the
+        # reference keeps as text (o365 CreationTime): compare instants
+        return got == _dt.datetime.fromisoformat(want)
     got, want = _norm(got), _norm(want)
     if isinstance(got, list) and len(got) == 1 and not isinstance(want, list):
         got = got[0]  # columnar lift: 1-element list where ES kept a scalar
@@ -132,6 +139,28 @@ def _same(got, want):
     return str(got) == str(want)
 
 
+def _dig(row, key):
+    """Column lookup with dict-container traversal: a JS Put of a MAP keeps
+    the dict as one column value (o365 ExtendedProperties), while the
+    golden key addresses the flattened leaf."""
+    col = key.replace(".", "_")
+    v = row.get(col)
+    if v is not None:
+        return v
+    parts = key.split(".")
+    for i in range(len(parts) - 1, 0, -1):
+        base = row.get("_".join(parts[:i]).replace(".", "_"))
+        if isinstance(base, dict):
+            cur = base
+            for seg in parts[i:]:
+                cur = cur.get(seg) if isinstance(cur, dict) else None
+                if cur is None:
+                    break
+            if cur is not None:
+                return cur
+    return v
+
+
 def check_golden(rows, expected, skip=()):
     __tracebackhide__ = True
     assert len(rows) == len(expected), (len(rows), len(expected))
@@ -140,7 +169,7 @@ def check_golden(rows, expected, skip=()):
             if key.startswith(SKIP_PREFIXES) or key in skip:
                 continue
             col = "ts" if key == "@timestamp" else key.replace(".", "_")
-            got_v = got.get(col)
+            got_v = got.get(col) if key == "@timestamp" else _dig(got, key)
             if key == "@timestamp" and isinstance(got_v, _dt.datetime):
                 # golden @timestamp may render in the module timezone
                 # (juniper -02:00) — compare instants, µs-truncated
