@@ -2378,3 +2378,110 @@ def _fortinet_firewall_hook(doc):
 
 
 FILESET_HOOKS[("fortinet", "firewall")] = _fortinet_firewall_hook
+
+
+# -------------------------------------------------------------- salesforce
+
+_SF_EMPTY_SWEEP = _py(
+    # dropEmptyFields: recursive null/"" removal — in the columnar model
+    # only the ""->null half has an effect
+    "for k in list(event):\n"
+    "    if event[k] == '' and not isinstance(event[k], bool):\n"
+    "        event[k] = None")
+
+
+def _sf_map_lookup(field, table, wrap_list=False):
+    """getOrDefault/containsKey map normalization over one column."""
+    return _py(
+        f"table = {table!r}\n"
+        f"v = event.get('{field}')\n"
+        "m = table.get(v) if v is not None else None\n"
+        "if m is not None:\n"
+        f"    event['{field}'] = {'[m]' if wrap_list else 'm'}")
+
+
+def _painless_inline_map(src):
+    """Parse an inline painless map literal [\"K\": \"V\", ...] out of a
+    script source (salesforce logout sessionTypes/levels)."""
+    pairs = re.findall(r'"([^"]+)"\s*:\s*"([^"]+)"', src)
+    return dict(pairs)
+
+
+def _sf_login_hook(doc):
+    return {"scripts": [_SF_EMPTY_SWEEP],
+            "sub_scripts": {"eventlogfile": lambda d: [
+                _sf_map_lookup(
+                    "salesforce_login_api_type",
+                    [p["script"]["params"]["api_type_map"]
+                     for p in d["processors"]
+                     if "script" in p and "api_type_map" in
+                     (p["script"].get("params") or {})][0]),
+                _sf_map_lookup(
+                    "salesforce_login_request_status",
+                    [p["script"]["params"]["request_status_map"]
+                     for p in d["processors"]
+                     if "script" in p and "request_status_map" in
+                     (p["script"].get("params") or {})][0]),
+                # the yml guards on ctx.salesforce.login.db_time.total — a
+                # NESTED map no upstream processor ever creates (the flat
+                # db_time_total key is a different field in painless), so
+                # the division never runs; goldens carry the raw nanos
+                None,
+            ]}}
+
+
+FILESET_HOOKS[("salesforce", "login")] = _sf_login_hook
+
+
+def _sf_logout_hook(doc):
+    def _elf(d):
+        scr = [p["script"] for p in d["processors"] if "script" in p]
+        return [
+            _sf_map_lookup("salesforce_logout_session_type",
+                           _painless_inline_map(scr[0]["source"])),
+            _sf_map_lookup("salesforce_logout_session_level",
+                           _painless_inline_map(scr[1]["source"])),
+            _sf_map_lookup("salesforce_logout_platform_type",
+                           scr[2]["params"]["platforms"]),
+            _sf_map_lookup("salesforce_logout_app_type",
+                           scr[3]["params"]["appTypes"]),
+            _sf_map_lookup("salesforce_logout_api_type",
+                           scr[4]["params"]["apiTypes"]),
+            _sf_map_lookup("salesforce_logout_user_roles",
+                           scr[5]["params"]["userRoles"], wrap_list=True),
+        ]
+    return {"scripts": [_SF_EMPTY_SWEEP], "sub_scripts": {"eventlogfile": _elf}}
+
+
+FILESET_HOOKS[("salesforce", "logout")] = _sf_logout_hook
+
+
+def _sf_apex_hook(doc):
+    scr = [p["script"] for p in doc["processors"] if "script" in p]
+    # json.ENTITY is a sibling LEAF of json.ENTITY_NAME (literal underscore
+    # key): the generic subtree rename would swallow ENTITY_NAME's column —
+    # pin the ENTITY rename to the exact column
+    over = {i: {"rename": {
+        "fields": [{"from": "json.ENTITY",
+                    "to": "salesforce.apex.entity"}],
+        "ignore_missing": True, "move_subtrees": False,
+        "fail_on_error": False}}
+        for i, p in enumerate(doc["processors"])
+        if "rename" in p and p["rename"].get("field") == "json.ENTITY"}
+    ua = _py(
+        f"table = {scr[0]['params']['user_agent_map']!r}\n"
+        "v = event.get('salesforce_apex_user_agent')\n"
+        "if v is not None and table.get(str(v)[:3]) is not None:\n"
+        "    event['salesforce_apex_user_agent'] = table[str(v)[:3]]")
+    act = _py(
+        f"table = {scr[1]['params']['event_action_map']!r}\n"
+        "v = event.get('salesforce_apex_event_type')\n"
+        "m = table.get(v.lower()) if v is not None else None\n"
+        "if m is not None:\n"
+        "    event['event_action'] = m")
+    return [ua, act, _SF_EMPTY_SWEEP], over
+
+
+FILESET_HOOKS[("salesforce", "apex")] = _sf_apex_hook
+FILESET_HOOKS[("salesforce", "setupaudittrail")] = \
+    lambda doc: ([_SF_EMPTY_SWEEP], None)

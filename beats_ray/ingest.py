@@ -516,6 +516,15 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
             out["template"] = tmpl
             if "{{{" in v:
                 out["template_escape"] = False
+        elif isinstance(v, list) and any(
+                isinstance(e, str) and "{{" in e for e in v):
+            # list value of mustache templates (salesforce user.roles:
+            # ["{{{json.USER_TYPE}}}"]) — each element renders per row
+            out["list_templates"] = [re.sub(
+                r"\{\{\{?\s*([^}\s]+?)\s*\}?\}\}",
+                lambda g: "%{[" + g.group(1) + "]}", str(e)) for e in v]
+            if any("{{{" in str(e) for e in v):
+                out["template_escape"] = False
         else:
             out["value"] = v
         for k in ("override", "ignore_empty_value"):
@@ -959,8 +968,13 @@ def render_module_config(text: str, vars: dict) -> str:
     text = re.sub(r"\{\{\s*([.\w$]+)\s*\|\s*printf\s+\"%q\"\s*\}\}",
                   lambda m: _json.dumps(str(_val(m.group(1)))), text)
     text = re.sub(r"\{\{\s*inList\s[^}]*\}\}", "false", text)
-    text = re.sub(r"\{\{\s*(\.[\w.]+)\s*\}\}",
-                  lambda m: str(_val(m.group(1))), text)
+
+    def _plain(m):
+        v = _val(m.group(1))
+        # Go text/template renders a nil value literally (the salesforce
+        # goldens carry instance_url "<no value>")
+        return "<no value>" if v in (None, "") else str(v)
+    text = re.sub(r"\{\{\s*(\.[\w.]+)\s*\}\}", _plain, text)
     return text
 
 

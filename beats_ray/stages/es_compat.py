@@ -64,6 +64,12 @@ class SetField(Stage):
         if self.template is not None:
             # ES mustache JSON-escapes {{..}} values; {{{..}}} opts out
             self.template.json_escape = bool(c.get("template_escape", True))
+        self.list_templates = None
+        if c.get("list_templates"):
+            self.list_templates = [FormatString(t)
+                                   for t in c["list_templates"]]
+            for t in self.list_templates:
+                t.json_escape = bool(c.get("template_escape", True))
         self.override = bool(c.get("override", True))
         self.ignore_empty = bool(c.get("ignore_empty_value", False))
 
@@ -75,6 +81,18 @@ class SetField(Stage):
             if src is None:
                 return batch
             new = src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
+        elif self.list_templates is not None:
+            # list value of per-row template renders (salesforce
+            # user.roles: ["{{{json.USER_TYPE}}}"])
+            cols = [t.render(batch).to_pylist() for t in self.list_templates]
+            rows = [[c[i] for c in cols] for i in range(n)]
+            if self.ignore_empty:
+                keep = [all(e in (None, "") for e in r) for r in rows]
+                keep_cur = pa.array(keep, pa.bool_())
+                if all(keep):
+                    return batch
+            new = pa.array([["" if e is None else e for e in r]
+                            for r in rows], pa.list_(pa.string()))
         elif self.template is not None:
             new = self.template.render(batch)
             if self.ignore_empty:
@@ -100,12 +118,23 @@ class SetField(Stage):
         elif keep_cur is not None:
             if cur is not None:
                 cur = cur.combine_chunks() if isinstance(cur, pa.ChunkedArray) else cur
-                if not (pa.types.is_string(cur.type)
-                        or pa.types.is_large_string(cur.type)):
+                if pa.types.is_list(new.type) or \
+                        pa.types.is_large_list(new.type):
+                    # list-template set over a scalar column: lift the kept
+                    # scalars (ES keeps per-doc shapes; the golden compare
+                    # lifts 1-element lists)
+                    if not (pa.types.is_list(cur.type)
+                            or pa.types.is_large_list(cur.type)):
+                        cur = pa.array(
+                            [None if v is None else [str(v)]
+                             for v in cur.to_pylist()], new.type)
+                elif not (pa.types.is_string(cur.type)
+                          or pa.types.is_large_string(cur.type)):
                     cur = pc.cast(cur, pa.string())
                 new = pc.if_else(keep_cur, cur, new)
             else:
-                new = pc.if_else(keep_cur, pa.nulls(n, pa.string()), new)
+                new = pc.if_else(keep_cur,
+                                 pa.nulls(n, new.type), new)
         return set_column(batch, self.field, new)
 
 

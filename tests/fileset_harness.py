@@ -83,7 +83,7 @@ def run_fileset_fixture(base, module, fileset, logname, vars=None, skip=(),
                         extra_cols=None, extra_spec=None, cap=True,
                         expected_transform=None, unordered=False,
                         align_by=None, pre_json=None, log_path_col=False,
-                        dedupe_lines=False):
+                        dedupe_lines=False, extra_cols_by_name=None):
     """Run one fixture end-to-end through compile_fileset_spec and
     check_golden it against its ``-expected.json``."""
     mdir = f"{base}/{module}"
@@ -150,6 +150,12 @@ def run_fileset_fixture(base, module, fileset, logname, vars=None, skip=(),
                                 pa.list_(pa.string()))
     for name, value in (extra_cols or {}).items():
         cols[name] = pa.array([value] * len(lines))
+    for sub, named in (extra_cols_by_name or {}).items():
+        # fixture-name-keyed input metadata (salesforce event.provider is
+        # stamped by the input based on the collection method)
+        if sub in logname:
+            for name, value in named.items():
+                cols[name] = pa.array([value] * len(lines))
     if log_path_col:   # pipelines that branch on log.file.path (umbrella)
         cols["log_file_path"] = pa.array([path] * len(lines), pa.string())
     out = Pipeline({"processors": spec}).run_local(pa.table(cols))

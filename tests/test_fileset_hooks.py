@@ -21,6 +21,9 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(FB),
 UA_SKIP = ("user_agent.name", "user_agent.os", "user_agent.device",
            "user_agent.version", "user_agent.major", "user_agent.minor")
 
+_SF_PROV = {"_elf": {"event_provider": "EventLogFile"},
+            "_object": {"event_provider": "Object"}}
+
 # (base, module, fileset) -> run_fileset_fixture kwargs
 CASES = {
     (FB, "kafka", "log"): {},
@@ -152,6 +155,15 @@ CASES = {
     # quote-aware splitUnquoted KV + ES network_direction processor
     (XP, "fortinet", "firewall"): {"vars": {"input": "file"}},
     (XP, "aws", "vpcflow"): {"vars": {"input": "file"}},
+    # event.provider is input-stamped metadata keyed by collection method
+    (XP, "salesforce", "login"): {
+        "vars": {"input": "file"}, "extra_cols_by_name": _SF_PROV},
+    (XP, "salesforce", "logout"): {
+        "vars": {"input": "file"}, "extra_cols_by_name": _SF_PROV},
+    (XP, "salesforce", "apex"): {
+        "vars": {"input": "file"}, "extra_cols_by_name": _SF_PROV},
+    (XP, "salesforce", "setupaudittrail"): {
+        "vars": {"input": "file"}, "extra_cols_by_name": _SF_PROV},
 }
 
 # every zeek fileset compiles generically (the scripted ones have ports in

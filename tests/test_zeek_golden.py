@@ -85,6 +85,15 @@ def _instant(s):
 
 
 def _same(got, want):
+    if isinstance(got, float) and isinstance(want, (int, float)) and \
+            not isinstance(want, bool):
+        # ES `convert type: float` is 32-bit and Java Float.toString prints
+        # the shortest unique repr (salesforce db_total_time 232002551 ->
+        # golden 2.3200254E8): equal when both collapse to the same float32
+        import struct
+        f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]  # noqa
+        if f32(got) == f32(float(want)):
+            return True
     if isinstance(got, _dt.datetime) and isinstance(want, str) and \
             _NAIVE_WANT.match(want):
         # pyarrow.json infers timestamps from naive-ISO strings the
