@@ -228,7 +228,8 @@ def unify_concat(parts: list[pa.Table]) -> pa.Table:
                         try:
                             col = pc.cast(col, typ)
                         except (pa.ArrowInvalid,
-                                pa.ArrowNotImplementedError):
+                                pa.ArrowNotImplementedError,
+                                pa.ArrowTypeError):
                             # deep-nested promotion Arrow can't cast
                             # directly (struct field-set growth): rebuild
                             # through python values — branch-split batches

@@ -2485,3 +2485,395 @@ def _sf_apex_hook(doc):
 FILESET_HOOKS[("salesforce", "apex")] = _sf_apex_hook
 FILESET_HOOKS[("salesforce", "setupaudittrail")] = \
     lambda doc: ([_SF_EMPTY_SWEEP], None)
+
+
+# ------------------------------------------------------------------- azure
+
+_AZ_CATEGORY_FIELDS = (
+    # category -> event fields map lookup (params table from the yml)
+    "table = params['table']\n"
+    "pre = params['pre']\n"
+    "cat = event.get(pre + '_category')\n"
+    "hm = table.get(cat.lower()) if cat is not None else None\n"
+    "if hm is not None:\n"
+    "    for k, v in hm.items():\n"
+    "        event['event_' + k.replace('.', '_')] = \\\n"
+    "            list(v) if isinstance(v, list) else v")
+
+
+def _az_cat_script(doc, pre):
+    params = next(p["script"]["params"] for p in doc["processors"]
+                  if "script" in p and (p["script"].get("params") or {})
+                  and "write" in p["script"]["params"])
+    return {"script": {"source": "def process(event, params):\n" + "".join(
+        "    " + ln + "\n" for ln in _AZ_CATEGORY_FIELDS.splitlines())
+        + "    return event\n",
+        "params": {"table": params, "pre": pre}}}
+
+
+def _az_duration(guarded=True):
+    return _py(
+        # painless Integer * Integer wraps at 32 bits (durationMs and
+        # param_nano are both JSON Integers — supporttickets_write carries
+        # the overflowed value in its golden)
+        "d = event.get('event_duration')\n"
+        "if d is not None:\n"
+        "    v = int(d) * 1000000\n"
+        "    if -2**31 <= int(d) < 2**31:\n"
+        "        v = ((v + 2**31) % 2**32) - 2**31\n"
+        "    event['event_duration'] = v")
+
+
+def _az_event_category(pre):
+    return _py(
+        f"p = '{pre}'\n"
+        "ec = event.get(p + '_properties_eventCategory')\n"
+        "if ec is not None:\n"
+        "    event[p + '_event_category'] = ec\n"
+        "elif any(k.startswith(p + '_properties_policies')\n"
+        "         and event[k] is not None for k in event):\n"
+        "    event[p + '_event_category'] = 'Policy'\n"
+        "else:\n"
+        "    event[p + '_event_category'] = 'Administrative'")
+
+
+def _az_strip_empty_pair(doc):
+    """message.replace('\"\":\"\",', '') before the json decode."""
+    params = next(p["script"]["params"] for p in doc["processors"]
+                  if "script" in p and "empty_field_name" in
+                  (p["script"].get("params") or {}))
+    tok = params["empty_field_name"]
+    return _py(
+        "m = event.get('message')\n"
+        "if m is not None:\n"
+        f"    event['message'] = m.replace({tok!r}, '')")
+
+
+def _azure_auditlogs_hook(doc):
+    """azure/auditlogs: ms->ns duration + the indexed targetResources /
+    modifiedProperties map build
+    (x-pack/filebeat/module/azure/auditlogs/ingest/pipeline.yml)."""
+    tr = _py(
+        "trs = event.get('azure_auditlogs_properties_targetResources')\n"
+        "if trs is None:\n"
+        "    return event\n"
+        "base = 'azure_auditlogs_properties_target_resources_'\n"
+        "for i, t in enumerate(trs):\n"
+        "    d = base + str(i) + '_'\n"
+        "    if t.get('displayName') is not None:\n"
+        "        event[d + 'display_name'] = t['displayName']\n"
+        "    event[d + 'id'] = t.get('id')\n"
+        "    event[d + 'type'] = t.get('type')\n"
+        "    if t.get('ipAddress') is not None:\n"
+        "        event[d + 'ip_address'] = t['ipAddress']\n"
+        "    if t.get('userPrincipalName') is not None:\n"
+        "        event[d + 'user_principal_name'] = t['userPrincipalName']\n"
+        "    for j, mp in enumerate(t.get('modifiedProperties') or []):\n"
+        "        md = d + 'modified_properties_' + str(j) + '_'\n"
+        "        event[md + 'display_name'] = mp.get('displayName')\n"
+        "        event[md + 'new_value'] = mp.get('newValue')\n"
+        "        event[md + 'old_value'] = mp.get('oldValue')\n"
+        "event['azure_auditlogs_properties_targetResources'] = None")
+    return [_az_duration(), tr], None
+
+
+FILESET_HOOKS[("azure", "auditlogs")] = _azure_auditlogs_hook
+
+
+def _azure_platformlogs_hook(doc):
+    return [_az_strip_empty_pair(doc), _az_duration(),
+            _az_event_category("azure_platformlogs"),
+            _az_cat_script(doc, "azure_platformlogs")], None
+
+
+FILESET_HOOKS[("azure", "platformlogs")] = _azure_platformlogs_hook
+
+
+def _azure_activitylogs_hook(doc):
+    claims_pre = "azure_activitylogs_identity_claims_"
+    def claim_rename(url_key, to):
+        # the decoder flattens claim-key DOTS to underscores, matching the
+        # painless key.replace('.', '_') sweep (script 47) byte-for-byte
+        col = claims_pre + url_key.replace(".", "_")
+        return _py(
+            f"v = event.get({col!r})\n"
+            "if v is not None:\n"
+            "    event['azure_activitylogs_identity_"
+            f"claims_initiated_by_user_{to}'] = v")
+    base = "http://schemas_xmlsoap_org/ws/2005/05/identity/claims/"
+    return [_az_strip_empty_pair(doc), _az_duration(),
+            _az_event_category("azure_activitylogs"),
+            claim_rename(base + "surname", "surname"),
+            claim_rename(base + "name", "name"),
+            claim_rename(base + "givenname", "givenname"),
+            None,   # claims-key dot sweep: the decoder already did it
+            _az_cat_script(doc, "azure_activitylogs")], None
+
+
+FILESET_HOOKS[("azure", "activitylogs")] = _azure_activitylogs_hook
+
+
+def _azure_signinlogs_hook(doc):
+    snake = _py(
+        "import re as _re\n"
+        "rx = _re.compile(r'([a-z])([A-Z]+)')\n"
+        "def _snake(s):\n"
+        "    return rx.sub(lambda m: m.group(1) + '_' + m.group(2), s)\\\n"
+        "        .lower()\n"
+        "def _deep(v):\n"
+        "    if isinstance(v, dict):\n"
+        "        return {_snake(k): _deep(x) for k, x in v.items()}\n"
+        "    if isinstance(v, list):\n"
+        "        return [_deep(x) for x in v]\n"
+        "    return v\n"
+        "for k in list(event):\n"
+        "    if k.startswith('azure_signinlogs_'):\n"
+        "        nk = 'azure_signinlogs_' + _snake(k[len('azure_signinlogs_'):])\n"
+        "        v = _deep(event[k])\n"
+        "        if nk != k:\n"
+        "            event[k] = None\n"
+        "        event[nk] = v")
+    apd = _py(
+        "items = event.get("
+        "'azure_signinlogs_properties_authentication_processing_details')\n"
+        "if isinstance(items, list):\n"
+        "    pre = ('azure_signinlogs_properties_"
+        "authentication_processing_details_')\n"
+        "    for it in items:\n"
+        "        if isinstance(it, dict) and it.get('key') is not None:\n"
+        "            event[pre + str(it['key']).replace('.', '_')] = \\\n"
+        "                it.get('value')\n"
+        "    event['azure_signinlogs_properties_"
+        "authentication_processing_details'] = None")
+    return [snake, _az_duration(), apd], None
+
+
+FILESET_HOOKS[("azure", "signinlogs")] = _azure_signinlogs_hook
+
+
+# ------------------------------------------------------------ okta/system
+
+def _okta_system_hook(doc):
+    """okta/system ingest/pipeline.yml: risk-behaviors POSITIVE fold,
+    target list camel->snake member rewrites, event-type-matched
+    target_user/target_group element copies, final recursive null drop
+    (columnar no-op)."""
+    behaviors = _py(
+        "pre = 'okta_debug_context_debug_data_flattened_behaviors_'\n"
+        "dst = [k[len(pre):] for k in event\n"
+        "       if k.startswith(pre) and event[k] == 'POSITIVE']\n"
+        "src = event.get(pre[:-1])\n"
+        "if isinstance(src, dict):\n"
+        "    dst += [k for k, v in src.items() if v == 'POSITIVE']\n"
+        "if dst:\n"
+        "    event['okta_debug_context_debug_data_risk_behaviors'] = dst")
+    snake = _py(
+        "arr = event.get('okta_target')\n"
+        "if isinstance(arr, list):\n"
+        "    for el in arr:\n"
+        "        if not isinstance(el, dict):\n"
+        "            continue\n"
+        "        el['alternate_id'] = el.pop('alternateId', None)\n"
+        "        el['display_name'] = el.pop('displayName', None)\n"
+        "        el.pop('detailEntry', None)")
+    def pick(kind, moves):
+        # the painless stores a REFERENCE to the matched array element;
+        # the later renames mutate it THROUGH that reference (display_name
+        # and id leave okta.target itself) — fold pick + renames into one
+        # element-mutating script
+        mv = "\n".join(
+            f"            if el.get({frm!r}) is not None:\n"
+            f"                event[{to!r}] = el.pop({frm!r})"
+            for frm, to in moves)
+        return _py(
+            "et = event.get('okta_event_type')\n"
+            f"if et is None or '{kind}.' not in et:\n"
+            "    return event\n"
+            "arr = event.get('okta_target')\n"
+            "if isinstance(arr, list):\n"
+            "    for el in arr:\n"
+            "        if isinstance(el, dict) and \\\n"
+            f"                '{kind}' in str(el.get('type', '')).lower():\n"
+            + mv + "\n"
+            "            break")
+    pick_user = pick("user", [("display_name", "user_target_full_name"),
+                              ("id", "user_target_id"),
+                              ("login", "user_target_email")])
+    pick_group = pick("group", [("display_name", "user_target_group_name"),
+                                ("id", "user_target_group_id")])
+    return [behaviors, snake, pick_user, pick_group, None], None
+
+
+FILESET_HOOKS[("okta", "system")] = _okta_system_hook
+
+
+# ----------------------------------------------------------- suricata/eve
+
+def _suricata_eve_hook(doc):
+    """suricata/eve root pipeline.yml + per-event-type sub-pipelines: the
+    event_type ECS categorize map (params from the module's own yml),
+    destination.domain distinct-collapse, byte/packet sums, start..end ->
+    duration nanos; dns answer v1/v2 normalization, TLD split, url merge,
+    trailing-dot SNI trim."""
+    cat_params = next(p["script"]["params"] for p in doc["processors"]
+                      if "script" in p and p["script"].get("params"))
+    categorize = {"script": {"source": (
+        "def process(event, params):\n"
+        "    event['event_kind'] = 'event'\n"
+        "    event['event_category'] = ['network']\n"
+        "    tp = params.get(event.get('suricata_eve_event_type'))\n"
+        "    if tp is None:\n"
+        "        return event\n"
+        "    for k, v in tp.items():\n"
+        "        if k == 'network_protocol':\n"
+        "            event['network_protocol'] = v\n"
+        "        elif isinstance(v, list):\n"
+        "            event['event_' + k] = list(v)\n"
+        "        else:\n"
+        "            event['event_' + k] = v\n"
+        "    return event\n"), "params": cat_params}}
+    dom = _py(
+        "d = event.get('destination_domain')\n"
+        "if isinstance(d, list):\n"
+        "    seen = []\n"
+        "    for x in d:\n"
+        "        if x not in seen:\n"
+        "            seen.append(x)\n"
+        "    event['destination_domain'] = seen[0] if len(seen) == 1 "
+        "else seen")
+    sums = _py(
+        "sp = event.get('source_packets') or 0\n"
+        "sb = event.get('source_bytes') or 0\n"
+        "dp = event.get('destination_packets') or 0\n"
+        "db = event.get('destination_bytes') or 0\n"
+        "if sb + db + sp + dp > 0:\n"
+        "    if sb + db > 0:\n"
+        "        event['network_bytes'] = sb + db\n"
+        "    if sp + dp > 0:\n"
+        "        event['network_packets'] = sp + dp")
+    duration = _py(
+        "from datetime import datetime as _d\n"
+        "def ins(v):\n"
+        "    if v is None:\n"
+        "        return None\n"
+        "    if hasattr(v, 'isoformat'):\n"
+        "        return v\n"
+        "    try:\n"
+        "        return _d.fromisoformat(str(v).replace('Z', '+00:00'))\n"
+        "    except ValueError:\n"
+        "        return None\n"
+        "s, e = ins(event.get('event_start')), ins(event.get('event_end'))\n"
+        "if s is not None and e is not None:\n"
+        "    if s.tzinfo is None and e.tzinfo is not None:\n"
+        "        e = e.replace(tzinfo=None)\n"
+        "    elif s.tzinfo is not None and e.tzinfo is None:\n"
+        "        s = s.replace(tzinfo=None)\n"
+        "    if s <= e:\n"
+        "        event['event_duration'] = \\\n"
+        "            int((e - s).total_seconds() * 1e9)")
+    ans_v1 = _py(
+        "g = event.get\n"
+        "ans = {}\n"
+        "for k, f in (('name', 'suricata_eve_dns_rrname'),\n"
+        "             ('data', 'suricata_eve_dns_rdata'),\n"
+        "             ('type', 'suricata_eve_dns_rrtype'),\n"
+        "             ('ttl', 'suricata_eve_dns_ttl')):\n"
+        "    if g(f) is not None:\n"
+        "        ans[k] = event[f]\n"
+        "if ans:\n"
+        "    event['dns_answers'] = [ans]\n"
+        "if ans.get('type') in ('A', 'AAAA'):\n"
+        "    event['dns_resolved_ip'] = [ans.get('data')]")
+    ans_v2 = _py(
+        "arr = event.get('dns_answers')\n"
+        "if not isinstance(arr, list):\n"
+        "    return event\n"
+        "resolved = []\n"
+        "for a in arr:\n"
+        "    if not isinstance(a, dict):\n"
+        "        continue\n"
+        "    for src, k in (('rrname', 'name'), ('rrtype', 'type'),\n"
+        "                   ('rdata', 'data')):\n"
+        "        v = a.pop(src, None)\n"
+        "        if v is not None:\n"
+        "            a[k] = v\n"
+        "    if a.get('type') in ('A', 'AAAA'):\n"
+        "        resolved.append(a.get('data'))\n"
+        "if resolved:\n"
+        "    event['dns_resolved_ip'] = resolved")
+    tld = _py(
+        "rd = event.get('dns_question_registered_domain')\n"
+        "if rd is not None and '.' in rd:\n"
+        "    event['dns_question_top_level_domain'] = \\\n"
+        "        rd[rd.index('.') + 1:]")
+    url_merge = _py(
+        "pre = '_temp__url_'\n"
+        "for k in [k for k in list(event) if k.startswith(pre)]:\n"
+        "    v = event.get(k)\n"
+        "    if v is None:\n"
+        "        continue\n"
+        "    tgt = 'url_' + k[len(pre):]\n"
+        "    cur = event.get(tgt)\n"
+        "    if cur is None:\n"
+        "        event[tgt] = v\n"
+        "    elif isinstance(cur, list):\n"
+        "        if v not in cur:\n"
+        "            event[tgt] = cur + [v]\n"
+        "    elif cur != v and str(v) not in str(cur):\n"
+        "        event[tgt] = [cur, v]")
+    sni = _py(
+        "s = event.get('suricata_eve_tls_sni')\n"
+        "if s is not None and s.endswith('.'):\n"
+        "    event['suricata_eve_tls_sni'] = s[:-1]")
+    return {"scripts": [categorize, dom, sums, duration],
+            "sub_scripts": {"dns-answer-v1": [ans_v1],
+                            "dns-answer-v2": [ans_v2],
+                            "dns": [tld],
+                            "http": [url_merge],
+                            "tls": [sni]}}
+
+
+FILESET_HOOKS[("suricata", "eve")] = _suricata_eve_hook
+
+
+# ------------------------------------------------- oracle/database_audit
+
+def _oracle_database_audit_hook(doc):
+    """oracle/database_audit: key-normalization sweeps (lowercase,
+    space->_, $->_) over the kv output, action_number map (pairs parsed
+    from the module's own painless), empty-string sweep."""
+    import re as _re
+    src16 = [p["script"]["source"] for p in doc["processors"]
+             if "script" in p][3]
+    pairs = dict(_re.findall(
+        r'if \(x == (\d+)\) \{\s*ctx\.oracle\.database_audit\.action'
+        r' = "([^"]+)"', src16))
+    pre = "oracle_database_audit_"
+    keyfix = _py(
+        f"pre = {pre!r}\n"
+        "for k in list(event):\n"
+        "    if not k.startswith(pre) or event[k] is None:\n"
+        "        continue\n"
+        "    nk = pre + k[len(pre):].lower().replace(' ', '_')"
+        ".replace('$', '_')\n"
+        "    if nk != k:\n"
+        "        v = event[k]\n"
+        "        event[k] = None\n"
+        "        event[nk] = v")
+    act = _py(
+        # painless `x == 100` is an Integer compare: the kv output is a
+        # STRING, so the map only fires for numeric values
+        f"table = {pairs!r}\n"
+        "x = event.get('oracle_database_audit_action_number')\n"
+        "if isinstance(x, int) and str(x) in table:\n"
+        "    event['oracle_database_audit_action'] = table[str(x)]")
+    sweep = _py(
+        "for k in list(event):\n"
+        "    if event[k] == '' and not isinstance(event[k], bool):\n"
+        "        event[k] = None")
+    # the three normalization scripts collapse into one sweep (lowercase +
+    # space + $ replacements are idempotent together)
+    return [keyfix, None, None, act, sweep], None
+
+
+FILESET_HOOKS[("oracle", "database_audit")] = _oracle_database_audit_hook

@@ -391,7 +391,8 @@ def painless_condition(src: str) -> dict:
 # ---------------------------------------------------------------------------
 
 _JAVA_TOKENS = [
-    ("yyyy", "%Y"), ("yy", "%y"), ("MMMM", "%B"), ("MMM", "%b"),
+    ("yyyy", "%Y"), ("uuuu", "%Y"), ("yy", "%y"), ("MMMM", "%B"),
+    ("MMM", "%b"),
     ("MM", "%m"), ("M", "%m"), ("dd", "%d"), ("d", "%d"),
     ("EEEE", "%A"), ("EEE", "%a"), ("HH", "%H"), ("H", "%H"),
     ("hh", "%I"), ("h", "%I"), ("mm", "%M"), ("m", "%M"),
@@ -416,7 +417,27 @@ _NAMED_LAYOUTS = {"ISO_INSTANT": "ISO8601", "ISO_OFFSET_DATE_TIME": "ISO8601",
 def java_date_layouts(formats) -> list[str]:
     """ES date-processor formats -> timestamp-stage layouts."""
     out = []
+    expanded = []
     for f in formats:
+        if "[" in str(f):
+            # java.time optional sections: expand each [..] group into
+            # with/without variants ('EEE MMM [ d][dd] HH:mm:ss uuuu XXX',
+            # oracle) — non-sensical combinations simply never match, and
+            # strptime's whitespace leniency absorbs the padding space
+            variants = [""]
+            for part in re.split(r"(\[[^\]]*\])", str(f)):
+                if part.startswith("["):
+                    variants = [v + part[1:-1] for v in variants] + variants
+                else:
+                    variants = [v + part for v in variants]
+            seen = set()
+            for v in variants:
+                if v not in seen:
+                    seen.add(v)
+                    expanded.append(v)
+        else:
+            expanded.append(f)
+    for f in expanded:
         if f in _PASSTHROUGH:
             out.append(f)
             continue
@@ -616,14 +637,31 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
             specs.append({"copy_fields": {
                 "fields": [{"from": cfg["field"], "to": tgt}],
                 "ignore_missing": True, "fail_on_error": False}})
+        # Java Matcher.replaceAll: backslash escapes the next replacement
+        # char (oracle gsub replacement '\|' is a literal pipe); keep $N
+        # backrefs for the replace stage's own translation
+        repl = re.sub(r"\\([^\d$])", r"\1", str(cfg.get("replacement", "")))
         specs.append({"replace": {"fields": [{
             "field": tgt, "pattern": cfg["pattern"],
-            "replacement": cfg.get("replacement", "")}],
+            "replacement": repl}],
             "ignore_missing": True, "fail_on_error": False}})
         return specs
     if kind == "kv":
         out = {k: v for k, v in cfg.items() if k not in ("if", "description",
                                                          "on_failure", "tag")}
+        if cfg.get("on_failure"):
+            # ES on_failure: the doc does NOT fail; handlers run for the
+            # rows this kv missed — gated on a per-processor flag (okta
+            # risk kv removes its partial target)
+            flag = f"_kv_fail_{ctx.index}"
+            out["failure_flag"] = flag
+            specs = [{"kv": out}]
+            cond = {"contains": {"log.flags": flag}}
+            for h in cfg["on_failure"]:
+                for s2 in compile_ingest([h], _ctx=ctx):
+                    w = {"and": [cond, s2["when"]]} if "when" in s2 else cond
+                    specs.append({**s2, "when": w})
+            return specs
         return [{"kv": out}]
     if kind == "grok":
         # ES grok is an UNANCHORED substring match (kafka's first pattern
@@ -652,6 +690,9 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
         # (Beats dissect joins with the preceding delimiter instead)
         out = {"field": cfg["field"], "tokenizer": cfg["pattern"],
                "target_prefix": "",
+               # ES dissect overwrites existing fields (an in-place
+               # brace-strip — okta behaviors — rewrites its own source)
+               "overwrite_keys": True,
                "append_separator": cfg.get("append_separator", "")}
         if cfg.get("ignore_failure"):
             # cisco asa 713049: two variant dissects under one message-id
@@ -800,8 +841,45 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
         return specs
     if kind == "foreach":
         inner = cfg.get("processor", {})
+        if "rename" in inner:
+            r = inner["rename"]
+            f, t = str(r.get("field", "")), str(r.get("target_field", ""))
+            pre = "_ingest._value."
+            if f.startswith(pre) and t.startswith(pre):
+                # per-element struct-member rename inside a list column
+                # (okta target geographicalContext -> geographical_context)
+                col = cfg["field"].replace(".", "_")
+                fk = f[len(pre):].split(".")
+                tk = t[len(pre):].split(".")
+                src = (
+                    "def process(event, params):\n"
+                    f"    arr = event.get({col!r})\n"
+                    "    if not isinstance(arr, list):\n"
+                    "        return event\n"
+                    f"    fk, tk = {fk!r}, {tk!r}\n"
+                    "    for el in arr:\n"
+                    "        cur = el\n"
+                    "        for seg in fk[:-1]:\n"
+                    "            cur = cur.get(seg) if isinstance(cur, dict)"
+                    " else None\n"
+                    "        if not isinstance(cur, dict) or "
+                    "fk[-1] not in cur:\n"
+                    "            continue\n"
+                    "        v = cur.pop(fk[-1])\n"
+                    "        dst = el\n"
+                    "        for seg in tk[:-1]:\n"
+                    "            nxt = dst.get(seg)\n"
+                    "            if not isinstance(nxt, dict):\n"
+                    "                nxt = dst[seg] = {}\n"
+                    "            dst = nxt\n"
+                    "        dst[tk[-1]] = v\n"
+                    "    return event\n")
+                return [{"script": {"source": src}}]
         if "append" in inner:
             a = inner["append"]
+            av = a.get("value")
+            if isinstance(av, list) and len(av) == 1:
+                a = {**a, "value": av[0]}   # 1-elem list form (suricata)
             m = _PURE_TMPL.match(str(a.get("value")))
             if m and m.group(1).startswith("_ingest._value"):
                 out = {"field": a["field"], "each_from": cfg["field"]}
@@ -941,9 +1019,17 @@ def render_module_config(text: str, vars: dict) -> str:
         if cond.startswith("not "):
             return not _truth(cond[4:])
         if cond.startswith("eq "):
+            def _gostr(t):
+                if t.startswith('"'):
+                    return t[1:-1]
+                if t in ("true", "false"):   # literal bool operand
+                    return t
+                v = _val(t)
+                if isinstance(v, bool):      # Go renders bools lowercase
+                    return "true" if v else "false"
+                return str(v)
             toks = re.findall(r'"[^"]*"|\S+', cond[3:])
-            vals = [t[1:-1] if t.startswith('"') else str(_val(t))
-                    for t in toks]
+            vals = [_gostr(t) for t in toks]
             return len(vals) >= 2 and all(v == vals[0] for v in vals[1:])
         return bool(_val(cond.split()[0]))
 

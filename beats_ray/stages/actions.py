@@ -253,7 +253,10 @@ class Replace(Stage):
 
     def __init__(self, config=None):
         super().__init__(config)
-        self.rules = [(r["field"], r["pattern"], r.get("replacement", ""))
+        # Java regex escapes RE2/python lack: \e = ESC (azure gsub)
+        self.rules = [(r["field"],
+                       str(r["pattern"]).replace("\\e", "\\x1b"),
+                       r.get("replacement", ""))
                       for r in self.config.get("fields", [])]
         self.ignore_missing = bool(self.config.get("ignore_missing", False))
         self.fail_on_error = bool(self.config.get("fail_on_error", True))

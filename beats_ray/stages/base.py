@@ -196,13 +196,15 @@ class Stage:
                             try:
                                 new = pc.cast(new, orig.type)
                             except (pa.ArrowInvalid,
-                                    pa.ArrowNotImplementedError):
+                                    pa.ArrowNotImplementedError,
+                                    pa.ArrowTypeError):
                                 orig = pc.cast(orig, new.type)
                     merged = pc.replace_with_mask(orig, mask, new)
                 else:
                     merged = pc.replace_with_mask(pa.nulls(n, new.type), mask, new)
                 result = set_column(result, name, merged)
-        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                pa.ArrowTypeError):
             return None
         return result
 

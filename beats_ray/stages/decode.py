@@ -837,7 +837,14 @@ class KeyValue(Stage):
                               for m in merged]
                     arr = pa.array(merged, pa.string())
             batch = set_column(batch, name, arr)
-        if any(failed) and not self.ignore_failure:
-            batch = set_error(batch, pa.array(failed),
-                              "unable to split key-value pair")
+        if any(failed):
+            flag = self.config.get("failure_flag")
+            if flag:
+                # per-processor on_failure routing (okta risk kv): mark the
+                # rows this kv missed so compiled handlers can gate on it
+                from ..event import add_flag
+                batch = add_flag(batch, pa.array(failed), flag)
+            elif not self.ignore_failure:
+                batch = set_error(batch, pa.array(failed),
+                                  "unable to split key-value pair")
         return batch

@@ -306,7 +306,14 @@ class DissectStage(Stage):
         return [field_to_column(self.field), FLAGS_COL]
 
     def process(self, batch: pa.Table) -> pa.Table:
-        col = batch.column(field_to_column(self.field))
+        cname = field_to_column(self.field)
+        if cname not in batch.column_names:
+            if self.config.get("ignore_missing") or self.ignore_failure:
+                return batch
+            from ..event import set_error
+            return set_error(batch, pa.array([True] * len(batch)),
+                             f"field [{self.field}] not present")
+        col = batch.column(cname)
         if self.dissector.regex is not None:
             return self._process_regex(batch, col)
         return self._process_py(batch, col)

@@ -79,6 +79,17 @@ class SetField(Stage):
         if self.copy_from is not None:
             src = get_column(batch, self.copy_from)
             if src is None:
+                # container copy: ES set copy_from of a MAP clones the whole
+                # subtree (okta debug_data -> ...flattened) — column-prefix
+                # copy in the flat model
+                from ..event import field_to_column as _f2c
+                pre = _f2c(self.copy_from) + "_"
+                subs = [c for c in batch.column_names if c.startswith(pre)]
+                if subs:
+                    dst = _f2c(self.field) + "_"
+                    for c in subs:
+                        batch = set_column(batch, dst + c[len(pre):],
+                                           batch.column(c))
                 return batch
             new = src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
         elif self.list_templates is not None:

@@ -235,6 +235,11 @@ def compile_grok(expression: str, pattern_definitions: dict | None = None,
     # already a (?...) construct — capture-by-name is the only extraction
     # path here, so plain groups only ever mean grouping.
     pattern = re.sub(r"(?<!\\)\((?![?])", "(?:", pattern)
+    if "(?m)" in pattern:
+        # MID-pattern Oniguruma (?m): dotall from that point on (oracle
+        # audit '...\n(?m)%{GREEDYDATA:audit}') — scope it as (?s:rest)
+        head, _, tail = pattern.partition("(?m)")
+        pattern = head + "(?s:" + tail + ")"
     if oni_dotall:
         pattern = re.sub(r"(?<!\\)\$", r"(?=\\n|$)", pattern)
     if anchor:

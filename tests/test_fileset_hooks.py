@@ -164,6 +164,21 @@ CASES = {
         "vars": {"input": "file"}, "extra_cols_by_name": _SF_PROV},
     (XP, "salesforce", "setupaudittrail"): {
         "vars": {"input": "file"}, "extra_cols_by_name": _SF_PROV},
+    # 32-bit painless duration overflow, keysToSnakeCase sweep, indexed
+    # targetResources maps, category->event-fields params tables
+    (XP, "azure", "auditlogs"): {"vars": {"input": "file"}},
+    (XP, "azure", "platformlogs"): {"vars": {"input": "file"}},
+    (XP, "azure", "signinlogs"): {"vars": {"input": "file"}},
+    (XP, "azure", "activitylogs"): {"vars": {"input": "file"}},
+    # foreach member renames, kv on_failure flag routing, container
+    # copy_from, in-place ES dissect overwrite
+    (XP, "okta", "system"): {"vars": {"input": "file"}},
+    # per-event-type sub-pipelines, dns answer v1/v2, url merge, SNI trim
+    (XP, "suricata", "eve"): {"vars": {"input": "file"}},
+    # mid-pattern Oniguruma (?m) dotall, [..] optional date sections,
+    # lookahead kv splits, Java replacement escapes, log.file.path grok
+    (XP, "oracle", "database_audit"): {"vars": {"input": "file"},
+                                       "log_path_col": True},
 }
 
 # every zeek fileset compiles generically (the scripted ones have ports in
