@@ -1593,7 +1593,11 @@ def q_events_ingest_apache(sf_dir: str):
                "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0 "
                "Safari/537.36\"")
         # ts doubles as the pre-parse @timestamp the harvester would stamp
-        return pd.DataFrame({"message": msg, "ts": df["ts"]})
+        # (arrow table out: pandas schema metadata is unhashable and
+        # defeats Ray's block-schema dedup)
+        return pa.Table.from_pandas(
+            pd.DataFrame({"message": msg, "ts": df["ts"]}),
+            preserve_index=False).replace_schema_metadata(None)
 
     spec = compile_ingest(load_pipeline_yml(_APACHE_PIPELINE_YML),
                           scripts=[_APACHE_TLS_SCRIPT, None])
@@ -1613,7 +1617,10 @@ def q_events_ingest_apache(sf_dir: str):
             min_ip=("source_ip", "min"))
         g["n"] = g["n"].astype("int64")
         g["sum_bytes"] = g["sum_bytes"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # strip pandas schema metadata: its dicts defeat Ray's
+        # block-schema dedup (unhashable-schema warning)
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
 
     return small_groupby(parsed, keys, partial,
                          {"n": "sum", "sum_bytes": "sum",
@@ -1767,7 +1774,9 @@ def q_events_ingest_checkpoint(sf_dir: str):
                + "\"; src:\"" + srcip + "\"; dst:\"" + dstip
                + "\"; proto:\"" + proto + "\"; s_port:\"" + sport
                + "\"; service:\"" + dport + "\"]")
-        return pd.DataFrame({"message": msg, "ts": df["ts"]})
+        return pa.Table.from_pandas(
+            pd.DataFrame({"message": msg, "ts": df["ts"]}),
+            preserve_index=False).replace_schema_metadata(None)
 
     parsed = Pipeline(_checkpoint_compiled_spec()).apply(
         ds.map_batches(render, batch_format="pandas"))
@@ -1785,7 +1794,10 @@ def q_events_ingest_checkpoint(sf_dir: str):
             min_ip=("source_ip", "min"))
         g["n"] = g["n"].astype("int64")
         g["sum_dport"] = g["sum_dport"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # strip pandas schema metadata: its dicts defeat Ray's
+        # block-schema dedup (unhashable-schema warning)
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
 
     return small_groupby(parsed, keys, partial,
                          {"n": "sum", "sum_dport": "sum",

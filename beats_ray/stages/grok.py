@@ -659,22 +659,52 @@ class GrokStage(Stage):
         winner = None
         if not self.anchor and len(self.compiled) > 1:
             import numpy as np
-            starts = []
             sentinel = np.iinfo(np.int64).max
-            for pattern, _meta, rx, _rxv, _mand in self.compiled:
+            winner = np.full(n, -1, dtype=np.int64)
+            best = np.full(n, sentinel, dtype=np.int64)
+            # a row whose best start is 0 cannot be beaten (ties go to the
+            # lowest pattern index), so later patterns only scan the
+            # remainder — near-free when pattern 1 matches at offset 0.
+            # Fast path: one ANCHORED match of pattern 1 settles those rows
+            # without a positional find (the common log-line case).
+            active = np.ones(n, dtype=bool)
+            p1, _m1, rx1, _v1, _d1 = self.compiled[0]
+            try:
+                if rx1 is None:
+                    at0 = pc.match_substring_regex(
+                        col, pattern="^(?:" + p1 + ")")
+                    at0 = pc.fill_null(at0, False).to_numpy(
+                        zero_copy_only=False)
+                else:
+                    at0 = np.fromiter(
+                        (rx1.match(v) is not None for v in col.to_pylist()),
+                        dtype=bool, count=n)
+                winner[at0] = 0
+                best[at0] = 0
+                active &= ~at0
+            except pa.ArrowInvalid:
+                pass   # pattern unsuitable for the anchored probe
+            for pi, (pattern, _meta, rx, _rxv, _mand) in \
+                    enumerate(self.compiled):
+                idx = np.nonzero(active)[0]
+                if idx.size == 0:
+                    break
+                sub = col if idx.size == n else col.take(pa.array(idx))
                 if rx is None:
-                    s = pc.find_substring_regex(col, pattern=pattern)
+                    s = pc.find_substring_regex(sub, pattern=pattern)
                     s = pc.fill_null(s, -1).to_numpy(zero_copy_only=False)
                     s = s.astype(np.int64)
                 else:
                     s = np.fromiter(
                         ((m.start() if (m := rx.search(v)) is not None
-                          else -1) for v in col.to_pylist()),
-                        dtype=np.int64, count=n)
-                starts.append(np.where(s < 0, sentinel, s))
-            st = np.stack(starts)
-            winner = st.argmin(axis=0)
-            winner[st.min(axis=0) == sentinel] = -1
+                          else -1) for v in sub.to_pylist()),
+                        dtype=np.int64, count=idx.size)
+                s = np.where(s < 0, sentinel, s)
+                better = s < best[idx]
+                upd = idx[better]
+                winner[upd] = pi
+                best[upd] = s[better]
+                active[idx[best[idx] == 0]] = False
         out_cols: dict[str, pa.Array] = {}
         # rows actually produced per column (ok-mask union over the
         # patterns that contain the group): a row matched by a pattern
