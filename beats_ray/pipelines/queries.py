@@ -1824,3 +1824,132 @@ _EXTRA_ORACLES["events_ingest_checkpoint"] = """
            min(srcip) AS min_ip
     FROM e GROUP BY 1, 2, 3, 4
 """
+
+
+# --------------------------------- production module-runner path at sf scale
+
+def q_events_ingest_nginx_module(sf_dir: str):
+    """THIRD compiled-ingest query — and the only one that runs the FULL
+    production module-runner path: ``beats_ray.modules.compile_fileset_spec``
+    resolves the nginx/access fileset's manifest.yml, renders its
+    Go-templated ``config/nginx-access.yml`` (input-level add_fields
+    ecs.version), compiles ``ingest/pipeline.yml`` with the built-in
+    FILESET_HOOKS painless port (first-public-IP selection over
+    nginx.access.remote_ip_list), and stamps the module-identity fields
+    (event.module/event.dataset — channel/runner.go newCommonConfigEditor).
+    The other two compiled queries call ``compile_ingest`` on a yml path
+    directly; this one proves the *whole* ``python -m beats_ray module``
+    surface emits vectorized stages at data scale.
+
+    Input: nginx combined-log lines rendered DETERMINISTICALLY from the
+    events table, with X-Forwarded-For-style remote_ip_lists (private-only,
+    private+public, public+private by event_id % 3) so the script port's
+    first-public-IP selection is oracle-checked, not just golden-checked.
+    geoip is cluster-side (compiler skips it); user_agent runs per row for
+    bench realism but is not aggregated (uap is not SQL-expressible).
+
+    Reference: filebeat/module/nginx/access/{manifest.yml,config/
+    nginx-access.yml,ingest/pipeline.yml}; golden parity for the same
+    production path on the module's own fixtures in
+    tests/test_fileset_hooks.py (nginx/access)."""
+    from ..modules import compile_fileset_spec
+    from ..pipeline import Pipeline
+
+    ds = _read(os.path.join(sf_dir, "events.parquet"),
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def render(df: pd.DataFrame) -> pa.Table:
+        u, e = df["user_id"], df["event_id"]
+        priv = ("10." + ((u // 65536) % 256).astype(str) + "."
+                + ((u // 256) % 256).astype(str) + "." + (u % 256).astype(str))
+        pub = ("203.0." + ((e // 256) % 256).astype(str) + "."
+               + (e % 256).astype(str))
+        iplist = pd.Series(
+            np.select([e % 3 == 0, e % 3 == 1],
+                      [priv + ", " + pub, priv], pub + ", " + priv),
+            index=df.index)
+        method = pd.Series(
+            np.where(df["event_type"].isin(["purchase", "signup"]),
+                     "POST", "GET"), index=df.index)
+        status = pd.Series(
+            np.where(e % 20 == 0, 502, np.where(e % 20 <= 2, 404, 200)),
+            index=df.index)
+        path = "/item/" + df["event_type"] + "/" + (e % 7).astype(str)
+        user = pd.Series(np.where(e % 4 == 0, "-", "u" + u.astype(str)),
+                         index=df.index)
+        when = df["ts"].dt.strftime("%d/%b/%Y:%H:%M:%S") + " +0000"
+        msg = (iplist + " - " + user + " [" + when + "] \"" + method + " "
+               + path + " HTTP/1.1\" " + status.astype(str) + " "
+               + (e % 4096).astype(str)
+               + " \"-\" \"Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15) "
+               "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 "
+               "Safari/605.1.15\"")
+        # arrow out: pandas schema metadata is unhashable and defeats
+        # Ray's block-schema dedup
+        return pa.Table.from_pandas(
+            pd.DataFrame({"message": msg, "ts": df["ts"]}),
+            preserve_index=False).replace_schema_metadata(None)
+
+    spec, _ = compile_fileset_spec(
+        "/root/reference/filebeat/module/nginx", "nginx", "access")
+    parsed = Pipeline(spec).apply(
+        ds.map_batches(render, batch_format="pandas"))
+
+    keys = ["event_module", "event_dataset", "ecs_version", "event_outcome",
+            "http_request_method", "http_response_status_code", "url_path"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(keys + ["http_response_body_bytes", "ts",
+                              "source_ip"]).to_pandas()
+        g = df.groupby(keys, as_index=False, dropna=False).agg(
+            n=("source_ip", "size"),
+            sum_bytes=("http_response_body_bytes", "sum"),
+            max_ts=("ts", "max"),
+            min_ip=("source_ip", "min"))
+        g["n"] = g["n"].astype("int64")
+        g["sum_bytes"] = g["sum_bytes"].astype("int64")
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    return small_groupby(parsed, keys, partial,
+                         {"n": "sum", "sum_bytes": "sum",
+                          "max_ts": "max", "min_ip": "min"})
+
+
+QUERIES["events_ingest_nginx_module"] = q_events_ingest_nginx_module
+_EXTRA_ORACLES["events_ingest_nginx_module"] = """
+    WITH e AS (
+      SELECT ts, event_id AS e,
+             CASE WHEN event_id % 20 = 0 THEN 502
+                  WHEN event_id % 20 <= 2 THEN 404 ELSE 200 END AS status,
+             event_id % 4096 AS nbytes,
+             CASE WHEN event_type IN ('purchase', 'signup') THEN 'POST'
+                  ELSE 'GET' END AS method,
+             '/item/' || event_type || '/'
+                || CAST(event_id % 7 AS VARCHAR) AS path,
+             -- the pipeline's painless script picks the first NON-private
+             -- IP in remote_ip_list, else the first entry: lists are
+             -- [priv,pub] / [priv] / [pub,priv] by e%3 -> pub, priv, pub
+             CASE WHEN event_id % 3 = 1 THEN
+                 '10.' || CAST((user_id // 65536) % 256 AS VARCHAR) || '.'
+                       || CAST((user_id // 256) % 256 AS VARCHAR) || '.'
+                       || CAST(user_id % 256 AS VARCHAR)
+             ELSE
+                 '203.0.' || CAST((event_id // 256) % 256 AS VARCHAR) || '.'
+                          || CAST(event_id % 256 AS VARCHAR)
+             END AS ip
+      FROM events)
+    SELECT 'nginx' AS event_module,
+           'nginx.access' AS event_dataset,
+           '1.12.0' AS ecs_version,
+           CASE WHEN status < 400 THEN 'success'
+                ELSE 'failure' END AS event_outcome,
+           method AS http_request_method,
+           status::BIGINT AS http_response_status_code,
+           path AS url_path,
+           count(*)::BIGINT AS n,
+           sum(nbytes)::BIGINT AS sum_bytes,
+           max(date_trunc('second', ts)) AS max_ts,
+           min(ip) AS min_ip
+    FROM e GROUP BY 1, 2, 3, 4, 5, 6, 7
+"""

@@ -202,3 +202,36 @@ def test_resume_rejects_removed_inputs(ray_session):
     files = sorted(glob.glob(in_dir + "/*.parquet"))
     with _pytest.raises(ValueError, match="append-only"):
         run_resumable(pipe, files, out_dir, files_per_partition=2)
+
+
+def test_ingest_nginx_module_query_oracle(ray_session):
+    """The production module-runner compiled query (compile_fileset_spec on
+    nginx/access: manifest resolution + Go-template config render + hook
+    painless port + module stamps) matches its DuckDB oracle at sf0.001 —
+    the same comparison the driver runs at sf0.01."""
+    duckdb = pytest.importorskip("duckdb")
+    from beats_ray.pipelines.queries import QUERIES, oracle_sql_map
+
+    sf = "/root/testdata/sf0.001"
+    res = QUERIES["events_ingest_nginx_module"](sf)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * "
+                f"FROM read_parquet('{sf}/events.parquet')")
+    sql = oracle_sql_map("unused")["events_ingest_nginx_module"]
+    odf = con.execute(sql).fetchdf()
+
+    def norm(d):
+        cols = sorted(d.columns)
+        return d[cols].sort_values(cols).reset_index(drop=True)
+
+    a, b = norm(df), norm(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b) > 0
+    for c in a.columns:
+        assert (a[c].astype(str).values == b[c].astype(str).values).all(), c
+    # production-path stamps prove config render + identity splice ran
+    assert set(a["event_module"]) == {"nginx"}
+    assert set(a["event_dataset"]) == {"nginx.access"}
+    assert set(a["ecs_version"]) == {"1.12.0"}
