@@ -298,20 +298,10 @@ def _haproxy_log_hook(doc):
 
 def _nginx_access_hook(doc):
     # script #1 picks the first PUBLIC ip from remote_ip_list (isPrivate
-    # StringTokenizer port); script #2 is the recursive null sweep (no-op)
-    ip_pick = _py(
-        "lst = event.get('nginx_access_remote_ip_list')\n"
-        "if not lst:\n"
-        "    return event\n"
-        "def private(ip):\n"
-        "    try:\n"
-        "        a, b = int(ip.split('.')[0]), int(ip.split('.')[1])\n"
-        "    except (ValueError, IndexError):\n"
-        "        return False\n"
-        "    return a == 10 or a == 127 or (a == 192 and b == 168) \\\n"
-        "        or (a == 172 and 16 <= b <= 31)\n"
-        "pick = next((x for x in lst if not private(x)), lst[0])\n"
-        "event['source_address'] = pick")
+    # StringTokenizer port) — the registered vectorized stage replaces the
+    # per-row port; script #2 is the recursive null sweep (no-op)
+    ip_pick = {"first_public_ip": {"field": "nginx.access.remote_ip_list",
+                                   "target": "source.address"}}
     return [ip_pick, None], None
 
 
@@ -809,20 +799,9 @@ def _nginx_ingress_hook(doc):
         "L = event.get('nginx_ingress_controller_upstream_address_list')\n"
         "if L:\n"
         "    event['nginx_ingress_controller_upstream_address'] = L[-1]")
-    ip_pick = _py(
-        "event['source_address'] = None\n"
-        "lst = event.get('nginx_ingress_controller_remote_ip_list')\n"
-        "if not lst:\n"
-        "    return event\n"
-        "def private(ip):\n"
-        "    try:\n"
-        "        a, b = int(ip.split('.')[0]), int(ip.split('.')[1])\n"
-        "    except (ValueError, IndexError):\n"
-        "        return False\n"
-        "    return a == 10 or a == 127 or (a == 192 and b == 168) \\\n"
-        "        or (a == 172 and 16 <= b <= 31)\n"
-        "event['source_address'] = next(\n"
-        "    (x for x in lst if not private(x)), lst[0])")
+    ip_pick = {"first_public_ip": {
+        "field": "nginx.ingress_controller.remote_ip_list",
+        "target": "source.address"}}
     return _auto_scripts(doc, length, time_sum, status, address, ip_pick), \
         None
 

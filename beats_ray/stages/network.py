@@ -308,3 +308,73 @@ class AddNetworkDirection(Stage):
                 merged = _pc.if_else(_pc.is_valid(merged), merged,
                                      _pc.cast(old, pa.string()))
         return set_column(batch, tcol, merged)
+
+
+@register("first_public_ip")
+class FirstPublicIP(Stage):
+    """Pick the first non-private IPv4 from a list<string> column, else the
+    list's first element — the shared ``isPrivate`` painless script in
+    nginx/access and nginx/ingress_controller ingest/pipeline.yml (both
+    modules carry the identical script over their remote_ip_list).
+
+    Vectorized: one ``extract_regex`` over the flattened values classifies
+    private ranges (10/8, 127/8, 192.168/16, 172.16-31/16 — exactly the
+    script's checks), then a per-segment ``np.minimum.reduceat`` picks the
+    first public index (or the first element when all are private).  A token
+    whose first two dot-separated fields aren't plain integers is public,
+    matching the script's parseInt-throws -> false path on every value the
+    surrounding grok (IP or WORD) can emit.
+
+    config: field (list<string> source), target (default source.address).
+    """
+
+    name = "first_public_ip"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.field = field_to_column(self.config["field"])
+        self.target = field_to_column(
+            self.config.get("target", "source.address"))
+
+    def process(self, batch):
+        import numpy as np
+        if self.field not in batch.column_names:
+            return batch
+        arr = batch.column(self.field).combine_chunks()
+        if not (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
+            return batch
+        n = len(batch)
+        flat = pc.list_flatten(arr)
+        m = len(flat)
+        if m == 0:
+            return batch
+        parents = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+        # Integer.parseInt accepts at most 9 digits without throwing for the
+        # values grok can emit; no-match => "not private" (script's catch)
+        ext = pc.extract_regex(pc.cast(flat, pa.string()),
+                               r"^(?P<a>\d{1,9})\.(?P<b>\d{1,9})")
+        a = pc.cast(pc.struct_field(ext, "a"), pa.int64())
+        b = pc.cast(pc.struct_field(ext, "b"), pa.int64())
+        priv = pc.or_(
+            pc.or_(pc.equal(a, 10), pc.equal(a, 127)),
+            pc.or_(pc.and_(pc.equal(a, 192), pc.equal(b, 168)),
+                   pc.and_(pc.equal(a, 172),
+                           pc.and_(pc.greater_equal(b, 16),
+                                   pc.less_equal(b, 31)))))
+        priv_np = pc.fill_null(priv, False).to_numpy(zero_copy_only=False)
+        idx = np.arange(m, dtype=np.int64)
+        # first public index wins; +m pushes private entries behind every
+        # public one within a segment, %m recovers the row-first fallback
+        score = np.where(priv_np, idx + m, idx)
+        starts = np.searchsorted(parents, np.arange(n + 1))
+        nonempty = starts[:-1] < starts[1:]
+        red = np.minimum.reduceat(score, np.minimum(starts[:-1], m - 1))
+        picked = flat.take(pa.array(red % m, pa.int64()))
+        sel = pa.array(nonempty)
+        if self.target in batch.column_names and \
+                not pa.types.is_null(batch.column(self.target).type):
+            old = pc.cast(batch.column(self.target).combine_chunks(),
+                          pa.string())
+        else:
+            old = pa.nulls(n, pa.string())
+        return set_column(batch, self.target, pc.if_else(sel, picked, old))

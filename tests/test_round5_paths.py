@@ -235,3 +235,32 @@ def test_ingest_nginx_module_query_oracle(ray_session):
     assert set(a["event_module"]) == {"nginx"}
     assert set(a["event_dataset"]) == {"nginx.access"}
     assert set(a["ecs_version"]) == {"1.12.0"}
+
+
+def test_first_public_ip_stage_vectorized():
+    """Registered first_public_ip stage (the nginx isPrivate painless,
+    vectorized): first non-private wins, all-private falls back to first,
+    non-numeric tokens count as public, rows outside the when-mask keep
+    their existing target value."""
+    from beats_ray.pipeline import Pipeline
+
+    lst = pa.array(
+        [["10.1.2.3", "203.0.1.2"],          # private then public -> public
+         ["10.1.2.3", "192.168.0.9"],        # all private -> first
+         ["172.16.0.1", "172.32.0.1"],       # 172.32 is NOT private -> it
+         ["gateway", "10.0.0.1"],            # WORD token parses as public
+         ["127.0.0.1"],                      # single private -> itself
+         None],                              # no list: when-mask excludes
+        pa.list_(pa.string()))
+    batch = pa.table({
+        "nginx_access_remote_ip_list": lst,
+        "source_address": pa.array(
+            [None, None, None, None, None, "keep-me"], pa.string())})
+    spec = [{"first_public_ip": {
+        "field": "nginx.access.remote_ip_list",
+        "target": "source.address",
+        "when": {"has_fields": ["nginx_access_remote_ip_list"]}}}]
+    out = Pipeline({"processors": spec}).run_local(batch)
+    assert out.column("source_address").to_pylist() == [
+        "203.0.1.2", "10.1.2.3", "172.32.0.1", "gateway", "127.0.0.1",
+        "keep-me"]
