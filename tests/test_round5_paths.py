@@ -264,3 +264,39 @@ def test_first_public_ip_stage_vectorized():
     assert out.column("source_address").to_pylist() == [
         "203.0.1.2", "10.1.2.3", "172.32.0.1", "gateway", "127.0.0.1",
         "keep-me"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TOKEN = st.one_of(
+    st.from_regex(r"\A\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\Z"),
+    st.from_regex(r"\A[A-Za-z]\w{0,8}\Z"),
+    st.sampled_from(["10.0.0.1", "127.4.5.6", "192.168.1.1", "172.16.0.9",
+                     "172.31.255.255", "172.32.0.0", "203.0.113.7",
+                     "8.8.8.8", "0.0.0.0", "255.255.255.255"]))
+
+
+def _scalar_pick(lst):
+    """The reference painless fold (nginx pipeline.yml isPrivate script),
+    per-row — the implementation the vectorized stage replaced."""
+    def private(ip):
+        try:
+            a, b = int(ip.split(".")[0]), int(ip.split(".")[1])
+        except (ValueError, IndexError):
+            return False
+        return a == 10 or a == 127 or (a == 192 and b == 168) \
+            or (a == 172 and 16 <= b <= 31)
+    return next((x for x in lst if not private(x)), lst[0])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.lists(_TOKEN, min_size=1, max_size=6),
+                min_size=1, max_size=40))
+def test_first_public_ip_matches_scalar_fold(rows):
+    from beats_ray.stages.network import FirstPublicIP
+    batch = pa.table({"remote_ip_list": pa.array(rows,
+                                                 pa.list_(pa.string()))})
+    out = FirstPublicIP({"field": "remote_ip_list",
+                         "target": "picked"}).process(batch)
+    assert out.column("picked").to_pylist() == [_scalar_pick(r) for r in rows]
