@@ -681,12 +681,24 @@ class UserAgent(Stage):
             if self.ignore_missing:
                 return batch
             raise KeyError(col)
-        vals = batch.column(col).to_pylist()
-        cols = list(zip(*[self._parse(v) for v in vals])) or [[]] * 6
+        src = batch.column(col).combine_chunks()
+        if pa.types.is_string(src.type) or pa.types.is_large_string(src.type):
+            # UA cardinality is tiny relative to rows at scale: parse each
+            # DISTINCT value once, scatter by dictionary indices (null in ->
+            # null out, matching _parse(None) -> all-None)
+            enc = src.dictionary_encode()
+            idx = enc.indices
+            parsed = [self._parse(v) for v in enc.dictionary.to_pylist()]
+        else:
+            idx = None
+            parsed = [self._parse(v) for v in src.to_pylist()]
+        cols = list(zip(*parsed)) or [[]] * 6
         prefix = field_to_column(self.target) + "_"
         for key, data in zip(("name", "version", "os_name", "os_version",
                               "os_full", "device_name"), cols):
             arr = pa.array(data, pa.string())
+            if idx is not None:
+                arr = arr.take(idx)
             if arr.null_count < len(arr):
                 batch = set_column(batch, prefix + key, arr)
         orig = prefix + "original"
