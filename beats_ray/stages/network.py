@@ -205,11 +205,22 @@ class RegisteredDomain(Stage):
         return [field_to_column(self.field)]
 
     def process(self, batch):
-        col = batch.column(field_to_column(self.field))
-        rows = col.to_pylist()
+        col = batch.column(field_to_column(self.field)).combine_chunks()
+        # every output is a pure function of the domain value, and domain
+        # cardinality is tiny relative to rows at scale: compute per
+        # DISTINCT value, scatter by dictionary indices (null in -> null out)
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            enc = col.dictionary_encode()
+            idx, rows = enc.indices, enc.dictionary.to_pylist()
+        else:
+            idx, rows = None, col.to_pylist()
+
+        def scatter(data):
+            arr = pa.array(data, pa.string())
+            return arr.take(idx) if idx is not None else arr
+
         rd = [registered_domain(v) for v in rows]
-        batch = set_column(batch, field_to_column(self.target),
-                           pa.array(rd, pa.string()))
+        batch = set_column(batch, field_to_column(self.target), scatter(rd))
         if self.subdomain_field:
             subs = []
             for full, reg in zip(rows, rd):
@@ -219,13 +230,13 @@ class RegisteredDomain(Stage):
                 else:
                     subs.append(None)
             batch = set_column(batch, field_to_column(self.subdomain_field),
-                               pa.array(subs, pa.string()))
+                               scatter(subs))
         if self.etld_field:
             # the eTLD is the registered domain minus its first label
             etlds = [r.split(".", 1)[1] if r and "." in r else None
                      for r in rd]
             batch = set_column(batch, field_to_column(self.etld_field),
-                               pa.array(etlds, pa.string()))
+                               scatter(etlds))
         return batch
 
 
