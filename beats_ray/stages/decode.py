@@ -461,7 +461,16 @@ class UriParts(Stage):
         col = field_to_column(self.field)
         if col not in batch.column_names:
             return batch
-        vals = batch.column(col).to_pylist()
+        src = batch.column(col).combine_chunks()
+        # URL decomposition is a pure function of the value and URL
+        # cardinality is usually well below row count in log data: parse
+        # each DISTINCT value once, scatter by dictionary indices (null in
+        # -> null out, same as the per-row None branch)
+        if pa.types.is_string(src.type) or pa.types.is_large_string(src.type):
+            enc = src.dictionary_encode()
+            idx, vals = enc.indices, enc.dictionary.to_pylist()
+        else:
+            idx, vals = None, src.to_pylist()
         parts: dict[str, list] = {k: [] for k in
                                   ("scheme", "domain", "port", "path",
                                    "query", "fragment", "username",
@@ -496,7 +505,10 @@ class UriParts(Stage):
         prefix = field_to_column(self.target) + "_"
         for k, v in parts.items():
             typ = pa.int64() if k == "port" else pa.string()
-            batch = set_column(batch, prefix + k, pa.array(v, typ))
+            arr = pa.array(v, typ)
+            if idx is not None:
+                arr = arr.take(idx)
+            batch = set_column(batch, prefix + k, arr)
         if self.keep_original:
             # ES uri_parts writes <target>.original = the raw input value
             orig_col = prefix + "original"
