@@ -37,10 +37,18 @@ FLAGS_COL = "log_flags"
 PROTECTED_COLS = frozenset({TIMESTAMP_COL, "type"})
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=65536)
 def field_to_column(path: str) -> str:
     """Flatten a Beats dot-path to a flat column name.
 
     ``@timestamp`` -> ``ts``; ``@metadata.x`` -> ``meta_x``; ``a.b.c`` -> ``a_b_c``.
+
+    Cached: a pure string map called per Get/Put in the script interpreter
+    and per field in every stage — the same few hundred paths repeat
+    millions of times per run.
     """
     if path == "@timestamp":
         return TIMESTAMP_COL

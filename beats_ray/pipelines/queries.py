@@ -1602,7 +1602,12 @@ def q_events_ingest_apache(sf_dir: str):
     spec = compile_ingest(load_pipeline_yml(_APACHE_PIPELINE_YML),
                           scripts=[_APACHE_TLS_SCRIPT, None])
     parsed = Pipeline(spec).apply(
-        ds.map_batches(render, batch_format="pandas"))
+        # actor-segment task granularity: Ray bundles input blocks up to
+        # batch_size rows per actor task, so the default 32768 collapses
+        # this 600k-row input to ~4 tasks and strands the pool; 2048 keeps
+        # tasks at input-block granularity (measured: zeek-js 16.6s -> 5.9s
+        # at sf0.1/32, PERFORMANCE.md round-5 closing notes)
+        ds.map_batches(render, batch_format="pandas"), batch_size=2048)
 
     keys = ["event_outcome", "http_request_method",
             "http_response_status_code", "url_path"]
@@ -1779,7 +1784,12 @@ def q_events_ingest_checkpoint(sf_dir: str):
             preserve_index=False).replace_schema_metadata(None)
 
     parsed = Pipeline(_checkpoint_compiled_spec()).apply(
-        ds.map_batches(render, batch_format="pandas"))
+        # actor-segment task granularity: Ray bundles input blocks up to
+        # batch_size rows per actor task, so the default 32768 collapses
+        # this 600k-row input to ~4 tasks and strands the pool; 2048 keeps
+        # tasks at input-block granularity (measured: zeek-js 16.6s -> 5.9s
+        # at sf0.1/32, PERFORMANCE.md round-5 closing notes)
+        ds.map_batches(render, batch_format="pandas"), batch_size=2048)
 
     keys = ["event_action", "event_outcome", "network_transport",
             "network_direction"]
@@ -1893,7 +1903,12 @@ def q_events_ingest_nginx_module(sf_dir: str):
     spec, _ = compile_fileset_spec(
         "/root/reference/filebeat/module/nginx", "nginx", "access")
     parsed = Pipeline(spec).apply(
-        ds.map_batches(render, batch_format="pandas"))
+        # actor-segment task granularity: Ray bundles input blocks up to
+        # batch_size rows per actor task, so the default 32768 collapses
+        # this 600k-row input to ~4 tasks and strands the pool; 2048 keeps
+        # tasks at input-block granularity (measured: zeek-js 16.6s -> 5.9s
+        # at sf0.1/32, PERFORMANCE.md round-5 closing notes)
+        ds.map_batches(render, batch_format="pandas"), batch_size=2048)
 
     keys = ["event_module", "event_dataset", "ecs_version", "event_outcome",
             "http_request_method", "http_response_status_code", "url_path"]
@@ -1952,4 +1967,166 @@ _EXTRA_ORACLES["events_ingest_nginx_module"] = """
            max(date_trunc('second', ts)) AS max_ts,
            min(ip) AS min_ip
     FROM e GROUP BY 1, 2, 3, 4, 5, 6, 7
+"""
+
+
+# --------------------------- production path + REAL module JS at data scale
+
+def q_events_ingest_zeek_dns_js(sf_dir: str):
+    """FOURTH compiled query — the mini-JS interpreter at data scale: the
+    zeek/dns fileset is entirely config-level (no ES ingest pipeline) and
+    its processor chain embeds the module's REAL 170-line javascript
+    processor (dns.yml ``zeek_dns_flags``: header-flag appends, qclass
+    mapping, answers/TTLs zip with net.isIP resolved-ip extraction, rtt ->
+    event.duration, outcome from rcode).  ``compile_fileset_spec`` builds
+    the chain — decode_json_fields, registered_domain (with subdomain/etld
+    targets), the JS through mini-JS, three converts, community_id — and
+    runs it over zeek dns.log ndjson rendered DETERMINISTICALLY from the
+    events table, so every piece of the JS's output faces the DuckDB
+    oracle.  The other compiled queries cover grok/kv/uri shapes; this one
+    proves the script interpreter — per-row by reference semantics (goja
+    runs per event, libbeat/processors/script) — holds up in the bench,
+    not just at fixture sizes.
+
+    Reference: x-pack/filebeat/module/zeek/dns/config/dns.yml (config +
+    inline JS); golden parity for the same production path in
+    tests/test_fileset_hooks.py (zeek sweep) and tests/test_zeek_golden.py.
+    """
+    from ..modules import compile_fileset_spec
+    from ..pipeline import Pipeline
+
+    ds = _read(os.path.join(sf_dir, "events.parquet"),
+               columns=["event_id", "user_id"])
+
+    def render(df: pd.DataFrame) -> pa.Table:
+        e, u = df["event_id"], df["user_id"]
+        src = ("10." + ((u // 65536) % 256).astype(str) + "."
+               + ((u // 256) % 256).astype(str) + "." + (u % 256).astype(str))
+        proto = pd.Series(np.where(e % 7 == 0, "tcp", "udp"), index=df.index)
+        q = ("host" + (e % 50).astype(str) + ".example"
+             + (e % 20).astype(str) + ".com")
+        qtn = pd.Series(np.select([e % 4 == 0, e % 4 == 1, e % 4 == 2],
+                                  ["A", "AAAA", "PTR"], "TXT"),
+                        index=df.index)
+        qt = pd.Series(np.select([e % 4 == 0, e % 4 == 1, e % 4 == 2],
+                                 ["1", "28", "12"], "16"), index=df.index)
+        aa = pd.Series(np.where(e % 4 == 1, "true", "false"), index=df.index)
+        ra = pd.Series(np.where(e % 3 == 0, "true", "false"), index=df.index)
+        rcode = pd.Series(np.where(e % 5 == 0, 3, 0), index=df.index)
+        rcn = pd.Series(np.where(e % 5 == 0, "NXDOMAIN", "NOERROR"),
+                        index=df.index)
+        # rtt in exact multiples of 0.5 s: JSON double and the SQL
+        # (e%100)*0.5*1e9 stay bit-identical
+        rtt = ((e % 100) * 0.5).astype(str)
+        ipa = ("93.184." + ((e // 256) % 256).astype(str) + "."
+               + (e % 256).astype(str))
+        ans1 = (',"answers":["' + ipa + '"],"TTLs":['
+                + (e % 1000).astype(str) + "]")
+        ans2 = (',"answers":["' + ipa + '","cname' + e.astype(str)
+                + '.example.com"],"TTLs":[' + (e % 1000).astype(str) + ",60]")
+        ansp = pd.Series(np.select([e % 3 == 1, e % 3 == 2], [ans1, ans2],
+                                   ""), index=df.index)
+        apart = pd.Series(np.where(
+            e % 2 == 1,
+            ',"rtt":' + rtt + ',"rcode":' + rcode.astype(str)
+            + ',"rcode_name":"' + rcn + '"' + ansp, ""), index=df.index)
+        msg = ('{"ts":1700000000.0,"uid":"C' + e.astype(str)
+               + '","id.orig_h":"' + src + '","id.orig_p":'
+               + (1024 + e % 60000).astype(str)
+               + ',"id.resp_h":"8.8.8.8","id.resp_p":53,"proto":"' + proto
+               + '","trans_id":' + (e % 65536).astype(str) + ',"query":"'
+               + q + '","qclass":1,"qclass_name":"C_INTERNET","qtype":' + qt
+               + ',"qtype_name":"' + qtn + '","AA":' + aa
+               + ',"TC":false,"RD":true,"RA":' + ra + apart
+               + ',"rejected":false}')
+        return pa.Table.from_pandas(
+            pd.DataFrame({"message": msg}),
+            preserve_index=False).replace_schema_metadata(None)
+
+    spec, _ = compile_fileset_spec(
+        "/root/reference/x-pack/filebeat/module/zeek", "zeek", "dns")
+    parsed = Pipeline(spec).apply(
+        # actor-segment task granularity: Ray bundles input blocks up to
+        # batch_size rows per actor task, so the default 32768 collapses
+        # this 600k-row input to ~4 tasks and strands the pool; 2048 keeps
+        # tasks at input-block granularity (measured: zeek-js 16.6s -> 5.9s
+        # at sf0.1/32, PERFORMANCE.md round-5 closing notes)
+        ds.map_batches(render, batch_format="pandas"), batch_size=2048)
+
+    keys = ["dns_type", "event_outcome", "network_transport",
+            "dns_question_type", "dns_response_code"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        resolved = pc.fill_null(
+            pc.list_value_length(t.column("dns_resolved_ip")), 0)
+        flags = pc.fill_null(
+            pc.list_value_length(t.column("dns_header_flags")), 0)
+        df = t.select(keys + ["event_duration",
+                              "dns_question_registered_domain",
+                              "source_ip"]).to_pandas()
+        df["resolved"] = pc.cast(resolved, pa.int64()).to_pandas().values
+        df["flags"] = pc.cast(flags, pa.int64()).to_pandas().values
+        # '' instead of null keys: null-group/null-sort semantics differ
+        # between pandas, Ray Data and DuckDB — normalize on both sides
+        for k in ("event_outcome", "dns_response_code"):
+            df[k] = df[k].fillna("")
+        g = df.groupby(keys, as_index=False, dropna=False).agg(
+            n=("source_ip", "size"),
+            max_dur=("event_duration", "max"),
+            sum_resolved=("resolved", "sum"),
+            sum_flags=("flags", "sum"),
+            min_rd=("dns_question_registered_domain", "min"),
+            min_ip=("source_ip", "min"))
+        g["n"] = g["n"].astype("int64")
+        g["sum_resolved"] = g["sum_resolved"].astype("int64")
+        g["sum_flags"] = g["sum_flags"].astype("int64")
+        # all-null duration groups: 0 matches the oracle's COALESCE (real
+        # maxima are >= 5e8, so the fill never wins a merge)
+        g["max_dur"] = g["max_dur"].fillna(0.0)
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    return small_groupby(parsed, keys, partial,
+                         {"n": "sum", "max_dur": "max",
+                          "sum_resolved": "sum", "sum_flags": "sum",
+                          "min_rd": "min", "min_ip": "min"})
+
+
+QUERIES["events_ingest_zeek_dns_js"] = q_events_ingest_zeek_dns_js
+_EXTRA_ORACLES["events_ingest_zeek_dns_js"] = """
+    WITH d AS (
+      SELECT CASE WHEN event_id % 2 = 1 THEN 'answer'
+                  ELSE 'query' END AS dns_type,
+             CASE WHEN event_id % 2 = 1 THEN
+                 (CASE WHEN event_id % 5 = 0 THEN 'failure'
+                       ELSE 'success' END)
+             ELSE '' END AS event_outcome,
+             CASE WHEN event_id % 7 = 0 THEN 'tcp'
+                  ELSE 'udp' END AS network_transport,
+             CASE event_id % 4 WHEN 0 THEN 'A' WHEN 1 THEN 'AAAA'
+                  WHEN 2 THEN 'PTR' ELSE 'TXT' END AS dns_question_type,
+             CASE WHEN event_id % 2 = 1 THEN
+                 (CASE WHEN event_id % 5 = 0 THEN 'NXDOMAIN'
+                       ELSE 'NOERROR' END)
+             ELSE '' END AS dns_response_code,
+             CASE WHEN event_id % 2 = 1 AND event_id % 100 <> 0
+                  THEN (event_id % 100) * 0.5 * 1e9 END AS dur,
+             CASE WHEN event_id % 2 = 1 AND event_id % 3 IN (1, 2)
+                  THEN 1 ELSE 0 END AS resolved,
+             1 + CASE WHEN event_id % 4 = 1 THEN 1 ELSE 0 END
+               + CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS flags,
+             'example' || CAST(event_id % 20 AS VARCHAR) || '.com' AS rd,
+             '10.' || CAST((user_id // 65536) % 256 AS VARCHAR) || '.'
+                   || CAST((user_id // 256) % 256 AS VARCHAR) || '.'
+                   || CAST(user_id % 256 AS VARCHAR) AS ip
+      FROM events)
+    SELECT dns_type, event_outcome, network_transport, dns_question_type,
+           dns_response_code,
+           count(*)::BIGINT AS n,
+           COALESCE(max(dur), 0)::DOUBLE AS max_dur,
+           sum(resolved)::BIGINT AS sum_resolved,
+           sum(flags)::BIGINT AS sum_flags,
+           min(rd) AS min_rd,
+           min(ip) AS min_ip
+    FROM d GROUP BY 1, 2, 3, 4, 5
 """

@@ -50,6 +50,8 @@ import datetime as _dt_mod
 import math
 import re
 
+from collections import ChainMap as _CM
+
 from ..event import field_to_column
 
 _TOKEN_RE = re.compile(r"""
@@ -671,6 +673,9 @@ class _EventProxy:
     def __init__(self, row: dict):
         self.row = row
         self.cancelled = False
+        # sorted key cache for the container-Get prefix scan; invalidated
+        # whenever the KEY SET changes (value overwrites keep it)
+        self._keys_sorted: list | None = None
         # column -> the dotted-path segments it was Put under: goja splits
         # ONLY on dots, so Put("a.b.target_domain") must not make
         # "target_domain" look like a child of "a.b.target" when a later
@@ -707,8 +712,16 @@ class _EventProxy:
         pre = col + "_"
         kp = str(key).split(".")
         subs = {}
-        for k, val in self.row.items():
-            if not k.startswith(pre) or val is None:
+        ks = self._keys_sorted
+        if ks is None:
+            ks = self._keys_sorted = sorted(self.row)
+        import bisect
+        for j in range(bisect.bisect_left(ks, pre), len(ks)):
+            k = ks[j]
+            if not k.startswith(pre):
+                break   # sorted: past the prefix range
+            val = self.row.get(k)
+            if val is None:
                 continue
             segs = self.segs.get(k)
             if segs is not None and not (
@@ -720,6 +733,8 @@ class _EventProxy:
     def Put(self, key, value):
         col = field_to_column(key)
         old = self.row.get(col)
+        if col not in self.row:
+            self._keys_sorted = None
         self.row[col] = value
         self.segs[col] = tuple(str(key).split("."))
         return old
@@ -728,6 +743,7 @@ class _EventProxy:
         c1, c2 = field_to_column(frm), field_to_column(to)
         if c1 not in self.row or self.row.get(c1) is None:
             return False
+        self._keys_sorted = None
         self.row[c2] = self.row.pop(c1)
         return True
 
@@ -735,6 +751,7 @@ class _EventProxy:
         col = field_to_column(key)
         if col in self.row:
             del self.row[col]
+            self._keys_sorted = None
             return True
         return False
 
@@ -746,6 +763,8 @@ class _EventProxy:
         tags = self.row.get("tags") or []
         if tag not in tags:
             tags = list(tags) + [tag]
+        if "tags" not in self.row:
+            self._keys_sorted = None
         self.row["tags"] = tags
 
     def AppendTo(self, key, value):
@@ -756,6 +775,8 @@ class _EventProxy:
         value = value if isinstance(value, str) else _jstr(value)
         cur = self.row.get(col)
         if cur is None:
+            if col not in self.row:
+                self._keys_sorted = None
             self.row[col] = value
         elif isinstance(cur, (list, tuple)):
             if value not in cur:
@@ -1034,7 +1055,6 @@ class _Interp:
             self._registered = True
         self._iters = _MAX_ITER
         self._depth = 0
-        from collections import ChainMap as _CM
         env2 = _CM({self.arg: proxy}, self.globals)
         try:
             for st in self.body:
@@ -1052,7 +1072,6 @@ class _Interp:
         if self._depth >= _MAX_CALL_DEPTH:
             raise JSUnsupported("script call depth exceeded")
         params, body = self.funcs[name]
-        from collections import ChainMap as _CM
         env = _CM({"this": this_obj}, self.globals)
         env.maps[0]["arguments"] = list(args)
         for p, a in zip(params, args):
@@ -1219,7 +1238,6 @@ class _Interp:
             # scope that already has the name (so register() writing the
             # top-level `var audit;` reaches module globals — o365), else
             # declares locally
-            from collections import ChainMap as _CM
             if isinstance(env, _CM):
                 for mp in env.maps:
                     if target[1] in mp:
@@ -1263,52 +1281,12 @@ class _Interp:
         op = node[0]
         if op == "lit":
             return node[1]
-        if op == "funclit":
-            # closure: captures the defining env by reference (module JS
-            # reads config constants through it; writes stay local)
-            params, body, cap = node[1], node[2], env
-
-            interp = self
-
-            class _Closure:
-                _is_js_closure = True
-
-                def __call__(self, *args, _this=None):
-                    if interp._depth >= _MAX_CALL_DEPTH:
-                        raise JSUnsupported("script call depth exceeded")
-                    from collections import ChainMap as _CM
-                    # locals chain to the CAPTURED env (itself chained to
-                    # globals), so closure writes reach the defining scope
-                    # (JS semantics; o365's builder mutates captured state)
-                    if isinstance(cap, _CM):
-                        fenv = _CM({"this": _this}, *cap.maps)
-                    elif cap is interp.globals:
-                        fenv = _CM({"this": _this}, interp.globals)
-                    else:
-                        fenv = _CM({"this": _this}, cap, interp.globals)
-                    fenv.maps[0]["arguments"] = list(args)
-                    for p, a in zip(params, args):
-                        fenv.maps[0][p] = a
-                    for p in params[len(args):]:
-                        fenv.maps[0][p] = None
-                    interp._depth += 1
-                    try:
-                        for st in body:
-                            interp.exec_stmt(st, fenv)
-                    except _Returned as r:
-                        return r.value
-                    finally:
-                        interp._depth -= 1
-                    return None
-            return _Closure()
-        if op == "array":
-            return [self.eval(x, env) for x in node[1]]
-        if op == "object":
-            return {k: self.eval(v, env) for k, v in node[1]}
-        if op == "ident":
-            if node[1] not in env:
-                raise JSUnsupported(f"unknown identifier {node[1]!r}")
-            return env[node[1]]
+        if op == "ident":   # hottest op after lit — dispatch early, and do
+            try:            # one chained-scope walk, not contains + getitem
+                return env[node[1]]
+            except KeyError:
+                raise JSUnsupported(
+                    f"unknown identifier {node[1]!r}") from None
         if op == "member":
             obj = self.eval(node[1], env)
             name = node[2]
@@ -1482,6 +1460,84 @@ class _Interp:
                 if name == "getTime":
                     return lambda d=d: d.timestamp() * 1000
             raise JSUnsupported(f"member {name!r} on {type(obj).__name__}")
+        if op == "call":
+            # method call on a user object: bind `this` for JS closures
+            if node[1][0] == "member":
+                obj = self.eval(node[1][1], env)
+                if isinstance(obj, dict):
+                    fn = obj.get(node[1][2])
+                    if getattr(fn, "_is_js_closure", False):
+                        args = [self.eval(a, env) for a in node[2]]
+                        return fn(*args, _this=obj)
+            if node[1][0] == "ident" and node[1][1] in self.funcs:
+                args = [self.eval(a, env) for a in node[2]]
+                return self.call_user(node[1][1], args)
+            fn = self.eval(node[1], env)
+            args = [self.eval(a, env) for a in node[2]]
+            if not callable(fn):
+                raise JSUnsupported(f"call of non-function: {node[1]!r:.120}")
+            return fn(*args)
+        if op == "cmp":
+            _, o, a, b = node
+            l, r = self.eval(a, env), self.eval(b, env)
+            if o == "===":
+                return _strict_eq(l, r)
+            if o == "!==":
+                return not _strict_eq(l, r)
+            if o == "==":
+                return _abstract_eq(l, r)
+            if o == "!=":
+                return not _abstract_eq(l, r)
+            if l is None or r is None:
+                return False
+            if isinstance(l, str) and isinstance(r, str):
+                return {"<": l < r, ">": l > r, "<=": l <= r, ">=": l >= r}[o]
+            ln, rn = _tonum(l), _tonum(r)
+            if math.isnan(ln) or math.isnan(rn):
+                return False            # JS: any NaN relational is false
+            return {"<": ln < rn, ">": ln > rn,
+                    "<=": ln <= rn, ">=": ln >= rn}[o]
+        if op == "funclit":
+            # closure: captures the defining env by reference (module JS
+            # reads config constants through it; writes stay local)
+            params, body, cap = node[1], node[2], env
+
+            interp = self
+
+            class _Closure:
+                _is_js_closure = True
+
+                def __call__(self, *args, _this=None):
+                    if interp._depth >= _MAX_CALL_DEPTH:
+                        raise JSUnsupported("script call depth exceeded")
+                                # locals chain to the CAPTURED env (itself chained to
+                    # globals), so closure writes reach the defining scope
+                    # (JS semantics; o365's builder mutates captured state)
+                    if isinstance(cap, _CM):
+                        fenv = _CM({"this": _this}, *cap.maps)
+                    elif cap is interp.globals:
+                        fenv = _CM({"this": _this}, interp.globals)
+                    else:
+                        fenv = _CM({"this": _this}, cap, interp.globals)
+                    fenv.maps[0]["arguments"] = list(args)
+                    for p, a in zip(params, args):
+                        fenv.maps[0][p] = a
+                    for p in params[len(args):]:
+                        fenv.maps[0][p] = None
+                    interp._depth += 1
+                    try:
+                        for st in body:
+                            interp.exec_stmt(st, fenv)
+                    except _Returned as r:
+                        return r.value
+                    finally:
+                        interp._depth -= 1
+                    return None
+            return _Closure()
+        if op == "array":
+            return [self.eval(x, env) for x in node[1]]
+        if op == "object":
+            return {k: self.eval(v, env) for k, v in node[1]}
         if op == "index":
             obj = self.eval(node[1], env)
             key = self.eval(node[2], env)
@@ -1547,23 +1603,6 @@ class _Interp:
             if callable(fn):   # host constructor (processor.X, Chain...)
                 return fn(*args)
             raise JSUnsupported("new on non-function")
-        if op == "call":
-            # method call on a user object: bind `this` for JS closures
-            if node[1][0] == "member":
-                obj = self.eval(node[1][1], env)
-                if isinstance(obj, dict):
-                    fn = obj.get(node[1][2])
-                    if getattr(fn, "_is_js_closure", False):
-                        args = [self.eval(a, env) for a in node[2]]
-                        return fn(*args, _this=obj)
-            if node[1][0] == "ident" and node[1][1] in self.funcs:
-                args = [self.eval(a, env) for a in node[2]]
-                return self.call_user(node[1][1], args)
-            fn = self.eval(node[1], env)
-            args = [self.eval(a, env) for a in node[2]]
-            if not callable(fn):
-                raise JSUnsupported(f"call of non-function: {node[1]!r:.120}")
-            return fn(*args)
         if op == "assignexpr":
             val = self.eval(node[2], env)
             self.assign(node[1], val, env)
@@ -1614,26 +1653,6 @@ class _Interp:
             oldn = _tonum(old)
             self.assign(target, oldn + delta, env)
             return oldn if post else oldn + delta
-        if op == "cmp":
-            _, o, a, b = node
-            l, r = self.eval(a, env), self.eval(b, env)
-            if o == "===":
-                return _strict_eq(l, r)
-            if o == "!==":
-                return not _strict_eq(l, r)
-            if o == "==":
-                return _abstract_eq(l, r)
-            if o == "!=":
-                return not _abstract_eq(l, r)
-            if l is None or r is None:
-                return False
-            if isinstance(l, str) and isinstance(r, str):
-                return {"<": l < r, ">": l > r, "<=": l <= r, ">=": l >= r}[o]
-            ln, rn = _tonum(l), _tonum(r)
-            if math.isnan(ln) or math.isnan(rn):
-                return False            # JS: any NaN relational is false
-            return {"<": ln < rn, ">": ln > rn,
-                    "<=": ln <= rn, ">=": ln >= rn}[o]
         if op == "arith":
             _, o, a, b = node
             l, r = self.eval(a, env), self.eval(b, env)

@@ -300,3 +300,36 @@ def test_first_public_ip_matches_scalar_fold(rows):
     out = FirstPublicIP({"field": "remote_ip_list",
                          "target": "picked"}).process(batch)
     assert out.column("picked").to_pylist() == [_scalar_pick(r) for r in rows]
+
+
+def test_ingest_zeek_dns_js_query_oracle(ray_session):
+    """The zeek/dns compiled query — the module's REAL javascript processor
+    through mini-JS inside the production compile_fileset_spec chain —
+    matches its DuckDB oracle at sf0.001 (same comparison the driver runs
+    at sf0.01)."""
+    duckdb = pytest.importorskip("duckdb")
+    from beats_ray.pipelines.queries import QUERIES, oracle_sql_map
+
+    sf = "/root/testdata/sf0.001"
+    res = QUERIES["events_ingest_zeek_dns_js"](sf)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * "
+                f"FROM read_parquet('{sf}/events.parquet')")
+    sql = oracle_sql_map("unused")["events_ingest_zeek_dns_js"]
+    odf = con.execute(sql).fetchdf()
+
+    def norm(d):
+        cols = sorted(d.columns)
+        return d[cols].sort_values(cols).reset_index(drop=True)
+
+    a, b = norm(df), norm(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b) > 0
+    for c in a.columns:
+        assert (a[c].astype(str).values == b[c].astype(str).values).all(), c
+    # the JS-computed fields all survive: flags/resolved/duration non-zero
+    assert a["sum_flags"].sum() > a["n"].sum()          # RD + some AA/RA
+    assert a["max_dur"].max() > 0                       # rtt -> duration
+    assert a.loc[a["dns_type"] == "answer", "sum_resolved"].sum() > 0
