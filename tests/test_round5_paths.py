@@ -333,3 +333,104 @@ def test_ingest_zeek_dns_js_query_oracle(ray_session):
     assert a["sum_flags"].sum() > a["n"].sum()          # RD + some AA/RA
     assert a["max_dur"].max() > 0                       # rtt -> duration
     assert a.loc[a["dns_type"] == "answer", "sum_resolved"].sum() > 0
+
+
+_UA = st.one_of(
+    st.none(),
+    st.sampled_from([
+        "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like "
+        "Gecko) Chrome/120.0 Safari/537.36",
+        "curl/7.59.0", "Wget/1.20", "python-requests/2.22.0",
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) "
+        "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Mobile/15E148"
+        " Safari/604.1",
+        "-", "", "weird UA (no family)"]),
+    st.text(min_size=0, max_size=30))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_UA, min_size=1, max_size=60))
+def test_user_agent_dict_encode_matches_per_row(vals):
+    """The distinct-value (dictionary_encode) fast path emits exactly what
+    the per-row path would: parse each value independently and compare."""
+    from beats_ray.stages.decode import UserAgent
+    stage = UserAgent({"field": "ua", "target_field": "user_agent"})
+    batch = pa.table({"ua": pa.array(vals, pa.string())})
+    out = stage.process(batch)
+    expect = [stage._parse(v) for v in vals]
+    keys = ("name", "version", "os_name", "os_version", "os_full",
+            "device_name")
+    for i, key in enumerate(keys):
+        col = "user_agent_" + key
+        want = [t[i] for t in expect]
+        if all(w is None for w in want):
+            assert col not in out.column_names
+        else:
+            assert out.column(col).to_pylist() == want, key
+
+
+_URL = st.one_of(
+    st.none(),
+    st.sampled_from([
+        "http://example.com/a/b?x=1#f", "https://u:p@h.io:8443/p.txt",
+        "/relative/path/file.tar.gz", "not a url at all", "",
+        "ftp://files.example.org/dir/", "http://[::1]:80/x"]),
+    st.text(min_size=0, max_size=40))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_URL, min_size=1, max_size=60))
+def test_uri_parts_dict_encode_matches_per_row(vals):
+    """uri_parts' distinct-value path vs an explicit per-row recompute."""
+    from urllib.parse import unquote, urlsplit
+    from beats_ray.stages.decode import UriParts
+    stage = UriParts({"field": "u", "target_field": "url",
+                      "keep_original": False})
+    out = stage.process(pa.table({"u": pa.array(vals, pa.string())}))
+
+    def one(v):
+        if v is None:
+            return {k: None for k in ("scheme", "domain", "port", "path")}
+        try:
+            sp = urlsplit(v)
+            try:
+                port = sp.port
+            except ValueError:
+                port = None
+            return {"scheme": sp.scheme or None,
+                    "domain": sp.hostname or None,
+                    "port": port, "path": unquote(sp.path)}
+        except ValueError:
+            return {k: None for k in ("scheme", "domain", "port", "path")}
+
+    rows = [one(v) for v in vals]
+    for k in ("scheme", "domain", "port", "path"):  # stage always writes
+        want = [r[k] for r in rows]
+        assert out.column("url_" + k).to_pylist() == want, k
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.sampled_from(["www.example.co.uk", "example.com", "com",
+                     "a.b.c.example.com.", "localhost", ""]),
+    st.from_regex(r"\A[a-z]{1,8}(\.[a-z]{1,8}){0,4}\Z")),
+    min_size=1, max_size=60))
+def test_registered_domain_dict_encode_matches_per_row(vals):
+    from beats_ray.stages.network import RegisteredDomain, registered_domain
+    stage = RegisteredDomain({
+        "field": "d", "target_field": "rd",
+        "target_subdomain_field": "sub", "target_etld_field": "etld"})
+    out = stage.process(pa.table({"d": pa.array(vals, pa.string())}))
+    rd = [registered_domain(v) for v in vals]
+    assert out.column("rd").to_pylist() == rd
+    subs, etlds = [], []
+    for full, reg in zip(vals, rd):
+        if full and reg and full.lower().rstrip(".") != reg \
+                and full.lower().rstrip(".").endswith("." + reg):
+            subs.append(full.lower().rstrip(".")[: -(len(reg) + 1)])
+        else:
+            subs.append(None)
+        etlds.append(reg.split(".", 1)[1] if reg and "." in reg else None)
+    assert out.column("sub").to_pylist() == subs
+    assert out.column("etld").to_pylist() == etlds
