@@ -270,8 +270,12 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 _TOKEN = st.one_of(
-    st.from_regex(r"\A\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\Z"),
-    st.from_regex(r"\A[A-Za-z]\w{0,8}\Z"),
+    # ASCII-only strategies: the stage's real input domain is grok IP/WORD
+    # under RE2, where \d and \w are ASCII classes (a Unicode-digit
+    # token like "\U00011c51" parses in Python int()/Java parseInt but
+    # can never reach the stage)
+    st.from_regex(r"\A[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\Z"),
+    st.from_regex(r"\A[A-Za-z][A-Za-z0-9_]{0,8}\Z"),
     st.sampled_from(["10.0.0.1", "127.4.5.6", "192.168.1.1", "172.16.0.9",
                      "172.31.255.255", "172.32.0.0", "203.0.113.7",
                      "8.8.8.8", "0.0.0.0", "255.255.255.255"]))
