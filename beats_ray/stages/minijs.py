@@ -50,7 +50,23 @@ import datetime as _dt_mod
 import math
 import re
 
-from collections import ChainMap as _CM
+class _Env(dict):
+    """A lexical scope: the dict holds the scope's OWN bindings; lookups of
+    absent names fall outward through ``outer`` (``__missing__`` only fires
+    on a miss, so local reads stay at C dict speed — the ChainMap this
+    replaced walked every scope in Python per read)."""
+
+    __slots__ = ("outer",)
+
+    def __init__(self, init=None, outer=None):
+        super().__init__(init or ())
+        self.outer = outer
+
+    def __missing__(self, k):
+        outer = self.outer
+        if outer is None:
+            raise KeyError(k)
+        return outer[k]
 
 from ..event import field_to_column
 
@@ -984,16 +1000,268 @@ def _pure_literal(node):
     return False
 
 
+class _Closure:
+    """A JS function value: pre-compiled body + captured environment.
+    Locals chain to the CAPTURED env (itself chained to globals), so
+    closure writes reach the defining scope (JS semantics; o365's builder
+    mutates captured state)."""
+
+    _is_js_closure = True
+    __slots__ = ("interp", "params", "cbody", "cap")
+
+    def __init__(self, interp, params, cbody, cap):
+        self.interp = interp
+        self.params = params
+        self.cbody = cbody
+        self.cap = cap
+
+    def __call__(self, *args, _this=None):
+        interp = self.interp
+        if interp._depth >= _MAX_CALL_DEPTH:
+            raise JSUnsupported("script call depth exceeded")
+        fenv = _Env({"this": _this}, outer=self.cap)
+        m0 = fenv
+        m0["arguments"] = list(args)
+        params = self.params
+        for p, a in zip(params, args):
+            m0[p] = a
+        for p in params[len(args):]:
+            m0[p] = None
+        interp._depth += 1
+        try:
+            for s in self.cbody:
+                s(fenv)
+        except _Returned as r:
+            return r.value
+        finally:
+            interp._depth -= 1
+        return None
+
+
+def _member(obj, name):
+    """Resolve ``obj.name`` on an already-evaluated value — the runtime half
+    of member access (the per-type method surface goja exposes)."""
+    if isinstance(obj, _EventProxy):
+        if name == "fields":
+            return obj.row_view()
+        return getattr(obj, name)
+    if isinstance(obj, _JSRegExp):
+        if name == "test":
+            return obj.test
+        if name == "exec":
+            return obj.exec
+        if name == "source":
+            return obj.source
+        if name == "global":
+            return obj.global_
+        raise JSUnsupported(f"RegExp.{name}")
+    if isinstance(obj, str):
+        if name == "length":
+            return len(obj)
+        if name in _STRING_METHODS:
+            return lambda o=obj, f=_STRING_METHODS[name]: f(o)
+        if name == "split":
+            return lambda sep, o=obj: (
+                sep.rx.split(o) if isinstance(sep, _JSRegExp)
+                else o.split(sep))
+        if name == "match":
+            def _match(rx, o=obj):
+                if not isinstance(rx, _JSRegExp):
+                    rx = _JSRegExp(re.escape(str(rx)), "")
+                if rx.global_:
+                    hits = rx.rx.findall(o)
+                    return [h if isinstance(h, str) else h[0]
+                            for h in hits] or None
+                return rx.exec(o)
+            return _match
+        if name == "search":
+            def _search(rx, o=obj):
+                m = rx.rx.search(o) if isinstance(rx, _JSRegExp) \
+                    else None
+                return m.start() if m else (
+                    o.find(str(rx)) if not isinstance(rx, _JSRegExp)
+                    else -1)
+            return _search
+        if name == "indexOf":
+            return lambda sub, o=obj: o.find(sub)
+        if name == "lastIndexOf":
+            return lambda sub, o=obj: o.rfind(sub)
+        if name == "charCodeAt":
+            return lambda i=0, o=obj: \
+                ord(o[int(i)]) if 0 <= int(i) < len(o) else None
+        if name == "repeat":
+            return lambda n, o=obj: o * int(n)
+        if name == "substring":
+            return lambda a, b=None, o=obj: o[int(a):None if b is None else int(b)]
+        if name == "substr":
+            return lambda a, ln=None, o=obj: \
+                o[int(a):] if ln is None else o[int(a):int(a) + int(ln)]
+        if name == "charAt":
+            return lambda i, o=obj: o[int(i)] if 0 <= int(i) < len(o) else ""
+        if name == "startsWith":
+            return lambda p, o=obj: o.startswith(p)
+        if name == "endsWith":
+            return lambda p, o=obj: o.endswith(p)
+        if name == "replace":
+            def _replace(a, b, o=obj):
+                if isinstance(a, _JSRegExp):
+                    # JS $N backrefs -> python \N
+                    rep = re.sub(r"\$(\d+)", r"\\\1", str(b))
+                    return a.rx.sub(rep, o,
+                                    count=0 if a.global_ else 1)
+                return o.replace(a, b, 1)
+            return _replace
+    if isinstance(obj, (list, tuple)):
+        if name == "length":
+            return len(obj)
+        if name == "indexOf":
+            return lambda v, o=obj: o.index(v) if v in o else -1
+        if name == "includes" or name == "contains":
+            return lambda v, o=obj: v in o
+        if name == "join":
+            return lambda sep, o=obj: sep.join(str(x) for x in o)
+        if name == "push":
+            def _push(*vs, o=obj):
+                o.extend(vs)
+                return len(o)
+            return _push
+        if name == "pop":
+            return lambda o=obj: o.pop() if o else None
+        if name == "forEach":
+            def _each(fn, o=obj):
+                for i, x in enumerate(o):
+                    # ES5 callback signature (value, index, array)
+                    # for JS closures; host fns take the value only
+                    if getattr(fn, "_is_js_closure", False):
+                        fn(x, i, o)
+                    else:
+                        fn(x)
+            return _each
+        if name == "map":
+            def _map(fn, o=obj):
+                js = getattr(fn, "_is_js_closure", False)
+                return [fn(x, i, o) if js else fn(x)
+                        for i, x in enumerate(o)]
+            return _map
+        if name == "filter":
+            def _filter(fn, o=obj):
+                js = getattr(fn, "_is_js_closure", False)
+                return [x for i, x in enumerate(o)
+                        if _truthy(fn(x, i, o) if js else fn(x))]
+            return _filter
+        if name == "some":
+            return lambda fn, o=obj: any(_truthy(fn(x)) for x in o)
+        if name == "every":
+            return lambda fn, o=obj: all(_truthy(fn(x)) for x in o)
+        if name == "reduce":
+            def _reduce(fn, *init, o=obj):
+                it = iter(o)
+                acc = init[0] if init else next(it)
+                for x in it:
+                    acc = fn(acc, x)
+                return acc
+            return _reduce
+        if name == "reverse":
+            def _rev(o=obj):
+                o.reverse()
+                return o
+            return _rev
+        if name == "shift":
+            return lambda o=obj: o.pop(0) if o else None
+        if name == "unshift":
+            def _unshift(*vs, o=obj):
+                o[:0] = list(vs)
+                return len(o)
+            return _unshift
+        if name == "sort":
+            def _sort(fn=None, o=obj):
+                if fn is None:
+                    o.sort(key=str)
+                else:
+                    import functools
+                    o.sort(key=functools.cmp_to_key(
+                        lambda a, b: (fn(a, b) > 0) - (fn(a, b) < 0)))
+                return o
+            return _sort
+        if name == "concat":
+            return lambda other, o=obj: list(o) + (
+                list(other) if isinstance(other, list) else [other])
+        if name == "slice":
+            return lambda a=0, b=None, o=obj: \
+                o[int(a):None if b is None else int(b)]
+    if isinstance(obj, dict):
+        if name == "hasOwnProperty":
+            return lambda k, o=obj: k in o or _js_propkey(k) in o
+        if name == "keySet":
+            return lambda o=obj: list(o)
+        return obj.get(name)
+    if isinstance(obj, _ProcessorModule):
+        return getattr(obj, name)   # processor.Chain / .Convert / ...
+    if isinstance(obj, _dt_mod.datetime):
+        # Go time.Time methods goja exposes on event timestamps
+        # (google_workspace admin: end.UnixNano() - start.UnixNano())
+        d = obj if obj.tzinfo else obj.replace(
+            tzinfo=_dt_mod.timezone.utc)
+        if name == "UnixNano":
+            return lambda d=d: int(d.timestamp() * 1e6) * 1000
+        if name == "UnixMilli":
+            return lambda d=d: int(d.timestamp() * 1000)
+        if name == "Unix":
+            return lambda d=d: int(d.timestamp())
+        if name == "getTime":
+            return lambda d=d: d.timestamp() * 1000
+    raise JSUnsupported(f"member {name!r} on {type(obj).__name__}")
+
+
+def _index_get(obj, key):
+    """Resolve ``obj[key]`` on already-evaluated values."""
+    if isinstance(obj, _EventProxy):
+        return obj.Get(key)
+    if isinstance(obj, dict):
+        if key in obj:
+            return obj[key]
+        return obj.get(_js_propkey(key))
+    if isinstance(obj, (list, str)):
+        try:
+            return obj[int(key)]
+        except (IndexError, ValueError):
+            return None
+    return None
+
+
+_REL = {"<": lambda a, b: a < b, ">": lambda a, b: a > b,
+        "<=": lambda a, b: a <= b, ">=": lambda a, b: a >= b}
+
+_INSTANCEOF = {"Array": lambda v: isinstance(v, list),
+               "String": lambda v: isinstance(v, str),
+               "Object": lambda v: isinstance(v, dict),
+               "Number": lambda v: isinstance(v, (int, float))
+               and not isinstance(v, bool),
+               "Boolean": lambda v: isinstance(v, bool),
+               "Function": callable}
+
+
 class _Interp:
+    """Closure compiler: every AST node compiles ONCE into a Python closure
+    (statements run for effect and raise control-flow exceptions;
+    expressions return the JS value).  Per-row execution then runs
+    pre-compiled closure chains with zero per-node tag dispatch — the
+    tree-walker this replaced spent ~40% of script-stage time re-matching
+    tuple tags on every visit (zeek/dns, google_workspace admin)."""
+
     def __init__(self, funcs: dict, top, params=None):
         self.funcs = funcs              # name -> (params, body)
         fparams, body = funcs["process"]
         self.arg = fparams[0] if fparams else "event"
-        self.body = body
-        self.top = top                  # top-level statements (run per row)
+        self.top = top                  # top-level statements (run once/VM)
         self.params = params or {}
         self._registered = False
-        self._new_cache: dict = {}   # AST-node id -> processor object
+        self._depth = 0
+        self._iters = _MAX_ITER
+        self.globals: dict = {}
+        self._cfuncs: dict = {}         # name -> (params, compiled body)
+        self._top_c = self._cstmts(top)
+        self._body_c = self._cfunc("process")[1]
 
     def _base_globals(self):
         import json as _json
@@ -1045,8 +1313,8 @@ class _Interp:
             self._depth = 0
             env = dict(self.globals)
             try:
-                for st in self.top:     # var net = require("net"); ...
-                    self.exec_stmt(st, env)
+                for sf in self._top_c:  # var net = require("net"); ...
+                    sf(env)
             except (_Cancelled, _Returned):
                 pass
             self.globals = env
@@ -1055,176 +1323,47 @@ class _Interp:
             self._registered = True
         self._iters = _MAX_ITER
         self._depth = 0
-        env2 = _CM({self.arg: proxy}, self.globals)
+        env2 = _Env({self.arg: proxy}, outer=self.globals)
         try:
-            for st in self.body:
-                self.exec_stmt(st, env2)
+            for sf in self._body_c:
+                sf(env2)
         except _Cancelled:
             return None
         except _Returned:
             pass
         if not has_register:
-            self.globals.update({k: v for k, v in env2.maps[0].items()
+            self.globals.update({k: v for k, v in env2.items()
                                  if k != self.arg})
         return None if proxy.cancelled else proxy.row
 
     def call_user(self, name, args, this_obj=None):
         if self._depth >= _MAX_CALL_DEPTH:
             raise JSUnsupported("script call depth exceeded")
-        params, body = self.funcs[name]
-        env = _CM({"this": this_obj}, self.globals)
-        env.maps[0]["arguments"] = list(args)
+        params, cbody = self._cfunc(name)
+        env = _Env({"this": this_obj}, outer=self.globals)
+        m0 = env
+        m0["arguments"] = list(args)
         for p, a in zip(params, args):
-            env[p] = a
+            m0[p] = a
         for p in params[len(args):]:
-            env[p] = None
+            m0[p] = None
         self._depth += 1
         try:
-            for st in body:
-                self.exec_stmt(st, env)
+            for sf in cbody:
+                sf(env)
         except _Returned as r:
             return r.value
         finally:
             self._depth -= 1
         return None
 
-    def exec_stmt(self, st, env):
-        op = st[0]
-        if op == "var":
-            env[st[1]] = self.eval(st[2], env) if st[2] is not None else None
-        elif op == "vars":
-            for name, init in st[1]:
-                env[name] = self.eval(init, env) if init is not None else None
-        elif op == "if":
-            if _truthy(self.eval(st[1], env)):
-                for s in st[2]:
-                    self.exec_stmt(s, env)
-            else:
-                for s in st[3]:
-                    self.exec_stmt(s, env)
-        elif op == "return":
-            raise _Returned(self.eval(st[1], env) if st[1] else None)
-        elif op == "assign":
-            self.assign(st[1], self.eval(st[2], env), env)
-        elif op == "expr":
-            self.eval(st[1], env)
-        elif op == "while":
-            _, cond, body = st
-            while _truthy(self.eval(cond, env)):
-                self._tick()
-                try:
-                    for s in body:
-                        self.exec_stmt(s, env)
-                except _Break:
-                    break
-                except _Continue:
-                    continue
-        elif op == "dowhile":
-            _, cond, body = st
-            while True:
-                self._tick()
-                try:
-                    for s in body:
-                        self.exec_stmt(s, env)
-                except _Break:
-                    break
-                except _Continue:
-                    pass
-                if not _truthy(self.eval(cond, env)):
-                    break
-        elif op == "for":
-            _, init, cond, update, body = st
-            if init is not None:
-                self.exec_stmt(init, env)
-            while cond is None or _truthy(self.eval(cond, env)):
-                self._tick()
-                try:
-                    for s in body:
-                        self.exec_stmt(s, env)
-                except _Break:
-                    break
-                except _Continue:
-                    pass
-                if update is not None:
-                    self.exec_stmt(update, env)
-        elif op == "forin":
-            _, name, obj_node, body = st
-            obj = self.eval(obj_node, env)
-            if isinstance(obj, _EventProxy):
-                keys = list(obj.row.keys())
-            elif isinstance(obj, dict):
-                keys = list(obj.keys())
-            elif isinstance(obj, (list, tuple, str)):
-                keys = list(range(len(obj)))
-            elif obj is None:
-                keys = []
-            else:
-                raise JSUnsupported(f"for-in over {type(obj).__name__}")
-            for k in keys:
-                self._tick()
-                env[name] = k
-                try:
-                    for s in body:
-                        self.exec_stmt(s, env)
-                except _Break:
-                    break
-                except _Continue:
-                    continue
-        elif op == "throw":
-            raise _Thrown(self.eval(st[1], env))
-        elif op == "try":
-            _, block, cname, cblock, fblock = st
-            try:
-                for s in block:
-                    self.exec_stmt(s, env)
-            except _Thrown as t:
-                if cblock is None:
-                    raise
-                env[cname] = t.value
-                for s in cblock:
-                    self.exec_stmt(s, env)
-            except JSUnsupported:
-                raise  # compile-surface gaps stay loud, never catchable
-            except (TypeError, ValueError, KeyError, AttributeError,
-                    IndexError, ZeroDivisionError) as e:
-                # goja surfaces runtime errors as catchable JS errors; the
-                # interpreter's Python-level faults map to Error-shaped
-                # dicts (e.message / e.name both work)
-                if cblock is None:
-                    raise
-                env[cname] = {"name": type(e).__name__, "message": str(e)}
-                for s in cblock:
-                    self.exec_stmt(s, env)
-            finally:
-                if fblock is not None:
-                    for s in fblock:
-                        self.exec_stmt(s, env)
-        elif op == "switch":
-            _, disc_node, cases = st
-            d = self.eval(disc_node, env)
-            start = None
-            for i, (e, _stmts) in enumerate(cases):
-                if e is not None and _strict_eq(d, self.eval(e, env)):
-                    start = i
-                    break
-            if start is None:
-                for i, (e, _stmts) in enumerate(cases):
-                    if e is None:
-                        start = i
-                        break
-            if start is not None:
-                try:
-                    for _e, stmts in cases[start:]:   # C-style fallthrough
-                        for sub in stmts:
-                            self.exec_stmt(sub, env)
-                except _Break:
-                    pass
-        elif op == "break":
-            raise _Break()
-        elif op == "continue":
-            raise _Continue()
-        else:  # pragma: no cover
-            raise JSUnsupported(f"statement {op}")
+    def _cfunc(self, name):
+        c = self._cfuncs.get(name)
+        if c is None:
+            params, body = self.funcs[name]
+            c = (params, self._cstmts(body))
+            self._cfuncs[name] = c
+        return c
 
     def _tick(self):
         self._iters -= 1
@@ -1232,453 +1371,596 @@ class _Interp:
             raise JSUnsupported(
                 f"script exceeded the {_MAX_ITER} loop-iteration budget")
 
-    def assign(self, target, value, env):
-        if target[0] == "ident":
+    # ---- statement compiler -------------------------------------------
+
+    def _cstmts(self, stmts):
+        return tuple(self._cstmt(s) for s in stmts)
+
+    def _cstmt(self, st):
+        op = st[0]
+        if op == "var":
+            name = st[1]
+            if st[2] is None:
+                def f(env, n=name):
+                    env[n] = None
+            else:
+                vf = self._cexpr(st[2])
+
+                def f(env, n=name, vf=vf):
+                    env[n] = vf(env)
+            return f
+        if op == "vars":
+            decls = tuple((n, self._cexpr(i) if i is not None else None)
+                          for n, i in st[1])
+
+            def f(env, decls=decls):
+                for n, vf in decls:
+                    env[n] = vf(env) if vf is not None else None
+            return f
+        if op == "if":
+            cf = self._cexpr(st[1])
+            tb = self._cstmts(st[2])
+            eb = self._cstmts(st[3])
+
+            def f(env, cf=cf, tb=tb, eb=eb):
+                for s in (tb if _truthy(cf(env)) else eb):
+                    s(env)
+            return f
+        if op == "return":
+            if st[1] is None:
+                def f(env):
+                    raise _Returned(None)
+            else:
+                vf = self._cexpr(st[1])
+
+                def f(env, vf=vf):
+                    raise _Returned(vf(env))
+            return f
+        if op == "assign":
+            set_ = self._csetter(st[1])
+            vf = self._cexpr(st[2])
+
+            def f(env, set_=set_, vf=vf):
+                set_(env, vf(env))
+            return f
+        if op == "expr":
+            return self._cexpr(st[1])
+        if op == "while":
+            cf = self._cexpr(st[1])
+            body = self._cstmts(st[2])
+
+            def f(env, cf=cf, body=body, tick=self._tick):
+                while _truthy(cf(env)):
+                    tick()
+                    try:
+                        for s in body:
+                            s(env)
+                    except _Break:
+                        break
+                    except _Continue:
+                        continue
+            return f
+        if op == "dowhile":
+            cf = self._cexpr(st[1])
+            body = self._cstmts(st[2])
+
+            def f(env, cf=cf, body=body, tick=self._tick):
+                while True:
+                    tick()
+                    try:
+                        for s in body:
+                            s(env)
+                    except _Break:
+                        break
+                    except _Continue:
+                        pass
+                    if not _truthy(cf(env)):
+                        break
+            return f
+        if op == "for":
+            _, init, cond, update, body = st
+            initf = self._cstmt(init) if init is not None else None
+            cf = self._cexpr(cond) if cond is not None else None
+            updf = self._cstmt(update) if update is not None else None
+            bodyc = self._cstmts(body)
+
+            def f(env, initf=initf, cf=cf, updf=updf, bodyc=bodyc,
+                  tick=self._tick):
+                if initf is not None:
+                    initf(env)
+                while cf is None or _truthy(cf(env)):
+                    tick()
+                    try:
+                        for s in bodyc:
+                            s(env)
+                    except _Break:
+                        break
+                    except _Continue:
+                        pass
+                    if updf is not None:
+                        updf(env)
+            return f
+        if op == "forin":
+            _, name, obj_node, body = st
+            of = self._cexpr(obj_node)
+            bodyc = self._cstmts(body)
+
+            def f(env, name=name, of=of, bodyc=bodyc, tick=self._tick):
+                obj = of(env)
+                if isinstance(obj, _EventProxy):
+                    keys = list(obj.row.keys())
+                elif isinstance(obj, dict):
+                    keys = list(obj.keys())
+                elif isinstance(obj, (list, tuple, str)):
+                    keys = list(range(len(obj)))
+                elif obj is None:
+                    keys = []
+                else:
+                    raise JSUnsupported(f"for-in over {type(obj).__name__}")
+                for k in keys:
+                    tick()
+                    env[name] = k
+                    try:
+                        for s in bodyc:
+                            s(env)
+                    except _Break:
+                        break
+                    except _Continue:
+                        continue
+            return f
+        if op == "throw":
+            vf = self._cexpr(st[1])
+
+            def f(env, vf=vf):
+                raise _Thrown(vf(env))
+            return f
+        if op == "try":
+            _, block, cname, cblock, fblock = st
+            bc = self._cstmts(block)
+            cc = self._cstmts(cblock) if cblock is not None else None
+            fc = self._cstmts(fblock) if fblock is not None else None
+
+            def f(env, bc=bc, cc=cc, fc=fc, cname=cname):
+                try:
+                    for s in bc:
+                        s(env)
+                except _Thrown as t:
+                    if cc is None:
+                        raise
+                    env[cname] = t.value
+                    for s in cc:
+                        s(env)
+                except JSUnsupported:
+                    raise  # compile-surface gaps stay loud, never catchable
+                except (TypeError, ValueError, KeyError, AttributeError,
+                        IndexError, ZeroDivisionError) as e:
+                    # goja surfaces runtime errors as catchable JS errors;
+                    # the interpreter's Python-level faults map to Error-
+                    # shaped dicts (e.message / e.name both work)
+                    if cc is None:
+                        raise
+                    env[cname] = {"name": type(e).__name__,
+                                  "message": str(e)}
+                    for s in cc:
+                        s(env)
+                finally:
+                    if fc is not None:
+                        for s in fc:
+                            s(env)
+            return f
+        if op == "switch":
+            _, disc_node, cases = st
+            df = self._cexpr(disc_node)
+            ccases = tuple((self._cexpr(e) if e is not None else None,
+                            self._cstmts(stmts)) for e, stmts in cases)
+
+            def f(env, df=df, ccases=ccases):
+                d = df(env)
+                start = None
+                for i, (ef, _s) in enumerate(ccases):
+                    if ef is not None and _strict_eq(d, ef(env)):
+                        start = i
+                        break
+                if start is None:
+                    for i, (ef, _s) in enumerate(ccases):
+                        if ef is None:
+                            start = i
+                            break
+                if start is not None:
+                    try:
+                        for _ef, stmts in ccases[start:]:  # C fallthrough
+                            for sub in stmts:
+                                sub(env)
+                    except _Break:
+                        pass
+            return f
+        if op == "break":
+            def f(env):
+                raise _Break()
+            return f
+        if op == "continue":
+            def f(env):
+                raise _Continue()
+            return f
+        raise JSUnsupported(f"statement {op}")  # pragma: no cover
+
+    # ---- assignment-target compiler -----------------------------------
+
+    def _csetter(self, target):
+        kind = target[0]
+        if kind == "ident":
+            name = target[1]
+
             # JS write-where-declared: assignment binds in the innermost
             # scope that already has the name (so register() writing the
             # top-level `var audit;` reaches module globals — o365), else
             # declares locally
-            if isinstance(env, _CM):
-                for mp in env.maps:
-                    if target[1] in mp:
-                        mp[target[1]] = value
+            def set_(env, value, n=name):
+                e = env
+                while isinstance(e, _Env):
+                    if n in e:
+                        e[n] = value
                         return
-                env.maps[0][target[1]] = value
-            else:
-                env[target[1]] = value
-            return
-        if target[0] == "index" or target[0] == "member":
+                    e = e.outer
+                if e is not None and n in e:
+                    e[n] = value
+                    return
+                env[n] = value
+            return set_
+        if kind in ("index", "member"):
             base = target[1]
+            is_index = kind == "index"
+            key_f = self._cexpr(target[2]) if is_index else None
+            key_const = None if is_index else target[2]
+            base_f = self._cexpr(base)
             # event.fields["k"] = v  /  event.fields.k = v
-            if base[0] == "member" and base[2] == "fields" and \
-                    isinstance(self.eval_base(base[1], env), _EventProxy):
-                proxy = self.eval_base(base[1], env)
-                key = self.eval(target[2], env) if target[0] == "index" \
-                    else target[2]
-                proxy.Put(key, value)
-                return
-            obj = self.eval(base, env)
-            if isinstance(obj, dict):
-                key = self.eval(target[2], env) if target[0] == "index" \
-                    else target[2]
-                obj[key] = value
-                return
-            if isinstance(obj, list) and target[0] == "index":
-                idx = int(self.eval(target[2], env))
-                if idx >= len(obj):          # JS arrays grow on assignment
-                    obj.extend([None] * (idx + 1 - len(obj)))
-                obj[idx] = value
-                return
-        raise JSUnsupported("unsupported assignment target")
+            fields_bb_f = self._cexpr_safe(base[1]) \
+                if base[0] == "member" and base[2] == "fields" else None
 
-    def eval_base(self, node, env):
-        try:
-            return self.eval(node, env)
-        except JSUnsupported:
-            return None
+            def set_(env, value, base_f=base_f, key_f=key_f,
+                     key_const=key_const, is_index=is_index,
+                     fields_bb_f=fields_bb_f):
+                if fields_bb_f is not None:
+                    bb = fields_bb_f(env)
+                    if isinstance(bb, _EventProxy):
+                        bb.Put(key_f(env) if is_index else key_const, value)
+                        return
+                obj = base_f(env)
+                if isinstance(obj, dict):
+                    obj[key_f(env) if is_index else key_const] = value
+                    return
+                if isinstance(obj, list) and is_index:
+                    idx = int(key_f(env))
+                    if idx >= len(obj):     # JS arrays grow on assignment
+                        obj.extend([None] * (idx + 1 - len(obj)))
+                    obj[idx] = value
+                    return
+                raise JSUnsupported("unsupported assignment target")
+            return set_
 
-    def eval(self, node, env):
+        def bad(env, value):
+            raise JSUnsupported("unsupported assignment target")
+        return bad
+
+    # ---- expression compiler ------------------------------------------
+
+    def _cexpr_safe(self, node):
+        """eval-with-fallback: unresolvable bases read as null (the old
+        eval_base)."""
+        vf = self._cexpr(node)
+
+        def f(env, vf=vf):
+            try:
+                return vf(env)
+            except JSUnsupported:
+                return None
+        return f
+
+    def _cexpr(self, node):
         op = node[0]
         if op == "lit":
-            return node[1]
-        if op == "ident":   # hottest op after lit — dispatch early, and do
-            try:            # one chained-scope walk, not contains + getitem
-                return env[node[1]]
-            except KeyError:
-                raise JSUnsupported(
-                    f"unknown identifier {node[1]!r}") from None
+            v = node[1]
+
+            def f(env, v=v):
+                return v
+            return f
+        if op == "ident":
+            name = node[1]
+
+            def f(env, n=name):
+                try:
+                    return env[n]
+                except KeyError:
+                    raise JSUnsupported(
+                        f"unknown identifier {n!r}") from None
+            return f
         if op == "member":
-            obj = self.eval(node[1], env)
+            bf = self._cexpr(node[1])
             name = node[2]
-            if isinstance(obj, _EventProxy):
-                if name == "fields":
-                    return obj.row_view()
-                return getattr(obj, name)
-            if isinstance(obj, _JSRegExp):
-                if name == "test":
-                    return obj.test
-                if name == "exec":
-                    return obj.exec
-                if name == "source":
-                    return obj.source
-                if name == "global":
-                    return obj.global_
-                raise JSUnsupported(f"RegExp.{name}")
-            if isinstance(obj, str):
-                if name == "length":
-                    return len(obj)
-                if name in _STRING_METHODS:
-                    return lambda o=obj, f=_STRING_METHODS[name]: f(o)
-                if name == "split":
-                    return lambda sep, o=obj: (
-                        sep.rx.split(o) if isinstance(sep, _JSRegExp)
-                        else o.split(sep))
-                if name == "match":
-                    def _match(rx, o=obj):
-                        if not isinstance(rx, _JSRegExp):
-                            rx = _JSRegExp(re.escape(str(rx)), "")
-                        if rx.global_:
-                            hits = rx.rx.findall(o)
-                            return [h if isinstance(h, str) else h[0]
-                                    for h in hits] or None
-                        return rx.exec(o)
-                    return _match
-                if name == "search":
-                    def _search(rx, o=obj):
-                        m = rx.rx.search(o) if isinstance(rx, _JSRegExp) \
-                            else None
-                        return m.start() if m else (
-                            o.find(str(rx)) if not isinstance(rx, _JSRegExp)
-                            else -1)
-                    return _search
-                if name == "indexOf":
-                    return lambda sub, o=obj: o.find(sub)
-                if name == "lastIndexOf":
-                    return lambda sub, o=obj: o.rfind(sub)
-                if name == "charCodeAt":
-                    return lambda i=0, o=obj: \
-                        ord(o[int(i)]) if 0 <= int(i) < len(o) else None
-                if name == "repeat":
-                    return lambda n, o=obj: o * int(n)
-                if name == "substring":
-                    return lambda a, b=None, o=obj: o[int(a):None if b is None else int(b)]
-                if name == "substr":
-                    return lambda a, ln=None, o=obj: \
-                        o[int(a):] if ln is None else o[int(a):int(a) + int(ln)]
-                if name == "charAt":
-                    return lambda i, o=obj: o[int(i)] if 0 <= int(i) < len(o) else ""
-                if name == "startsWith":
-                    return lambda p, o=obj: o.startswith(p)
-                if name == "endsWith":
-                    return lambda p, o=obj: o.endswith(p)
-                if name == "replace":
-                    def _replace(a, b, o=obj):
-                        if isinstance(a, _JSRegExp):
-                            # JS $N backrefs -> python \N
-                            rep = re.sub(r"\$(\d+)", r"\\\1", str(b))
-                            return a.rx.sub(rep, o,
-                                            count=0 if a.global_ else 1)
-                        return o.replace(a, b, 1)
-                    return _replace
-            if isinstance(obj, (list, tuple)):
-                if name == "length":
-                    return len(obj)
-                if name == "indexOf":
-                    return lambda v, o=obj: o.index(v) if v in o else -1
-                if name == "includes" or name == "contains":
-                    return lambda v, o=obj: v in o
-                if name == "join":
-                    return lambda sep, o=obj: sep.join(str(x) for x in o)
-                if name == "push":
-                    def _push(*vs, o=obj):
-                        o.extend(vs)
-                        return len(o)
-                    return _push
-                if name == "pop":
-                    return lambda o=obj: o.pop() if o else None
-                if name == "forEach":
-                    def _each(fn, o=obj):
-                        for i, x in enumerate(o):
-                            # ES5 callback signature (value, index, array)
-                            # for JS closures; host fns take the value only
-                            if getattr(fn, "_is_js_closure", False):
-                                fn(x, i, o)
-                            else:
-                                fn(x)
-                    return _each
-                if name == "map":
-                    def _map(fn, o=obj):
-                        js = getattr(fn, "_is_js_closure", False)
-                        return [fn(x, i, o) if js else fn(x)
-                                for i, x in enumerate(o)]
-                    return _map
-                if name == "filter":
-                    def _filter(fn, o=obj):
-                        js = getattr(fn, "_is_js_closure", False)
-                        return [x for i, x in enumerate(o)
-                                if _truthy(fn(x, i, o) if js else fn(x))]
-                    return _filter
-                if name == "some":
-                    return lambda fn, o=obj: any(_truthy(fn(x)) for x in o)
-                if name == "every":
-                    return lambda fn, o=obj: all(_truthy(fn(x)) for x in o)
-                if name == "reduce":
-                    def _reduce(fn, *init, o=obj):
-                        it = iter(o)
-                        acc = init[0] if init else next(it)
-                        for x in it:
-                            acc = fn(acc, x)
-                        return acc
-                    return _reduce
-                if name == "reverse":
-                    def _rev(o=obj):
-                        o.reverse()
-                        return o
-                    return _rev
-                if name == "shift":
-                    return lambda o=obj: o.pop(0) if o else None
-                if name == "unshift":
-                    def _unshift(*vs, o=obj):
-                        o[:0] = list(vs)
-                        return len(o)
-                    return _unshift
-                if name == "sort":
-                    def _sort(fn=None, o=obj):
-                        if fn is None:
-                            o.sort(key=str)
-                        else:
-                            import functools
-                            o.sort(key=functools.cmp_to_key(
-                                lambda a, b: (fn(a, b) > 0) - (fn(a, b) < 0)))
-                        return o
-                    return _sort
-                if name == "concat":
-                    return lambda other, o=obj: list(o) + (
-                        list(other) if isinstance(other, list) else [other])
-                if name == "slice":
-                    return lambda a=0, b=None, o=obj: \
-                        o[int(a):None if b is None else int(b)]
-            if isinstance(obj, dict):
-                if name == "hasOwnProperty":
-                    return lambda k, o=obj: k in o or _js_propkey(k) in o
-                if name == "keySet":
-                    return lambda o=obj: list(o)
-                return obj.get(name)
-            if isinstance(obj, _ProcessorModule):
-                return getattr(obj, name)   # processor.Chain / .Convert / ...
-            if isinstance(obj, _dt_mod.datetime):
-                # Go time.Time methods goja exposes on event timestamps
-                # (google_workspace admin: end.UnixNano() - start.UnixNano())
-                d = obj if obj.tzinfo else obj.replace(
-                    tzinfo=_dt_mod.timezone.utc)
-                if name == "UnixNano":
-                    return lambda d=d: int(d.timestamp() * 1e6) * 1000
-                if name == "UnixMilli":
-                    return lambda d=d: int(d.timestamp() * 1000)
-                if name == "Unix":
-                    return lambda d=d: int(d.timestamp())
-                if name == "getTime":
-                    return lambda d=d: d.timestamp() * 1000
-            raise JSUnsupported(f"member {name!r} on {type(obj).__name__}")
+
+            def f(env, bf=bf, n=name):
+                return _member(bf(env), n)
+            return f
+        if op == "index":
+            bf = self._cexpr(node[1])
+            kf = self._cexpr(node[2])
+
+            def f(env, bf=bf, kf=kf):
+                return _index_get(bf(env), kf(env))
+            return f
         if op == "call":
-            # method call on a user object: bind `this` for JS closures
-            if node[1][0] == "member":
-                obj = self.eval(node[1][1], env)
-                if isinstance(obj, dict):
-                    fn = obj.get(node[1][2])
-                    if getattr(fn, "_is_js_closure", False):
-                        args = [self.eval(a, env) for a in node[2]]
-                        return fn(*args, _this=obj)
-            if node[1][0] == "ident" and node[1][1] in self.funcs:
-                args = [self.eval(a, env) for a in node[2]]
-                return self.call_user(node[1][1], args)
-            fn = self.eval(node[1], env)
-            args = [self.eval(a, env) for a in node[2]]
-            if not callable(fn):
-                raise JSUnsupported(f"call of non-function: {node[1]!r:.120}")
-            return fn(*args)
+            callee = node[1]
+            arg_fs = tuple(self._cexpr(a) for a in node[2])
+            cr = f"{callee!r:.120}"
+            if callee[0] == "ident" and callee[1] in self.funcs:
+                # user function by name wins over env bindings (hoisting)
+                name = callee[1]
+
+                def f(env, n=name, afs=arg_fs, cu=self.call_user):
+                    return cu(n, [a(env) for a in afs])
+                return f
+            if callee[0] == "member":
+                obj_f = self._cexpr(callee[1])
+                name = callee[2]
+
+                def f(env, obj_f=obj_f, n=name, afs=arg_fs, cr=cr):
+                    obj = obj_f(env)
+                    # method call on a user object: bind `this` for JS
+                    # closures
+                    if isinstance(obj, dict):
+                        fn = obj.get(n)
+                        if getattr(fn, "_is_js_closure", False):
+                            return fn(*[a(env) for a in afs], _this=obj)
+                    fn = _member(obj, n)
+                    args = [a(env) for a in afs]
+                    if not callable(fn):
+                        raise JSUnsupported(f"call of non-function: {cr}")
+                    return fn(*args)
+                return f
+            fn_f = self._cexpr(callee)
+
+            def f(env, fn_f=fn_f, afs=arg_fs, cr=cr):
+                fn = fn_f(env)
+                args = [a(env) for a in afs]
+                if not callable(fn):
+                    raise JSUnsupported(f"call of non-function: {cr}")
+                return fn(*args)
+            return f
         if op == "cmp":
             _, o, a, b = node
-            l, r = self.eval(a, env), self.eval(b, env)
+            lf, rf = self._cexpr(a), self._cexpr(b)
             if o == "===":
-                return _strict_eq(l, r)
+                return lambda env, lf=lf, rf=rf: _strict_eq(lf(env), rf(env))
             if o == "!==":
-                return not _strict_eq(l, r)
+                return lambda env, lf=lf, rf=rf: \
+                    not _strict_eq(lf(env), rf(env))
             if o == "==":
-                return _abstract_eq(l, r)
+                return lambda env, lf=lf, rf=rf: \
+                    _abstract_eq(lf(env), rf(env))
             if o == "!=":
-                return not _abstract_eq(l, r)
-            if l is None or r is None:
-                return False
-            if isinstance(l, str) and isinstance(r, str):
-                return {"<": l < r, ">": l > r, "<=": l <= r, ">=": l >= r}[o]
-            ln, rn = _tonum(l), _tonum(r)
-            if math.isnan(ln) or math.isnan(rn):
-                return False            # JS: any NaN relational is false
-            return {"<": ln < rn, ">": ln > rn,
-                    "<=": ln <= rn, ">=": ln >= rn}[o]
+                return lambda env, lf=lf, rf=rf: \
+                    not _abstract_eq(lf(env), rf(env))
+            opf = _REL[o]
+
+            def f(env, lf=lf, rf=rf, opf=opf):
+                l, r = lf(env), rf(env)
+                if l is None or r is None:
+                    return False
+                if isinstance(l, str) and isinstance(r, str):
+                    return opf(l, r)
+                ln, rn = _tonum(l), _tonum(r)
+                if math.isnan(ln) or math.isnan(rn):
+                    return False        # JS: any NaN relational is false
+                return opf(ln, rn)
+            return f
         if op == "funclit":
             # closure: captures the defining env by reference (module JS
-            # reads config constants through it; writes stay local)
-            params, body, cap = node[1], node[2], env
+            # reads config constants through it; writes stay local); the
+            # body compiles ONCE here, not per closure creation
+            params = node[1]
+            cbody = self._cstmts(node[2])
 
-            interp = self
-
-            class _Closure:
-                _is_js_closure = True
-
-                def __call__(self, *args, _this=None):
-                    if interp._depth >= _MAX_CALL_DEPTH:
-                        raise JSUnsupported("script call depth exceeded")
-                                # locals chain to the CAPTURED env (itself chained to
-                    # globals), so closure writes reach the defining scope
-                    # (JS semantics; o365's builder mutates captured state)
-                    if isinstance(cap, _CM):
-                        fenv = _CM({"this": _this}, *cap.maps)
-                    elif cap is interp.globals:
-                        fenv = _CM({"this": _this}, interp.globals)
-                    else:
-                        fenv = _CM({"this": _this}, cap, interp.globals)
-                    fenv.maps[0]["arguments"] = list(args)
-                    for p, a in zip(params, args):
-                        fenv.maps[0][p] = a
-                    for p in params[len(args):]:
-                        fenv.maps[0][p] = None
-                    interp._depth += 1
-                    try:
-                        for st in body:
-                            interp.exec_stmt(st, fenv)
-                    except _Returned as r:
-                        return r.value
-                    finally:
-                        interp._depth -= 1
-                    return None
-            return _Closure()
+            def f(env, interp=self, params=params, cbody=cbody):
+                return _Closure(interp, params, cbody, env)
+            return f
         if op == "array":
-            return [self.eval(x, env) for x in node[1]]
+            fs = tuple(self._cexpr(x) for x in node[1])
+
+            def f(env, fs=fs):
+                return [x(env) for x in fs]
+            return f
         if op == "object":
-            return {k: self.eval(v, env) for k, v in node[1]}
-        if op == "index":
-            obj = self.eval(node[1], env)
-            key = self.eval(node[2], env)
-            if isinstance(obj, _EventProxy):
-                return obj.Get(key)
-            if isinstance(obj, dict):
-                if key in obj:
-                    return obj[key]
-                return obj.get(_js_propkey(key))
-            if isinstance(obj, (list, str)):
-                try:
-                    return obj[int(key)]
-                except (IndexError, ValueError):
-                    return None
-            return None
+            pairs = tuple((k, self._cexpr(v)) for k, v in node[1])
+
+            def f(env, pairs=pairs):
+                return {k: vf(env) for k, vf in pairs}
+            return f
         if op == "in_op":
-            k = self.eval(node[1], env)
-            container = self.eval(node[2], env)
-            if isinstance(container, dict):
-                return k in container or _js_propkey(k) in container
-            if isinstance(container, list):
-                return isinstance(k, (int, float)) and 0 <= int(k) < len(container)
-            return False
+            kf = self._cexpr(node[1])
+            cf = self._cexpr(node[2])
+
+            def f(env, kf=kf, cf=cf):
+                k = kf(env)
+                container = cf(env)
+                if isinstance(container, dict):
+                    return k in container or _js_propkey(k) in container
+                if isinstance(container, list):
+                    return isinstance(k, (int, float)) \
+                        and 0 <= int(k) < len(container)
+                return False
+            return f
         if op == "instanceof":
-            v = self.eval(node[1], env)
-            t = node[2]
-            return {"Array": isinstance(v, list),
-                    "String": isinstance(v, str),
-                    "Object": isinstance(v, dict),
-                    "Number": isinstance(v, (int, float))
-                    and not isinstance(v, bool),
-                    "Boolean": isinstance(v, bool),
-                    "Function": callable(v)}.get(t, False)
+            vf = self._cexpr(node[1])
+            chk = _INSTANCEOF.get(node[2])
+            if chk is None:
+                return lambda env: False
+            return lambda env, vf=vf, chk=chk: chk(vf(env))
         if op == "new":
             callee = node[1]
+            arg_fs = tuple(self._cexpr(a) for a in node[2])
             # `new processor.X({...pure literal...})` rebuilds the SAME
             # stateless stage per event (google_workspace admin constructs
             # its whole chain inside the per-event dispatch): memoize the
-            # processor object on the AST node — config constant, stage
-            # stateless, so one instance serves every row
-            if callee[0] == "member" and callee[1] == ("ident", "processor") \
-                    and all(_pure_literal(a) for a in node[2]):
-                cached = self._new_cache.get(id(node))
-                if cached is not None:
-                    return cached
-                base = self.eval_base(callee[1], env)
-                if isinstance(base, _ProcessorModule):
-                    fn = getattr(base, callee[2])
-                    obj = fn(*[self.eval(a, env) for a in node[2]])
-                    self._new_cache[id(node)] = obj
-                    return obj
-            args = [self.eval(a, env) for a in node[2]]
-            # user-defined constructor: fresh `this` object, JS semantics
-            if callee[0] == "ident" and callee[1] in self.funcs:
-                thisobj = {}
-                r = self.call_user(callee[1], args, this_obj=thisobj)
-                return r if isinstance(r, dict) else thisobj
-            fn = self.eval(callee, env)
-            if getattr(fn, "_is_js_closure", False):
-                thisobj = {}
-                r = fn(*args, _this=thisobj)
-                return r if isinstance(r, dict) else thisobj
-            if callable(fn):   # host constructor (processor.X, Chain...)
-                return fn(*args)
-            raise JSUnsupported("new on non-function")
+            # processor object in a per-node cache cell — config constant,
+            # stage stateless, so one instance serves every row
+            pure_proc = (callee[0] == "member"
+                         and callee[1] == ("ident", "processor")
+                         and all(_pure_literal(a) for a in node[2]))
+            cache = [None]
+            proc_base_f = self._cexpr_safe(callee[1]) if pure_proc else None
+            proc_attr = callee[2] if pure_proc else None
+            user_name = callee[1] if callee[0] == "ident" \
+                and callee[1] in self.funcs else None
+            callee_f = None if user_name is not None else self._cexpr(callee)
+
+            def f(env, arg_fs=arg_fs, pure_proc=pure_proc, cache=cache,
+                  proc_base_f=proc_base_f, proc_attr=proc_attr,
+                  user_name=user_name, callee_f=callee_f, interp=self):
+                if pure_proc:
+                    if cache[0] is not None:
+                        return cache[0]
+                    base = proc_base_f(env)
+                    if isinstance(base, _ProcessorModule):
+                        fn = getattr(base, proc_attr)
+                        obj = fn(*[a(env) for a in arg_fs])
+                        cache[0] = obj
+                        return obj
+                args = [a(env) for a in arg_fs]
+                # user-defined constructor: fresh `this`, JS semantics
+                if user_name is not None:
+                    thisobj = {}
+                    r = interp.call_user(user_name, args, this_obj=thisobj)
+                    return r if isinstance(r, dict) else thisobj
+                fn = callee_f(env)
+                if getattr(fn, "_is_js_closure", False):
+                    thisobj = {}
+                    r = fn(*args, _this=thisobj)
+                    return r if isinstance(r, dict) else thisobj
+                if callable(fn):   # host constructor (processor.X, Chain)
+                    return fn(*args)
+                raise JSUnsupported("new on non-function")
+            return f
         if op == "assignexpr":
-            val = self.eval(node[2], env)
-            self.assign(node[1], val, env)
-            return val
+            set_ = self._csetter(node[1])
+            vf = self._cexpr(node[2])
+
+            def f(env, set_=set_, vf=vf):
+                val = vf(env)
+                set_(env, val)
+                return val
+            return f
         if op == "ternary":
-            return self.eval(node[2], env) if _truthy(self.eval(node[1], env)) \
-                else self.eval(node[3], env)
+            cf = self._cexpr(node[1])
+            af = self._cexpr(node[2])
+            bf = self._cexpr(node[3])
+
+            def f(env, cf=cf, af=af, bf=bf):
+                return af(env) if _truthy(cf(env)) else bf(env)
+            return f
         if op == "or":
-            l = self.eval(node[1], env)
-            return l if _truthy(l) else self.eval(node[2], env)
+            lf, rf = self._cexpr(node[1]), self._cexpr(node[2])
+
+            def f(env, lf=lf, rf=rf):
+                l = lf(env)
+                return l if _truthy(l) else rf(env)
+            return f
         if op == "and":
-            l = self.eval(node[1], env)
-            return self.eval(node[2], env) if _truthy(l) else l
+            lf, rf = self._cexpr(node[1]), self._cexpr(node[2])
+
+            def f(env, lf=lf, rf=rf):
+                l = lf(env)
+                return rf(env) if _truthy(l) else l
+            return f
         if op == "not":
-            return not _truthy(self.eval(node[1], env))
+            vf = self._cexpr(node[1])
+            return lambda env, vf=vf: not _truthy(vf(env))
         if op == "neg":
-            return -_tonum(self.eval(node[1], env))
+            vf = self._cexpr(node[1])
+            return lambda env, vf=vf: -_tonum(vf(env))
         if op == "typeof":
-            try:
-                v = self.eval(node[1], env)
-            except JSUnsupported:
-                return "undefined"      # typeof <unknown ident> in JS
-            if v is None:
-                return "undefined"
-            if isinstance(v, bool):
-                return "boolean"
-            if isinstance(v, (int, float)):
-                return "number"
-            if isinstance(v, str):
-                return "string"
-            if callable(v):
-                return "function"
-            return "object"
+            vf = self._cexpr(node[1])
+
+            def f(env, vf=vf):
+                try:
+                    v = vf(env)
+                except JSUnsupported:
+                    return "undefined"  # typeof <unknown ident> in JS
+                if v is None:
+                    return "undefined"
+                if isinstance(v, bool):
+                    return "boolean"
+                if isinstance(v, (int, float)):
+                    return "number"
+                if isinstance(v, str):
+                    return "string"
+                if callable(v):
+                    return "function"
+                return "object"
+            return f
         if op == "delete":
             target = node[1]
             if target[0] in ("member", "index"):
-                obj = self.eval_base(target[1], env)
-                key = self.eval(target[2], env) if target[0] == "index" \
-                    else target[2]
-                if isinstance(obj, dict):
-                    obj.pop(key, None)
-                elif isinstance(obj, _EventProxy):
-                    obj.Delete(key)
-            return True
+                bf = self._cexpr_safe(target[1])
+                is_idx = target[0] == "index"
+                kf = self._cexpr(target[2]) if is_idx else None
+                kc = None if is_idx else target[2]
+
+                def f(env, bf=bf, kf=kf, kc=kc, is_idx=is_idx):
+                    obj = bf(env)
+                    key = kf(env) if is_idx else kc
+                    if isinstance(obj, dict):
+                        obj.pop(key, None)
+                    elif isinstance(obj, _EventProxy):
+                        obj.Delete(key)
+                    return True
+                return f
+            return lambda env: True
         if op == "incdec":
             _, target, delta, post = node
-            old = self.eval(target, env)
-            oldn = _tonum(old)
-            self.assign(target, oldn + delta, env)
-            return oldn if post else oldn + delta
+            gf = self._cexpr(target)
+            set_ = self._csetter(target)
+
+            def f(env, gf=gf, set_=set_, delta=delta, post=post):
+                oldn = _tonum(gf(env))
+                set_(env, oldn + delta)
+                return oldn if post else oldn + delta
+            return f
         if op == "arith":
             _, o, a, b = node
-            l, r = self.eval(a, env), self.eval(b, env)
+            lf, rf = self._cexpr(a), self._cexpr(b)
             if o == "+":
-                if isinstance(l, str) or isinstance(r, str):
-                    return _jstr(l) + _jstr(r)
-                return _tonum(l) + _tonum(r)
-            ln, rn = _tonum(l), _tonum(r)
+                def f(env, lf=lf, rf=rf):
+                    l, r = lf(env), rf(env)
+                    if isinstance(l, str) or isinstance(r, str):
+                        return _jstr(l) + _jstr(r)
+                    return _tonum(l) + _tonum(r)
+                return f
             if o == "-":
-                return ln - rn
+                return lambda env, lf=lf, rf=rf: \
+                    _tonum(lf(env)) - _tonum(rf(env))
             if o == "*":
-                return ln * rn
+                return lambda env, lf=lf, rf=rf: \
+                    _tonum(lf(env)) * _tonum(rf(env))
             if o == "%":
                 # JS remainder keeps the DIVIDEND's sign (math.fmod), and
                 # x % 0 is NaN — not Python's floored modulo
-                if rn == 0 or math.isnan(ln) or math.isnan(rn):
-                    return math.nan
-                return math.fmod(ln, rn)
+                def f(env, lf=lf, rf=rf):
+                    ln, rn = _tonum(lf(env)), _tonum(rf(env))
+                    if rn == 0 or math.isnan(ln) or math.isnan(rn):
+                        return math.nan
+                    return math.fmod(ln, rn)
+                return f
             if o == "/":
                 # JS: x/0 is +-Infinity, 0/0 is NaN
-                if rn == 0:
-                    if ln == 0 or math.isnan(ln):
-                        return math.nan
-                    return math.inf if ln > 0 else -math.inf
-                return ln / rn
-        raise JSUnsupported(f"expression {op}")
+                def f(env, lf=lf, rf=rf):
+                    ln, rn = _tonum(lf(env)), _tonum(rf(env))
+                    if rn == 0:
+                        if ln == 0 or math.isnan(ln):
+                            return math.nan
+                        return math.inf if ln > 0 else -math.inf
+                    return ln / rn
+                return f
+        raise JSUnsupported(f"expression {op}")  # pragma: no cover
 
 
 def _truthy(v) -> bool:
