@@ -184,9 +184,20 @@ class Pipeline:
         return batch
 
     # -- Ray Dataset execution --------------------------------------------
-    def apply(self, ds, batch_size: int | None = None, concurrency: int | None = None):
+    def apply(self, ds, batch_size: int | None = None, concurrency: int | None = None,
+              eager_pool: bool = False):
         """Attach the compiled chain to a ray.data.Dataset (lazy; the
-        streaming executor pipelines the segments with backpressure)."""
+        streaming executor pipelines the segments with backpressure).
+
+        ``eager_pool=True`` starts any actor pool at FULL size instead of
+        autoscaling up from 2.  Ray's autoscaler ramps the pool over the
+        life of the query, so on a short heavy chain most of the work
+        serializes on the first few actors (measured: zeek/dns compiled
+        chain at sf0.1/32 runs 7.1 s with the ramp, 5.5 s warm-started —
+        the pool reaches full width only near the end otherwise).  Use it
+        when the input is known to be data-scale; the default ramp stays
+        right for fixture-sized inputs where 30 actor spawns cost more
+        than the query."""
         bs = batch_size or self.batch_size
         pool = concurrency or self.concurrency
         # Actor-pool sizing: Ray fuses upstream stateless map_batches INTO the
@@ -202,14 +213,22 @@ class Pipeline:
             pass
         auto = max(1, total - 2) if total > 2 else 1
         pool = max(1, min(pool, auto)) if pool else auto
+        # eager minimum: a chain with several actor segments must SPLIT the
+        # cluster between pools — per-segment min of full width would ask
+        # for segments×pool CPUs and deadlock the streaming executor
+        n_actor = sum(1 for kind, _ in self.segments if kind == "actor") or 1
+        eager_min = max(1, pool // n_actor)
         for kind, stages in self.segments:
             if kind == "fused":
                 ds = ds.map_batches(FusedChain(stages), batch_format="pyarrow",
                                     batch_size=bs)
             else:
                 # autoscaling pool: start small (pool spin-up is ~0.4s/actor
-                # of pure latency), grow under load up to the cluster cap
+                # of pure latency), grow under load up to the cluster cap;
+                # eager_pool skips the ramp (spawns run in parallel, so a
+                # full-width start costs ~1 spawn of latency, not pool×)
                 ds = ds.map_batches(ActorChain, fn_constructor_args=(stages,),
                                     batch_format="pyarrow", batch_size=bs,
-                                    concurrency=(min(2, pool), pool))
+                                    concurrency=(eager_min if eager_pool
+                                                 else min(2, pool), pool))
         return ds

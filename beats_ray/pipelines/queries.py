@@ -1607,7 +1607,8 @@ def q_events_ingest_apache(sf_dir: str):
         # this 600k-row input to ~4 tasks and strands the pool; 2048 keeps
         # tasks at input-block granularity (measured: zeek-js 16.6s -> 5.9s
         # at sf0.1/32, PERFORMANCE.md round-5 closing notes)
-        ds.map_batches(render, batch_format="pandas"), batch_size=2048)
+        ds.map_batches(render, batch_format="pandas"), batch_size=2048,
+        eager_pool=True)
 
     keys = ["event_outcome", "http_request_method",
             "http_response_status_code", "url_path"]
@@ -1789,7 +1790,8 @@ def q_events_ingest_checkpoint(sf_dir: str):
         # this 600k-row input to ~4 tasks and strands the pool; 2048 keeps
         # tasks at input-block granularity (measured: zeek-js 16.6s -> 5.9s
         # at sf0.1/32, PERFORMANCE.md round-5 closing notes)
-        ds.map_batches(render, batch_format="pandas"), batch_size=2048)
+        ds.map_batches(render, batch_format="pandas"), batch_size=2048,
+        eager_pool=True)
 
     keys = ["event_action", "event_outcome", "network_transport",
             "network_direction"]
@@ -1908,7 +1910,8 @@ def q_events_ingest_nginx_module(sf_dir: str):
         # this 600k-row input to ~4 tasks and strands the pool; 2048 keeps
         # tasks at input-block granularity (measured: zeek-js 16.6s -> 5.9s
         # at sf0.1/32, PERFORMANCE.md round-5 closing notes)
-        ds.map_batches(render, batch_format="pandas"), batch_size=2048)
+        ds.map_batches(render, batch_format="pandas"), batch_size=2048,
+        eager_pool=True)
 
     keys = ["event_module", "event_dataset", "ecs_version", "event_outcome",
             "http_request_method", "http_response_status_code", "url_path"]
@@ -2051,7 +2054,8 @@ def q_events_ingest_zeek_dns_js(sf_dir: str):
         # this 600k-row input to ~4 tasks and strands the pool; 2048 keeps
         # tasks at input-block granularity (measured: zeek-js 16.6s -> 5.9s
         # at sf0.1/32, PERFORMANCE.md round-5 closing notes)
-        ds.map_batches(render, batch_format="pandas"), batch_size=2048)
+        ds.map_batches(render, batch_format="pandas"), batch_size=2048,
+        eager_pool=True)
 
     keys = ["dns_type", "event_outcome", "network_transport",
             "dns_question_type", "dns_response_code"]
