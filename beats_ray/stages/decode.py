@@ -96,8 +96,18 @@ class DecodeJSONFields(Stage):
             return None
         if parsed.num_rows != len(batch):
             return None
-        if any(pa.types.is_nested(f.type) for f in parsed.schema):
-            return None
+        for f in parsed.schema:
+            if not pa.types.is_nested(f.type):
+                continue
+            # keep_arrays keeps lists of SCALARS native (the Python path's
+            # _flatten rule) — pyarrow.json already parsed them as
+            # list<primitive>, so the fast path may keep them too.  Struct
+            # columns (max_depth=1 must keep nested objects JSON-encoded)
+            # and list<list>/list<struct> (key-unification semantics differ
+            # from the per-row pa.array build) still fall back.
+            if not (self.keep_arrays and pa.types.is_list(f.type)
+                    and not pa.types.is_nested(f.type.value_type)):
+                return None
         has_nulls = pc.sum(null_mask).as_py() or 0
         for name in parsed.column_names:
             out_name = prefix + name.replace(".", "_")

@@ -961,6 +961,20 @@ def _require(name):
     import ipaddress as _ip
     if name == "net":
         def is_ip(v):
+            # hot in zeek-style per-answer loops: dotted-quad strings take a
+            # manual check (ipaddress.ip_address costs ~6 µs/call); exotic
+            # shapes (IPv6, ints, IPv4-mapped "::ffff:1.2.3.4") keep the
+            # stdlib path.  Matches ipaddress strictness: ASCII digits only,
+            # no leading zeros, octets <= 255.
+            if type(v) is str and ":" not in v:
+                parts = v.split(".")
+                if len(parts) != 4:
+                    return 0
+                for p in parts:
+                    if (not p.isdigit() or not p.isascii() or len(p) > 3
+                            or (len(p) > 1 and p[0] == "0") or int(p) > 255):
+                        return 0
+                return 4
             try:
                 return 4 if _ip.ip_address(v).version == 4 else 6
             except (ValueError, TypeError):
