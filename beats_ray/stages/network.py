@@ -53,14 +53,40 @@ def _icmp_ports(proto: int, itype: int, icode: int):
     return itype, equiv, False
 
 
+def _packed_addr(v) -> bytes | None:
+    """ipaddress.ip_address(v).packed with a manual fast path for plain
+    dotted-quad strings (the overwhelmingly common case in flow logs;
+    IPv4Address construction costs ~6 µs/call).  Validation matches
+    ipaddress strictness exactly: ASCII digits only, no leading zeros,
+    octets <= 255 — anything else (IPv6, ints, invalid) takes the stdlib
+    path or returns None where ip_address would raise."""
+    if type(v) is str and ":" not in v:
+        parts = v.split(".")
+        if len(parts) != 4:
+            return None
+        out = bytearray(4)
+        for i, p in enumerate(parts):
+            if (not p.isdigit() or not p.isascii() or len(p) > 3
+                    or (len(p) > 1 and p[0] == "0")):
+                return None
+            n = int(p)
+            if n > 255:
+                return None
+            out[i] = n
+        return bytes(out)
+    try:
+        return ipaddress.ip_address(v).packed
+    except (ValueError, TypeError):
+        return None
+
+
 def community_id_v1(saddr: str, daddr: str, sport: int | None, dport: int | None,
                     proto: int, seed: int = 0,
                     icmp_type: int | None = None,
                     icmp_code: int | None = None) -> str | None:
-    try:
-        sip = ipaddress.ip_address(saddr)
-        dip = ipaddress.ip_address(daddr)
-    except (ValueError, TypeError):
+    spk = _packed_addr(saddr)
+    dpk = _packed_addr(daddr)
+    if spk is None or dpk is None:
         return None
     one_way = False
     if proto in (1, 58):
@@ -80,9 +106,9 @@ def community_id_v1(saddr: str, daddr: str, sport: int | None, dport: int | None
         # (ports stay zero for the endpoint ordering)
         sp = dp = 0
     # order the endpoints: smaller (ip, port) first (skipped for one-way flows)
-    if not one_way and (sip.packed, sp) > (dip.packed, dp):
-        sip, dip, sp, dp = dip, sip, dp, sp
-    payload = struct.pack("!H", seed) + sip.packed + dip.packed + \
+    if not one_way and (spk, sp) > (dpk, dp):
+        spk, dpk, sp, dp = dpk, spk, dp, sp
+    payload = struct.pack("!H", seed) + spk + dpk + \
         struct.pack("BB", proto & 0xFF, 0)
     if proto in (6, 17, 132, 1, 58):
         payload += struct.pack("!HH", sp, dp)
