@@ -405,22 +405,22 @@ def q_embeddings_knn(sf_dir: str):
     ds = _read(os.path.join(sf_dir, "embeddings.parquet"),
                             columns=["vec_id", "embedding"])
 
-    # one query vector (dims floats) — captured directly in the actor
-    # closure: shipped once per actor, restart-safe (no constructor
-    # ObjectRef that could be lost; ray#53727)
-    class Cosine:
-        def __init__(self):
-            self.q = qvec / np.linalg.norm(qvec)
+    # one query vector (dims floats) — there is no real per-actor state to
+    # build (normalizing ~1 KB once is free), so this runs as STATELESS
+    # map_batches tasks: the vector ships inside the serialized function,
+    # tasks are restart-safe by construction, and no actor pool means no
+    # ray#53727 constructor-arg-in-object-store restart fragility.
+    q_unit = qvec / np.linalg.norm(qvec)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-            norms = np.linalg.norm(mat, axis=1)
-            norms[norms == 0] = 1.0
-            cos = (mat @ self.q) / norms
-            return pa.table({"vec_id": t["vec_id"],
-                             "cos": pa.array(np.round(cos, 6), pa.float64())})
+    def cosine_score(t: pa.Table) -> pa.Table:
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (mat @ q_unit) / norms
+        return pa.table({"vec_id": t["vec_id"],
+                         "cos": pa.array(np.round(cos, 6), pa.float64())})
 
-    scored = ds.map_batches(Cosine, batch_format="pyarrow", concurrency=2)
+    scored = ds.map_batches(cosine_score, batch_format="pyarrow")
     return scored.sort(["cos", "vec_id"], descending=[True, False]).limit(10)
 
 
