@@ -1534,6 +1534,15 @@ _EXTRA_ORACLES3["docs_decontaminate"] = """
 
 # ------------------------------------------------------- compiled ES ingest
 
+# Pipeline.apply kwargs shared by the four compiled-ingest queries.
+# Task granularity: Ray bundles input blocks up to batch_size rows per actor
+# task, so the default 32768 collapses a 600k-row input to ~4 tasks and
+# strands the pool — 2048 keeps tasks at input-block granularity (measured
+# on the zeek-js chain: 16.6 s -> 5.9 s at sf0.1/32, PERFORMANCE.md round-5
+# closing notes).  eager_pool skips the actor-autoscaler ramp because these
+# queries' inputs are always data-scale, never fixture-sized.
+_COMPILED_APPLY_KW = {"batch_size": 2048, "eager_pool": True}
+
 _APACHE_PIPELINE_YML = ("/root/reference/filebeat/module/apache/access/"
                         "ingest/pipeline.yml")
 
@@ -1602,13 +1611,7 @@ def q_events_ingest_apache(sf_dir: str):
     spec = compile_ingest(load_pipeline_yml(_APACHE_PIPELINE_YML),
                           scripts=[_APACHE_TLS_SCRIPT, None])
     parsed = Pipeline(spec).apply(
-        # actor-segment task granularity: Ray bundles input blocks up to
-        # batch_size rows per actor task, so the default 32768 collapses
-        # this 600k-row input to ~4 tasks and strands the pool; 2048 keeps
-        # tasks at input-block granularity (measured: zeek-js 16.6s -> 5.9s
-        # at sf0.1/32, PERFORMANCE.md round-5 closing notes)
-        ds.map_batches(render, batch_format="pandas"), batch_size=2048,
-        eager_pool=True)
+        ds.map_batches(render, batch_format="pandas"), **_COMPILED_APPLY_KW)
 
     keys = ["event_outcome", "http_request_method",
             "http_response_status_code", "url_path"]
@@ -1785,13 +1788,7 @@ def q_events_ingest_checkpoint(sf_dir: str):
             preserve_index=False).replace_schema_metadata(None)
 
     parsed = Pipeline(_checkpoint_compiled_spec()).apply(
-        # actor-segment task granularity: Ray bundles input blocks up to
-        # batch_size rows per actor task, so the default 32768 collapses
-        # this 600k-row input to ~4 tasks and strands the pool; 2048 keeps
-        # tasks at input-block granularity (measured: zeek-js 16.6s -> 5.9s
-        # at sf0.1/32, PERFORMANCE.md round-5 closing notes)
-        ds.map_batches(render, batch_format="pandas"), batch_size=2048,
-        eager_pool=True)
+        ds.map_batches(render, batch_format="pandas"), **_COMPILED_APPLY_KW)
 
     keys = ["event_action", "event_outcome", "network_transport",
             "network_direction"]
@@ -1905,13 +1902,7 @@ def q_events_ingest_nginx_module(sf_dir: str):
     spec, _ = compile_fileset_spec(
         "/root/reference/filebeat/module/nginx", "nginx", "access")
     parsed = Pipeline(spec).apply(
-        # actor-segment task granularity: Ray bundles input blocks up to
-        # batch_size rows per actor task, so the default 32768 collapses
-        # this 600k-row input to ~4 tasks and strands the pool; 2048 keeps
-        # tasks at input-block granularity (measured: zeek-js 16.6s -> 5.9s
-        # at sf0.1/32, PERFORMANCE.md round-5 closing notes)
-        ds.map_batches(render, batch_format="pandas"), batch_size=2048,
-        eager_pool=True)
+        ds.map_batches(render, batch_format="pandas"), **_COMPILED_APPLY_KW)
 
     keys = ["event_module", "event_dataset", "ecs_version", "event_outcome",
             "http_request_method", "http_response_status_code", "url_path"]
@@ -2049,13 +2040,7 @@ def q_events_ingest_zeek_dns_js(sf_dir: str):
     spec, _ = compile_fileset_spec(
         "/root/reference/x-pack/filebeat/module/zeek", "zeek", "dns")
     parsed = Pipeline(spec).apply(
-        # actor-segment task granularity: Ray bundles input blocks up to
-        # batch_size rows per actor task, so the default 32768 collapses
-        # this 600k-row input to ~4 tasks and strands the pool; 2048 keeps
-        # tasks at input-block granularity (measured: zeek-js 16.6s -> 5.9s
-        # at sf0.1/32, PERFORMANCE.md round-5 closing notes)
-        ds.map_batches(render, batch_format="pandas"), batch_size=2048,
-        eager_pool=True)
+        ds.map_batches(render, batch_format="pandas"), **_COMPILED_APPLY_KW)
 
     keys = ["dns_type", "event_outcome", "network_transport",
             "dns_question_type", "dns_response_code"]

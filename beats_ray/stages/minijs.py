@@ -46,6 +46,7 @@ Infinity (0/0 NaN).
 
 from __future__ import annotations
 
+import bisect
 import datetime as _dt_mod
 import math
 import re
@@ -727,11 +728,17 @@ class _EventProxy:
         # null-checks and iteration see the container
         pre = col + "_"
         kp = str(key).split(".")
-        subs = {}
-        ks = self._keys_sorted
-        if ks is None:
-            ks = self._keys_sorted = sorted(self.row)
-        import bisect
+        cache = self._keys_sorted
+        if cache is None:
+            # (sorted keys for the bisect prefix scan, key -> insertion
+            # index so the rebuilt dict view keeps goja's insertion-order
+            # object semantics).  Rebuilt whenever the key SET changes;
+            # overwriting an existing key keeps its dict slot, so the
+            # position map stays valid between rebuilds.
+            ks = sorted(self.row)
+            cache = self._keys_sorted = (ks, {k: i for i, k in enumerate(self.row)})
+        ks, pos = cache
+        matched = []
         for j in range(bisect.bisect_left(ks, pre), len(ks)):
             k = ks[j]
             if not k.startswith(pre):
@@ -743,7 +750,9 @@ class _EventProxy:
             if segs is not None and not (
                     len(segs) > len(kp) and list(segs[:len(kp)]) == kp):
                 continue   # literal underscore key, not a child
-            subs[k[len(pre):]] = val
+            matched.append(k)
+        matched.sort(key=pos.__getitem__)
+        subs = {k[len(pre):]: self.row[k] for k in matched}
         return subs or None
 
     def Put(self, key, value):
@@ -862,6 +871,10 @@ def _run_stage_on_event(stage, proxy):
         new.setdefault(k, v)   # held-aside slots must not clobber stage output
     row.clear()
     row.update(new)
+    # the stage may have added/removed columns behind the proxy's back —
+    # drop the sorted-key/insertion-order cache or later container Gets
+    # silently miss the new fields
+    proxy._keys_sorted = None
 
 
 _STAGE_CACHE: dict = {}

@@ -407,3 +407,44 @@ function process(evt) {
 """
     out = compile_js(src)({})
     assert out["n"] == 3 and out["m"] == 1
+
+
+def test_container_get_cache_invalidated_by_processor_run():
+    """A shimmed processor.Run rebuilds the row behind the proxy — the
+    container-Get key cache must be dropped or the new fields silently
+    vanish from later prefix scans (round-5 review finding)."""
+    from beats_ray.stages.minijs import compile_js
+
+    src = """
+var processor = require("processor");
+function process(evt) {
+    var before = evt.Get("obj");
+    new processor.AddFields({fields: {"obj.extra": "NEW"}, target: ""}).Run(evt);
+    var after = evt.Get("obj");
+    evt.Put("saw_before", before.extra === undefined);
+    evt.Put("saw_after", after.extra === "NEW");
+}
+"""
+    out = compile_js(src)({"obj_a": 1, "obj_b": 2})
+    assert out["saw_before"] is True
+    assert out["saw_after"] is True
+    assert out["obj_extra"] == "NEW"
+
+
+def test_container_get_preserves_insertion_order():
+    """goja objects iterate in insertion order; the container view rebuilt
+    from flattened prefix columns must keep the row's column order, not
+    the bisect scan's alphabetical order."""
+    from beats_ray.stages.minijs import compile_js
+
+    src = """
+function process(evt) {
+    var keys = [];
+    var obj = evt.Get("o");
+    for (var k in obj) { keys.push(k); }
+    evt.Put("order", keys.join(","));
+}
+"""
+    # insertion order z, a, m — alphabetical would be a, m, z
+    out = compile_js(src)({"o_z": 1, "o_a": 2, "o_m": 3})
+    assert out["order"] == "z,a,m"
