@@ -244,27 +244,6 @@ FILESET_HOOKS = {
 
 
 
-# ---------------------------------------------------------------- log levels
-
-def _level_type_hook(levels, field="log_level", target="event_type",
-                     error="error", info="info"):
-    """The `def errorLevels = [...]` painless shared by kafka/logstash/
-    icinga/activemq/zookeeper log pipelines: level in list -> event.type
-    error, else info."""
-    script = _py(
-        f"lvl = event.get({field!r})\n"
-        f"if lvl is not None:\n"
-        f"    event[{target!r}] = {error!r} if lvl in {tuple(levels)!r} \\\n"
-        f"        else {info!r}")
-    def hook(doc):
-        n = sum(1 for p in doc.get("processors", []) if "script" in p)
-        return [script] * n, None
-    return hook
-
-
-FILESET_HOOKS[("kafka", "log")] = _level_type_hook(["ERROR", "FATAL"])
-
-
 # ------------------------------------------------------- small log modules
 
 def _redis_log_hook(doc):
@@ -2490,7 +2469,7 @@ def _az_cat_script(doc, pre):
         "params": {"table": params, "pre": pre}}}
 
 
-def _az_duration(guarded=True):
+def _az_duration():
     return _py(
         # painless Integer * Integer wraps at 32 bits (durationMs and
         # param_nano are both JSON Integers — supporttickets_write carries

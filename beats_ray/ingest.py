@@ -315,8 +315,14 @@ class _P:
             if rhs[0] != "rx":
                 raise PainlessUnsupported("==~ needs a regex literal")
             pat = rhs[1]
+            # the conditions engine matches SUBSTRINGS (RE2 search), painless
+            # ==~ is a full match: anchor BOTH ends independently (a pattern
+            # ending in '.*' or '$' still needs the leading '^' — review
+            # finding: /4[0-9].*/ must not match 'X41')
+            if not pat.startswith("^"):
+                pat = "^" + pat
             if not pat.endswith("$") and not pat.endswith(".*"):
-                pat = pat + "$" if pat.startswith("^") else "^" + pat + "$"
+                pat = pat + "$"
             return {"regexp": {path: pat}}
         if nxt[0] == "op" and nxt[1] in ("==", "!=", "<", ">", "<=", ">="):
             op = self.take()[1]
@@ -618,15 +624,21 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
                         f["from"]: r"^(\d{1,3}\.){3}\d{1,3}$|:"}}}]}
                 bucket = pre
             elif cfg.get("type") in ("float", "double", "long", "integer"):
+                # only STRING values can fail the numeric cast: a column
+                # that already arrived numeric (decode_json_fields) casts
+                # trivially, and the regexp alone would return all-false on
+                # it, firing the handlers on every row (review finding) —
+                # instance_string scopes the gate to string-typed values
                 failed = {"and": [
                     {"has_fields": [f["from"]]},
+                    {"instance_string": f["from"]},
                     {"not": {"regexp": {
                         f["from"]:
                         r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"}}}]}
                 bucket = pre
             else:
                 raise PainlessUnsupported("convert on_failure variant")
-            for s in compile_ingest([h], _ctx=ctx):
+            for s in compile_ingest([h], _ctx=ctx.handler_ctx()):
                 w = {"and": [failed, s["when"]]} if "when" in s else failed
                 bucket.append({**s, "when": w})
         return pre + specs
@@ -658,7 +670,7 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
             specs = [{"kv": out}]
             cond = {"contains": {"log.flags": flag}}
             for h in cfg["on_failure"]:
-                for s2 in compile_ingest([h], _ctx=ctx):
+                for s2 in compile_ingest([h], _ctx=ctx.handler_ctx()):
                     w = {"and": [cond, s2["when"]]} if "when" in s2 else cond
                     specs.append({**s2, "when": w})
             return specs
@@ -680,7 +692,7 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
             specs = [{"grok": out}]
             cond = {"contains": {"log.flags": flag}}
             for h in cfg["on_failure"]:
-                for s in compile_ingest([h], _ctx=ctx):
+                for s in compile_ingest([h], _ctx=ctx.handler_ctx()):
                     w = {"and": [cond, s["when"]]} if "when" in s else cond
                     specs.append({**s, "when": w})
             return specs
@@ -834,7 +846,7 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
                     routed.append(s)
             cond = {"contains": {"log.flags": flag}}
             for h in cfg["on_failure"]:
-                for s2 in compile_ingest([h], _ctx=ctx):
+                for s2 in compile_ingest([h], _ctx=ctx.handler_ctx()):
                     w = {"and": [cond, s2["when"]]} if "when" in s2 else cond
                     routed.append({**s2, "when": w})
             specs = routed
@@ -899,6 +911,16 @@ class _Ctx:
         self.overrides = overrides or {}
         self.pipeline_loader = pipeline_loader
         self.index = 0
+
+    def handler_ctx(self) -> "_Ctx":
+        """Child context for compiling per-processor ``on_failure`` handlers:
+        shares the positional script queue and the pipeline loader but NOT
+        overrides/index — handler position 0 must not pick up a top-level
+        override keyed to processor 0, and the recursion must not clobber
+        the caller's index (used after return for `_pipe_` marker names)."""
+        child = _Ctx(None, None, self.pipeline_loader)
+        child.scripts = self.scripts   # same list object: pops stay aligned
+        return child
 
 
 def compile_ingest(doc, scripts=None, overrides=None, pipeline_loader=None,
@@ -1005,7 +1027,9 @@ def render_module_config(text: str, vars: dict) -> str:
     import json as _json
 
     def _val(name):
-        return vars.get(name.strip().lstrip("."), "")
+        # missing var -> None (Go template nil), NOT "" — an explicitly
+        # empty-string var renders as '' while nil renders '<no value>'
+        return vars.get(name.strip().lstrip("."))
 
     # drop range blocks (paths) entirely
     text = re.sub(r"\{\{\s*range[^}]*\}\}.*?\{\{\s*end\s*\}\}", "", text,
@@ -1052,14 +1076,15 @@ def render_module_config(text: str, vars: dict) -> str:
                   lambda m: _json.dumps(_val(m.group(1))), text)
     # `| printf "%q"` Go-quotes the value (sophos/xg config.yml)
     text = re.sub(r"\{\{\s*([.\w$]+)\s*\|\s*printf\s+\"%q\"\s*\}\}",
-                  lambda m: _json.dumps(str(_val(m.group(1)))), text)
+                  lambda m: _json.dumps(str(_val(m.group(1)) or "")), text)
     text = re.sub(r"\{\{\s*inList\s[^}]*\}\}", "false", text)
 
     def _plain(m):
         v = _val(m.group(1))
-        # Go text/template renders a nil value literally (the salesforce
-        # goldens carry instance_url "<no value>")
-        return "<no value>" if v in (None, "") else str(v)
+        # Go text/template renders a NIL value literally (the salesforce
+        # goldens carry instance_url "<no value>"); an explicitly
+        # empty-string var renders as '' like Go, not as '<no value>'
+        return "<no value>" if v is None else str(v)
     text = re.sub(r"\{\{\s*(\.[\w.]+)\s*\}\}", _plain, text)
     return text
 

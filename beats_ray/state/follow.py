@@ -185,10 +185,19 @@ def follow_once(pipe, paths: list[str], out_dir: str, scan_no: int,
     import ray.data as rd
 
     def count_range(row: dict) -> dict:
-        with open(row["path"], "rb") as f:
-            f.seek(row["start"])
-            return {"path": row["path"],
-                    "n": f.read(row["end"] - row["start"]).count(b"\n")}
+        # tolerate rotation/deletion between the sink write and this count
+        # (routine logrotate): the bytes were already consumed and routed,
+        # so a vanished/truncated file must not fail the scan after its
+        # output is on disk — that would re-plan and DUPLICATE the whole
+        # scan next round.  It counts as n=0; the registrar still advances
+        # to `end`, and a recreated path restarts via the truncation check.
+        try:
+            with open(row["path"], "rb") as f:
+                f.seek(row["start"])
+                return {"path": row["path"],
+                        "n": f.read(row["end"] - row["start"]).count(b"\n")}
+        except OSError:
+            return {"path": row["path"], "n": 0}
 
     items = [{"path": p, "start": s, "end": e} for p, s, e, _ in deltas]
     counts = {r["path"]: r["n"]

@@ -1,0 +1,132 @@
+"""Regression tests for the round-5 self-review findings: painless ==~
+full-match anchoring, on_failure handler compilation isolation, numeric
+convert on_failure gating on already-numeric columns, Go-template
+empty-string-vs-nil rendering, and follow-scan rotation tolerance."""
+
+import pyarrow as pa
+
+from beats_ray.conditions import compile_condition
+from beats_ray.ingest import compile_ingest, painless_condition, \
+    render_module_config
+from beats_ray.pipeline import Pipeline
+
+
+# ------------------------------------------------- ==~ full-match anchoring
+
+def test_painless_regex_match_is_anchored_both_ends():
+    # painless ==~ is a FULL match; the conditions engine searches
+    # substrings, so patterns ending in '.*' still need the leading '^'
+    cond = painless_condition("ctx.code ==~ /4[0-9].*/")
+    mask = compile_condition(cond).mask(
+        pa.table({"code": ["41", "X41", "4", "402x", "14"]}))
+    assert mask.to_pylist() == [True, False, False, True, False]
+
+
+def test_painless_regex_match_trailing_anchor():
+    cond = painless_condition("ctx.code ==~ /foo$/")
+    mask = compile_condition(cond).mask(
+        pa.table({"code": ["foo", "barfoo", "fooz"]}))
+    assert mask.to_pylist() == [True, False, False]
+
+
+def test_painless_regex_plain_pattern_still_full_match():
+    cond = painless_condition("ctx.s ==~ /[0-9]{2}/")
+    mask = compile_condition(cond).mask(
+        pa.table({"s": ["42", "142", "4", "421"]}))
+    assert mask.to_pylist() == [True, False, False, False]
+
+
+# --------------------------------------- on_failure handler ctx isolation
+
+def test_on_failure_handler_does_not_consume_top_level_override():
+    # overrides are keyed by position in the TOP-LEVEL processors list; a
+    # grok's first on_failure handler compiles at position 0 inside the
+    # recursion and must NOT pick up the override for top-level processor 0
+    doc = [
+        {"set": {"field": "a", "value": "A"}},
+        {"grok": {"field": "message", "patterns": ["%{NUMBER:n}"],
+                  "on_failure": [
+                      {"set": {"field": "fallback", "value": "yes"}}]}},
+    ]
+    spec = compile_ingest(
+        doc, overrides={0: {"set": {"field": "a", "value": "OVERRIDDEN"}}})
+    pipe = Pipeline({"processors": spec})
+    out = pipe.run_local(pa.table({"message": ["x42", "nope"]}))
+    # the top-level override applied once, to processor 0
+    assert out.column("a").to_pylist() == ["OVERRIDDEN", "OVERRIDDEN"]
+    # the handler kept ITS OWN body (not the override's) and ran only on
+    # the row the grok missed
+    fb = {r["message"]: r.get("fallback") for r in out.to_pylist()}
+    assert fb["nope"] == "yes" and fb["x42"] is None
+
+
+def test_on_failure_handler_does_not_clobber_ctx_index():
+    from beats_ray.ingest import _Ctx
+    ctx = _Ctx(None, None, None)
+    ctx.index = 7
+    child = ctx.handler_ctx()
+    child.index = 99
+    assert ctx.index == 7
+    assert child.overrides == {}
+
+
+# ------------------------------- numeric convert gate on non-string columns
+
+def test_convert_on_failure_skips_already_numeric_column():
+    # a column that arrived numeric (decode_json_fields) casts trivially;
+    # the failure handlers must not fire on it
+    doc = [{"convert": {"field": "n", "type": "long",
+                        "on_failure": [{"set": {"field": "bad",
+                                                "value": "fired"}}]}}]
+    pipe = Pipeline({"processors": compile_ingest(doc)})
+    out = pipe.run_local(pa.table({"n": pa.array([1, 2], pa.int64())}))
+    assert "bad" not in out.column_names or \
+        out.column("bad").to_pylist() == [None, None]
+    # string column: handlers still fire exactly on the failing rows
+    out2 = pipe.run_local(pa.table({"n": ["12", "xx"]}))
+    m = {r["n"] if isinstance(r.get("n"), str) else r.get("n"):
+         r.get("bad") for r in out2.to_pylist()}
+    assert "fired" in m.values()
+
+
+# ------------------------------------- Go template empty-string vs nil vars
+
+def test_render_empty_string_var_renders_empty_not_no_value():
+    text = "a: {{ .x }}\nb: {{ .y }}\n"
+    out = render_module_config(text, {"x": ""})
+    # explicitly-empty var -> '' (Go parity); missing var -> '<no value>'
+    assert "a: \n" in out
+    assert "b: <no value>" in out
+
+
+# ---------------------------------------------- follow scan rotation races
+
+def test_follow_count_tolerates_vanished_file(tmp_path):
+    # the count pass runs AFTER the sink write; a file rotated away in the
+    # gap must not fail the scan (that would duplicate the whole scan's
+    # output on re-run) — it counts as 0 lines and the offset still commits
+    from beats_ray.pipeline import Pipeline as P
+    from beats_ray.state.follow import Registrar, follow_once
+
+    log = tmp_path / "app.log"
+    log.write_bytes(b"level=INFO msg=a\nlevel=INFO msg=b\n")
+    out = tmp_path / "out"
+    pipe = P({"processors": [], "route": {"rules": [], "default": "d",
+                                          "target": "sink"}})
+
+    # deterministic rotation-in-the-gap: a pre_transform materializes the
+    # raw read (consuming the file's bytes), then deletes the file — the
+    # post-write count pass then finds it gone
+    def delete_after_read(ds):
+        ds = ds.materialize()   # consume the raw bytes NOW
+        log.unlink()            # rotate the file away before the count pass
+        return ds
+
+    rep = follow_once(pipe, [str(log)], str(out), 0,
+                      pre_transforms=[delete_after_read])
+    assert rep["files_grown"] == 1
+    assert rep["lines"] == 0          # vanished before the count pass
+    # the registrar still committed the consumed offset
+    reg = Registrar(str(out))
+    st = reg.state.get(str(log))
+    assert st is not None and st["offset"] == 34
