@@ -59,8 +59,21 @@ def small_groupby(ds, keys: list[str], partial_fn, agg: dict[str, str],
         # dropna=False does: route rows with any null key through the
         # driver merge (bounded: at most #blocks x #null-key-combos rows)
         # and shuffle only the non-null remainder.
+        # partial blocks may lack a key column entirely (counts_by's
+        # partial_fn emits only the key columns present in its block); the
+        # driver-pandas path fills those with NaN, so this path must add
+        # them as typed nulls — typed from the unified schema so the
+        # post-filter groupby sees one consistent schema across blocks
+        sch = partials_md.schema()
+        key_types = {k: (sch.types[sch.names.index(k)]
+                         if k in sch.names else pa.string())
+                     for k in keys}
+
         def _any_null_key(t: pa.Table) -> pa.Table:
             import pyarrow.compute as _pc
+            for k in keys:
+                if k not in t.column_names:
+                    t = t.append_column(k, pa.nulls(len(t), key_types[k]))
             m = pa.array([False] * len(t))
             for k in keys:
                 m = _pc.or_(m, _pc.is_null(t.column(k)))

@@ -324,9 +324,12 @@ def _broadcast_shingle_store(per_doc, id_col: str):
     Small-corpus verify regime only (caller gates on row count)."""
     import ray
     refs = per_doc.select_columns([id_col, "sh"]).to_arrow_refs()
-    tbl = pa.concat_tables([t for t in ray.get(refs) if len(t)]) \
-        if refs else pa.table({id_col: pa.array([], pa.int64()),
-                               "sh": pa.array([], pa.list_(pa.uint32()))})
+    blocks = [t for t in ray.get(refs) if len(t)] if refs else []
+    # guard on the FILTERED list: refs can be non-empty while every block
+    # is 0 rows (all-null / all-sub-k texts) — concat_tables([]) raises
+    tbl = pa.concat_tables(blocks) if blocks else \
+        pa.table({id_col: pa.array([], pa.int64()),
+                  "sh": pa.array([], pa.list_(pa.uint32()))})
     ids_all = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(ids_all, kind="stable")
     sh_sorted = pc.take(tbl["sh"], pa.array(order))
@@ -488,7 +491,12 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             sig = minhash_signature(sh, a_seed, b_seed)
             ids_list.append(did)
             band_hashes.append(_band_keys(sig, n_bands, rows_per_band))
-            sh_arrays.append((sh & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+            # re-unique after the 32-bit truncation: low-bit collisions
+            # (birthday ~m^2/2^33 per doc) would leave duplicates in the
+            # stored list, and _jaccard_flat's la+lb-union overstates J
+            # for lists that aren't sets (can even exceed 1.0)
+            sh_arrays.append(np.unique(
+                (sh & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
         n = len(ids_list)
         if n == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
@@ -514,10 +522,11 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     per_doc = ds.map_batches(sig_doc, batch_format="pyarrow").materialize()
 
     def explode_bands(t: pa.Table) -> pa.Table:
-        bbs = t["bbs"].combine_chunks() if isinstance(t["bbs"], pa.ChunkedArray) \
-            else t["bbs"]
         ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), n_bands)
-        bb = bbs.values.to_numpy(zero_copy_only=False)
+        # pc.list_flatten, NOT .values: Ray hands out zero-copy SLICED
+        # batches, and raw .values on a sliced ListArray reads the full
+        # underlying buffer (the file-wide slice-offset rule)
+        bb = pc.list_flatten(t["bbs"]).to_numpy(zero_copy_only=False)
         shard = (np.abs(bb) % n_shards).astype(np.int32)
         return pa.table({id_col: pa.array(ids, pa.int64()),
                          "bb": pa.array(bb, pa.int64()),
@@ -581,7 +590,10 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     pairs = band.groupby("shard").map_groups(
         gen_pairs, batch_format="pyarrow").materialize()
     if pairs.count() == 0:
-        return empty
+        # Dataset, not a bare Table: the join path's consumers
+        # (connected_components_auto and friends) call Dataset methods
+        import ray.data as rd
+        return rd.from_arrow(empty)
     return _verify_pairs_join(pairs, per_doc, id_col, threshold, n_buckets)
 
 
@@ -733,7 +745,8 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     pairs = prefix_rows.groupby("shard").map_groups(
         gen_pairs, batch_format="pyarrow").materialize()
     if pairs.count() == 0:
-        return empty
+        import ray.data as rd
+        return rd.from_arrow(empty)
     return _verify_pairs_join(pairs, per_doc, id_col, threshold, n_buckets)
 
 
@@ -802,7 +815,18 @@ def cc_label_propagation(edges, max_rounds: int = 10, n_buckets: int = 32):
         labels = agg.map_batches(lambda t: t.select(["node", "label"]),
                                  batch_format="pyarrow")
         if n_changed == 0:
+            converged = True
             break
+    else:
+        converged = False
+    if not converged:
+        # min-label propagation needs O(component diameter) rounds; a
+        # versioned-document chain longer than max_rounds would otherwise
+        # SILENTLY return one true component split into several roots
+        raise RuntimeError(
+            f"cc_label_propagation did not converge in {max_rounds} rounds "
+            "(a component's diameter exceeds the round budget); re-run with "
+            "a larger max_rounds")
 
     def shape(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"].combine_chunks().cast(pa.int64()),
@@ -1115,9 +1139,10 @@ def embedding_near_dup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
         for j in range(i + 1, len(refs)):
             tasks.append(cross.remote(refs[i], refs[j], False))
     if not tasks:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "cos": pa.array([], pa.float64())})
+        return rd.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())}))
     # edge blocks stay in the object store; consumers stream them
     return rd.from_arrow_refs(tasks)
 
@@ -1128,10 +1153,21 @@ def embedding_near_dup_lsh(ds, id_col: str = "vec_id", vec_col: str = "embedding
     """Approximate near-dup pairs via random-hyperplane LSH: n_tables
     signatures of n_planes sign bits; exact cosine verify within buckets.
     Recall rises with n_tables (collision prob per table = (1-theta/pi)^k)."""
-    rng = np.random.default_rng(seed)
-    planes = [rng.standard_normal((64, n_planes)) for _ in range(n_tables)]
-
     from .veclib import ids_to_numpy, list_to_matrix, matrix_to_list
+
+    # hyperplanes are a pure function of (seed, dims): built lazily on the
+    # first batch each worker sees and memoized by dims, so any embedding
+    # dimension works (a fixed 64-row allocation would crash the matmul for
+    # 128/384/768-dim models) and every worker derives identical planes
+    plane_cache: dict[int, list[np.ndarray]] = {}
+
+    def _planes_for(dims: int) -> list[np.ndarray]:
+        got = plane_cache.get(dims)
+        if got is None:
+            rng = np.random.default_rng(seed)
+            got = plane_cache[dims] = [
+                rng.standard_normal((dims, n_planes)) for _ in range(n_tables)]
+        return got
 
     def sig_stage(t: pa.Table) -> pa.Table:
         mat = list_to_matrix(t[vec_col])
@@ -1141,8 +1177,8 @@ def embedding_near_dup_lsh(ds, id_col: str = "vec_id", vec_col: str = "embedding
         ids_in = ids_to_numpy(t[id_col])
         n = len(ids_in)
         keys = np.empty((n_tables, n), dtype=np.int64)
-        for ti, P in enumerate(planes):
-            bits = (unit @ P[:mat.shape[1]]) > 0
+        for ti, P in enumerate(_planes_for(mat.shape[1])):
+            bits = (unit @ P) > 0
             keys[ti] = bits.dot(1 << np.arange(bits.shape[1]))
         return pa.table({id_col: pa.array(np.tile(ids_in, n_tables), pa.int64()),
                          "tbl": pa.array(np.repeat(

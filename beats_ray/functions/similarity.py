@@ -45,6 +45,12 @@ def make_score_cls(q: np.ndarray, k: int, id_col: str, vec_col: str):
             self.q = q
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                # empty block: (0,0) matrix would break the matmul and
+                # argpartition(kth=-1) below
+                return pa.table({"query_idx": pa.array([], pa.int32()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "cos": pa.array([], pa.float64())})
             mat = list_to_matrix(t[vec_col])
             cos = _unit(mat) @ self.q.T          # (n, nq)
             ids = ids_to_numpy(t[id_col])
@@ -168,9 +174,11 @@ def ivf_cache_dir(root: str, paths: list[str], n_centroids: int,
     gets a fresh key, so a stale index can never serve queries."""
     import hashlib
     h = hashlib.sha1()
-    for p in sorted(paths):
+    # absolute path, not basename: partitioned layouts repeat basenames
+    # (a/part-0.parquet vs b/part-0.parquet must key differently)
+    for p in sorted(os.path.abspath(q) for q in paths):
         st = os.stat(p)
-        h.update(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns};".encode())
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns};".encode())
     h.update(f"c{n_centroids}s{seed}".encode())
     return os.path.join(root, h.hexdigest()[:16])
 
@@ -200,7 +208,12 @@ def save_ivf_index(assigned, cent: np.ndarray, cache_dir: str) -> None:
 
 
 def _corpus_identity(paths: list[str]) -> dict[str, list[int]]:
-    return {os.path.basename(p): [os.stat(p).st_size, os.stat(p).st_mtime_ns]
+    # keyed by ABSOLUTE path: basenames collide across partitioned layouts
+    # (a/part-0.parquet vs b/part-0.parquet) — a basename-keyed manifest
+    # could subset-match after one of the twins changed and serve an index
+    # missing the rewritten file's rows.  Old basename-keyed manifests
+    # simply stop subset-matching, forcing a fresh (correct) build.
+    return {os.path.abspath(p): [os.stat(p).st_size, os.stat(p).st_mtime_ns]
             for p in paths}
 
 
@@ -236,7 +249,7 @@ def sync_ivf_index(root: str, paths: list[str], read_fn,
     if os.path.isdir(full_key):
         return full_key                         # exact corpus already indexed
     ident = _corpus_identity(paths)
-    base_of = {os.path.basename(p): p for p in paths}
+    base_of = {os.path.abspath(p): p for p in paths}
     prior = None
     if os.path.isdir(root):
         for d in sorted(os.listdir(root)):

@@ -53,7 +53,8 @@ class RoutedWriter:
         self.out_dir = out_dir
         self.sink_col = sink_col
         self.dead_letter = dead_letter
-        self.key_cols = key_cols
+        self.key_cols = key_cols   # kept for API compat; _file_id now
+        # hashes the full block, so no key subset is consulted
         self.partition_tag = partition_tag
 
     def _file_id(self, part: pa.Table, sink_name: str) -> str:
@@ -66,15 +67,17 @@ class RoutedWriter:
         h = hashlib.sha1()
         h.update(self.partition_tag.encode())
         h.update(b"\x00" + sink_name.encode())
-        hash_cols = [kc for kc in self.key_cols if kc in part.column_names]
-        if not hash_cols:
-            hash_cols = list(part.column_names)
-        subset = part.select(hash_cols)
-        # IPC stream serialization truncates sliced buffers, so the hash
-        # covers exactly the logical rows of this block.
+        # hash the FULL block content, not a key-column subset: two blocks
+        # carrying identical key sequences but different payloads (exactly
+        # the duplicated/retried events the dedup stages exist for) must
+        # not collapse to one file name — the second os.replace would
+        # silently drop the first block's rows while the manifest still
+        # counted both.  sha1 over the IPC bytes is cheap relative to the
+        # parquet encode that follows.  IPC stream serialization truncates
+        # sliced buffers, so the hash covers exactly this block's rows.
         sink_buf = pa.BufferOutputStream()
-        with pa.ipc.new_stream(sink_buf, subset.schema) as w:
-            w.write_table(subset)
+        with pa.ipc.new_stream(sink_buf, part.schema) as w:
+            w.write_table(part)
         h.update(memoryview(sink_buf.getvalue()))
         h.update(str(len(part)).encode())
         return h.hexdigest()[:16]

@@ -130,3 +130,100 @@ def test_follow_count_tolerates_vanished_file(tmp_path):
     reg = Registrar(str(out))
     st = reg.state.get(str(log))
     assert st is not None and st["offset"] == 34
+
+
+# ------------------------------------------- dedup/similarity scale paths
+
+def test_lsh_hyperplanes_follow_embedding_dims(ray_session):
+    # 128-dim embeddings (any dims > 64 crashed the fixed-size allocation)
+    import ray.data as rd
+
+    from beats_ray.functions.dedup import embedding_near_dup_lsh
+    rng = __import__("numpy").random.default_rng(7)
+    base = rng.standard_normal(128)
+    vecs = [base + rng.standard_normal(128) * 0.01 for _ in range(6)] + \
+        [rng.standard_normal(128) for _ in range(6)]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(12), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64()))}))
+    edges = embedding_near_dup_lsh(ds, threshold=0.95).to_pandas()
+    # the 6 jittered copies of `base` are mutual near-dups
+    assert len(edges) >= 5
+    assert set(edges.columns) == {"a", "b", "cos"}
+
+
+def test_minhash_empty_corpus_all_null_texts(ray_session):
+    # every block present but 0 signature rows: concat_tables([]) regression
+    import ray.data as rd
+
+    from beats_ray.functions.dedup import minhash_lsh_pairs
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([None, None, None], pa.string())}))
+    edges = minhash_lsh_pairs(ds, threshold=0.5)
+    out = edges.to_pandas() if hasattr(edges, "to_pandas") else edges.to_pandas()
+    assert len(out) == 0
+
+
+def test_minhash_join_path_empty_returns_dataset(ray_session):
+    # join-mode (mode='join') with no band collisions must return a
+    # DATASET so connected_components_auto can .materialize() it
+    import ray.data as rd
+
+    from beats_ray.functions.dedup import (connected_components_auto,
+                                           minhash_lsh_pairs)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["alpha beta gamma delta epsilon zeta",
+                          "one two three four five six seven"],
+                         pa.string())}))
+    edges = minhash_lsh_pairs(ds, threshold=0.9, mode="join")
+    cc = connected_components_auto(edges).to_pandas()
+    assert len(cc) == 0
+
+
+def test_cc_label_propagation_raises_on_non_convergence(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from beats_ray.functions.dedup import cc_label_propagation
+    # a chain 0-1-2-...-7 has diameter 7; 2 rounds cannot converge
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array(range(7), pa.int64()),
+        "b": pa.array(range(1, 8), pa.int64())}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cc_label_propagation(edges, max_rounds=2)
+    out = cc_label_propagation(edges, max_rounds=10).to_pandas()
+    assert set(out["root"]) == {0}
+
+
+def test_routed_writer_distinct_payload_same_keys_no_collision(tmp_path):
+    from beats_ray.sinks.parquet import RoutedWriter
+    w = RoutedWriter(str(tmp_path), sink_col="sink")
+    t1 = pa.table({"conv_id": ["c1"], "turn_idx": [0], "text": ["payload A"],
+                   "sink": ["s"]})
+    t2 = pa.table({"conv_id": ["c1"], "turn_idx": [0], "text": ["payload B"],
+                   "sink": ["s"]})
+    w(t1)
+    w(t2)
+    import glob
+    files = glob.glob(str(tmp_path / "sink=s" / "*.parquet"))
+    assert len(files) == 2   # same keys, different payload -> distinct files
+
+
+def test_small_groupby_partial_block_missing_key_column(ray_session, monkeypatch):
+    # force the distributed merge path; one block lacks the key column
+    import ray.data as rd
+
+    import beats_ray.aggregate as ag
+    monkeypatch.setattr(ag, "DRIVER_PARTIAL_ROW_LIMIT", 0)
+    ds = rd.from_arrow_refs([
+        __import__("ray").put(pa.table({"sink": ["a", "a", "b"]})),
+        __import__("ray").put(pa.table({"other": [1, 2]})),
+    ])
+    out = ag.counts_by(ds, ["sink"]).to_pandas()
+    got = {(r["sink"] if r["sink"] == r["sink"] else None): r["n"]
+           for r in out.to_dict("records")}
+    assert got.get("a") == 2 and got.get("b") == 1
+    assert got.get(None) == 2   # the key-less block groups under null
