@@ -70,29 +70,37 @@ def bucketed_join(left, right, on: str, n_buckets: int = 64, how: str = "inner",
     r_tagged = right.map_batches(tag(right_tag), batch_format="pyarrow")
     both = l_tagged.union(r_tagged)
 
+    # each side's column set is DECLARED from its schema at the driver —
+    # inferring it per bucket by null-scanning dropped legitimately
+    # all-null columns and gave matched/unmatched buckets different
+    # schemas.  `common` is exactly the overlap pandas merge suffixes.
+    l_cols = list(left.schema().names)
+    r_cols = list(right.schema().names)
+    common = sorted((set(l_cols) & set(r_cols)) - {on})
+
     def merge_bucket(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         if g.num_columns == 0 or len(g) == 0:   # empty co-group block
             return pa.table({})
         side = g["__side"]
-        lt = g.filter(pc.equal(side, left_tag))
-        rt = g.filter(pc.equal(side, right_tag))
-        # each side keeps only its own columns (the union null-filled the
-        # other side's) so pandas dtypes survive the round trip intact
-        def strip(t):
-            drop = {"__side", "__bucket"}
-            if len(t) > 0:
-                drop |= {c for c in t.column_names
-                         if c != on and t[c].null_count == len(t)}
-            return t.drop_columns(list(drop)).to_pandas()
-        lpart, rpart = strip(lt), strip(rt)
-        if len(lpart) == 0 or len(rpart) == 0:
-            if how == "inner":
-                return pa.table({})
-            out = lpart if how == "left" else rpart
-            return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        lpart = g.filter(pc.equal(side, left_tag)).select(l_cols).to_pandas()
+        rpart = g.filter(pc.equal(side, right_tag)).select(r_cols).to_pandas()
+        # SQL null-key semantics: null keys never match (pandas merge
+        # would pair NaN with NaN); outer sides keep their null-key rows
+        # with a null-filled other side
+        lnull = lpart[lpart[on].isna()] if how in ("left", "outer") else None
+        rnull = rpart[rpart[on].isna()] if how in ("right", "outer") else None
+        lpart = lpart[lpart[on].notna()]
+        rpart = rpart[rpart[on].notna()]
+        # merging even when one side is empty keeps the output schema
+        # (including _l/_r suffixes) identical across buckets
         merged = lpart.merge(rpart, on=on, how=how,
                              suffixes=(f"_{left_tag}", f"_{right_tag}"))
+        extra = [d.rename(columns={c: f"{c}_{t}" for c in common})
+                 for d, t in ((lnull, left_tag), (rnull, right_tag))
+                 if d is not None and len(d)]
+        if extra:
+            merged = pd.concat([merged] + extra, ignore_index=True)
         return pa.Table.from_pandas(merged, preserve_index=False).replace_schema_metadata(None)
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")

@@ -184,6 +184,9 @@ def checksum_payloads(ds, payload_col: str = "payload") -> pa.Table:
         hs = [hashlib.sha256(p).hexdigest() if p is not None else None
               for p in t[payload_col].to_pylist()]
         return pa.table({"id": t["id"], "sha256": pa.array(hs, pa.string())})
-    return pa.concat_tables(
-        [pa.table(b) for b in ds.map_batches(stage, batch_format="pyarrow")
-         .iter_batches(batch_format="pyarrow")])
+    blocks = list(ds.map_batches(stage, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow"))
+    if not blocks:   # concat_tables([]) raises on an empty dataset
+        return pa.table({"id": pa.array([], pa.int64()),
+                         "sha256": pa.array([], pa.string())})
+    return pa.concat_tables(blocks)

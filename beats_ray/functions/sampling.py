@@ -52,8 +52,13 @@ class Sample(Stage):
         col = batch.column(field_to_column(self.field))
         if self.method == "modulo":
             import numpy as np
-            k = pc.cast(col, pa.int64()).to_pandas().fillna(-1).to_numpy()
-            keep = pa.array(((k % self.denom) < self.numer) & (k >= 0))
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            k = pc.cast(col, pa.int64()).to_pandas().fillna(0).to_numpy()
+            # np.fmod keeps the DIVIDEND's sign like SQL's % (numpy's %
+            # follows the divisor), so negative keys sample exactly as the
+            # oracle computes: -5 % 10 = -5 < numer keeps the row.  Null
+            # keys drop (SQL: NULL % d < n is NULL -> not kept).
+            keep = pa.array((np.fmod(k, self.denom) < self.numer) & valid)
         else:
             thresh = int(self.rate * (1 << 32))
             keep = pa.array(
@@ -93,10 +98,17 @@ def export_shards(ds, out_dir: str, n_shards: int, key: str,
                 part = t2.filter(pc.equal(t2["__shard"], s)).drop_columns(["__shard"])
                 d = os.path.join(out_dir, f"shard-{s:05d}")
                 os.makedirs(d, exist_ok=True)
+                # content-address by the FULL block bytes: (len, min, max)
+                # collide for distinct blocks sharing those stats (hot
+                # keys, uniform blocks), and os.replace would silently
+                # drop all but the last — same class as RoutedWriter's
+                # _file_id.  IPC serialization truncates sliced buffers,
+                # so the hash covers exactly this part's rows.
                 h = hashlib.sha1()
-                h.update(str(len(part)).encode())
-                h.update(str(pc.min(part[key_col]).as_py()).encode())
-                h.update(str(pc.max(part[key_col]).as_py()).encode())
+                buf = pa.BufferOutputStream()
+                with pa.ipc.new_stream(buf, part.schema) as w:
+                    w.write_table(part)
+                h.update(memoryview(buf.getvalue()))
                 path = os.path.join(d, f"part-{h.hexdigest()[:16]}.parquet")
                 tmp = path + ".tmp"
                 pq.write_table(part, tmp, compression=compression)

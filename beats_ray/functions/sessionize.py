@@ -70,11 +70,15 @@ def sessionize_sorted(ds, key: str = "conv_id", order: str = "turn_idx",
         return out
 
     partials = ds.map_batches(block_partials, batch_format="pandas").take_all()
+    if not partials:
+        # empty dataset: pd.DataFrame([]) has no columns and df[key] would
+        # KeyError below
+        return pa.table({key: pa.array([], pa.string()),
+                         "n_sessions": pa.array([], pa.int64())})
     df = pd.DataFrame(partials).sort_values([key, "min_turn"], kind="mergesort")
     # stitch partials of the same key: subtract one session per fused border
     same = df[key] == df[key].shift()
     border_gap = (df["first_ts"] - df["last_ts"].shift()).dt.total_seconds()
-    fused = (same & (border_gap <= gap_s)).sum()
     agg = df.groupby(key, sort=True)["n_sessions"].sum()
     fuse_per_key = (same & (border_gap <= gap_s)).groupby(df[key].to_numpy()).sum()
     agg = (agg - fuse_per_key.reindex(agg.index).fillna(0)).astype(np.int64)
@@ -181,7 +185,12 @@ def sessionize_salted_time(ds, key: str = "user_id", ts: str = "ts",
 
     def add_salt(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        epoch = pc.divide(pc.cast(t[ts], pa.int64()), 1_000_000)  # us -> s
+        col = t[ts]
+        tt = col.type
+        if pa.types.is_timestamp(tt) and tt.unit != "us":
+            # ns-unit columns (pandas default) would compute ms, not s
+            col = pc.cast(col, pa.timestamp("us", tz=tt.tz))
+        epoch = pc.divide(pc.cast(col, pa.int64()), 1_000_000)  # us -> s
         salt = pc.cast(pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
                                           float(window_s))), pa.int64())
         return t.append_column("salt", salt)

@@ -58,14 +58,13 @@ class TokenCount(Stage):
     def process(self, batch):
         col = batch.column(field_to_column(self.field))
         if self.mode == "bpe":
-            counts = pc.list_value_length(pc.extract_regex_span(col, BPE_RE)) \
-                if hasattr(pc, "extract_regex_span") else None
-            if counts is None:
-                counts = pa.array(
-                    [len(re.findall(BPE_RE, v)) if v is not None else None
-                     for v in col.to_pylist()], pa.int64())
-            else:
-                counts = pc.cast(counts, pa.int64())
+            # count_substring_regex counts non-overlapping matches — exact
+            # re.findall-length parity (verified on null/empty/mixed), and
+            # it exists on the pinned pyarrow.  (The previous
+            # extract_regex_span branch was dead here and would have been
+            # wrong anyway: it needs named groups and spans only the FIRST
+            # match.)
+            counts = pc.cast(pc.count_substring_regex(col, BPE_RE), pa.int64())
         else:
             counts = pc.cast(pc.list_value_length(pc.split_pattern(col, " ")),
                              pa.int64())

@@ -48,7 +48,14 @@ def matrix_to_list(mat: np.ndarray, value_type=pa.float64()) -> pa.ListArray:
 
 
 def ids_to_numpy(col) -> np.ndarray:
-    """Integer id column -> int64 ndarray (zero-copy when null-free)."""
+    """Integer id column -> int64 ndarray (zero-copy when null-free).
+
+    Fails loudly on null ids (like list_to_matrix does for null vectors):
+    to_numpy would route nulls through float NaN and astype would turn
+    them into INT64_MIN phantom ids downstream."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError(f"id column contains {col.null_count} null(s); "
+                         "filter or fill them before vector ops")
     return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)

@@ -22,6 +22,13 @@ import pyarrow.compute as pc
 
 
 def _epoch_seconds(ts_col) -> np.ndarray:
+    # normalize to MICROSECOND unit first: a ns-unit column (pandas'
+    # default) cast straight to int64 yields nanosecond ticks and the
+    # //1e6 would produce milliseconds (1000x-off windows / overflow on
+    # the way back to timestamp('us'))
+    t = ts_col.type
+    if pa.types.is_timestamp(t) and t.unit != "us":
+        ts_col = pc.cast(ts_col, pa.timestamp("us", tz=t.tz))
     return (pc.cast(ts_col, pa.int64()).to_numpy(zero_copy_only=False)
             // 1_000_000)
 

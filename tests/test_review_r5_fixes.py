@@ -227,3 +227,117 @@ def test_small_groupby_partial_block_missing_key_column(ray_session, monkeypatch
            for r in out.to_dict("records")}
     assert got.get("a") == 2 and got.get("b") == 1
     assert got.get(None) == 2   # the key-less block groups under null
+
+
+# -------------------------------------------- joins / windows / sampling
+
+def test_bucketed_join_keeps_allnull_columns_and_schema(ray_session):
+    import ray.data as rd
+
+    from beats_ray.functions.joins import bucketed_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "note": pa.array([None, None, None], pa.string())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 3, 4], pa.int64()),
+        "v": pa.array(["x", "y", "z"], pa.string())}))
+    out = bucketed_join(left, right, on="k", n_buckets=4).to_pandas()
+    assert set(out.columns) == {"k", "note", "v"}
+    assert sorted(out["k"]) == [2, 3]
+
+
+def test_bucketed_join_null_keys_do_not_match(ray_session):
+    import ray.data as rd
+
+    from beats_ray.functions.joins import bucketed_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, None], pa.int64()),
+        "lv": pa.array(["a", "b"], pa.string())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, None], pa.int64()),
+        "rv": pa.array(["p", "q"], pa.string())}))
+    inner = bucketed_join(left, right, on="k", n_buckets=2).to_pandas()
+    assert len(inner) == 1 and inner.iloc[0]["lv"] == "a"
+    lj = bucketed_join(left, right, on="k", n_buckets=2,
+                       how="left").to_pandas()
+    # left join keeps the null-key left row with a null right side
+    assert len(lj) == 2
+    nullrow = lj[lj["lv"] == "b"].iloc[0]
+    assert nullrow["rv"] != nullrow["rv"] or nullrow["rv"] is None  # NaN/None
+
+
+def test_tumbling_window_accepts_ns_timestamps():
+    import pandas as pd
+
+    from beats_ray.functions.windows import tumbling_window_assign
+    ts = pd.to_datetime(["2024-01-01 00:10:00", "2024-01-01 01:10:00"])
+    t = pa.table({"ts": pa.array(ts)})   # timestamp[ns]
+    out = tumbling_window_assign(t, "ts", 3600)
+    got = out["window_start"].to_pylist()
+    assert [g.hour for g in got] == [0, 1] and all(g.minute == 0 for g in got)
+
+
+def test_sample_modulo_negative_keys_match_sql():
+    from beats_ray.stages.base import stage_factory
+    st = stage_factory("sample")({"field": "k", "method": "modulo",
+                                  "numer": 1, "denom": 10})
+    st.setup()
+    # SQL: k % 10 < 1 keeps 0, 10, -5?  -5 % 10 = -5 < 1 -> KEPT (DuckDB)
+    out = st.apply(pa.table({"k": pa.array([0, 10, -5, 7, None],
+                                           pa.int64())}))
+    assert sorted(out["k"].to_pylist()) == [-5, 0, 10]
+
+
+def test_export_shards_distinct_blocks_same_stats_no_collision(tmp_path, ray_session):
+    import glob
+
+    import ray
+    import ray.data as rd
+
+    from beats_ray.functions.sampling import export_shards
+    # two blocks with the SAME (len, min-key, max-key) but different payloads
+    b1 = pa.table({"k": pa.array([1, 9], pa.int64()),
+                   "v": pa.array(["a", "b"], pa.string())})
+    b2 = pa.table({"k": pa.array([1, 9], pa.int64()),
+                   "v": pa.array(["c", "d"], pa.string())})
+    ds = rd.from_arrow_refs([ray.put(b1), ray.put(b2)])
+    counts = export_shards(ds, str(tmp_path), n_shards=1, key="k")
+    files = glob.glob(str(tmp_path / "shard-00000" / "*.parquet"))
+    assert sum(counts.values()) == 4
+    import pyarrow.parquet as pq
+    total = sum(pq.read_table(f).num_rows for f in files)
+    assert total == 4   # no silent overwrite
+
+
+def test_sessionize_sorted_empty_dataset(ray_session):
+    import ray.data as rd
+
+    from beats_ray.functions.sessionize import sessionize_sorted
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us"))}))
+    out = sessionize_sorted(ds)
+    assert len(out) == 0
+
+
+def test_ids_to_numpy_null_raises():
+    import pytest
+
+    from beats_ray.functions.veclib import ids_to_numpy
+    with pytest.raises(ValueError, match="null"):
+        ids_to_numpy(pa.array([1, None], pa.int64()))
+
+
+def test_token_count_bpe_vectorized_matches_findall():
+    import re
+
+    from beats_ray.functions.textstats import BPE_RE
+    from beats_ray.stages.base import stage_factory
+    st = stage_factory("token_count")({"field": "text", "mode": "bpe"})
+    st.setup()
+    vals = ["hello world 12345 !!", None, "", "a1b2 c,d;e"]
+    out = st.apply(pa.table({"text": pa.array(vals, pa.string())}))
+    want = [len(re.findall(BPE_RE, v)) if v is not None else None
+            for v in vals]
+    assert out["text_tokens"].to_pylist() == want
