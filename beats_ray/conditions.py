@@ -85,6 +85,11 @@ class Contains(Condition):
         if pa.types.is_list(t) or pa.types.is_large_list(t):
             # painless List.contains(x): exact element membership
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            et = t.value_type
+            if not (pa.types.is_string(et) or pa.types.is_large_string(et)):
+                # list<struct>/list<list> elements can never equal a string
+                # (pc.equal would raise ArrowNotImplementedError)
+                return _false(len(batch))
             flat_hit = pc.equal(col.values, self.value)
             offs = col.offsets.to_pylist()
             hits = pc.fill_null(flat_hit, False).to_pylist()
@@ -280,10 +285,13 @@ class Range(Condition):
         col = _col(batch, self.field)
         if col is None:
             return _false(len(batch))
-        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            col = pc.cast(col, pa.float64(), safe=False)
         acc = None
         try:
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                # inside the try: one non-numeric string raises ArrowInvalid
+                # (safe=False does not suppress parse errors) and painless
+                # would throw -> condition False, processor skipped
+                col = pc.cast(col, pa.float64(), safe=False)
             for op, val in self.bounds.items():
                 m = _RANGE_OPS[op](col, val)
                 acc = m if acc is None else pc.and_kleene(acc, m)
@@ -327,6 +335,9 @@ class Network(Condition):
 
     _NAMED = {
         "loopback": ["127.0.0.0/8", "::1/128"],
+        # fd00::/8, NOT fc00::/7: parity with the reference's privateIPv6
+        # (conditions/network.go:39-42 pins IP fd00::, mask ff00... — the
+        # lower half of the RFC 4193 ULA block is deliberately excluded)
         "private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16", "fd00::/8"],
         "public": [],  # complement — handled specially
         "unspecified": ["0.0.0.0/32", "::/128"],

@@ -88,8 +88,13 @@ def read_log_lines(paths, encoding: str = "", **kw):
     ds = rd.read_text(paths, include_paths=True, **kw)
 
     def shape(t: pa.Table) -> pa.Table:
-        # Beats-canonical line column name (input.go fills "message")
-        return pa.table({"message": t["text"],
+        # Beats-canonical line column name (input.go fills "message").
+        # Strip a leading UTF-8 BOM: rd.read_text leaves it on each file's
+        # first line, which would break '^'-anchored patterns and exact
+        # equals on that line (the reference's encoding factory consumes
+        # it; _decode_blob already does on the non-UTF-8 path).
+        msg = pc.replace_substring_regex(t["text"], "^\ufeff", "")
+        return pa.table({"message": msg,
                          "log_file_path": t["path"]})
     return ds.map_batches(shape, batch_format="pyarrow")
 
@@ -230,7 +235,11 @@ class ContainerParser(Stage):
             if v.startswith("{") and self.fmt in ("auto", "docker"):
                 try:
                     obj = json.loads(v)
-                    msgs.append(obj.get("log", "").rstrip("\n"))
+                    # .get default only covers a MISSING key; an explicit
+                    # null log field must not crash the batch
+                    lg = obj.get("log")
+                    msgs.append(lg.rstrip("\n") if isinstance(lg, str)
+                                else None)
                     streams.append(obj.get("stream"))
                     times.append(obj.get("time"))
                     partials.append(False)

@@ -97,7 +97,12 @@ class LookupEnrich(Stage):
         col = batch.column(field_to_column(self.field))
         # broadcast hash join, all in Arrow: position of each key in the
         # small side (null = miss), then gather each output column
-        idx = pc.index_in(col, value_set=self._key_arr)
+        if len(self._key_arr) == 0:
+            # empty lookup map: every row misses (pc.index_in against the
+            # null-typed empty array would raise ArrowTypeError)
+            idx = pa.nulls(len(batch), pa.int32())
+        else:
+            idx = pc.index_in(col, value_set=self._key_arr)
         for out_key, values in self._maps.items():
             batch = set_column(batch, self.prefix + out_key, pc.take(values, idx))
         if self.tag_on_failure:

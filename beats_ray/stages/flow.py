@@ -30,6 +30,7 @@
 from __future__ import annotations
 
 import re
+from time import monotonic as _monotonic
 
 import numpy as np
 import pandas as pd
@@ -283,6 +284,9 @@ class DNSStage(Stage):
         self._table_ref = self.config.get("table", {})
         self.tag_on_failure = list(self.config.get("tag_on_failure", []))
         self.action = self.config.get("action", "append")
+        # one ttl for both caches (reference splits success_cache.min_ttl /
+        # failure_cache.ttl); 0 = entries live for the actor's lifetime
+        self.ttl = float(self.config.get("ttl", 0) or 0)
         self._resolver = None
         self.cache_hits = 0
         self.lookups = 0
@@ -295,11 +299,17 @@ class DNSStage(Stage):
 
     def _resolve(self, name):
         self.lookups += 1
-        if name in self._cache:
-            self.cache_hits += 1
-            return self._cache[name]
+        hit = self._cache.get(name)
+        if hit is not None:
+            val, expiry = hit
+            if expiry is None or expiry > _monotonic():
+                self.cache_hits += 1
+                return val
         val = self._resolver.get(name) if self._resolver else None
-        self._cache[name] = val  # caches failures too (None)
+        # caches failures too (None) — success and failure both TTL-capped
+        # when configured (dns/cache.go successCache/failureCache)
+        self._cache[name] = (val, (_monotonic() + self.ttl)
+                             if self.ttl else None)
         return val
 
     def process(self, batch):
@@ -314,8 +324,29 @@ class DNSStage(Stage):
             vals = [self._resolve(v) if v is not None else None for v in rows]
             missed = pa.array([v is None and r is not None
                                for v, r in zip(vals, rows)], pa.bool_())
-            batch = set_column(batch, field_to_column(dst),
-                               pa.array(vals, pa.string()))
+            tgt = field_to_column(dst)
+            if self.action == "append" and tgt in batch.column_names:
+                # dns.go setFieldValue actionAppend: old string ->
+                # [old, value] (no dedup), old []string -> append.  The
+                # typed-column model lists ALL rows once any row appends
+                # (a no-prior-value success is a 1-element list here where
+                # the reference keeps a scalar — documented divergence).
+                cur = batch.column(tgt).to_pylist()
+                merged = []
+                for c, v in zip(cur, vals):
+                    if v is None:     # lookup failure: old value untouched
+                        merged.append(c if isinstance(c, list)
+                                      else (None if c is None else [c]))
+                    elif c is None:
+                        merged.append([v])
+                    elif isinstance(c, list):
+                        merged.append(c + [v])
+                    else:
+                        merged.append([c, v])
+                batch = set_column(batch, tgt,
+                                   pa.array(merged, pa.list_(pa.string())))
+            else:
+                batch = set_column(batch, tgt, pa.array(vals, pa.string()))
             any_missed = missed if any_missed is None else pc.or_(any_missed, missed)
         if self.tag_on_failure and any_missed is not None and \
                 (pc.sum(any_missed).as_py() or 0) > 0:
@@ -400,7 +431,9 @@ def multiline_join(ds, pattern: str | None = None, conv_col: str = "conv_id",
         txt = g[text_col].fillna("")
         grp, keep = _multiline_groups(txt, mode, pattern, negate, match,
                                       flush_pattern, count_lines)
-        g = g.assign(__grp=grp)
+        # write the null-filled text back: '\n'.join below raises on None,
+        # and a null line should merge as an empty line
+        g = g.assign(__grp=grp, **{text_col: txt})
         if not keep.all():
             g = g[keep]
         # max_lines: additional lines beyond the cap are DISCARDED
@@ -408,7 +441,11 @@ def multiline_join(ds, pattern: str | None = None, conv_col: str = "conv_id",
         pos = g.groupby("__grp").cumcount()
         g = g[pos < max_lines]
         agg = g.groupby("__grp", sort=True)
-        out = agg.first()
+        # first ROW per group, not groupby.first() — that skips nulls per
+        # column and would pull continuation-line values into the merged
+        # event (Beats keeps the first line's fields)
+        out = g.drop_duplicates("__grp", keep="first") \
+               .set_index("__grp").sort_index()
         out[text_col] = agg[text_col].agg("\n".join)
         out["n_lines"] = agg.size().astype(np.int32)
         return out.reset_index(drop=True)
@@ -478,13 +515,17 @@ class MultilineStage(Stage):
             keep[s:e] = sub_keep
             if e > s:
                 base = int(grp[s:e].max()) + 1
-        df = df.assign(__grp=grp)
+        # null-filled text written back: '\n'.join raises on None, and the
+        # first-row pick must not let groupby.first's null-skipping pull
+        # continuation-line values into the merged event
+        df = df.assign(__grp=grp, **{self.field: txt})
         if not keep.all():
             df = df[keep]
         pos = df.groupby("__grp").cumcount()
         df = df[pos < self.max_lines]
         agg = df.groupby("__grp", sort=True)
-        out = agg.first()
+        out = df.drop_duplicates("__grp", keep="first") \
+                .set_index("__grp").sort_index()
         out[self.field] = agg[self.field].agg("\n".join)
         out["n_lines"] = agg.size().astype(np.int32)
         out = out.reset_index(drop=True).drop(columns=["__grp"], errors="ignore")

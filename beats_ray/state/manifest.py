@@ -37,9 +37,17 @@ class RunManifest:
             with open(self.path) as f:
                 for line in f:
                     line = line.strip()
-                    if line:
+                    if not line:
+                        continue
+                    try:
                         row = json.loads(line)
-                        done[row["partition_id"]] = row
+                    except ValueError:
+                        # torn trailing record from a crash mid-append: the
+                        # partition is simply not committed — resume must
+                        # reprocess it, not die here (this is exactly the
+                        # crash scenario the manifest exists for)
+                        continue
+                    done[row["partition_id"]] = row
         return done
 
     def commit(self, partition_id: str, input_files: list[str],

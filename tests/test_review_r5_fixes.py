@@ -341,3 +341,110 @@ def test_token_count_bpe_vectorized_matches_findall():
     want = [len(re.findall(BPE_RE, v)) if v is not None else None
             for v in vals]
     assert out["text_tokens"].to_pylist() == want
+
+
+# --------------------------------------- flow / conditions / readers / state
+
+def test_multiline_null_line_and_first_row_fields():
+    import pandas as pd
+
+    from beats_ray.stages.base import stage_factory
+    # lines NOT starting with non-space (i.e. continuations, incl. the
+    # null line -> "") merge into the previous message
+    st = stage_factory("multiline")({"type": "pattern", "pattern": r"^\S",
+                                     "negate": True,
+                                     "match": "after", "field": "message"})
+    st.setup()
+    batch = pa.table({
+        "message": pa.array(["Traceback", None, "  at foo", "next"],
+                            pa.string()),
+        "level": pa.array([None, "X", "DEBUG", "INFO"], pa.string()),
+        "turn_idx": pa.array([0, 1, 2, 3], pa.int64())})
+    out = st.apply(batch).to_pylist()
+    out.sort(key=lambda r: r["turn_idx"])
+    # null line merges as an empty line; merged event keeps the FIRST
+    # row's fields (level None), not the first non-null (X/DEBUG)
+    assert out[0]["message"] == "Traceback\n\n  at foo"
+    assert out[0]["level"] is None
+    assert out[1]["message"] == "next" and out[1]["level"] == "INFO"
+
+
+def test_range_condition_non_numeric_string_is_false():
+    from beats_ray.conditions import compile_condition
+    cond = compile_condition({"range": {"code": {"gte": 400}}})
+    mask = cond.mask(pa.table({"code": ["500", "abc", "100"]}))
+    # painless would throw on 'abc' -> guarded processor skipped, not crash
+    assert mask.to_pylist() == [False, False, False] or \
+        mask.to_pylist() == [True, False, False]
+
+
+def test_contains_list_of_struct_is_false_not_crash():
+    from beats_ray.conditions import compile_condition
+    col = pa.array([[{"a": 1}], []],
+                   pa.list_(pa.struct([("a", pa.int64())])))
+    cond = compile_condition({"contains": {"hosts": "x"}})
+    assert cond.mask(pa.table({"hosts": col})).to_pylist() == [False, False]
+
+
+def test_manifest_tolerates_torn_trailing_line(tmp_path):
+    from beats_ray.state.manifest import RunManifest
+    man = RunManifest(str(tmp_path))
+    man.commit("p1", ["f1"], {}, {"s": 1}, ["o1"])
+    with open(man.path, "a") as f:
+        f.write('{"partition_id": "p2", "input_f')   # torn mid-append
+    done = man.completed()
+    assert "p1" in done and "p2" not in done
+
+
+def test_lookup_enrich_empty_table_no_crash():
+    from beats_ray.stages.base import stage_factory
+    st = stage_factory("lookup")({"field": "tool", "table": {},
+                                  "target_prefix": "t",
+                                  "tag_on_failure": ["_miss"]})
+    st.setup()
+    out = st.apply(pa.table({"tool": ["bash", None]}))
+    assert len(out) == 2    # enriches nothing, tags the non-null miss
+
+
+def test_container_parser_null_log_field():
+    from beats_ray.sources.readers import ContainerParser
+    p = ContainerParser({"format": "docker"})
+    p.setup()
+    out = p.process(pa.table({"message": pa.array(
+        ['{"log": null, "stream": "stdout", "time": "2024-01-01"}',
+         '{"log": "ok\\n", "stream": "stdout", "time": "2024-01-01"}'],
+        pa.string())}))
+    msgs = out["container_log"].to_pylist()
+    assert msgs[0] is None and msgs[1] == "ok"
+
+
+def test_read_log_lines_strips_utf8_bom(tmp_path, ray_session):
+    from beats_ray.sources.readers import read_log_lines
+    f = tmp_path / "bom.log"
+    f.write_bytes(b"\xef\xbb\xbffirst\nsecond\n")
+    rows = read_log_lines([str(f)]).take_all()
+    msgs = sorted(r["message"] for r in rows)
+    assert msgs == ["first", "second"]
+
+
+def test_dns_append_and_ttl():
+    from beats_ray.stages.base import stage_factory
+    st = stage_factory("dns")({"fields": {"ip": "domain"},
+                               "table": {"1.1.1.1": "one.example"},
+                               "action": "append"})
+    st.setup()
+    out = st.apply(pa.table({"ip": ["1.1.1.1", "9.9.9.9"],
+                             "domain": ["pre.example", "kept.example"]}))
+    doms = out["domain"].to_pylist()
+    # dns.go actionAppend: old scalar + value -> [old, value]; failure
+    # leaves the old value (as a 1-elem list under the typed-column model)
+    assert doms[0] == ["pre.example", "one.example"]
+    assert doms[1] == ["kept.example"]
+    # replace still overwrites
+    st2 = stage_factory("dns")({"fields": {"ip": "domain"},
+                                "table": {"1.1.1.1": "one.example"},
+                                "action": "replace"})
+    st2.setup()
+    out2 = st2.apply(pa.table({"ip": ["1.1.1.1"],
+                               "domain": ["pre.example"]}))
+    assert out2["domain"].to_pylist() == ["one.example"]
