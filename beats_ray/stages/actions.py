@@ -84,7 +84,12 @@ class AddTags(Stage):
         cur = batch.column(col).to_pylist() if col in batch.column_names else [None] * n
         out = []
         for tags in cur:
-            tags = list(tags) if tags else []
+            if isinstance(tags, str):
+                # AddTagsWithKey wraps a pre-existing scalar string as a
+                # one-element list — list('abc') would shred it into chars
+                tags = [tags]
+            else:
+                tags = list(tags) if tags else []
             for t in self.tags:
                 if t not in tags:
                     tags.append(t)
@@ -344,8 +349,19 @@ class Lowercase(Stage):
         for f in self.fields:
             col = field_to_column(f)
             if col in batch.column_names:
-                idx = batch.column_names.index(col)
-                batch = batch.set_column(idx, fn(col), batch.column(col))
+                folded = fn(col)
+                if folded != col and folded in batch.column_names:
+                    # folded name already occupied: the reference overwrites
+                    # the existing key; renaming in place would leave the
+                    # schema with the same name twice and break every later
+                    # batch.column(name) lookup
+                    src_col = batch.column(col)
+                    batch = batch.drop_columns([folded])
+                    idx = batch.column_names.index(col)
+                    batch = batch.set_column(idx, folded, src_col)
+                else:
+                    idx = batch.column_names.index(col)
+                    batch = batch.set_column(idx, folded, batch.column(col))
             elif not self.ignore_missing and self.fail_on_error:
                 return set_error(batch, pa.array([True] * len(batch)),
                                  f"could not fetch value for key: {f}")

@@ -152,6 +152,23 @@ class DecodeJSONFields(Stage):
                 else:
                     # non-object JSON: store under the field itself
                     parsed.append({prefix[:-1] if prefix else src: obj})
+            meta_ids = None
+            if self.document_id:
+                # decode_json_fields.go:135-143: the id is read from the
+                # DECODED object (so the key carries this field's flatten
+                # prefix here), only string values count, and the key is
+                # DELETED from the output
+                did = field_to_column(self.document_id)
+                pdid = (prefix + did) if prefix else did
+                meta_ids = []
+                for p in parsed:
+                    v = None
+                    if p:
+                        if isinstance(p.get(pdid), str):
+                            v = p.pop(pdid)
+                        elif isinstance(p.get(did), str):
+                            v = p.pop(did)
+                    meta_ids.append(v)
             keys: list[str] = []
             seen = set()
             for p in parsed:
@@ -174,12 +191,10 @@ class DecodeJSONFields(Stage):
                 except (pa.ArrowInvalid, pa.ArrowTypeError):
                     arr = pa.array([None if v is None else str(v) for v in vals], pa.string())
                 batch = set_column(batch, k, arr)
-            if self.document_id:
-                did = field_to_column(self.document_id)
-                idvals = [str(p[did]) if p and p.get(did) is not None else None
-                          for p in parsed]
+            if meta_ids is not None:
                 # reference moves it OUT of fields into @metadata._id
-                batch = set_column(batch, "meta_id", pa.array(idvals, pa.string()))
+                batch = set_column(batch, "meta_id",
+                                   pa.array(meta_ids, pa.string()))
             if any(failed) and self.add_error_key:
                 batch = set_error(batch, pa.array(failed),
                                   "Error decoding JSON: invalid JSON")

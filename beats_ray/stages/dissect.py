@@ -233,10 +233,12 @@ class CompiledDissector:
                     return None
             offset = end
             if key.greedy and nxt:
-                # skip adjacent repeats of the next delimiter (dissect.go:148-159)
+                # skip adjacent repeats of the next delimiter
+                # (dissect.go:148-159); a repeat starts at offset+len(nxt),
+                # not offset+1 — the old +1 only worked for 1-char delims
                 while True:
-                    look = s.find(nxt, offset + 1)
-                    if look != offset + 1:
+                    look = s.find(nxt, offset + len(nxt))
+                    if look != offset + len(nxt):
                         break
                     offset = look
             positions[i] = (start, end)
@@ -322,6 +324,10 @@ class DissectStage(Stage):
         # nulls/empty fail; pc.extract_regex yields null struct on no-match
         structs = pc.extract_regex(pc.fill_null(col, ""), self.dissector.regex)
         ok = pc.is_valid(structs)
+        # a capture-only tokenizer ('%{a}') regex-matches the empty string,
+        # but the per-row walk and dissect.go fail empty/null input — keep
+        # the two engine paths' failure flags identical
+        ok = pc.and_(ok, pc.not_equal(pc.fill_null(col, ""), ""))
         names = [f.name for f in structs.type] if structs.type.num_fields else []
         for name in names:
             vals = pc.struct_field(structs, name)
@@ -346,7 +352,19 @@ class DissectStage(Stage):
         for k in keys:
             out_name = self.prefix + k
             vals = [r.get(k) if r else None for r in results]
-            batch = self._write(batch, out_name, pa.array(vals), ok_arr)
+            try:
+                arr = pa.array(vals)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                # dtype-conversion failures keep the RAW string per row
+                # (dissect.go:277-285), so a partially-failing batch can
+                # hold mixed int/str values — fall back to one string
+                # column preserving each row's rendered value instead of
+                # crashing the whole batch
+                arr = pa.array([None if v is None else
+                                ("true" if v is True else
+                                 "false" if v is False else str(v))
+                                for v in vals], pa.string())
+            batch = self._write(batch, out_name, arr, ok_arr)
         return self._fail(batch, pc.invert(ok_arr))
 
     def _write(self, batch, out_name, vals, ok):

@@ -147,9 +147,14 @@ def compile_grok(expression: str, pattern_definitions: dict | None = None,
     # dotall pattern is meant for multiline messages — translate bare $
     # (end-of-LINE in Oniguruma) to (?=\n|$).
     oni_dotall = False
+    oni_flags = ""
     mflag = re.match(r"^\(\?([a-z]+)\)", expression)
     if mflag and "m" in mflag.group(1):
         oni_dotall = True
+        # keep the OTHER flags of a combined group ('(?im)' must stay
+        # case-insensitive): merged into the final leading flag group,
+        # since python-re rejects global flags after the ^ anchor
+        oni_flags = mflag.group(1).replace("m", "")
         expression = expression[mflag.end():]
 
     def sub(m: re.Match) -> str:
@@ -245,7 +250,7 @@ def compile_grok(expression: str, pattern_definitions: dict | None = None,
     if anchor:
         pattern = "^" + pattern
     if oni_dotall:
-        pattern = "(?s)" + pattern
+        pattern = f"(?s{oni_flags})" + pattern
     return pattern, {"types": types, "fields": fields}
 
 
@@ -877,7 +882,18 @@ class GrokStage(Stage):
                         except (pa.ArrowInvalid,
                                 pa.ArrowNotImplementedError):
                             old = pc.cast(old, pa.string())
-                            vals = pc.cast(vals, pa.string())
+                            if pa.types.is_list(vals.type) or \
+                                    pa.types.is_large_list(vals.type):
+                                # duplicate-capture list<string> vs an old
+                                # string column: cast(list->string) raises
+                                # in Arrow — lift the old scalars to
+                                # 1-element lists instead
+                                old = pa.array(
+                                    [None if v is None else [v]
+                                     for v in old.to_pylist()],
+                                    vals.type)
+                            else:
+                                vals = pc.cast(vals, pa.string())
                 produced = col_masks.get(name)
                 keep_old = pc.or_(input_null, pc.invert(
                     pc.fill_null(produced, False))) if produced is not None \

@@ -245,6 +245,16 @@ class TimestampStage(Stage):
             else:
                 s = col if (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)) \
                     else pc.cast(col, pa.string())
+                yearless = "%Y" not in layout and "%y" not in layout
+                if yearless:
+                    # parse against a LEAP base year: strptime's 1900
+                    # default is non-leap, so 'Feb 29' silently normalizes
+                    # to Mar 1 before the pinned-year shift (the reference
+                    # parses year 0 — leap — then substitutes the current
+                    # year, timestamp.go:190-195)
+                    s = pc.binary_join_element_wise(
+                        pa.scalar("2000", s.type), s, pa.scalar(" ", s.type))
+                    layout = "%Y " + layout
                 if "%f" in layout:
                     # Arrow strptime lacks %f: parse the fraction-stripped
                     # base, then re-add microseconds from the string (same
@@ -280,9 +290,10 @@ class TimestampStage(Stage):
                     parsed = pc.cast(parsed, pa.timestamp("us"))
                 elif rowtz is not None or self.tz_shift_us:
                     parsed = self._apply_naive_tz(parsed, rowtz)
-                if "%Y" not in layout and "%y" not in layout:
-                    # zero-year rule: strptime defaults to 1900; shift to pinned year
-                    shift = (self.PINNED_YEAR - 1900)
+                if yearless:
+                    # zero-year rule: shift the 2000 base to the pinned
+                    # year (both leap, so Feb 29 survives the replace)
+                    shift = (self.PINNED_YEAR - 2000)
                     py = parsed.to_pylist()
                     py = [v.replace(year=v.year + shift) if v is not None else None for v in py]
                     parsed = pa.array(py, pa.timestamp("us"))
@@ -395,6 +406,10 @@ class Convert(Stage):
                 k + ":" + Convert._go_render(v[k]) for k in sorted(v)) + "]"
         if isinstance(v, list):
             return "[" + " ".join(Convert._go_render(x) for x in v) + "]"
+        if isinstance(v, float) and v in (float("inf"), float("-inf")):
+            return "+Inf" if v > 0 else "-Inf"   # Go fmt %v of ±Inf
+        if isinstance(v, float) and v != v:
+            return "NaN"       # json.loads accepts bare NaN/Infinity
         if isinstance(v, float) and v == int(v):
             return str(int(v))
         return str(v)

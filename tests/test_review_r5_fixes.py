@@ -448,3 +448,93 @@ def test_dns_append_and_ttl():
     out2 = st2.apply(pa.table({"ip": ["1.1.1.1"],
                                "domain": ["pre.example"]}))
     assert out2["domain"].to_pylist() == ["one.example"]
+
+
+# ------------------------------------ parser stages (dissect/grok/ts/etc.)
+
+def test_dissect_dtype_partial_failure_keeps_raw_string():
+    from beats_ray.stages.base import stage_factory
+    st = stage_factory("dissect")({"tokenizer": "%{pid|integer} %{msg}",
+                                   "field": "message", "target_prefix": ""})
+    st.setup()
+    out = st.apply(pa.table({"message": ["123 hello", "abc oops"]}))
+    pids = out["pid"].to_pylist()
+    # conversion failure keeps the raw string (dissect.go:277-285); a
+    # mixed batch falls back to one string column instead of crashing
+    assert pids == ["123", "abc"]
+
+
+def test_dissect_greedy_multichar_delimiter():
+    from beats_ray.stages.dissect import CompiledDissector
+    # trim modifier forces the per-row walk (not the regex fast path)
+    d = CompiledDissector("%{a->}, %{b}", trim_mode="all")
+    m = d.dissect("x, , y")
+    assert m == {"a": "x", "b": "y"}
+
+
+def test_dissect_capture_only_tokenizer_fails_empty_like_walk():
+    from beats_ray.stages.base import stage_factory
+    st = stage_factory("dissect")({"tokenizer": "%{a}", "field": "message",
+                                   "target_prefix": "", "ignore_failure": True})
+    st.setup()
+    out = st.apply(pa.table({"message": pa.array(["hit", "", None],
+                                                 pa.string())}))
+    import beats_ray.event as ev
+    flags = out[ev.FLAGS_COL].to_pylist() if ev.FLAGS_COL in out.column_names \
+        else [None] * 3
+    # empty and null input FAIL on both engine paths now
+    assert out["a"].to_pylist()[0] == "hit"
+    assert flags[1] and flags[2]
+
+
+def test_timestamp_leap_day_yearless_layout():
+    from beats_ray.stages.base import stage_factory
+    st = stage_factory("timestamp")({"field": "t", "target_field": "ts_out",
+                                     "layouts": ["%b %d %H:%M:%S"]})
+    st.setup()
+    out = st.apply(pa.table({"t": ["Feb 29 12:00:00"]}))
+    v = out["ts_out"].to_pylist()[0]
+    assert (v.month, v.day) == (2, 29)   # not normalized to Mar 1
+    assert v.year == 2024
+
+
+def test_add_tags_custom_target_scalar_string():
+    from beats_ray.stages.base import stage_factory
+    st = stage_factory("add_tags")({"tags": ["new"], "target": "custom"})
+    st.setup()
+    out = st.apply(pa.table({"custom": ["abc"]}))
+    assert out["custom"].to_pylist() == [["abc", "new"]]
+
+
+def test_lowercase_field_name_collision_overwrites():
+    from beats_ray.stages.base import stage_factory
+    st = stage_factory("lowercase")({"fields": ["Foo"]})
+    st.setup()
+    out = st.apply(pa.table({"Foo": ["X"], "foo": ["old"]}))
+    assert out.column_names.count("foo") == 1
+    assert out["foo"].to_pylist() == ["X"]
+
+
+def test_grok_combined_flag_group_keeps_case_insensitive():
+    import re
+
+    from beats_ray.stages.grok import compile_grok
+    # the combined (?im) group: m translates to dotall, i must SURVIVE,
+    # and the result must stay python-re-compilable (flags at the start)
+    p = compile_grok("(?im)HELLO %{WORD:w}", {})[0]
+    assert p.startswith("(?si)")
+    m = re.search(p, "hello world")
+    assert m and m.group("w") == "world"
+
+
+def test_decode_json_document_id_with_default_target():
+    from beats_ray.stages.base import stage_factory
+    st = stage_factory("decode_json_fields")({"fields": ["j"],
+                                              "document_id": "id"})
+    st.setup()
+    out = st.apply(pa.table({"j": ['{"id": "d1", "a": 1}']}))
+    # default target merges under the field name; the id must still lift
+    # into meta_id and be deleted from the decoded output
+    assert out["meta_id"].to_pylist() == ["d1"]
+    assert "j_id" not in out.column_names
+    assert out["j_a"].to_pylist() == [1]
