@@ -25,6 +25,9 @@ class FormatString:
     #: quote) like ES ingest's mustache JsonEscapeEncoder — literal text
     #: is never escaped (zeek smb_files file.path golden)
     json_escape = False
+    #: fields exempted from json_escape — mustache escaping is PER TOKEN:
+    #: a {{{triple}}} in a template that also has {{double}} stays raw
+    no_escape_fields: frozenset = frozenset()
 
     def __init__(self, fmt: str):
         self.raw = fmt
@@ -61,7 +64,7 @@ class FormatString:
                     col = pc.cast(col, pa.string())
                 elif pa.types.is_large_string(col.type):
                     col = pc.cast(col, pa.string())
-                if self.json_escape:
+                if self.json_escape and field not in self.no_escape_fields:
                     col = pc.replace_substring(col, "\\", "\\\\")
                     col = pc.replace_substring(col, '"', '\\"')
                 if default is not None:

@@ -52,11 +52,15 @@ class Selector:
             if (pc.sum(unrouted).as_py() or 0) == 0:
                 break
             cand = fmt.render(batch)
-            if rule_default is not None:
-                cand = pc.fill_null(cand, rule_default)
-            # empty string result = non-match (select.go "first non-empty wins")
-            cand = pc.if_else(pc.equal(pc.fill_null(cand, ""), ""),
-                              pa.nulls(n, pa.string()), cand)
+            # select.go fmtSelector.sel: a FAILED or EMPTY render both fall
+            # back to the rule's own default ('otherwise'); only without a
+            # rule default does an empty render mean non-match
+            empty = pc.equal(pc.fill_null(cand, ""), "")
+            cand = pc.if_else(
+                empty,
+                pa.scalar(rule_default, pa.string()) if rule_default
+                else pa.scalar(None, pa.string()),
+                cand)
             applicable = pc.and_(pc.fill_null(cond.mask(batch), False), unrouted)
             acc = pc.if_else(applicable, cand, acc)
         if self.default is not None:

@@ -60,10 +60,15 @@ class NDJSONWriter:
             out = part if name == REJECTS_SINK else _clean_columns(part)
             if self.sink_col in out.column_names:
                 out = out.drop_columns([self.sink_col])
+            # content-address by the FULL block bytes, not min/count stats:
+            # distinct blocks sharing the stats collapsed to one filename
+            # and os.replace silently dropped data (same class as
+            # RoutedWriter._file_id, parquet.py)
             h = hashlib.sha1((self.partition_tag + name).encode())
-            for c in (TIMESTAMP_COL, "conv_id", "turn_idx"):
-                if c in part.column_names:
-                    h.update(str(pc.min(part.column(c)).as_py()).encode())
+            buf = pa.BufferOutputStream()
+            with pa.ipc.new_stream(buf, part.schema) as w:
+                w.write_table(part)
+            h.update(memoryview(buf.getvalue()))
             h.update(str(len(part)).encode())
             d = os.path.join(self.out_dir, f"sink={name}")
             os.makedirs(d, exist_ok=True)

@@ -30,16 +30,32 @@ from ..event import field_to_column, get_column, set_column
 from ..fmtstr import FormatString
 from .base import Stage, register
 
-_MUSTACHE = re.compile(r"\{\{\{?\s*([^}\s]+?)\s*\}?\}\}")
+_MUSTACHE = re.compile(
+    r"\{\{\{\s*([^}\s]+?)\s*\}\}\}|\{\{\s*([^}\s]+?)\s*\}\}")
 
 
 def mustache_to_fmtstr(tmpl: str) -> FormatString:
     """ES mustache ``{{a.b}}`` / ``{{{a.b}}}`` -> the engine's
-    ``%{[a.b]}`` format string (missing field -> null row).  Double-brace
-    templates JSON-escape substituted values like ES's mustache encoder;
-    triple-brace disables escaping."""
-    fs = FormatString(_MUSTACHE.sub(lambda m: "%{[" + m.group(1) + "]}", tmpl))
-    fs.json_escape = "{{{" not in tmpl
+    ``%{[a.b]}`` format string (missing field -> null row).  Escaping is
+    PER TOKEN like mustache itself: double-brace substitutions JSON-escape
+    (ES's JsonEscapeEncoder), triple-brace ones stay raw — a template
+    mixing both escapes only its double-brace fields.  (Exemption is
+    field-name-keyed, so the same field in both forms takes the raw
+    form — not a shape any shipped pipeline uses.)"""
+    raw_fields: set[str] = set()
+    escaped_any = False
+
+    def sub(m: re.Match) -> str:
+        nonlocal escaped_any
+        if m.group(1) is not None:     # {{{triple}}}
+            raw_fields.add(m.group(1))
+            return "%{[" + m.group(1) + "]}"
+        escaped_any = True
+        return "%{[" + m.group(2) + "]}"
+
+    fs = FormatString(_MUSTACHE.sub(sub, tmpl))
+    fs.json_escape = escaped_any
+    fs.no_escape_fields = frozenset(raw_fields)
     return fs
 
 

@@ -97,19 +97,6 @@ def _go_format_value(v) -> str:
     return str(v)
 
 
-def _go_format_column(col) -> list[str] | None:
-    """Vectorized Go-%v string column when the type allows (string/int/bool);
-    None -> caller falls back to per-value formatting."""
-    t = col.type
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
-        return col.to_pylist()
-    if pa.types.is_integer(t):
-        return pc.cast(col, pa.string()).to_pylist()
-    if pa.types.is_boolean(t):
-        return pc.if_else(col, "true", "false").to_pylist()
-    return None
-
-
 def _go_format_array(col):
     """Vectorized Go-%v string Array for simple types; None -> fallback."""
     t = col.type
@@ -242,6 +229,10 @@ class AddID(Stage):
             if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
                 col = pc.cast(col, pa.string())
             cols.append(pc.fill_null(col, ""))
+        if not cols:
+            # no key column present at all: nothing to derive an id from —
+            # skip rather than IndexError the whole pipeline
+            return batch
         keys = pc.binary_join_element_wise(*cols, "\x1f") if len(cols) > 1 else cols[0]
         ids = [hashlib.sha256(k.encode()).hexdigest()[:32] for k in keys.to_pylist()]
         return set_column(batch, field_to_column(self.target), pa.array(ids, pa.string()))

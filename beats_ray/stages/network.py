@@ -98,8 +98,14 @@ def community_id_v1(saddr: str, daddr: str, sport: int | None, dport: int | None
         sp &= 0xFFFF
         dp &= 0xFFFF
     elif proto in (6, 17, 132):
-        sp = int(sport or 0) & 0xFFFF
-        dp = int(dport or 0) & 0xFFFF
+        if sport is None or dport is None:
+            # communityid.go:147-166: a MISSING port on a port-bearing
+            # transport aborts the flow (no id) — hashing a fabricated 0
+            # would mint ids no other Community-ID producer emits.  An
+            # explicit 0 value still hashes (tryToUint accepts it).
+            return None
+        sp = int(sport) & 0xFFFF
+        dp = int(dport) & 0xFFFF
     else:
         # flowhash/communityid.go:75-81: port bytes are written ONLY for
         # TCP/UDP/SCTP/ICMP — other protocols hash ips + proto + pad alone
@@ -231,7 +237,10 @@ class RegisteredDomain(Stage):
         return [field_to_column(self.field)]
 
     def process(self, batch):
-        col = batch.column(field_to_column(self.field)).combine_chunks()
+        cname = field_to_column(self.field)
+        if cname not in batch.column_names:
+            return batch   # ignore_missing: absent source parses nothing
+        col = batch.column(cname).combine_chunks()
         # every output is a pure function of the domain value, and domain
         # cardinality is tiny relative to rows at scale: compute per
         # DISTINCT value, scatter by dictionary indices (null in -> null out)
@@ -314,9 +323,15 @@ class AddNetworkDirection(Stage):
             col = field_to_column(self.nets_field)
             if col not in batch.column_names:
                 return batch   # ignore_missing: skip when the field absent
-            rownets = [self._parse_nets(v if isinstance(v, list)
-                                        else [v] if v else [])
-                       for v in batch.column(col).to_pylist()]
+            def _row_nets(v):
+                # CIDRs here come from EVENT DATA: a malformed value fails
+                # only its own row (ES fails per document), never the batch
+                try:
+                    return self._parse_nets(v if isinstance(v, list)
+                                            else [v] if v else [])
+                except ValueError:
+                    return None
+            rownets = [_row_nets(v) for v in batch.column(col).to_pylist()]
         out = []
         for i, (si, di) in enumerate(zip(s, d)):
             nets = rownets[i] if rownets is not None else self.nets

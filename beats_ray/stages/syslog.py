@@ -111,7 +111,12 @@ class SyslogStage(Stage):
         return [field_to_column(self.field)]
 
     def process(self, batch):
-        col = batch.column(field_to_column(self.field))
+        cname = field_to_column(self.field)
+        if cname not in batch.column_names:
+            # ignore_missing semantics: a schema without the source column
+            # parses nothing instead of KeyError-ing the batch
+            return batch
+        col = batch.column(cname)
         rows = col.to_pylist()
         parsed = [parse_syslog(v, self.fmt) if v else None for v in rows]
         ok = [p is not None for p in parsed]
@@ -124,6 +129,18 @@ class SyslogStage(Stage):
             vals = [p.get(k) if p else None for p in parsed]
             batch = set_column(batch, self.prefix + k,
                                pa.array(vals, types.get(k, pa.string())))
+        # Beats parity (reader/syslog/message.go:242-244): the parsed free
+        # text REPLACES the event's `message` on success (and only when
+        # non-empty); failed/empty rows keep their existing value.  The
+        # prefixed log_syslog_message copy above is this engine's column
+        # convention and stays.
+        msg_vals = [p.get("message") if p else None for p in parsed]
+        if any(msg_vals):
+            cur = batch.column("message").to_pylist() \
+                if "message" in batch.column_names else [None] * len(rows)
+            merged = [m if m else c for m, c in zip(msg_vals, cur)]
+            batch = set_column(batch, "message",
+                               pa.array(merged, pa.string()))
         # Arrow strptime lacks %f, so fractional seconds need Python parsing
         # (the rows are already materialized for the regex walk anyway).
         ts_py = []

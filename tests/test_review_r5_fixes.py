@@ -538,3 +538,89 @@ def test_decode_json_document_id_with_default_target():
     assert out["meta_id"].to_pylist() == ["d1"]
     assert "j_id" not in out.column_names
     assert out["j_a"].to_pylist() == [1]
+
+
+# --------------------------------- sinks / routing / network / syslog / fmt
+
+def test_ndjson_writer_distinct_blocks_no_collision(tmp_path):
+    import glob
+
+    from beats_ray.sinks.ndjson import NDJSONWriter
+    w = NDJSONWriter(str(tmp_path))
+    t1 = pa.table({"conv_id": ["c"], "turn_idx": [0], "text": ["A"],
+                   "sink": ["s"]})
+    t2 = pa.table({"conv_id": ["c"], "turn_idx": [0], "text": ["B"],
+                   "sink": ["s"]})
+    w(t1)
+    w(t2)
+    files = glob.glob(str(tmp_path / "sink=s" / "*.ndjson"))
+    assert len(files) == 2
+
+
+def test_add_id_no_key_columns_is_noop():
+    from beats_ray.stages.base import stage_factory
+    st = stage_factory("add_id")({"key_fields": ["conv_id", "turn_idx"]})
+    st.setup()
+    out = st.apply(pa.table({"other": [1, 2]}))
+    assert len(out) == 2
+
+
+def test_syslog_missing_column_and_message_replacement():
+    from beats_ray.stages.base import stage_factory
+    st = stage_factory("syslog")({"ignore_failure": True})
+    st.setup()
+    # missing source column: no-op, no KeyError
+    assert len(st.apply(pa.table({"x": [1]}))) == 1
+    # parsed free text replaces `message` (reader/syslog/message.go:242)
+    out = st.apply(pa.table({"message": [
+        "<34>Oct 11 22:14:15 host app[1]: hi there", "not syslog"]}))
+    msgs = out["message"].to_pylist()
+    assert msgs[0] == "hi there"
+    assert msgs[1] == "not syslog"   # failed parse keeps the raw line
+
+
+def test_registered_domain_missing_column_is_noop():
+    from beats_ray.stages.base import stage_factory
+    st = stage_factory("registered_domain")({"field": "dns.question.name"})
+    st.setup()
+    assert len(st.apply(pa.table({"x": [1]}))) == 1
+
+
+def test_selector_empty_render_uses_rule_default():
+    from beats_ray.routing import Selector
+    sel = Selector([{"index": "%{[x]}", "default": "fb"}])
+    out = sel.select(pa.table({"x": pa.array(["", None, "real"],
+                                             pa.string())}))
+    # select.go fmtSelector.sel: empty AND failed renders both fall back
+    # to the rule's own default
+    assert out.to_pylist() == ["fb", "fb", "real"]
+
+
+def test_community_id_null_port_no_id():
+    from beats_ray.stages.network import community_id_v1
+    assert community_id_v1("10.0.0.1", "10.0.0.2", None, 80, 6) is None
+    assert community_id_v1("10.0.0.1", "10.0.0.2", 1234, None, 6) is None
+    # explicit 0 still hashes (beats tryToUint accepts it)
+    assert community_id_v1("10.0.0.1", "10.0.0.2", 0, 80, 6) is not None
+
+
+def test_network_direction_malformed_row_cidr_fails_row_only():
+    from beats_ray.stages.base import stage_factory
+    st = stage_factory("add_network_direction")({
+        "source": "src", "destination": "dst", "target": "dir",
+        "internal_networks_field": "nets"})
+    st.setup()
+    out = st.apply(pa.table({
+        "src": ["10.0.0.1", "10.0.0.1"],
+        "dst": ["8.8.8.8", "8.8.8.8"],
+        "nets": [["10.0.0.0/8"], ["not-a-cidr/99"]]}))
+    dirs = out["dir"].to_pylist()
+    assert dirs[0] == "outbound" and dirs[1] is None
+
+
+def test_mustache_mixed_escaping_per_token():
+    from beats_ray.stages.es_compat import mustache_to_fmtstr
+    fs = mustache_to_fmtstr("{{a}}-{{{b}}}")
+    out = fs.render(pa.table({"a": ['x"y'], "b": ['p"q']}))
+    # double-brace field escapes, triple-brace field stays raw
+    assert out.to_pylist() == ['x\\"y-p"q']
