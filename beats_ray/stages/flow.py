@@ -443,9 +443,13 @@ def multiline_join(ds, pattern: str | None = None, conv_col: str = "conv_id",
         agg = g.groupby("__grp", sort=True)
         # first ROW per group, not groupby.first() — that skips nulls per
         # column and would pull continuation-line values into the merged
-        # event (Beats keeps the first line's fields)
-        out = g.drop_duplicates("__grp", keep="first") \
-               .set_index("__grp").sort_index()
+        # event (Beats keeps the first line's fields).  grp is
+        # nondecreasing, so first occurrences are already in group order.
+        gv = g["__grp"].to_numpy()
+        first_idx = np.flatnonzero(
+            np.concatenate(([True], gv[1:] != gv[:-1]))) if len(gv) \
+            else np.array([], dtype=np.int64)
+        out = g.iloc[first_idx].set_index("__grp")
         out[text_col] = agg[text_col].agg("\n".join)
         out["n_lines"] = agg.size().astype(np.int32)
         return out.reset_index(drop=True)
@@ -524,8 +528,11 @@ class MultilineStage(Stage):
         pos = df.groupby("__grp").cumcount()
         df = df[pos < self.max_lines]
         agg = df.groupby("__grp", sort=True)
-        out = df.drop_duplicates("__grp", keep="first") \
-                .set_index("__grp").sort_index()
+        gv = df["__grp"].to_numpy()
+        first_idx = np.flatnonzero(
+            np.concatenate(([True], gv[1:] != gv[:-1]))) if len(gv) \
+            else np.array([], dtype=np.int64)
+        out = df.iloc[first_idx].set_index("__grp")
         out[self.field] = agg[self.field].agg("\n".join)
         out["n_lines"] = agg.size().astype(np.int32)
         out = out.reset_index(drop=True).drop(columns=["__grp"], errors="ignore")
