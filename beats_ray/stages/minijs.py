@@ -74,7 +74,7 @@ from ..event import field_to_column
 _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+|//[^\n]*|/\*.*?\*/)
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<num>\d+(?:\.\d+)?)
+  | (?P<num>0[xX][0-9A-Fa-f]+|\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<ident>[A-Za-z_$][A-Za-z0-9_$]*)
   | (?P<punct>===|!==|==|!=|<=|>=|&&|\|\||\+\+|--|\+=|-=|\*=|/=|%=
               |[{}()\[\];,.=<>+\-*/%!?:])
@@ -610,7 +610,10 @@ class _Parser:
         if kind == "str":
             return ("lit", _unescape_js(val[1:-1]))
         if kind == "num":
-            return ("lit", float(val) if "." in val else int(val))
+            if val[:2] in ("0x", "0X"):
+                return ("lit", int(val, 16))
+            return ("lit", float(val) if "." in val or "e" in val
+                    or "E" in val else int(val))
         if val == "true":
             return ("lit", True)
         if val == "false":
@@ -768,6 +771,12 @@ class _EventProxy:
         c1, c2 = field_to_column(frm), field_to_column(to)
         if c1 not in self.row or self.row.get(c1) is None:
             return False
+        if self.row.get(c2) is not None:
+            # beatevent_v0.go:166-170: fields cannot be overwritten — the
+            # target must be deleted or renamed first; Rename returns false
+            # and leaves BOTH fields untouched (null slot == absent in this
+            # engine's event model, consistent with Get)
+            return False
         self._keys_sorted = None
         self.row[c2] = self.row.pop(c1)
         return True
@@ -815,6 +824,8 @@ _STRING_METHODS = {
     "toUpperCase": lambda s: s.upper(),
     "toLowerCase": lambda s: s.lower(),
     "trim": lambda s: s.strip(),
+    "toString": lambda s: s,
+    "valueOf": lambda s: s,
 }
 
 
@@ -1088,9 +1099,21 @@ def _member(obj, name):
         if name in _STRING_METHODS:
             return lambda o=obj, f=_STRING_METHODS[name]: f(o)
         if name == "split":
-            return lambda sep, o=obj: (
-                sep.rx.split(o) if isinstance(sep, _JSRegExp)
-                else o.split(sep))
+            def _split(sep=None, limit=None, o=obj):
+                # JS: no separator -> [whole string]; '' -> characters;
+                # limit TRUNCATES the result array (not Python's maxsplit)
+                if sep is None:
+                    parts = [o]
+                elif isinstance(sep, _JSRegExp):
+                    parts = sep.rx.split(o)
+                elif sep == "":
+                    parts = list(o)
+                else:
+                    parts = o.split(_jstr(sep))
+                if limit is not None:
+                    parts = parts[:max(0, int(_tonum(limit)))]
+                return parts
+            return _split
         if name == "match":
             def _match(rx, o=obj):
                 if not isinstance(rx, _JSRegExp):
@@ -1110,9 +1133,13 @@ def _member(obj, name):
                     else -1)
             return _search
         if name == "indexOf":
-            return lambda sub, o=obj: o.find(sub)
+            return lambda sub, frm=0, o=obj: \
+                o.find(_jstr(sub), max(0, int(_tonum(frm))))
         if name == "lastIndexOf":
-            return lambda sub, o=obj: o.rfind(sub)
+            return lambda sub, frm=None, o=obj: (
+                o.rfind(_jstr(sub)) if frm is None
+                else o.rfind(_jstr(sub), 0,
+                             max(0, int(_tonum(frm))) + len(_jstr(sub))))
         if name == "charCodeAt":
             return lambda i=0, o=obj: \
                 ord(o[int(i)]) if 0 <= int(i) < len(o) else None
@@ -1132,11 +1159,23 @@ def _member(obj, name):
         if name == "replace":
             def _replace(a, b, o=obj):
                 if isinstance(a, _JSRegExp):
-                    # JS $N backrefs -> python \N
-                    rep = re.sub(r"\$(\d+)", r"\\\1", str(b))
+                    if callable(b) and not isinstance(b, _JSRegExp):
+                        # replacer FUNCTION: (match, p1..pn) -> replacement
+                        def pyrep(m, fn=b):
+                            return _jstr(fn(m.group(0), *m.groups()))
+                        return a.rx.sub(pyrep, o,
+                                        count=0 if a.global_ else 1)
+                    # JS replacement tokens -> python re: literal backslash
+                    # first (else a '\' in b becomes a bogus re escape),
+                    # then $$ -> $, $& -> whole match, $N -> group N
+                    rep = _jstr(b).replace("\\", "\\\\")
+                    rep = re.sub(r"\$(\$|&|\d+)",
+                                 lambda m: {"$": "$", "&": r"\g<0>"}.get(
+                                     m.group(1), "\\" + m.group(1)),
+                                 rep)
                     return a.rx.sub(rep, o,
                                     count=0 if a.global_ else 1)
-                return o.replace(a, b, 1)
+                return o.replace(_jstr(a), _jstr(b), 1)
             return _replace
     if isinstance(obj, (list, tuple)):
         if name == "length":
@@ -1146,7 +1185,9 @@ def _member(obj, name):
         if name == "includes" or name == "contains":
             return lambda v, o=obj: v in o
         if name == "join":
-            return lambda sep, o=obj: sep.join(str(x) for x in o)
+            # JS: default separator ',', null/undefined elements render ''
+            return lambda sep=",", o=obj: _jstr(sep).join(
+                "" if x is None else _jstr(x) for x in o)
         if name == "push":
             def _push(*vs, o=obj):
                 o.extend(vs)
@@ -1177,15 +1218,27 @@ def _member(obj, name):
                         if _truthy(fn(x, i, o) if js else fn(x))]
             return _filter
         if name == "some":
-            return lambda fn, o=obj: any(_truthy(fn(x)) for x in o)
+            def _some(fn, o=obj):
+                js = getattr(fn, "_is_js_closure", False)
+                return any(_truthy(fn(x, i, o) if js else fn(x))
+                           for i, x in enumerate(o))
+            return _some
         if name == "every":
-            return lambda fn, o=obj: all(_truthy(fn(x)) for x in o)
+            def _every(fn, o=obj):
+                js = getattr(fn, "_is_js_closure", False)
+                return all(_truthy(fn(x, i, o) if js else fn(x))
+                           for i, x in enumerate(o))
+            return _every
         if name == "reduce":
             def _reduce(fn, *init, o=obj):
-                it = iter(o)
-                acc = init[0] if init else next(it)
-                for x in it:
-                    acc = fn(acc, x)
+                js = getattr(fn, "_is_js_closure", False)
+                it = enumerate(o)
+                if init:
+                    acc = init[0]
+                else:
+                    _, acc = next(it)
+                for i, x in it:
+                    acc = fn(acc, x, i, o) if js else fn(acc, x)
                 return acc
             return _reduce
         if name == "reverse":
@@ -1203,7 +1256,7 @@ def _member(obj, name):
         if name == "sort":
             def _sort(fn=None, o=obj):
                 if fn is None:
-                    o.sort(key=str)
+                    o.sort(key=_jstr)   # JS default: ToString comparison
                 else:
                     import functools
                     o.sort(key=functools.cmp_to_key(
@@ -1211,12 +1264,42 @@ def _member(obj, name):
                 return o
             return _sort
         if name == "concat":
-            return lambda other, o=obj: list(o) + (
-                list(other) if isinstance(other, list) else [other])
+            def _concat(*others, o=obj):
+                out = list(o)
+                for x in others:       # JS concat takes N args, arrays spread
+                    out.extend(x) if isinstance(x, (list, tuple)) \
+                        else out.append(x)
+                return out
+            return _concat
         if name == "slice":
             return lambda a=0, b=None, o=obj: \
                 o[int(a):None if b is None else int(b)]
+    if isinstance(obj, (int, float)) and not isinstance(obj, bool):
+        # Number.prototype surface (n.toString(16) hex renders etc.)
+        if name == "toString":
+            def _numstr(radix=None, o=obj):
+                if radix is None or int(_tonum(radix)) == 10:
+                    return _jstr(o)
+                r = int(_tonum(radix))
+                n = int(o)
+                if n == 0:
+                    return "0"
+                digs = "0123456789abcdefghijklmnopqrstuvwxyz"
+                neg, n = n < 0, abs(n)
+                out = []
+                while n:
+                    n, d = divmod(n, r)
+                    out.append(digs[d])
+                return ("-" if neg else "") + "".join(reversed(out))
+            return _numstr
+        if name == "toFixed":
+            return lambda nd=0, o=obj: f"{float(o):.{int(_tonum(nd))}f}"
+    if isinstance(obj, bool):
+        if name == "toString":
+            return lambda o=obj: _jstr(o)
     if isinstance(obj, dict):
+        if name == "toString" and "toString" not in obj:
+            return lambda o=obj: _jstr(o)
         if name == "hasOwnProperty":
             return lambda k, o=obj: k in o or _js_propkey(k) in o
         if name == "keySet":
@@ -1250,7 +1333,10 @@ def _index_get(obj, key):
         return obj.get(_js_propkey(key))
     if isinstance(obj, (list, str)):
         try:
-            return obj[int(key)]
+            i = int(key)
+            if i < 0:
+                return None   # JS arr[-1] is undefined (no Python wraparound)
+            return obj[i]
         except (IndexError, ValueError):
             return None
     return None
@@ -1292,9 +1378,9 @@ class _Interp:
 
     def _base_globals(self):
         import json as _json
-        return {"String": str, "Number": float,
-                "parseInt": lambda v, base=10: int(str(v), int(base)),
-                "parseFloat": float, "require": _require,
+        return {"String": _jstr, "Number": _tonum,
+                "parseInt": _js_parse_int,
+                "parseFloat": _js_parse_float, "require": _require,
                 "JSON": {"stringify": lambda v, *a: _json.dumps(v),
                          "parse": lambda v: _json.loads(v)},
                 "Array": {"isArray": lambda v: isinstance(v, list)},
@@ -1317,10 +1403,13 @@ class _Interp:
                     str(pattern), str(flags)),
                 "TypeError": lambda msg=None: {"name": "TypeError",
                                                "message": msg},
-                "Math": {"round": lambda v: int(_tonum(v) + 0.5)
-                         if _tonum(v) >= 0 else -int(-_tonum(v) + 0.5),
+                "Math": {"round": _js_round,
                          "floor": lambda v: math.floor(_tonum(v)),
+                         "ceil": lambda v: math.ceil(_tonum(v)),
                          "abs": lambda v: abs(_tonum(v)),
+                         "pow": lambda a, b: _tonum(a) ** _tonum(b),
+                         "sqrt": lambda v: math.sqrt(_tonum(v)),
+                         "trunc": lambda v: math.trunc(_tonum(v)),
                          "max": lambda *a: max(map(_tonum, a)),
                          "min": lambda *a: min(map(_tonum, a))}}
 
@@ -2055,13 +2144,84 @@ def _abstract_eq(l, r) -> bool:
     return l == r
 
 
+def _js_round(v):
+    """JS Math.round: floor(x + 0.5) — half-up toward +Infinity, so
+    Math.round(-2.5) is -2 (the old two-branch half-away version gave -3);
+    NaN/Infinity pass through instead of raising in int()."""
+    n = _tonum(v)
+    if isinstance(n, float) and (math.isnan(n) or math.isinf(n)):
+        return n
+    return math.floor(n + 0.5)
+
+
+_PARSE_FLOAT_RE = re.compile(
+    r"[+-]?(?:Infinity|\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?)")
+
+
+def _js_parse_int(v, radix=None):
+    """JS parseInt: leading-whitespace skip, longest valid digit prefix in
+    the radix, 0x auto/explicit-16 prefix, NaN on no digits (int(str)
+    raised ValueError on '12abc', failing the whole row where goja
+    returns 12)."""
+    s = _jstr(v).strip()
+    rn = _tonum(radix) if radix is not None else 0
+    r = 0 if isinstance(rn, float) and math.isnan(rn) else int(rn)
+    neg = s[:1] == "-"
+    if s[:1] in "+-":
+        s = s[1:]
+    if r == 0:
+        if s[:2] in ("0x", "0X"):
+            s, r = s[2:], 16
+        else:
+            r = 10
+    elif r == 16 and s[:2] in ("0x", "0X"):
+        s = s[2:]
+    if not 2 <= r <= 36:
+        return math.nan
+    digs = "0123456789abcdefghijklmnopqrstuvwxyz"[:r]
+    i = 0
+    while i < len(s) and s[i].lower() in digs:
+        i += 1
+    if i == 0:
+        return math.nan
+    val = int(s[:i], r)
+    return -val if neg else val
+
+
+def _js_parse_float(v):
+    """JS parseFloat: longest valid numeric prefix, NaN otherwise."""
+    m = _PARSE_FLOAT_RE.match(_jstr(v).strip())
+    if not m:
+        return math.nan
+    tok = m.group(0)
+    if tok.endswith("Infinity"):
+        return -math.inf if tok[0] == "-" else math.inf
+    return float(tok)
+
+
 def _jstr(v) -> str:
+    """JS ToString: integer-valued floats render without the '.0' (goja
+    prints 3.0 as '3'), Infinity/NaN by their JS names, arrays as
+    comma-joined elements with null/undefined as '' (Array.toString), and
+    plain objects as '[object Object]'."""
     if v is None:
         return "null"
     if v is True:
         return "true"
     if v is False:
         return "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        if v.is_integer() and abs(v) < 2 ** 53:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return ",".join("" if x is None else _jstr(x) for x in v)
+    if isinstance(v, dict):
+        return "[object Object]"
     return str(v)
 
 

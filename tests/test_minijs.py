@@ -448,3 +448,136 @@ function process(evt) {
     # insertion order z, a, m — alphabetical would be a, m, z
     out = compile_js(src)({"o_z": 1, "o_a": 2, "o_m": 3})
     assert out["order"] == "z,a,m"
+
+
+# ---- round-5 continuation: goja/ES5 parity sweep ------------------------
+
+def test_rename_refuses_to_overwrite_existing_target():
+    """beatevent_v0.go:166-170: Rename returns false and leaves both fields
+    untouched when the target already exists."""
+    src = """
+function process(evt) {
+    evt.Put("ok", evt.Rename("a", "b"));
+}
+"""
+    out = compile_js(src)({"a": 1, "b": 2})
+    assert out["ok"] is False
+    assert out["a"] == 1 and out["b"] == 2
+    # absent/null target still renames
+    out = compile_js(src)({"a": 1, "b": None})
+    assert out["ok"] is True
+    assert out.get("b") == 1 and "a" not in out
+
+
+def test_math_round_half_toward_positive_infinity():
+    """JS Math.round(-2.5) is -2 (floor(x+0.5)), not -3."""
+    src = """
+function process(evt) {
+    evt.Put("a", Math.round(-2.5));
+    evt.Put("b", Math.round(2.5));
+    evt.Put("c", Math.round(-2.6));
+}
+"""
+    out = compile_js(src)({})
+    assert out["a"] == -2 and out["b"] == 3 and out["c"] == -3
+
+
+def test_parse_int_prefix_and_hex_and_nan():
+    """goja parseInt: longest valid prefix ('12abc' -> 12), 0x auto-radix,
+    NaN (not a thrown error) on no digits."""
+    src = """
+function process(evt) {
+    evt.Put("a", parseInt("12abc"));
+    evt.Put("b", parseInt("0x1F"));
+    evt.Put("c", parseInt("ff", 16));
+    var n = parseInt("zz");
+    evt.Put("d", n !== n);   // NaN check
+    evt.Put("e", parseFloat("1.5s"));
+}
+"""
+    out = compile_js(src)({})
+    assert out["a"] == 12 and out["b"] == 31 and out["c"] == 255
+    assert out["d"] is True and out["e"] == 1.5
+
+
+def test_hex_and_exponent_number_literals():
+    src = """
+function process(evt) {
+    evt.Put("a", 0x10 + 1);
+    evt.Put("b", 1e3);
+}
+"""
+    out = compile_js(src)({})
+    assert out["a"] == 17 and out["b"] == 1000.0
+
+
+def test_jstr_parity_floats_arrays_objects():
+    """String concat renders 3.0 as '3', arrays comma-joined with null as
+    '', objects as [object Object] — goja ToString."""
+    src = """
+function process(evt) {
+    evt.Put("a", "" + 3.0);
+    evt.Put("b", "" + [1, null, "x"]);
+    evt.Put("c", "" + {k: 1});
+    evt.Put("d", String(null));
+    evt.Put("e", [1, null, 2].join("-"));
+    evt.Put("f", ["b", "a"].join());
+}
+"""
+    out = compile_js(src)({})
+    assert out["a"] == "3"
+    assert out["b"] == "1,,x"
+    assert out["c"] == "[object Object]"
+    assert out["d"] == "null"
+    assert out["e"] == "1--2"
+    assert out["f"] == "b,a"
+
+
+def test_string_method_optional_args():
+    src = """
+function process(evt) {
+    evt.Put("a", "abcabc".indexOf("a", 1));
+    evt.Put("b", "a,b,c".split(",", 2).join("|"));
+    evt.Put("c", "abc".split("").join("."));
+    evt.Put("d", "xy".replace(/(x)/, "[$&$$$1]"));
+    evt.Put("e", (255).toString(16));
+    evt.Put("f", (1.005).toFixed(1));
+}
+"""
+    out = compile_js(src)({})
+    assert out["a"] == 3
+    assert out["b"] == "a|b"
+    assert out["c"] == "a.b.c"
+    assert out["d"] == "[x$x]y"
+    assert out["e"] == "ff"
+    assert out["f"] == "1.0"
+
+
+def test_negative_index_is_undefined():
+    """JS arr[-1] is undefined — no Python wraparound reads."""
+    src = """
+function process(evt) {
+    var a = [1, 2, 3];
+    evt.Put("a", a[-1] === undefined);
+    evt.Put("b", "abc"[-1] === undefined);
+}
+"""
+    out = compile_js(src)({})
+    assert out["a"] is True and out["b"] is True
+
+
+def test_es5_callback_index_args_some_every_reduce():
+    src = """
+function process(evt) {
+    var idx = [];
+    [10, 11].some(function (v, i) { idx.push(i); return false; });
+    evt.Put("a", idx.join(","));
+    evt.Put("b", [1, 2, 3].reduce(function (acc, v, i) {
+        return acc + v * i; }, 0));
+    evt.Put("c", [0, 1].every(function (v, i) { return v === i; }));
+}
+"""
+    out = compile_js(src)({})
+    assert out["a"] == "0,1"
+    assert out["b"] == 8
+    assert out["c"] is True
