@@ -578,6 +578,36 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
                 raise PainlessUnsupported(f"templated timezone {tz!r}")
             else:
                 out["timezone"] = tz
+        if cfg.get("on_failure"):
+            # ES on_failure: the doc does NOT fail; handlers run for rows
+            # whose value no format parsed — gated on a per-processor flag
+            # (cisco asa / checkpoint: remove the bad timezone and retry
+            # the date without it).  Rows with a MISSING source keep the
+            # skip semantics (divergence from ES, which errors on missing;
+            # the compiled pipelines gate dates on field presence).
+            flag = f"_date_fail_{ctx.index}"
+            out["failure_flag"] = flag
+            specs = [{"timestamp": out}]
+            cond = {"contains": {"log.flags": flag}}
+            # `{{ _ingest.on_failure_message }}` has no column analogue:
+            # substitute the stage's own failure text at compile time
+            msg = f"could not parse time field {cfg['field']}"
+
+            def _subst(v):
+                if isinstance(v, str):
+                    return re.sub(
+                        r"\{\{\{?\s*_ingest\.on_failure_message\s*\}?\}\}",
+                        msg, v)
+                if isinstance(v, dict):
+                    return {k: _subst(x) for k, x in v.items()}
+                if isinstance(v, list):
+                    return [_subst(x) for x in v]
+                return v
+            for h in cfg["on_failure"]:
+                for s2 in compile_ingest([_subst(h)], _ctx=ctx.handler_ctx()):
+                    w = {"and": [cond, s2["when"]]} if "when" in s2 else cond
+                    specs.append({**s2, "when": w})
+            return specs
         return [{"timestamp": out}]
     if kind == "remove":
         # ES remove of a map field deletes the subtree (zoom `remove: zoom`

@@ -322,9 +322,18 @@ class TimestampStage(Stage):
                 if old is not None:
                     out = pc.if_else(pc.is_null(out), old, out)
         batch = set_column(batch, tcol, out)
-        if not self.ignore_failure and (pc.sum(failed).as_py() or 0) > 0:
-            batch = set_error(batch, failed,
-                              f"could not parse time field {self.field}")
+        if (pc.sum(failed).as_py() or 0) > 0:
+            flag = self.config.get("failure_flag")
+            if flag:
+                # per-processor on_failure routing (same contract as grok/
+                # kv): mark the rows no layout parsed so the ingest
+                # compiler's gated handlers run on exactly those rows
+                # (cisco asa/checkpoint: remove timezone -> retry date)
+                from ..event import add_flag
+                batch = add_flag(batch, failed, flag)
+            elif not self.ignore_failure:
+                batch = set_error(batch, failed,
+                                  f"could not parse time field {self.field}")
         return batch
 
 

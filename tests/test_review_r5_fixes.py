@@ -624,3 +624,35 @@ def test_mustache_mixed_escaping_per_token():
     out = fs.render(pa.table({"a": ['x"y'], "b": ['p"q']}))
     # double-brace field escapes, triple-brace field stays raw
     assert out.to_pylist() == ['x\\"y-p"q']
+
+
+def test_date_on_failure_handlers_run_on_failed_rows_only():
+    """ES date.on_failure: the doc does not fail; handlers run for exactly
+    the rows no format parsed (cisco asa / checkpoint retry pattern:
+    remove the bad timezone, re-date without it)."""
+    from beats_ray.ingest import compile_ingest
+    from beats_ray.pipeline import Pipeline
+
+    spec = compile_ingest([
+        {"date": {"field": "src", "formats": ["yyyy-MM-dd HH:mm:ss"],
+                  "target_field": "target",
+                  "on_failure": [
+                      {"set": {"field": "fallback", "value": "yes"}},
+                      {"append": {"field": "error.message",
+                                  "value": "{{ _ingest.on_failure_message }}"}}]}},
+    ])
+    out = Pipeline({"processors": spec}).run_local(pa.table({
+        "src": ["2024-01-02 03:04:05", "not a date", None]}))
+    rows = out.to_pylist()
+    good = next(r for r in rows if r.get("src") == "2024-01-02 03:04:05")
+    bad = next(r for r in rows if r.get("src") == "not a date")
+    missing = next(r for r in rows if r.get("src") is None)
+    assert good.get("target") is not None
+    assert good.get("fallback") is None and not good.get("error_message")
+    # failed parse: handlers ran (flag-gated), message substituted for
+    # {{ _ingest.on_failure_message }}
+    assert bad.get("target") is None
+    assert bad.get("fallback") == "yes"
+    assert bad.get("error_message") == ["could not parse time field src"]
+    # missing source keeps skip semantics (documented divergence)
+    assert missing.get("fallback") is None
