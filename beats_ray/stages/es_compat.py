@@ -265,6 +265,11 @@ class SplitField(Stage):
             if v is None:
                 out.append(None)
                 continue
+            if not isinstance(v, str):
+                # ES fails the doc on a non-string field; fail only this
+                # row (keep it un-split) instead of TypeError-ing the batch
+                out.append(None)
+                continue
             # Java String.split: no match -> [original] (even for "");
             # else trailing empties removed unless preserve_trailing
             if self.sep.search(v) is None:
@@ -374,7 +379,7 @@ class CsvProcessor(Stage):
             return batch
         rows = []
         for v in col.to_pylist():
-            if v is None:
+            if v is None or not isinstance(v, str):
                 rows.append([])
                 continue
             try:

@@ -76,3 +76,23 @@ def test_rename_moves_subtree():
                            "ignore_missing": True}}], t)
     assert sorted(out.column_names) == ["b", "c_x", "c_y"]
     assert out.column("c_x").to_pylist() == [1]
+
+
+def test_es_split_non_string_value_fails_row_only():
+    """A non-string value (an earlier decode wrote an int) must not
+    TypeError the whole batch — ES fails per document."""
+    import pyarrow as pa
+    from beats_ray.stages.base import stage_factory
+    st = stage_factory("es_split")({"field": "f", "separator": ","})
+    st.setup()
+    out = st.apply(pa.table({"f": pa.array([1, 2], pa.int64())}))
+    assert out["f"].to_pylist() == [None, None]
+
+
+def test_es_csv_non_string_value_fails_row_only():
+    import pyarrow as pa
+    from beats_ray.stages.base import stage_factory
+    st = stage_factory("es_csv")({"field": "f", "target_fields": ["a", "b"]})
+    st.setup()
+    out = st.apply(pa.table({"f": pa.array([7], pa.int64())}))
+    assert "a" not in out.column_names  # all-empty targets stay unset
