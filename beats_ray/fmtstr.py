@@ -67,6 +67,12 @@ class FormatString:
                 if self.json_escape and field not in self.no_escape_fields:
                     col = pc.replace_substring(col, "\\", "\\\\")
                     col = pc.replace_substring(col, '"', '\\"')
+                    # ES's JsonStringEncoder escapes control chars too — a
+                    # value holding a newline must render as \n or the
+                    # emitted JSON string breaks a downstream json decode
+                    col = pc.replace_substring(col, "\n", "\\n")
+                    col = pc.replace_substring(col, "\r", "\\r")
+                    col = pc.replace_substring(col, "\t", "\\t")
                 if default is not None:
                     col = pc.fill_null(col, default)
             else:

@@ -96,3 +96,13 @@ def test_es_csv_non_string_value_fails_row_only():
     st.setup()
     out = st.apply(pa.table({"f": pa.array([7], pa.int64())}))
     assert "a" not in out.column_names  # all-empty targets stay unset
+
+
+def test_mustache_json_escape_control_chars():
+    """ES's JsonStringEncoder escapes \\n/\\r/\\t in {{..}} renders, not
+    just quotes and backslashes."""
+    from beats_ray.stages.es_compat import mustache_to_fmtstr
+    import pyarrow as pa
+    fs = mustache_to_fmtstr("{{a}}")
+    out = fs.render(pa.table({"a": ["x\ny\tz"]}))
+    assert out.to_pylist() == ["x\\ny\\tz"]
