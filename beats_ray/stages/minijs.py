@@ -1381,7 +1381,8 @@ class _Interp:
         return {"String": _jstr, "Number": _tonum,
                 "parseInt": _js_parse_int,
                 "parseFloat": _js_parse_float, "require": _require,
-                "JSON": {"stringify": lambda v, *a: _json.dumps(v),
+                "JSON": {"stringify": lambda v, *a: _json.dumps(
+                             v, default=_json_default),
                          "parse": lambda v: _json.loads(v)},
                 "Array": {"isArray": lambda v: isinstance(v, list)},
                 "Object": {
@@ -1390,11 +1391,11 @@ class _Interp:
                     if isinstance(v, dict) else [],
                     "entries": lambda v: [[k, x] for k, x in v.items()]
                     if isinstance(v, dict) else []},
-                # new Date(millis) -> UTC datetime (the golden normalizer
-                # renders it as ES ISO-millis; google_workspace event.start)
-                "Date": lambda ms=None: _dt_mod.datetime.utcfromtimestamp(
-                    _tonum(ms) / 1000.0) if ms is not None
-                else _dt_mod.datetime.utcfromtimestamp(0),
+                # new Date(millis | ISO string) -> UTC datetime (the golden
+                # normalizer renders it as ES ISO-millis; google_workspace
+                # event.start).  goja parses ISO-8601 strings; a numeric
+                # string still takes the millis path via _tonum.
+                "Date": _js_date,
                 "Error": lambda msg=None: {"name": "Error",
                                            "message": msg},
                 # new RegExp("pat"[, flags]) — same runtime object as a
@@ -2142,6 +2143,37 @@ def _abstract_eq(l, r) -> bool:
     if isinstance(r, float) and math.isnan(r):
         return False
     return l == r
+
+
+def _json_default(v):
+    """JSON.stringify of host objects goja can serialize: Date -> ISO
+    string (millis precision, JS Date.toJSON), everything else by
+    ToString."""
+    if isinstance(v, _dt_mod.datetime):
+        d = v if v.tzinfo else v.replace(tzinfo=_dt_mod.timezone.utc)
+        return d.strftime("%Y-%m-%dT%H:%M:%S.") + f"{d.microsecond // 1000:03d}Z"
+    return _jstr(v)
+
+
+def _js_date(ms=None):
+    """new Date(millis | ISO string) -> naive-UTC datetime."""
+    if isinstance(ms, str):
+        s = ms.strip()
+        try:
+            d = _dt_mod.datetime.fromisoformat(s.replace("Z", "+00:00"))
+            if d.tzinfo is not None:
+                d = d.astimezone(_dt_mod.timezone.utc).replace(tzinfo=None)
+            return d
+        except ValueError:
+            pass   # numeric string falls through to the millis path
+    if ms is None:
+        return _dt_mod.datetime.utcfromtimestamp(0)
+    n = _tonum(ms)
+    if isinstance(n, float) and (math.isnan(n) or math.isinf(n)):
+        # goja: Invalid Date; the nearest analogue that keeps the row
+        # alive is the epoch sentinel
+        return _dt_mod.datetime.utcfromtimestamp(0)
+    return _dt_mod.datetime.utcfromtimestamp(n / 1000.0)
 
 
 def _js_round(v):

@@ -581,3 +581,19 @@ function process(evt) {
     assert out["a"] == "0,1"
     assert out["b"] == 8
     assert out["c"] is True
+
+
+def test_date_from_iso_string_and_json_stringify():
+    src = """
+function process(evt) {
+    var d = new Date("2024-03-05T06:07:08.500Z");
+    evt.Put("ms", d.getTime());
+    evt.Put("js", JSON.stringify({when: d}));
+    var n = new Date(1000);
+    evt.Put("n", n.Unix());
+}
+"""
+    out = compile_js(src)({})
+    assert out["ms"] == 1709618828500.0
+    assert out["js"] == '{"when": "2024-03-05T06:07:08.500Z"}'
+    assert out["n"] == 1
