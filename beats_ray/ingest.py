@@ -833,6 +833,11 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
         return [{"fingerprint": out}]
     if kind == "drop":
         return [{"drop_event": {}}]
+    if kind == "fail":
+        # ES FailProcessor: abort the doc with a message -> error-poison the
+        # row (routes to _rejects like any processor failure)
+        return [{"fail": {"message": cfg.get("message",
+                                             "Fail processor executed")}}]
     if kind == "network_direction":
         out = {"source": cfg.get("source_ip", "source.ip"),
                "destination": cfg.get("destination_ip", "destination.ip"),

@@ -462,6 +462,36 @@ class SetDynamic(Stage):
         return batch
 
 
+@register("fail")
+class FailProcessor(Stage):
+    """ES FailProcessor: abort the document with a message.  The row-model
+    analogue is error-poisoning (error_message set -> remaining stages skip
+    the row, it routes to the _rejects partition).  ``message`` may be a
+    mustache template (cyberarkpas on_failure)."""
+
+    name = "fail"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        m = str(self.config.get("message", "Fail processor executed"))
+        self.template = mustache_to_fmtstr(m) if "{{" in m else None
+        self.message = m
+
+    def process(self, batch: pa.Table) -> pa.Table:
+        from ..event import set_error
+        n = len(batch)
+        if self.template is not None:
+            rendered = pc.fill_null(self.template.render(batch), self.message)
+            # set_error keeps first-error-wins; per-row messages need the
+            # same guard manually
+            from ..event import ERROR_COL, set_column
+            cur = (batch.column(ERROR_COL) if ERROR_COL in batch.column_names
+                   else pa.nulls(n, pa.string()))
+            return set_column(batch, ERROR_COL,
+                              pc.if_else(pc.is_null(cur), rendered, cur))
+        return set_error(batch, pa.array([True] * n), self.message)
+
+
 @register("dot_expander")
 class DotExpander(Stage):
     """ES dot_expander turns literal-dot keys into nested objects; the flat

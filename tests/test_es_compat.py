@@ -106,3 +106,24 @@ def test_mustache_json_escape_control_chars():
     fs = mustache_to_fmtstr("{{a}}")
     out = fs.render(pa.table({"a": ["x\ny\tz"]}))
     assert out.to_pylist() == ["x\\ny\\tz"]
+
+
+def test_fail_processor_poisons_rows_with_message():
+    """ES fail aborts the doc; the row-model analogue is error-poisoning.
+    Conditioned fail poisons only matching rows; mustache messages render
+    per row."""
+    import pyarrow as pa
+    from beats_ray.ingest import compile_ingest
+    from beats_ray.pipeline import Pipeline
+    spec = compile_ingest([
+        {"fail": {"if": "ctx.kind == 'bad'",
+                  "message": "bad kind {{kind}}"}},
+        {"set": {"field": "seen", "value": "yes"}},
+    ])
+    out = Pipeline({"processors": spec}).run_local(
+        pa.table({"kind": ["ok", "bad"]}))
+    rows = {r["kind"]: r for r in out.to_pylist()}
+    assert rows["ok"].get("error_message") is None
+    assert rows["ok"].get("seen") == "yes"
+    assert rows["bad"].get("error_message") == "bad kind bad"
+    assert rows["bad"].get("seen") is None   # poisoned: later stages skip
