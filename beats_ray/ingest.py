@@ -936,6 +936,87 @@ def _compile_one(kind: str, cfg: dict, ctx: "_Ctx"):
                 if "allow_duplicates" in a:
                     out["allow_duplicates"] = a["allow_duplicates"]
                 return [{"append": out}]
+        if "set" in inner:
+            # per-element DYNAMIC set: each element (a {name, value}-shaped
+            # struct) writes one event field whose NAME comes from a member
+            # (auditd copy / cef checkpoint _tmp_copy / cyberarkpas
+            # CAProperties — optionally under a static field prefix)
+            s = inner["set"]
+            fm = re.fullmatch(
+                r"(.*?)\{\{\{?\s*_ingest\._value\.([\w.]+)\s*\}?\}\}",
+                str(s.get("field", "")))
+            vm = _PURE_TMPL.match(str(s.get("value")))
+            if fm and vm and vm.group(1).startswith("_ingest._value."):
+                prefix, name_key = fm.group(1), fm.group(2)
+                val_key = vm.group(1)[len("_ingest._value."):]
+                col = cfg["field"].replace(".", "_")
+                src = (
+                    "def process(event, params):\n"
+                    f"    arr = event.get({col!r})\n"
+                    "    if not isinstance(arr, list):\n"
+                    "        return event\n"
+                    f"    nk, vk, pre = {name_key!r}, {val_key!r}, {prefix!r}\n"
+                    "    for el in arr:\n"
+                    "        if not isinstance(el, dict):\n"
+                    "            continue\n"
+                    "        name = el.get(nk)\n"
+                    "        if name in (None, ''):\n"
+                    "            continue\n"
+                    "        v = el.get(vk)\n"
+                    "        # mustache value render: Java toString-ish\n"
+                    "        if v is None:\n"
+                    "            v = ''\n"
+                    "        elif v is True or v is False:\n"
+                    "            v = 'true' if v else 'false'\n"
+                    "        elif not isinstance(v, str):\n"
+                    "            v = str(v)\n"
+                    "        key = (pre + str(name)).replace('.', '_')\n"
+                    "        event[key] = v\n"
+                    "    return event\n")
+                return [{"script": {"source": src}}]
+        for ik in ("lowercase", "uppercase", "gsub"):
+            if ik not in inner:
+                continue
+            # per-element member transform (threatintel/threatq lowercases
+            # and underscores each attribute name before the dynamic set)
+            t = inner[ik]
+            f = str(t.get("field", ""))
+            if f == "_ingest._value":
+                member = None
+            elif f.startswith("_ingest._value."):
+                member = f[len("_ingest._value."):].split(".")
+            else:
+                break
+            col = cfg["field"].replace(".", "_")
+            if ik == "gsub":
+                body = (f"    rx = __import__('re').compile("
+                        f"{str(t.get('pattern', ''))!r})\n"
+                        f"    fn = lambda v: rx.sub("
+                        f"{str(t.get('replacement', ''))!r}, v)\n")
+            else:
+                fn = "lower" if ik == "lowercase" else "upper"
+                body = f"    fn = lambda v: v.{fn}()\n"
+            src = (
+                "def process(event, params):\n"
+                f"    arr = event.get({col!r})\n"
+                "    if not isinstance(arr, list):\n"
+                "        return event\n"
+                + body +
+                f"    mem = {member!r}\n"
+                "    for i, el in enumerate(arr):\n"
+                "        if mem is None:\n"
+                "            if isinstance(el, str):\n"
+                "                arr[i] = fn(el)\n"
+                "            continue\n"
+                "        cur = el\n"
+                "        for seg in mem[:-1]:\n"
+                "            cur = cur.get(seg) if isinstance(cur, dict)"
+                " else None\n"
+                "        if isinstance(cur, dict) and "
+                "isinstance(cur.get(mem[-1]), str):\n"
+                "            cur[mem[-1]] = fn(cur[mem[-1]])\n"
+                "    return event\n")
+            return [{"script": {"source": src}}]
         raise PainlessUnsupported(f"foreach variant {inner}")
     raise PainlessUnsupported(f"ES processor {kind!r}")
 

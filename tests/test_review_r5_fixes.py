@@ -656,3 +656,32 @@ def test_date_on_failure_handlers_run_on_failed_rows_only():
     assert bad.get("error_message") == ["could not parse time field src"]
     # missing source keeps skip semantics (documented divergence)
     assert missing.get("fallback") is None
+
+
+def test_foreach_dynamic_set_and_member_transforms_compile():
+    """Generic compilation for the remaining reference foreach shapes:
+    per-element dynamic set (auditd copy / cyberarkpas CAProperties) and
+    per-element member lowercase/gsub (threatintel/threatq)."""
+    from beats_ray.ingest import compile_ingest
+    from beats_ray.pipeline import Pipeline
+
+    spec = compile_ingest([
+        {"foreach": {"field": "json.attributes", "processor": {
+            "lowercase": {"field": "_ingest._value.name"}}}},
+        {"foreach": {"field": "json.attributes", "processor": {
+            "gsub": {"field": "_ingest._value.name",
+                     "pattern": " ", "replacement": "_"}}}},
+        {"foreach": {"field": "json.attributes", "processor": {
+            "set": {"field": "threat.{{_ingest._value.name}}",
+                    "value": "{{_ingest._value.value}}"}}}},
+    ])
+    out = Pipeline({"processors": spec}).run_local(pa.table({
+        "json_attributes": pa.array([[
+            {"name": "Actor Name", "value": "APT99"},
+            {"name": "Score", "value": "7"},
+        ]])}))
+    row = out.to_pylist()[0]
+    assert row.get("threat_actor_name") == "APT99"
+    assert row.get("threat_score") == "7"
+    names = [e["name"] for e in row["json_attributes"]]
+    assert names == ["actor_name", "score"]
