@@ -73,7 +73,9 @@ class NDJSONWriter:
             d = os.path.join(self.out_dir, f"sink={name}")
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"part-{h.hexdigest()[:16]}.ndjson")
-            tmp = path + ".tmp"
+            # writer-unique tmp (see parquet.py): retried tasks must not
+            # interleave into one tmp file
+            tmp = f"{path}.{os.getpid()}.tmp"
             with open(tmp, "w") as f:
                 for row in out.to_pylist():
                     f.write(json.dumps(row, default=_json_default,

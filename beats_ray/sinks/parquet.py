@@ -107,7 +107,10 @@ class RoutedWriter:
             d = os.path.join(self.out_dir, f"sink={sink_name}")
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"part-{self._file_id(part, sink_name)}.parquet")
-            tmp = path + ".tmp"
+            # writer-unique tmp: a retried/speculative task writing the SAME
+            # content-addressed path must not interleave into one tmp file —
+            # each writes its own, and os.replace publishes whole bytes
+            tmp = f"{path}.{os.getpid()}.tmp"
             pq.write_table(out.drop_columns([self.sink_col])
                            if self.sink_col in out.column_names else out, tmp)
             os.replace(tmp, path)  # atomic publish
