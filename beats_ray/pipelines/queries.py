@@ -2119,3 +2119,20 @@ _EXTRA_ORACLES["events_ingest_zeek_dns_js"] = """
            min(ip) AS min_ip
     FROM d GROUP BY 1, 2, 3, 4, 5
 """
+
+
+def q_docs_pack_sequences(sf_dir: str):
+    """Sequence packing for training-data assembly: greedy token-budget
+    (512) bin assignment per hash bucket (doc_id % 8), documents in stable
+    id order — one groupby shuffle, per-bucket sequential fold (the oracle
+    restates it as a recursive CTE).  Returns every document's (bucket,
+    bin, n_tokens) assignment."""
+    from ..functions.packing import pack_sequences
+    ds = _read(os.path.join(sf_dir, "documents.parquet"), split=True,
+               columns=["doc_id", "text"])
+    return pack_sequences(ds, max_tokens=512, num_buckets=8)
+
+
+QUERIES["docs_pack_sequences"] = q_docs_pack_sequences
+from ..functions.packing import pack_sequences_oracle_sql as _pack_sql
+_EXTRA_ORACLES3["docs_pack_sequences"] = _pack_sql(512, 8)

@@ -411,3 +411,26 @@ def test_watcher_metadata_interval_gate(tmp_path):
     _os.utime(path)
     # interval not elapsed -> still the old map
     assert st.process(batch).to_pylist()[0]["container_name"] == "old"
+
+
+def test_pack_sequences_greedy_budget(ray_session):
+    """Greedy packing: bins never exceed max_tokens unless a single doc
+    does; docs pack in id order; oversized docs get their own bin."""
+    import pandas as pd
+    import ray.data as rd
+    from beats_ray.functions.packing import pack_sequences
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 8, 16, 24, 32],   # all bucket 0 (mod 8)
+        "text": ["a b c",               # 3 tokens
+                 "d e",                 # 2 -> bin 0 (sum 5)
+                 " ".join("x" * 1) * 0 + " ".join(["t"] * 7),  # 7 -> bin 1
+                 " ".join(["u"] * 20),  # 20 > 8: own bin 2
+                 "v w"],                # 2 -> bin 3
+    })
+    out = pack_sequences(rd.from_pandas(docs), max_tokens=8,
+                         num_buckets=8).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["bucket"].tolist() == [0, 0, 0, 0, 0]
+    assert out["bin"].tolist() == [0, 0, 1, 2, 3]
+    assert out["n_tokens"].tolist() == [3, 2, 7, 20, 2]
