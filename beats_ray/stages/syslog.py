@@ -106,6 +106,7 @@ class SyslogStage(Stage):
         prefix = self.config.get("target_prefix", "log_syslog")
         self.prefix = prefix + "_" if prefix else ""
         self.ignore_failure = bool(self.config.get("ignore_failure", False))
+        self.ignore_missing = bool(self.config.get("ignore_missing", False))
 
     def input_columns(self):
         return [field_to_column(self.field)]
@@ -152,7 +153,12 @@ class SyslogStage(Stage):
                 ts_py.append(None)
         batch = set_column(batch, self.prefix + "ts",
                            pa.array(ts_py, pa.timestamp("us")))
-        fail = pc.invert(pa.array(ok, pa.bool_()))
-        if not self.ignore_failure and (pc.sum(fail).as_py() or 0) > 0:
-            batch = set_error(batch, fail, "failed to parse syslog message")
+        fail = [not o for o in ok]
+        if self.ignore_missing:
+            # syslog.go config IgnoreMissing: a row without the source value
+            # is a skip, not a parse failure (null == absent in this model)
+            fail = [f and v is not None for f, v in zip(fail, rows)]
+        if not self.ignore_failure and any(fail):
+            batch = set_error(batch, pa.array(fail, pa.bool_()),
+                              "failed to parse syslog message")
         return batch

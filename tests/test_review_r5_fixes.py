@@ -685,3 +685,18 @@ def test_foreach_dynamic_set_and_member_transforms_compile():
     assert row.get("threat_score") == "7"
     names = [e["name"] for e in row["json_attributes"]]
     assert names == ["actor_name", "score"]
+
+
+def test_syslog_ignore_missing_null_rows_not_poisoned():
+    """syslog.go IgnoreMissing: a null source value is a skip, not a parse
+    failure (the config key was documented but never read)."""
+    from beats_ray.stages.base import stage_factory
+    st = stage_factory("syslog")({"ignore_missing": True})
+    st.setup()
+    out = st.apply(pa.table({"message": pa.array(
+        ["<34>Oct 11 22:14:15 host app[42]: hi", None, "not syslog"])}))
+    rows = sorted(out.to_pylist(), key=lambda r: str(r.get("message")))
+    by_msg = {str(r.get("message")): r for r in rows}
+    assert by_msg["hi"].get("error_message") is None
+    assert by_msg["None"].get("error_message") is None       # skipped
+    assert by_msg["not syslog"].get("error_message") is not None
