@@ -293,6 +293,16 @@ def fnv32a_batch(payloads_arr: pa.Array) -> "np.ndarray":
         else np.empty(0, dtype=np.uint8)
     lens = np.diff(offs).astype(np.int64)
     maxlen = int(lens.max()) if n else 0
+    if n > 1 and n * maxlen > 256 * 1024 * 1024:
+        # the padded (n, maxlen) scatter is O(n*maxlen) bytes — fine for
+        # key-sized payloads, a memory cliff if someone partitions by a
+        # long text column (one 64 KB outlier x 32 Ki rows = 2 GB).  Hash
+        # in row slices sized to the cap; same result, bounded memory.
+        step = max(1, (256 * 1024 * 1024) // max(1, maxlen))
+        out = np.empty(n, dtype=np.uint32)
+        for i in range(0, n, step):
+            out[i:i + step] = fnv32a_batch(arr.slice(i, min(step, n - i)))
+        return out
     # scatter the variable-length byte runs into a padded (n, maxlen) matrix
     total = int(lens.sum())
     rows = np.repeat(np.arange(n), lens)

@@ -700,3 +700,17 @@ def test_syslog_ignore_missing_null_rows_not_poisoned():
     assert by_msg["hi"].get("error_message") is None
     assert by_msg["None"].get("error_message") is None       # skipped
     assert by_msg["not syslog"].get("error_message") is not None
+
+
+def test_fnv32a_batch_long_payload_chunked_path():
+    """The padded-matrix scatter is O(n*maxlen) bytes; past the 256 MB cap
+    it hashes in row slices — same values, bounded memory."""
+    import numpy as np
+    from beats_ray.sources.readers import fnv32a, fnv32a_batch
+    big = pa.array(["y" * 70000] * 8000, pa.string())   # 560 MB padded
+    got = fnv32a_batch(big)
+    assert len(set(got.tolist())) == 1
+    assert int(got[0]) == fnv32a(b"y" * 70000)
+    mixed = pa.array(["a", "y" * 70000, ""], pa.string())
+    assert [int(x) for x in fnv32a_batch(mixed)] == [
+        fnv32a(b"a"), fnv32a(b"y" * 70000), fnv32a(b"")]
