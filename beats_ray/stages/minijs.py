@@ -1259,8 +1259,13 @@ def _member(obj, name):
                     o.sort(key=_jstr)   # JS default: ToString comparison
                 else:
                     import functools
-                    o.sort(key=functools.cmp_to_key(
-                        lambda a, b: (fn(a, b) > 0) - (fn(a, b) < 0)))
+
+                    def c(a, b, fn=fn):
+                        r = _tonum(fn(a, b))   # one call per comparison
+                        if isinstance(r, float) and math.isnan(r):
+                            return 0
+                        return (r > 0) - (r < 0)
+                    o.sort(key=functools.cmp_to_key(c))
                 return o
             return _sort
         if name == "concat":
