@@ -434,3 +434,39 @@ def test_pack_sequences_greedy_budget(ray_session):
     assert out["bucket"].tolist() == [0, 0, 0, 0, 0]
     assert out["bin"].tolist() == [0, 0, 1, 2, 3]
     assert out["n_tokens"].tolist() == [3, 2, 7, 20, 2]
+
+
+def test_pack_sequences_property_random(ray_session):
+    """Property check on random corpora: (1) every multi-doc bin stays
+    within the budget, (2) bins are contiguous in doc order per bucket,
+    (3) every doc is assigned exactly once, (4) greedy-tightness: the
+    first doc of bin k+1 would NOT have fit in bin k."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from beats_ray.functions.packing import pack_sequences
+
+    rng = np.random.default_rng(7)
+    n = 400
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [" ".join(["w"] * int(k))
+                 for k in rng.integers(1, 40, size=n)],
+    })
+    max_tokens = 64
+    out = pack_sequences(rd.from_pandas(docs), max_tokens=max_tokens,
+                         num_buckets=4).to_pandas()
+    assert len(out) == n and out["doc_id"].nunique() == n
+    for bucket, g in out.groupby("bucket"):
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        # bins nondecreasing and starting at 0 (contiguity in doc order)
+        assert g["bin"].iloc[0] == 0
+        assert ((g["bin"].diff().fillna(0)).isin([0, 1])).all()
+        sums = g.groupby("bin")["n_tokens"].agg(["sum", "count"])
+        multi = sums[sums["count"] > 1]
+        assert (multi["sum"] <= max_tokens).all()
+        # greedy tightness: first doc of each later bin overflows prior bin
+        for b in range(1, int(g["bin"].max()) + 1):
+            prev_sum = int(g[g["bin"] == b - 1]["n_tokens"].sum())
+            first_next = int(g[g["bin"] == b]["n_tokens"].iloc[0])
+            assert prev_sum + first_next > max_tokens
