@@ -49,18 +49,23 @@ def pack_sequences(ds, max_tokens: int = 512, num_buckets: int = 8,
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        toks = g["n_tokens"].to_numpy()
-        bins = np.zeros(len(g), dtype=np.int64)
-        b, acc = 0, 0
-        for i, t in enumerate(toks):
-            if i == 0 or acc + t > max_tokens:
-                if i:
-                    b += 1
-                acc = int(t)
-            else:
-                acc += int(t)
-            bins[i] = b
-        g["bin"] = bins
+        toks = g["n_tokens"].to_numpy(dtype=np.int64)
+        n = len(toks)
+        # greedy fold in O(bins * log n), not O(rows) Python: each bin is
+        # the longest prefix run whose cumsum stays within start + budget,
+        # found by binary search on the cumulative sum — iteration count is
+        # the BIN count, so a million-doc bucket with ~100-doc bins costs
+        # ~10k searchsorted calls instead of 1M Python steps
+        cs = np.concatenate(([0], np.cumsum(toks)))
+        bin_starts = []
+        i = 0
+        while i < n:
+            bin_starts.append(i)
+            j = int(np.searchsorted(cs, cs[i] + max_tokens, side="right")) - 1
+            i = max(j, i + 1)   # an over-budget doc still consumes one slot
+        bins = np.zeros(n, dtype=np.int64)
+        bins[bin_starts[1:]] = 1
+        g["bin"] = np.cumsum(bins)
         return g[[id_col, "bucket", "bin", "n_tokens"]]
 
     prepped = ds.map_batches(prep, batch_format="pyarrow")
